@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.Gold.queries ++
-      pipeline.Views.queries
+      pipeline.Views.queries ++
+      pipeline.SilverJson.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     pipeline.Gold.oracles ++
-      pipeline.Views.oracles
+      pipeline.Views.oracles ++
+      pipeline.SilverJson.oracles
 }
