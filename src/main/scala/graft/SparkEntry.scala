@@ -18,12 +18,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.Gold.queries ++
       pipeline.Views.queries ++
-      pipeline.SilverJson.queries
+      pipeline.SilverJson.queries ++
+      star.Joins.queries ++
+      star.Windows.queries ++
+      star.Aggs.queries ++
+      star.SetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     pipeline.Gold.oracles ++
       pipeline.Views.oracles ++
-      pipeline.SilverJson.oracles
+      pipeline.SilverJson.oracles ++
+      star.Joins.oracles ++
+      star.Windows.oracles ++
+      star.Aggs.oracles ++
+      star.SetOps.oracles
 }

@@ -1,0 +1,165 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import graft.Det.{sqlSum, sqlOrderBy}
+
+/** Extended aggregation tier (SURVEY.md §2.4 `[EXT]`): multi-dimensional
+  * rollup/cube/grouping-sets, distinct aggregates, approximate sketches,
+  * top-k, and event-time bucketing.
+  *
+  * Scale posture: rollup/cube expand each input row into (levels) rows
+  * *after* partial aggregation (Spark's Expand sits under the hash
+  * aggregate), so the shuffle carries group states, not raw rows.
+  * `approx_count_distinct` is a mergeable HLL sketch — constant memory
+  * per group at any scale, the right tool at 100 TB where exact
+  * count-distinct shuffles every key. Top-k compiles to
+  * TakeOrderedAndProject (per-partition heaps, no global sort).
+  */
+object Aggs {
+
+  /** ROLLUP (year, month): per-month, per-year subtotals + grand total. */
+  def rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .select(year($"o_orderdate").as("year"),
+        month($"o_orderdate").as("month"), $"o_totalprice")
+      .rollup($"year", $"month")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.xsum($"o_totalprice").as("revenue"))
+      .orderBy($"year", $"month")
+  }
+
+  val rollupSql: String =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       |       CAST(month(o_orderdate) AS INTEGER) AS month,
+       |       COUNT(*) AS n_orders,
+       |       ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders GROUP BY ROLLUP(1, 2)${sqlOrderBy(Seq("year", "month"))}""".stripMargin
+
+  /** CUBE (status, priority): all 2^2 grouping combinations. */
+  def cube2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.xsum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  val cube2Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)${sqlOrderBy(Seq("o_orderstatus", "o_orderpriority"))}""".stripMargin
+
+  /** GROUPING SETS ((status), (priority), ()): explicit set list. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS revenue
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+         |""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())${sqlOrderBy(Seq("o_orderstatus", "o_orderpriority"))}""".stripMargin
+
+  /** Exact distinct aggregates per return flag. */
+  def countDistinct2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  val countDistinct2Sql: String =
+    s"""SELECT l_returnflag,
+       |  COUNT(*) AS n_lines,
+       |  COUNT(DISTINCT l_partkey) AS n_parts,
+       |  COUNT(DISTINCT l_suppkey) AS n_supps,
+       |  COUNT(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem GROUP BY l_returnflag${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
+
+  /** HLL sketch distinct (no oracle — engine-specific estimator; the
+    * driver records a rows-only check). At 100 TB this replaces exact
+    * distinct: constant-memory mergeable sketches, 2% default error. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Global top-20 orders by value (TakeOrderedAndProject). */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val topkOrdersSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+       |FROM orders
+       |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+       |LIMIT 20""".stripMargin
+
+  /** Event-time daily bucketing (batch shape of the streaming tumbling
+    * window): per (day, event_type) counts and value sums. */
+  def eventsDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.xsum($"value").as("total_value"),
+        Det.xavg($"value").as("avg_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val eventsDailySql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type,
+       |  COUNT(*) AS n_events,
+       |  ${sqlSum("value")} AS total_value,
+       |  ${Det.sqlAvg("value")} AS avg_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events GROUP BY 1, 2${sqlOrderBy(Seq("day", "event_type"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rollup" -> rollup,
+    "agg_cube" -> cube2,
+    "agg_grouping_sets" -> groupingSets,
+    "agg_count_distinct" -> countDistinct2,
+    "agg_approx_distinct" -> approxDistinct,
+    "topk_orders" -> topkOrders,
+    "events_daily" -> eventsDaily)
+
+  val oracles: Map[String, String] = Map(
+    "agg_rollup" -> rollupSql,
+    "agg_cube" -> cube2Sql,
+    "agg_grouping_sets" -> groupingSetsSql,
+    "agg_count_distinct" -> countDistinct2Sql,
+    "topk_orders" -> topkOrdersSql,
+    "events_daily" -> eventsDailySql)
+}

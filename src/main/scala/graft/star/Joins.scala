@@ -1,0 +1,238 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import graft.Det.{sqlSum, sqlOrderBy}
+
+/** Join surface (SURVEY.md §2.3 J1-J5). The reference contains zero
+  * joins (denormalized medallion design), so this tier is the `[EXT]`
+  * join inventory the 100 TB north star requires, each with a DuckDB
+  * oracle.
+  *
+  * Scale posture per join:
+  *  - equi joins shuffle on their keys; AQE picks broadcast-hash when a
+  *    side fits `spark.sql.autoBroadcastJoinThreshold` and handles skew
+  *    (`skewJoin.enabled`) — we hint `broadcast()` only for genuinely
+  *    bounded dims (region/nation/part-sizes).
+  *  - the range join broadcasts a 50-row distinct-key side, so the
+  *    nested-loop comparison count is |lineitem| x 50, linear in data.
+  *  - the as-of join avoids any N^2 pairing: union the two event sets,
+  *    one shuffle on user_id, one sort per partition, then a running
+  *    `last(_, ignoreNulls)` — the standard streaming-friendly as-of
+  *    formulation (no Spark built-in exists).
+  */
+object Joins {
+
+  /** J1: 3-way equi inner join + aggregate — revenue per
+    * (market segment, order priority). */
+  def innerAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(Tables(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Det.xsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"c_mktsegment", $"o_orderpriority")
+  }
+
+  val innerAggSql: String =
+    s"""SELECT c_mktsegment, o_orderpriority,
+       |  COUNT(*) AS n_lines,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY c_mktsegment, o_orderpriority${sqlOrderBy(Seq("c_mktsegment", "o_orderpriority"))}""".stripMargin
+
+  /** J2: broadcast dimension join — lineitem x part, aggregated by
+    * brand. `broadcast(part)` pins BroadcastHashJoin: no shuffle of the
+    * fact side at any scale. */
+  def broadcastDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.xsum($"l_quantity").as("total_qty"),
+        Det.xsum($"l_extendedprice").as("total_price"))
+      .orderBy($"p_brand")
+  }
+
+  val broadcastDimSql: String =
+    s"""SELECT p_brand,
+       |  COUNT(*) AS n_items,
+       |  ${sqlSum("l_quantity")} AS total_qty,
+       |  ${sqlSum("l_extendedprice")} AS total_price
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand${sqlOrderBy(Seq("p_brand"))}""".stripMargin
+
+  /** TPC-H Q5-shaped 6-way join: revenue by nation for ASIA customers
+    * ordering in 1996, supplier co-located with customer nation. */
+  def multiwayQ5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "region").filter($"r_name" === "ASIA")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        $"r_regionkey" === $"n_regionkey")
+      .join(Tables(spark, dir, "customer"), $"n_nationkey" === $"c_nationkey")
+      .join(Tables(spark, dir, "orders"),
+        $"c_custkey" === $"o_custkey" && year($"o_orderdate") === 1996)
+      .join(Tables(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(Tables(spark, dir, "supplier"),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Det.xsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  val multiwayQ5Sql: String =
+    s"""SELECT n_name,
+       |  COUNT(*) AS n_lines,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM region
+       |JOIN nation ON r_regionkey = n_regionkey
+       |JOIN customer ON n_nationkey = c_nationkey
+       |JOIN orders ON c_custkey = o_custkey AND CAST(year(o_orderdate) AS INTEGER) = 1996
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name${sqlOrderBy(Seq("n_name"))}""".stripMargin
+
+  /** J1 left outer: every customer with order count and spend (zero for
+    * customers without orders). */
+  def leftOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(Det.xsum($"o_totalprice"), lit(0.0)).as("total_spend"))
+      .orderBy($"c_custkey")
+  }
+
+  val leftOuterSql: String =
+    s"""SELECT c_custkey, c_name,
+       |  COUNT(o_orderkey) AS n_orders,
+       |  COALESCE(${sqlSum("o_totalprice")}, CAST(0 AS DOUBLE)) AS total_spend
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name${sqlOrderBy(Seq("c_custkey"))}""".stripMargin
+
+  /** J3 semi: customers with at least one open ('O') order. */
+  def semi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders").filter($"o_orderstatus" === "O"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val semiSql: String =
+    s"""SELECT c_custkey, c_name FROM customer
+       |WHERE EXISTS (SELECT 1 FROM orders
+       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+       |${sqlOrderBy(Seq("c_custkey")).trim}""".stripMargin
+
+  /** J3 anti: customers with no pending ('P') order. */
+  def anti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders").filter($"o_orderstatus" === "P"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val antiSql: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+       |${sqlOrderBy(Seq("c_custkey")).trim}""".stripMargin
+
+  /** J4 range (non-equi) join: lineitems whose quantity falls within
+    * +-1 of a part size — the small side is 50 distinct sizes, broadcast
+    * into a nested-loop join (|fact| x 50 comparisons, linear). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = Tables(spark, dir, "part").select($"p_size").distinct()
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(sizes),
+        $"l_quantity" >= $"p_size" - 1 && $"l_quantity" <= $"p_size" + 1)
+      .groupBy($"p_size")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        Det.xsum($"l_quantity").as("total_qty"))
+      .orderBy($"p_size")
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT p_size,
+       |  COUNT(*) AS n_matched,
+       |  ${sqlSum("l_quantity")} AS total_qty
+       |FROM (SELECT DISTINCT p_size FROM part) s
+       |JOIN lineitem ON l_quantity >= p_size - 1 AND l_quantity <= p_size + 1
+       |GROUP BY p_size${sqlOrderBy(Seq("p_size"))}""".stripMargin
+
+  /** J5 as-of join: for every click event, the most recent purchase by
+    * the same user at ts <= click ts (inclusive). Spark has no built-in
+    * as-of join; the scalable formulation used here is
+    * union-tag -> one shuffle on user_id -> per-partition sort ->
+    * running `last(ignoreNulls)` window. The DuckDB oracle uses its
+    * native ASOF JOIN, so the two independent formulations check each
+    * other. (user_id, ts) is duplicate-free in the data, so inclusive-
+    * boundary semantics are unambiguous. */
+  def asof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts",
+        lit(null).cast("timestamp_ntz").as("p_ts"),
+        lit(null).cast("double").as("p_value"),
+        lit(1).as("is_click"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        $"ts".as("p_ts"), $"value".as("p_value"), lit(0).as("is_click"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_ts", last($"p_ts", ignoreNulls = true).over(w))
+      .withColumn("asof_value", last($"p_value", ignoreNulls = true).over(w))
+      .filter($"is_click" === 1)
+      .select($"event_id", $"user_id", $"ts", $"asof_ts", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  val asofSql: String =
+    s"""SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.user_id AND c.ts >= p.ts
+       |ORDER BY c.event_id NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_agg" -> innerAgg,
+    "join_broadcast_dim" -> broadcastDim,
+    "join_multiway_q5" -> multiwayQ5,
+    "join_left_outer" -> leftOuter,
+    "join_semi" -> semi,
+    "join_anti" -> anti,
+    "join_range" -> rangeJoin,
+    "join_asof" -> asof)
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_agg" -> innerAggSql,
+    "join_broadcast_dim" -> broadcastDimSql,
+    "join_multiway_q5" -> multiwayQ5Sql,
+    "join_left_outer" -> leftOuterSql,
+    "join_semi" -> semiSql,
+    "join_anti" -> antiSql,
+    "join_range" -> rangeJoinSql,
+    "join_asof" -> asofSql)
+}

@@ -1,0 +1,145 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import graft.Det.{sqlSum, sqlOrderBy}
+
+/** Window-function tier (SURVEY.md §2.6 `[EXT]`): ranking, analytic
+  * (lag/lead), and frame-spec aggregates — the idiomatic Spark
+  * formulation of the reference's "trend" views.
+  *
+  * Determinism: window ORDER BYs always include a unique tiebreaker;
+  * sliding/running sums go through DECIMAL(28,5) (both engines aggregate
+  * frames in different internal orders — DuckDB uses segment trees,
+  * Spark re-scans the frame — decimal accumulation makes the order
+  * irrelevant).
+  *
+  * Scale posture: every window partitions on a real key (mktsegment,
+  * user_id) except the monthly trend ones, whose partition count equals
+  * |months| — bounded and tiny relative to data, and the input to those
+  * is already a pre-aggregated ~|months|-row frame, not raw rows.
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank: top-3 orders by value per market
+    * segment. */
+  def topnRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  val topnRankSql: String =
+    s"""SELECT * FROM (
+       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+       |    CAST(row_number() OVER w AS INTEGER) AS rn,
+       |    CAST(rank() OVER w AS INTEGER) AS rk,
+       |    CAST(dense_rank() OVER w AS INTEGER) AS drk
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WINDOW w AS (PARTITION BY c_mktsegment
+       |               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
+       |) WHERE rn <= 3${sqlOrderBy(Seq("c_mktsegment", "rn"))}""".stripMargin
+
+  /** Monthly order revenue (pre-aggregated) as the base for the trend
+    * windows below. */
+  private def monthlyRev(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .groupBy(year($"o_orderdate").as("year"),
+        month($"o_orderdate").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.xsum($"o_totalprice").as("revenue"))
+  }
+
+  private val monthlyRevSql: String =
+    s"""m AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       |         CAST(month(o_orderdate) AS INTEGER) AS month,
+       |         COUNT(*) AS n_orders,
+       |         ${sqlSum("o_totalprice")} AS revenue
+       |  FROM orders GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** lag/lead: month-over-month revenue delta. */
+  def lagMom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"year", $"month")
+    monthlyRev(spark, dir)
+      .withColumn("prev_revenue", lag($"revenue", 1).over(w))
+      .withColumn("next_revenue", lead($"revenue", 1).over(w))
+      .withColumn("mom_delta", $"revenue" - $"prev_revenue")
+      .orderBy($"year", $"month")
+  }
+
+  val lagMomSql: String =
+    s"""WITH $monthlyRevSql
+       |SELECT year, month, n_orders, revenue,
+       |  lag(revenue, 1) OVER w AS prev_revenue,
+       |  lead(revenue, 1) OVER w AS next_revenue,
+       |  revenue - lag(revenue, 1) OVER w AS mom_delta
+       |FROM m WINDOW w AS (ORDER BY year, month)${sqlOrderBy(Seq("year", "month"))}""".stripMargin
+
+  /** Frame-spec aggregate: 3-month moving average of revenue
+    * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), decimal-exact. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"year", $"month").rowsBetween(-2, 0)
+    monthlyRev(spark, dir)
+      .withColumn("mov_avg_3m",
+        sum($"revenue".cast(Det.SumDec)).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .orderBy($"year", $"month")
+  }
+
+  val movingAvgSql: String =
+    s"""WITH $monthlyRevSql
+       |SELECT year, month, n_orders, revenue,
+       |  CAST(SUM(CAST(revenue AS DECIMAL(28,5))) OVER w AS DOUBLE)
+       |    / COUNT(*) OVER w AS mov_avg_3m
+       |FROM m WINDOW w AS (ORDER BY year, month
+       |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |${sqlOrderBy(Seq("year", "month")).trim}""".stripMargin
+
+  /** Running (cumulative) total revenue — unbounded-preceding frame. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"year", $"month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthlyRev(spark, dir)
+      .withColumn("cum_revenue",
+        sum($"revenue".cast(Det.SumDec)).over(w).cast("double"))
+      .withColumn("cum_orders", sum($"n_orders").over(w))
+      .orderBy($"year", $"month")
+  }
+
+  val runningTotalSql: String =
+    s"""WITH $monthlyRevSql
+       |SELECT year, month, n_orders, revenue,
+       |  CAST(SUM(CAST(revenue AS DECIMAL(28,5))) OVER w AS DOUBLE) AS cum_revenue,
+       |  CAST(SUM(n_orders) OVER w AS BIGINT) AS cum_orders
+       |FROM m WINDOW w AS (ORDER BY year, month
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |${sqlOrderBy(Seq("year", "month")).trim}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_topn_rank" -> topnRank,
+    "window_lag_mom" -> lagMom,
+    "window_moving_avg" -> movingAvg,
+    "window_running_total" -> runningTotal)
+
+  val oracles: Map[String, String] = Map(
+    "window_topn_rank" -> topnRankSql,
+    "window_lag_mom" -> lagMomSql,
+    "window_moving_avg" -> movingAvgSql,
+    "window_running_total" -> runningTotalSql)
+}
