@@ -22,7 +22,11 @@ object SparkEntry {
       star.Joins.queries ++
       star.Windows.queries ++
       star.Aggs.queries ++
-      star.SetOps.queries
+      star.SetOps.queries ++
+      llm.Dedup.queries ++
+      llm.TextStats.queries ++
+      llm.Similarity.queries ++
+      multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +37,9 @@ object SparkEntry {
       star.Joins.oracles ++
       star.Windows.oracles ++
       star.Aggs.oracles ++
-      star.SetOps.oracles
+      star.SetOps.oracles ++
+      llm.Dedup.oracles ++
+      llm.TextStats.oracles ++
+      llm.Similarity.oracles ++
+      multimodal.Media.oracles
 }

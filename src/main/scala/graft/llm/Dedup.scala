@@ -1,0 +1,176 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Deduplication operators for LLM training-data pipelines (north star
+  * `BASELINE.json:6`): exact, MinHash-LSH near-dup, and SimHash.
+  *
+  * Cross-engine hashing: Spark's default hash functions (murmur3/xxhash)
+  * have no DuckDB twin, so every hash here is md5 — identical hex in
+  * both engines — with per-signature salts ("0:"..."3:"). MinHash
+  * signatures are computed *without exploding*: shingling, hashing and
+  * min-reduction happen inside array expressions (`transform` +
+  * `array_min`), so the signature stage is a map-only pass — no shuffle,
+  * no row blow-up, which is what makes it viable at 100 TB (the only
+  * shuffle is the subsequent band-bucket self-join, whose input is one
+  * ~200-byte signature row per document).
+  *
+  * SimHash: 16-bit majority-vote fingerprint over per-word 32-bit
+  * hashes, again fully inside array expressions (filter+size per bit).
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash group, keeper = min doc_id. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .groupBy(md5($"text".cast("binary")).as("content_hash"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"content_hash")
+  }
+
+  val exactSql: String =
+    s"""SELECT md5(text) AS content_hash,
+       |  MIN(doc_id) AS keeper_doc_id,
+       |  COUNT(*) AS n_copies
+       |FROM documents GROUP BY 1${sqlOrderBy(Seq("content_hash"))}""".stripMargin
+
+  /** Per-document MinHash signature over word 3-gram shingles: 4 salted
+    * md5 min-hashes + 2 LSH band keys (2 rows of 2). */
+  private val sigSparkExprs: Seq[String] = {
+    def sig(j: Int) =
+      s"array_min(transform(shingles, s -> md5(cast(concat('$j:', s) as binary))))"
+    Seq(
+      "doc_id", "lang",
+      s"${sig(0)} AS sig0", s"${sig(1)} AS sig1",
+      s"${sig(2)} AS sig2", s"${sig(3)} AS sig3")
+  }
+
+  def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .withColumn("shingles", expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+      .selectExpr(sigSparkExprs: _*)
+      .withColumn("band_a", md5(concat($"sig0", $"sig1").cast("binary")))
+      .withColumn("band_b", md5(concat($"sig2", $"sig3").cast("binary")))
+  }
+
+  def minhashQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashSig(spark, dir).orderBy("doc_id")
+
+  /** DuckDB twin of [[minhashSig]] as a CTE named `sig`. */
+  private val sigSqlCte: String = {
+    def sig(j: Int) =
+      s"list_min(list_transform(shingles, s -> md5('$j:' || s)))"
+    s"""tok AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(0, len(tokens) - 2),
+       |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]) AS shingles
+       |  FROM tok
+       |),
+       |sig0 AS (
+       |  SELECT doc_id, lang,
+       |    ${sig(0)} AS sig0, ${sig(1)} AS sig1,
+       |    ${sig(2)} AS sig2, ${sig(3)} AS sig3
+       |  FROM sh
+       |),
+       |sig AS (
+       |  SELECT s.*, md5(sig0 || sig1) AS band_a, md5(sig2 || sig3) AS band_b
+       |  FROM sig0 s
+       |)""".stripMargin
+  }
+
+  val minhashSqlQuery: String =
+    s"WITH $sigSqlCte SELECT * FROM sig${sqlOrderBy(Seq("doc_id"))}"
+
+  /** Candidate near-duplicate pairs: docs sharing an LSH band bucket,
+    * with the 4-hash Jaccard estimate. Two equi-joins (one per band)
+    * unioned — never an OR-join (which would degrade to nested-loop). */
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = minhashSig(spark, dir).cache()
+    val a = s.select($"doc_id".as("d1"), $"sig0".as("a0"), $"sig1".as("a1"),
+      $"sig2".as("a2"), $"sig3".as("a3"), $"band_a".as("ba"), $"band_b".as("bb"))
+    val b = s.select($"doc_id".as("d2"), $"sig0".as("b0"), $"sig1".as("b1"),
+      $"sig2".as("b2"), $"sig3".as("b3"), $"band_a".as("bc"), $"band_b".as("bd"))
+    val est = (($"a0" === $"b0").cast("int") + ($"a1" === $"b1").cast("int") +
+      ($"a2" === $"b2").cast("int") + ($"a3" === $"b3").cast("int")) /
+      lit(4).cast("double")
+    val p1 = a.join(b, $"ba" === $"bc" && $"d1" < $"d2")
+      .select($"d1", $"d2", est.as("est_jaccard"))
+    val p2 = a.join(b, $"bb" === $"bd" && $"d1" < $"d2")
+      .select($"d1", $"d2", est.as("est_jaccard"))
+    p1.union(p2).distinct().orderBy($"d1", $"d2")
+  }
+
+  val neardupPairsSql: String =
+    s"""WITH $sigSqlCte,
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    (CAST(a.sig0 = b.sig0 AS INTEGER) + CAST(a.sig1 = b.sig1 AS INTEGER)
+       |     + CAST(a.sig2 = b.sig2 AS INTEGER) + CAST(a.sig3 = b.sig3 AS INTEGER))
+       |      / CAST(4 AS DOUBLE) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.band_a = b.band_a AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    (CAST(a.sig0 = b.sig0 AS INTEGER) + CAST(a.sig1 = b.sig1 AS INTEGER)
+       |     + CAST(a.sig2 = b.sig2 AS INTEGER) + CAST(a.sig3 = b.sig3 AS INTEGER))
+       |      / CAST(4 AS DOUBLE) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.band_b = b.band_b AND a.doc_id < b.doc_id
+       |)
+       |SELECT * FROM p${sqlOrderBy(Seq("d1", "d2"))}""".stripMargin
+
+  /** 16-bit SimHash fingerprint: per-word 32-bit hash (first 8 md5 hex
+    * chars), majority vote per bit position. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = (0 until 16).map { b =>
+      s"""(CASE WHEN 2 * size(filter(hs, x -> (shiftright(x, $b) & 1) = 1)) > size(hs)
+         | THEN ${1 << b} ELSE 0 END)""".stripMargin.replace("\n", "")
+    }.mkString(" + ")
+    Tables(spark, dir, "documents")
+      .withColumn("hs", expr(
+        """transform(split(text, ' '),
+          |          w -> cast(conv(substr(md5(cast(w as binary)), 1, 8), 16, 10) as bigint))""".stripMargin))
+      .selectExpr("doc_id", "size(hs) AS n_words",
+        s"CAST($bits AS BIGINT) AS simhash16")
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String = {
+    val bits = (0 until 16).map { b =>
+      s"""(CASE WHEN 2 * CAST(len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) AS INTEGER) > CAST(len(hs) AS INTEGER)
+         | THEN ${1 << b} ELSE 0 END)""".stripMargin.replace("\n", "")
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)) AS hs
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_words,
+       |  CAST($bits AS BIGINT) AS simhash16
+       |FROM h${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_minhash_sig" -> minhashQuery,
+    "dedup_neardup_pairs" -> neardupPairs,
+    "dedup_simhash" -> simhash)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_minhash_sig" -> minhashSqlQuery,
+    "dedup_neardup_pairs" -> neardupPairsSql,
+    "dedup_simhash" -> simhashSql)
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d):
+  * brute-force cosine top-k as the correctness baseline and a two-stage
+  * IVF variant as the 100 TB scale path.
+  *
+  * Numerics: dot products and norms are per-element double products
+  * accumulated in DECIMAL(28,14) (exact, order-independent), then one
+  * double division by sqrt — bit-identical between Spark and DuckDB, so
+  * top-k ordering (cosine DESC, vec_id tiebreak) is stable.
+  *
+  * Scale posture: brute force is a broadcast of ONE query vector and a
+  * map-only scan — linear, embarrassingly parallel, but reads every
+  * vector; that is the honest baseline. The IVF path prunes: rank
+  * partition centroids (here the provided `label` clustering — in a real
+  * pipeline k-means assignments), search only the best nprobe=2
+  * partitions, ~5x less data touched at equal recall for clustered data.
+  * At 100 TB the centroid table is tiny and broadcast; per-partition
+  * files can be pruned by a `label` partition column at the storage
+  * layer.
+  */
+object Similarity {
+
+  /** Spark SQL expr: exact cosine between two array columns (any
+    * numeric element type), DECIMAL(28,14)-accumulated. */
+  private def cosSpark(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""CAST(aggregate(sequence(1, 64), CAST(0 AS DECIMAL(28,14)),
+         | (acc, i) -> CAST(acc + CAST(CAST(element_at($x, i) AS DOUBLE)
+         |   * CAST(element_at($y, i) AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14)))
+         | AS DOUBLE)""".stripMargin.replace("\n", "")
+    s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
+  }
+
+  /** DuckDB twin of [[cosSpark]]. */
+  private def cosDuck(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""CAST(list_sum(list_transform(range(1, 65),
+         | i -> CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+         |   AS DECIMAL(28,14)))) AS DOUBLE)""".stripMargin.replace("\n", "")
+    s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
+  }
+
+  /** Brute-force cosine top-10 neighbours of vec_id=0. */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    emb.crossJoin(broadcast(q))
+      .selectExpr("vec_id", "label",
+        s"${cosSpark("embedding", "qv")} AS cosine")
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val cosineTopkSql: String =
+    s"""SELECT e.vec_id, e.label,
+       |  ${cosDuck("e.embedding", "q.embedding")} AS cosine
+       |FROM embeddings e,
+       |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY cosine DESC NULLS LAST, vec_id NULLS FIRST
+       |LIMIT 10""".stripMargin
+
+  /** IVF two-stage ANN: (1) exact per-label centroids (decimal-exact
+    * element means), (2) rank centroids vs the query, keep nprobe=2
+    * labels, (3) exact cosine only within those labels, top-10. */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    // stage 1: centroids — posexplode -> (label, pos) mean, re-assembled
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      // scale 12 (not 14): per-(label,pos) sums grow with rows/label; the
+      // unscaled decimal must stay < 2^53 for exact double casts (Det.scala)
+      .agg((sum($"x".cast("double").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+    // stage 2: nprobe=2 nearest centroids
+    val top2 = cent.crossJoin(broadcast(q))
+      .selectExpr("label", s"${cosSpark("centroid", "qv")} AS ccos")
+      .orderBy($"ccos".desc, $"label")
+      .limit(2)
+      .select($"label".as("probe_label"))
+    // stage 3: exact search within probed partitions only
+    emb.join(broadcast(top2), $"label" === $"probe_label")
+      .crossJoin(broadcast(q))
+      .selectExpr("vec_id", "label", s"${cosSpark("embedding", "qv")} AS cosine")
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val ivfTopkSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cent AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / COUNT(*) AS c
+       |  FROM embeddings, range(1, 65) t(i)
+       |  GROUP BY label, i
+       |),
+       |cvec AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+       |top2 AS (
+       |  SELECT cvec.label
+       |  FROM cvec, q
+       |  ORDER BY ${cosDuck("cvec.centroid", "q.qv")} DESC NULLS LAST, label
+       |  LIMIT 2
+       |)
+       |SELECT e.vec_id, e.label, ${cosDuck("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e JOIN top2 ON e.label = top2.label, q
+       |ORDER BY cosine DESC NULLS LAST, vec_id NULLS FIRST
+       |LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_cosine_topk" -> cosineTopk,
+    "embed_ivf_topk" -> ivfTopk)
+
+  val oracles: Map[String, String] = Map(
+    "embed_cosine_topk" -> cosineTopkSql,
+    "embed_ivf_topk" -> ivfTopkSql)
+}

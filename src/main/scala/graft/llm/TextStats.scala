@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Text-analysis operators for LLM data curation (north star): quality
+  * scoring, token counting, and n-gram-heuristic language ID — each a
+  * pure map over `documents` (no shuffle; scales linearly with data and
+  * parallelizes per file split at 100 TB).
+  *
+  * Every metric is integer/array arithmetic + one final double division,
+  * so Spark and DuckDB produce bit-identical outputs.
+  */
+object TextStats {
+
+  private val stopwords = Seq("the", "a", "value", "data")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Per-document quality stats: lengths, type-token ratio, stopword
+    * ratio, composite 0-3 quality score. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .selectExpr(
+        "doc_id", "lang", "source",
+        "length(text) AS n_chars",
+        "size(tokens) AS n_words",
+        "size(array_distinct(tokens)) AS n_distinct",
+        s"size(filter(tokens, t -> t IN ${inList(stopwords)})) AS n_stopwords")
+      .withColumn("ttr", $"n_distinct" / $"n_words".cast("double"))
+      .withColumn("avg_word_len",
+        ($"n_chars" - $"n_words" + 1) / $"n_words".cast("double"))
+      .withColumn("stopword_ratio", $"n_stopwords" / $"n_words".cast("double"))
+      .withColumn("quality_score",
+        when($"n_words".between(20, 200), 1).otherwise(0) +
+          when($"ttr" >= 0.25, 1).otherwise(0) +
+          when($"stopword_ratio".between(0.01, 0.5), 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  val statsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(length(text) AS INTEGER) AS n_chars,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         t -> t IN ${inList(stopwords)})) AS INTEGER) AS n_stopwords
+       |  FROM documents
+       |),
+       |d AS (
+       |  SELECT t.*,
+       |    n_distinct / CAST(n_words AS DOUBLE) AS ttr,
+       |    (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) AS avg_word_len,
+       |    n_stopwords / CAST(n_words AS DOUBLE) AS stopword_ratio
+       |  FROM t
+       |)
+       |SELECT d.*,
+       |  (CASE WHEN n_words BETWEEN 20 AND 200 THEN 1 ELSE 0 END
+       |   + CASE WHEN ttr >= 0.25 THEN 1 ELSE 0 END
+       |   + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END)
+       |  AS quality_score
+       |FROM d${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  /** Language-ID heuristic: marker-word hit counts per candidate
+    * language, deterministic argmax (preference order en>de>fr>es>zh on
+    * ties). The `lang` label rides along so downstream can measure
+    * heuristic agreement. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "table", "row"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "ne"),
+    "es" -> Seq("el", "la", "y", "no"),
+    "zh" -> Seq("de", "shi", "bu", "le"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var df = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+    for ((l, ws) <- markers)
+      df = df.withColumn(s"score_$l",
+        expr(s"size(filter(tokens, t -> t IN ${inList(ws)}))"))
+    val pred = markers.map(_._1).init.foldRight(lit(markers.last._1)) {
+      case (l, rest) =>
+        when(markers.filter(_._1 != l).map(o => col(s"score_$l") >= col(s"score_${o._1}"))
+          .reduce(_ && _), l).otherwise(rest)
+    }
+    df.withColumn("predicted_lang", pred)
+      .withColumn("n_words", expr("size(tokens)"))
+      .select(($"doc_id" +: $"lang" +: $"n_words" +:
+        markers.map(m => col(s"score_${m._1}")) :+ $"predicted_lang"): _*)
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val scores = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)})) AS INTEGER) AS score_$l"
+    }.mkString(",\n    ")
+    // same right-fold CASE chain as the Spark side
+    val pred = markers.map(_._1).init.foldRight(s"'${markers.last._1}'") {
+      case (l, rest) =>
+        val conds = markers.filter(_._1 != l)
+          .map(o => s"score_$l >= score_${o._1}").mkString(" AND ")
+        s"CASE WHEN $conds THEN '$l' ELSE $rest END"
+    }
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       |    $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, n_words,
+       |  ${markers.map(m => s"score_${m._1}").mkString(", ")},
+       |  $pred AS predicted_lang
+       |FROM s${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens, regex word tokens, and the
+    * chars/4 BPE-ish estimate used for budget planning. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS ws_tokens",
+        "size(filter(split(text, '[^a-z0-9]+'), t -> t != '')) AS re_tokens",
+        "CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS est_bpe_tokens",
+        "length(text) AS n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+       |       t -> t != '')) AS INTEGER) AS re_tokens,
+       |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS est_bpe_tokens,
+       |  CAST(length(text) AS INTEGER) AS n_chars
+       |FROM documents${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> stats,
+    "text_lang_id" -> langId,
+    "text_token_count" -> tokenCount)
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> statsSql,
+    "text_lang_id" -> langIdSql,
+    "text_token_count" -> tokenCountSql)
+}

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Multimodal-column plumbing (north star): media as opaque `binary`
+  * columns with typed metadata, plus a batched per-partition decode
+  * stage.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * STUB — a deterministic fake that derives "dimensions" from the bytes
+  * (clearly marked below). Everything around it is the real Spark
+  * architecture for this workload:
+  *  - binary payload + metadata travel in one row (columnar parquet
+  *    stores the blob column contiguously; scans that don't project it
+  *    never read it — verified by ReadSchema pruning);
+  *  - decode runs in `mapPartitions`, amortizing per-batch codec init
+  *    (the JVM analogue of the PySpark `mapInPandas` batch contract);
+  *  - output is a typed Dataset with an explicit schema, so downstream
+  *    feature pipelines stay Catalyst-optimizable.
+  *
+  * At 100 TB: decode is map-only (no shuffle); partition sizing is
+  * controlled by `spark.sql.files.maxPartitionBytes`, and a skew-free
+  * repartition on a content-hash key is available for pathological file
+  * size mixes.
+  */
+object Media {
+
+  /** One media object: opaque bytes + source metadata. */
+  case class MediaFile(doc_id: Long, media_type: String, content: Array[Byte])
+
+  /** Decoded feature record (the decode stub's typed output schema). */
+  case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    byte_len: Int,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    fingerprint: String)
+
+  /** Build a media table from `documents` (text bytes stand in for
+    * encoded media in this harness). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        concat(lit("media/"), $"source").as("media_type"),
+        $"text".cast("binary").as("content"))
+      .as[MediaFile]
+  }
+
+  /** STUB DECODE KERNEL — in production this calls the real codec
+    * (libjpeg/ffmpeg/...) once per batch; here it derives deterministic
+    * fake dimensions from the payload so the plumbing (batching, schema,
+    * null-safety, fingerprinting) is real and testable. */
+  private[multimodal] def decodeBatch(batch: Iterator[MediaFile]): Iterator[MediaFeatures] = {
+    // per-partition "codec init" happens once, here
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    batch.map { m =>
+      val len = m.content.length
+      digest.reset()
+      val fp = digest.digest(m.content).map("%02x".format(_)).mkString
+      MediaFeatures(
+        m.doc_id, m.media_type, len,
+        width = 16 + len % 64,        // ??? real: decoded pixel width
+        height = 16 + (len * 7) % 64, // ??? real: decoded pixel height
+        n_frames = 1 + len % 24,      // ??? real: container frame count
+        fingerprint = fp)
+    }
+  }
+
+  /** The batched decode stage: `mapPartitions` over the media Dataset. */
+  def decode(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(decodeBatch)
+  }
+
+  /** Oracle-checkable twin of the metadata extraction: identical
+    * arithmetic expressed relationally (the mapPartitions stage and this
+    * plan must agree — asserted in MediaSpec). */
+  def metaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        concat(lit("media/"), $"source").as("media_type"),
+        octet_length($"text".cast("binary")).as("byte_len"),
+        md5($"text".cast("binary")).as("fingerprint"))
+      .withColumn("width", lit(16) + $"byte_len" % 64)
+      .withColumn("height", lit(16) + ($"byte_len" * 7) % 64)
+      .withColumn("n_frames", lit(1) + $"byte_len" % 24)
+      .withColumn("est_duration_s", $"n_frames" / lit(24).cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val metaQuerySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    'media/' || source AS media_type,
+       |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       |    md5(text) AS fingerprint
+       |  FROM documents
+       |)
+       |SELECT doc_id, media_type, byte_len, fingerprint,
+       |  16 + byte_len % 64 AS width,
+       |  16 + (byte_len * 7) % 64 AS height,
+       |  1 + byte_len % 24 AS n_frames,
+       |  (1 + byte_len % 24) / CAST(24 AS DOUBLE) AS est_duration_s
+       |FROM m${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_meta" -> metaQuery)
+
+  val oracles: Map[String, String] = Map(
+    "media_meta" -> metaQuerySql)
+}

@@ -1,0 +1,43 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The decode stub's plumbing contract: typed output schema, agreement
+  * with the relational metadata twin, and blob-column pruning. */
+class MediaSpec extends SparkSpec {
+
+  test("mapPartitions decode agrees with the relational metadata twin") {
+    import spark.implicits._
+    val decoded = Media.decode(spark, sf0001)
+      .select($"doc_id", $"byte_len", $"width", $"height", $"n_frames",
+        $"fingerprint")
+    val twin = Media.metaQuery(spark, sf0001)
+      .select($"doc_id", $"byte_len", $"width", $"height", $"n_frames",
+        $"fingerprint")
+    assert(decoded.exceptAll(twin).count() == 0)
+    assert(twin.exceptAll(decoded).count() == 0)
+  }
+
+  test("decode output is a typed Dataset with the declared schema") {
+    val sch = Media.decode(spark, sf0001).schema
+    assert(sch.fieldNames.toSeq == Seq("doc_id", "media_type", "byte_len",
+      "width", "height", "n_frames", "fingerprint"))
+    assert(sch("byte_len").dataType.typeName == "integer")
+  }
+
+  test("scans that don't project the blob never read it (column pruning)") {
+    import spark.implicits._
+    val plan = Media.mediaTable(spark, sf0001)
+      .select($"doc_id", $"media_type")
+      .queryExecution.executedPlan.toString
+    // ReadSchema should not include the wide text column
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("text"), s"blob column not pruned: $read")
+  }
+
+  test("decode is map-only: no shuffle in the physical plan") {
+    val plan = Media.decode(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
