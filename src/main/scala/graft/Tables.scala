@@ -19,7 +19,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else fanOut(spark, spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The harness parquet files are written as ONE row group each, so a
+    * raw scan is a single task and every downstream map pipeline runs
+    * single-threaded. A real lake has thousands of splits and never hits
+    * this; for the harness layout we repartition IFF the scan yields
+    * fewer partitions than cores (at scale `scanParts >= cores`, so this
+    * is a no-op there — no extra shuffle). Column pruning and the
+    * decimal-exact aggregates are unaffected by the round-robin
+    * exchange. */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert to
@@ -28,7 +41,7 @@ object Tables {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    fanOut(spark, spark.read.parquet(s"$dir/events.parquet"))
       .withColumn("ts",
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }

@@ -83,8 +83,13 @@ object SilverJson {
     env
       .withColumn("body_str", expr(s"decode_trim_json(`$bodyCol`)"))
       .select(from_json($"body_str", payloadSchema).as("data"))
-      .select($"data.*")
+      // `_rid` (nondeterministic) pins the na.drop filter ABOVE this
+      // projection: without it Catalyst pushes the null-check below and
+      // re-evaluates the whole decode+parse chain a second time per row
+      // (measured 2x). The filter must run on the parsed result anyway.
+      .select($"data.*", monotonically_increasing_id().as("_rid"))
       .na.drop(Seq("year"))
+      .drop("_rid")
       .withColumn("year", $"year".cast("int"))
       .withColumn("month", $"month".cast("int"))
       .withColumn("arr_flights", $"arr_flights".cast("double"))

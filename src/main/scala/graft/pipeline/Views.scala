@@ -256,12 +256,16 @@ object Views {
     * total, via an unpivot-style UNION ALL and an exact window total. */
   def dashCausesBreakdown(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val m = FlightPipeline.master(spark, dir)
-    val rows = Seq("carrier_ct", "weather_ct", "nas_ct", "security_ct",
-      "late_aircraft_ct").map { c =>
-      m.agg(Det.xsum(col(c)).as("total_minutes"))
-        .withColumn("cause", lit(c.stripSuffix("_ct")))
-    }.reduce(_ unionByName _)
+    val cs = Seq("carrier_ct", "weather_ct", "nas_ct", "security_ct",
+      "late_aircraft_ct")
+    // single-pass: one aggregate computes all 5 sums, then unpivot via
+    // stack() — the UNION-ALL formulation (the oracle's) scans 5x
+    val rows = FlightPipeline.master(spark, dir)
+      .agg(Det.xsum(col(cs.head)).as(s"t_${cs.head}"),
+        cs.tail.map(c => Det.xsum(col(c)).as(s"t_$c")): _*)
+      .selectExpr(s"stack(${cs.size}, " +
+        cs.map(c => s"'${c.stripSuffix("_ct")}', t_$c").mkString(", ") +
+        ") AS (cause, total_minutes)")
     rows
       .withColumn("pct_of_total",
         col("total_minutes") /
