@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DecodeTrimJson
+
+/** SparkSessionExtensions entry point: installs the engine's custom
+  * Catalyst surface into any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * deployment-grade alternative to per-session
+  * `DecodeTrimJson.register(spark)` (which call sites still use so the
+  * library works on unconfigured sessions too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("decode_trim_json"),
+      new ExpressionInfo(classOf[DecodeTrimJson].getName, "decode_trim_json"),
+      (children: Seq[Expression]) => DecodeTrimJson(children.head)))
+  }
+}

@@ -23,6 +23,7 @@ object SparkEntry {
       star.Windows.queries ++
       star.Aggs.queries ++
       star.SetOps.queries ++
+      star.Extended.queries ++
       llm.Dedup.queries ++
       llm.TextStats.queries ++
       llm.Similarity.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       star.Windows.oracles ++
       star.Aggs.oracles ++
       star.SetOps.oracles ++
+      star.Extended.oracles ++
       llm.Dedup.oracles ++
       llm.TextStats.oracles ++
       llm.Similarity.oracles ++

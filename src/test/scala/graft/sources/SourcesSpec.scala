@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Source/sink surface (SURVEY.md §2.1): CSV with configurable
+  * delimiter + explicit schema (S1), JSON-lines, partitioned parquet
+  * sink with partition pruning on read (S8/§4), ORC round-trip, and
+  * scan-level filter pushdown — each asserted at the plan level, the
+  * behaviors that decide 100 TB scan cost. */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("CSV scan: header + custom delimiter + explicit schema (S1)") {
+    val dir = tmp("csv")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "year;month;carrier\n2024;7;YV\n2024;8;AA\n")
+    val schema = StructType(Seq(
+      StructField("year", IntegerType), StructField("month", IntegerType),
+      StructField("carrier", StringType)))
+    val df = spark.read
+      .option("header", "true").option("delimiter", ";")
+      .schema(schema).csv(dir)
+    assert(df.count() == 2)
+    assert(df.schema == schema)
+    assert(df.where(col("carrier") === "YV").head.getInt(0) == 2024)
+  }
+
+  test("JSON-lines scan with permissive parsing") {
+    val dir = tmp("json")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"year":"2024","carrier":"YV"}
+        |not json at all
+        |{"year":"2025","carrier":"AA"}
+        |""".stripMargin)
+    // corrupt-record queries require materialized parse results (Spark
+    // disallows corrupt-column-only queries on raw files)
+    val df = spark.read
+      .schema("year STRING, carrier STRING, _corrupt_record STRING")
+      .json(dir).cache()
+    try {
+      assert(df.where(col("year").isNotNull).count() == 2)
+      assert(df.where(col("_corrupt_record").isNotNull).count() == 1)
+    } finally df.unpersist()
+  }
+
+  test("partitioned parquet sink + partition pruning on read (S8)") {
+    import spark.implicits._
+    val dir = tmp("goldpart")
+    graft.pipeline.Gold.goldCarrier(spark, sf0001)
+      .write.mode("overwrite").partitionBy("carrier", "year").parquet(dir)
+    val read = spark.read.parquet(dir).where($"year" === 1996)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // pruned scan must not enumerate non-matching partition values
+    val allYears = spark.read.parquet(dir)
+      .select($"year").distinct().collect().map(_.getInt(0))
+    assert(allYears.length > 1, "fixture needs multiple year partitions")
+    assert(read.select($"year").distinct().collect().map(_.getInt(0)).toSeq == Seq(1996))
+  }
+
+  test("ORC round-trip preserves schema and values") {
+    val dir = tmp("orc")
+    val gold = graft.pipeline.Gold.goldMonthly(spark, sf0001)
+    gold.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == gold.schema)
+    assert(back.count() == gold.count())
+  }
+
+  test("predicate + projection pushdown reach the parquet scan (§4)") {
+    import spark.implicits._
+    // raw scan (no fanOut repartition) so the scan node is inspectable
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val q = li.where($"l_quantity" > 49).select($"l_orderkey", $"l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]"), plan)
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_extendedprice"), read)
+  }
+
+  test("SparkSessionExtensions installs decode_trim_json (GraftExtensions)") {
+    val spark0 = spark // ensure shared context exists
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is a static conf read from the (already
+      // running) SparkContext, so inject via withExtensions instead
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val out = s2.sql(
+        """SELECT decode_trim_json(cast('{"a":"1"}<<<junk' as binary)) AS r""")
+        .head.getString(0)
+      assert(out == """{"a":"1"}""")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark0)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark0)
+    }
+  }
+}
