@@ -24,6 +24,16 @@ import graft.{Det, Tables}
   * Scale posture: silver/master are pure narrow projections (no shuffle);
   * Catalyst prunes the scan to only the lineitem columns actually used.
   */
+/** Typed record for the silver boundary (SURVEY.md §1.3): compile-time
+  * field safety where the schema is fixed; DataFrame elsewhere. */
+case class FlightDelay(
+  year: Int, month: Int, carrier: String, carrier_name: String,
+  airport: String, airport_name: String, arr_flights: Double,
+  arr_del15: Double, carrier_ct: Double, weather_ct: Double,
+  nas_ct: Double, security_ct: Double, late_aircraft_ct: Double,
+  arr_cancelled: Double, arr_diverted: Double, arr_delay: Double,
+  carrier_delay: Double)
+
 object FlightPipeline {
 
   // ---- column inventories (shared by Spark side + oracle ORDER BYs) ----
@@ -65,6 +75,12 @@ object FlightPipeline {
         .as("arr_diverted"),
       ($"l_extendedprice" * $"l_discount").as("arr_delay"),
       ($"l_extendedprice" * $"l_discount" * 0.5).as("carrier_delay"))
+  }
+
+  /** [[silver]] as a typed Dataset (Encoders.product derived). */
+  def typedSilver(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[FlightDelay] = {
+    import spark.implicits._
+    silver(spark, dir).as[FlightDelay]
   }
 
   /** Master = silver + row-level derived KPIs (`README.md:177-183`,

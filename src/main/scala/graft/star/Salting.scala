@@ -1,0 +1,32 @@
+package graft.star
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large-x-large equi-joins (SURVEY.md §7 hard part
+  * 5; AQE's skewJoin handles sort-merge skew automatically, this is the
+  * explicit salting pattern for when AQE can't — e.g. a skewed key that
+  * is also the aggregation key downstream).
+  *
+  * The probe side gets a uniform pseudo-random salt in [0, salts); the
+  * build side is replicated `salts` times; the join key becomes
+  * (key, salt), so one hot key's rows spread over `salts` reducers.
+  * Join RESULTS are invariant to the salt assignment, so a
+  * nondeterministic per-row salt is safe here (and retry-safe: a
+  * re-computed task re-salts its rows, joining identically).
+  */
+object Salting {
+
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String, salts: Int): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(pmod(hash(monotonically_increasing_id()), lit(salts)) + lit(salts),
+        lit(salts)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+      salted(probeKey) === replicated(buildKey) &&
+        salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+}

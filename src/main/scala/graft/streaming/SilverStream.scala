@@ -94,22 +94,21 @@ object SilverStream {
         $"carrier", $"n_rows", $"total_flights", $"total_del15")
   }
 
-  /** T4+T6: 1-minute micro-batch trigger into an idempotent gold sink.
-    * `foreachBatch` receives (batchDf, batchId); dynamic partition
-    * overwrite keyed by the data itself makes replays converge instead
-    * of duplicating — checkpoint + idempotent sink = effective
-    * exactly-once. */
-  def goldSink(gold: DataFrame, path: String,
-      checkpoint: String): DataStreamWriter[Row] =
+  /** T4+T6: micro-batch trigger into an idempotent gold sink.
+    * Complete-mode `foreachBatch` + full overwrite = the reference's
+    * full-refresh gold semantics (ipynb:1297-1303) driven
+    * incrementally: every batch rewrites the (bounded, aggregate-sized)
+    * gold table, so replays after failure converge — checkpoint +
+    * idempotent sink gives effective exactly-once. Update-mode +
+    * per-partition overwrite would silently drop a carrier's unchanged
+    * windows (the batch only carries updated rows), hence complete. */
+  def goldSink(gold: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): DataStreamWriter[Row] =
     gold.writeStream
-      .outputMode("update")
+      .outputMode("complete")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("1 minute"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite")
-          .partitionBy("carrier")
-          .parquet(path)
+        batch.write.mode("overwrite").partitionBy("carrier").parquet(path)
       }
 }
