@@ -24,6 +24,7 @@ object SparkEntry {
       star.Aggs.queries ++
       star.SetOps.queries ++
       star.Extended.queries ++
+      star.EventWindows.queries ++
       llm.Dedup.queries ++
       llm.TextStats.queries ++
       llm.Similarity.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       star.Aggs.oracles ++
       star.SetOps.oracles ++
       star.Extended.oracles ++
+      star.EventWindows.oracles ++
       llm.Dedup.oracles ++
       llm.TextStats.oracles ++
       llm.Similarity.oracles ++

@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Producer wire-format helpers (SURVEY.md §2.1 S2/S3, §2.5 F7-F8): the
+  * reference's CSV->JSON Kafka producer re-expressed as a projection a
+  * Kafka sink consumes directly (`kafka-eh/produce_to_eventhub.py:73-79`).
+  *
+  * No Kafka broker exists in this harness, so the shape is produced and
+  * tested as columns; against a real cluster the exact same frame goes
+  * to `.write.format("kafka").option("kafka.bootstrap.servers", ...)` —
+  * batching/linger/backpressure (the producer script's tuning knobs) are
+  * sink configs, not data transformations.
+  */
+object Wire {
+
+  /** JSON-serialize every row into `value`, optionally keying by a
+    * column (`--key-field`, produce_to_eventhub.py:74-76), stamping
+    * `produced_at` epoch seconds (produce_send_rows.py:76). */
+  def kafkaShape(df: DataFrame, keyField: Option[String]): DataFrame = {
+    val stamped = df.withColumn("produced_at",
+      unix_timestamp(current_timestamp()))
+    val value = to_json(struct(stamped.columns.map(col): _*)).as("value")
+    keyField match {
+      case Some(k) => stamped.select(col(k).cast("string").as("key"), value)
+      case None => stamped.select(lit(null).cast("string").as("key"), value)
+    }
+  }
+}
