@@ -141,13 +141,36 @@ object TextStats {
        |  CAST(length(text) AS INTEGER) AS n_chars
        |FROM documents${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Corpus vocabulary heavy hitters: explode words -> count -> top-30
+    * (the exact form; at 100 TB the same query swaps the exact count
+    * for a count-min/space-saving sketch, trading the full-key shuffle
+    * for constant memory). Ties broken lexicographically. */
+  def wordTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"word")
+      .limit(30)
+  }
+
+  val wordTopkSql: String =
+    s"""SELECT word, COUNT(*) AS n_occurrences
+       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |GROUP BY word
+       |ORDER BY n_occurrences DESC NULLS LAST, word NULLS FIRST
+       |LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> stats,
     "text_lang_id" -> langId,
-    "text_token_count" -> tokenCount)
+    "text_token_count" -> tokenCount,
+    "text_word_topk" -> wordTopk)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> statsSql,
     "text_lang_id" -> langIdSql,
-    "text_token_count" -> tokenCountSql)
+    "text_token_count" -> tokenCountSql,
+    "text_word_topk" -> wordTopkSql)
 }

@@ -98,6 +98,9 @@ object SilverJson {
       .withColumn("produced_at", $"produced_at".cast("bigint"))
   }
 
+  // NOTE: the synthetic lineitem has duplicate (orderkey, linenumber)
+  // pairs, so produced_at is NOT unique — order by every output column
+  // (equal rows are interchangeable, so this is a total content order)
   def silverQuery(spark: SparkSession, dir: String): DataFrame =
     silver(spark, dir).orderBy(outCols.map(col): _*)
 

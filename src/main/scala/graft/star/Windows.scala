@@ -131,15 +131,45 @@ object Windows {
        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |${sqlOrderBy(Seq("year", "month")).trim}""".stripMargin
 
+  /** Distribution functions: ntile/percent_rank/cume_dist over order
+    * value within each market segment (unique tiebreaker keeps every
+    * rank deterministic). */
+  def distribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter($"o_orderkey" % 100 === 0) // bounded, still spans quartiles
+      .orderBy($"c_mktsegment", $"o_orderkey")
+  }
+
+  val distributionSql: String =
+    s"""SELECT * FROM (
+       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+       |    CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       |    percent_rank() OVER w AS pct_rank,
+       |    cume_dist() OVER w AS cume
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WINDOW w AS (PARTITION BY c_mktsegment
+       |               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
+       |) WHERE o_orderkey % 100 = 0${sqlOrderBy(Seq("c_mktsegment", "o_orderkey"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_topn_rank" -> topnRank,
     "window_lag_mom" -> lagMom,
     "window_moving_avg" -> movingAvg,
-    "window_running_total" -> runningTotal)
+    "window_running_total" -> runningTotal,
+    "window_distribution" -> distribution)
 
   val oracles: Map[String, String] = Map(
     "window_topn_rank" -> topnRankSql,
     "window_lag_mom" -> lagMomSql,
     "window_moving_avg" -> movingAvgSql,
-    "window_running_total" -> runningTotalSql)
+    "window_running_total" -> runningTotalSql,
+    "window_distribution" -> distributionSql)
 }
