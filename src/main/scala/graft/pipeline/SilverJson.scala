@@ -68,7 +68,14 @@ object SilverJson {
       .select(
         corrupted.cast("binary").as("Body"),
         ($"l_orderkey" * 10 + $"l_linenumber").as("SequenceNumber"),
-        date_format($"l_shipdate", "yyyy-MM-dd'T'HH:mm:ss").as("EnqueuedTimeUtc"))
+        date_format($"l_shipdate", "yyyy-MM-dd'T'HH:mm:ss").as("EnqueuedTimeUtc"),
+        // broker metadata maps (FIXTURES.md A2 envelope shape); the
+        // silver projection prunes them — Catalyst never reads these
+        // columns from the scan (P1 column pruning through the pipeline)
+        map(lit("x-opt-kafka-key"), $"l_returnflag").as("Properties"),
+        map(lit("iothub-enqueuedtime"),
+          date_format($"l_shipdate", "yyyy-MM-dd'T'HH:mm:ss"))
+          .as("SystemProperties"))
   }
 
   /** Silver: decode -> repair -> parse -> flatten -> drop -> cast. */
