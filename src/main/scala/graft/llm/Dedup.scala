@@ -165,15 +165,88 @@ object Dedup {
        |FROM h${sqlOrderBy(Seq("doc_id"))}""".stripMargin
   }
 
+  /** Exact word-3-gram Jaccard for the LSH candidate pairs: the
+    * verification stage of the MinHash funnel. Candidate-driven — the
+    * shingle-level intersection join is restricted to candidate docs
+    * FIRST, so its size is |pairs| x |shingles|, never the corpus-wide
+    * sum of squared shingle frequencies. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+    val counts = docs.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = neardupPairs(spark, dir)
+      .select($"d1", $"d2", $"est_jaccard")
+    val shA = docs.select($"doc_id".as("d1"), $"shingle")
+    val shB = docs.select($"doc_id".as("d2b"), $"shingle".as("shingle_b"))
+    val inter = pairs
+      .join(shA, "d1")
+      .join(shB, $"d2" === $"d2b" && $"shingle" === $"shingle_b")
+      .groupBy($"d1", $"d2")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(counts.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_sh", "n_sh1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_sh", "n_sh2"), "d2")
+      .select($"d1", $"d2", $"est_jaccard", $"n_common",
+        ($"n_common" / ($"n_sh1" + $"n_sh2" - $"n_common").cast("double"))
+          .as("exact_jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $sigSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    (CAST(a.sig0 = b.sig0 AS INTEGER) + CAST(a.sig1 = b.sig1 AS INTEGER)
+       |     + CAST(a.sig2 = b.sig2 AS INTEGER) + CAST(a.sig3 = b.sig3 AS INTEGER))
+       |      / CAST(4 AS DOUBLE) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.band_a = b.band_a AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id,
+       |    (CAST(a.sig0 = b.sig0 AS INTEGER) + CAST(a.sig1 = b.sig1 AS INTEGER)
+       |     + CAST(a.sig2 = b.sig2 AS INTEGER) + CAST(a.sig3 = b.sig3 AS INTEGER))
+       |      / CAST(4 AS DOUBLE)
+       |  FROM sig a JOIN sig b ON a.band_b = b.band_b AND a.doc_id < b.doc_id
+       |),
+       |docsh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM docsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.d1, p.d2, COUNT(*) AS n_common
+       |  FROM pairs p
+       |  JOIN docsh a ON a.doc_id = p.d1
+       |  JOIN docsh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
+       |  GROUP BY p.d1, p.d2
+       |)
+       |SELECT p.d1, p.d2, p.est_jaccard,
+       |  COALESCE(i.n_common, 0) AS n_common,
+       |  COALESCE(i.n_common, 0)
+       |    / CAST(c1.n_sh + c2.n_sh - COALESCE(i.n_common, 0) AS DOUBLE) AS exact_jaccard
+       |FROM pairs p
+       |LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
+       |JOIN cnt c1 ON c1.doc_id = p.d1
+       |JOIN cnt c2 ON c2.doc_id = p.d2
+       |ORDER BY p.d1 NULLS FIRST, p.d2 NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_neardup_pairs" -> neardupPairs,
+    "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> simhash)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSqlQuery,
     "dedup_neardup_pairs" -> neardupPairsSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_simhash" -> simhashSql)
 }

@@ -119,11 +119,38 @@ object Similarity {
        |ORDER BY cosine DESC NULLS LAST, vec_id NULLS FIRST
        |LIMIT 10""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs, bucketed by label (the IVF
+    * partitioning): all-pairs search runs WITHIN buckets only, so the
+    * comparison count is sum of |bucket|^2, not |corpus|^2. Threshold
+    * 0.35 selects the most-similar tail of this (unit-random-ish)
+    * corpus; real near-dup corpora use ~0.95. */
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val a = emb.select($"vec_id".as("v1"), $"label", $"embedding".as("e1"))
+    val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
+      $"embedding".as("e2"))
+    a.join(b, $"label" === $"label_b" && $"v1" < $"v2")
+      .selectExpr("v1", "v2", "label", s"${cosSpark("e1", "e2")} AS cosine")
+      .filter($"cosine" > 0.35)
+      .orderBy($"v1", $"v2")
+  }
+
+  val neardupPairsSql: String =
+    s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+       |  ${cosDuck("a.embedding", "b.embedding")} AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosDuck("a.embedding", "b.embedding")} > 0.35
+       |${sqlOrderBy(Seq("v1", "v2")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_cosine_topk" -> cosineTopk,
-    "embed_ivf_topk" -> ivfTopk)
+    "embed_ivf_topk" -> ivfTopk,
+    "embed_neardup_pairs" -> neardupPairs)
 
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> cosineTopkSql,
-    "embed_ivf_topk" -> ivfTopkSql)
+    "embed_ivf_topk" -> ivfTopkSql,
+    "embed_neardup_pairs" -> neardupPairsSql)
 }
