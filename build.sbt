@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput-oriented collector: these are short-lived batch jobs with
+  // no latency requirement, where ParallelGC's higher throughput beats
+  // G1's pause-target heuristics
+  "-XX:+UseParallelGC",
 )

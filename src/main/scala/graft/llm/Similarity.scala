@@ -26,25 +26,26 @@ import graft.Det.sqlOrderBy
   */
 object Similarity {
 
-  /** Spark SQL expr: exact cosine between two array columns (any
-    * numeric element type), DECIMAL(28,14)-accumulated. */
-  private def cosSpark(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"""CAST(aggregate(sequence(1, 64), CAST(0 AS DECIMAL(28,14)),
-         | (acc, i) -> CAST(acc + CAST(CAST(element_at($x, i) AS DOUBLE)
-         |   * CAST(element_at($y, i) AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14)))
-         | AS DOUBLE)""".stripMargin.replace("\n", "")
-    s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
-  }
+  /** Spark SQL expr: exact DECIMAL(28,14)-accumulated dot product of
+    * two array columns (any numeric element type). */
+  private def dotSpark(x: String, y: String): String =
+    s"""CAST(aggregate(sequence(1, 64), CAST(0 AS DECIMAL(28,14)),
+       | (acc, i) -> CAST(acc + CAST(CAST(element_at($x, i) AS DOUBLE)
+       |   * CAST(element_at($y, i) AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14)))
+       | AS DOUBLE)""".stripMargin.replace("\n", "")
 
-  /** DuckDB twin of [[cosSpark]]. */
-  private def cosDuck(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"""CAST(list_sum(list_transform(range(1, 65),
-         | i -> CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
-         |   AS DECIMAL(28,14)))) AS DOUBLE)""".stripMargin.replace("\n", "")
-    s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
-  }
+  /** DuckDB twin of [[dotSpark]]. */
+  private def dotDuck(x: String, y: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 65),
+       | i -> CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+       |   AS DECIMAL(28,14)))) AS DOUBLE)""".stripMargin.replace("\n", "")
+
+  /** Exact cosine, computing all three dots inline (for one-off use). */
+  private def cosSpark(a: String, b: String): String =
+    s"(${dotSpark(a, b)} / sqrt(${dotSpark(a, a)} * ${dotSpark(b, b)}))"
+
+  private def cosDuck(a: String, b: String): String =
+    s"(${dotDuck(a, b)} / sqrt(${dotDuck(a, a)} * ${dotDuck(b, b)}))"
 
   /** Brute-force cosine top-10 neighbours of vec_id=0. */
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -126,22 +127,35 @@ object Similarity {
     * corpus; real near-dup corpora use ~0.95. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // norms precomputed per vector BEFORE the pair join: |corpus| norm
+    // dots instead of 2x|pairs| — 3x less decimal work per pair, and the
+    // cosine values are bit-identical (same expressions, hoisted)
     val emb = Tables(spark, dir, "embeddings")
-    val a = emb.select($"vec_id".as("v1"), $"label", $"embedding".as("e1"))
+      .selectExpr("vec_id", "label", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val a = emb.select($"vec_id".as("v1"), $"label", $"embedding".as("e1"),
+      $"nrm".as("n1"))
     val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
-      $"embedding".as("e2"))
+      $"embedding".as("e2"), $"nrm".as("n2"))
     a.join(b, $"label" === $"label_b" && $"v1" < $"v2")
-      .selectExpr("v1", "v2", "label", s"${cosSpark("e1", "e2")} AS cosine")
+      .selectExpr("v1", "v2", "label",
+        s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
       .filter($"cosine" > 0.35)
       .orderBy($"v1", $"v2")
   }
 
   val neardupPairsSql: String =
-    s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-       |  ${cosDuck("a.embedding", "b.embedding")} AS cosine
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${cosDuck("a.embedding", "b.embedding")} > 0.35
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm)) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |)
+       |SELECT * FROM p WHERE cosine > 0.35
        |${sqlOrderBy(Seq("v1", "v2")).trim}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
