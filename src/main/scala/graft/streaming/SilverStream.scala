@@ -70,13 +70,13 @@ object SilverStream {
 
   /** T2: bronze capture equivalent — 5-minute file-sink micro-batches
     * (the Event Hubs Capture cadence, README.md:107). */
-  def bronzeCapture(envelopes: DataFrame, path: String,
-      checkpoint: String): DataStreamWriter[Row] =
+  def bronzeCapture(envelopes: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): DataStreamWriter[Row] =
     envelopes.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("5 minutes"))
+      .trigger(trigger)
 
   /** T5: event-time tumbling gold aggregate with watermark — 5-minute
     * windows per carrier, late data beyond 10 minutes dropped. */
