@@ -162,11 +162,29 @@ object TextStats {
        |ORDER BY n_occurrences DESC NULLS LAST, word NULLS FIRST
        |LIMIT 30""".stripMargin
 
+  /** Sketch-based heavy hitters (no oracle — see
+    * HeavyHittersAggregator: count overestimates depend on partitioning;
+    * the guarantee is tested in HeavyHittersSpec). The capacity here
+    * exceeds the corpus vocabulary, so locally it returns the exact
+    * ranking; at 100 TB the same query with the same capacity keeps
+    * constant memory where [[wordTopk]]'s exact groupBy shuffles every
+    * distinct token. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sketch = udaf(new graft.functions.HeavyHittersAggregator(256))
+    graft.Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .agg(sketch($"word").as("ranked"))
+      .select(posexplode($"ranked").as(Seq("rank", "word")))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> stats,
     "text_lang_id" -> langId,
     "text_token_count" -> tokenCount,
-    "text_word_topk" -> wordTopk)
+    "text_word_topk" -> wordTopk,
+    "text_heavy_hitters" -> heavyHitters)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> statsSql,
