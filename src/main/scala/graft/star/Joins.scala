@@ -216,7 +216,25 @@ object Joins {
        |  ON c.user_id = p.user_id AND c.ts >= p.ts
        |ORDER BY c.event_id NULLS FIRST""".stripMargin
 
+  /** J5 again via the custom whole-operator implementation
+    * (graft.plans.AsOfJoinExec): same semantics, one co-partitioning +
+    * single-pass merge instead of union+window. Checked by the SAME
+    * DuckDB ASOF JOIN oracle as [[asof]]. */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    graft.plans.AsOf.join(clicks, purchases, key = "user_id", ts = "ts")
+      .select($"event_id", $"user_id", $"ts",
+        $"ts_r".as("asof_ts"), $"value_r".as("asof_value"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_native" -> asofNative,
     "join_inner_agg" -> innerAgg,
     "join_broadcast_dim" -> broadcastDim,
     "join_multiway_q5" -> multiwayQ5,
@@ -227,6 +245,7 @@ object Joins {
     "join_asof" -> asof)
 
   val oracles: Map[String, String] = Map(
+    "join_asof_native" -> asofSql,
     "join_inner_agg" -> innerAggSql,
     "join_broadcast_dim" -> broadcastDimSql,
     "join_multiway_q5" -> multiwayQ5Sql,

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge to `Dataset.ofRows`, which is `private[sql]` — the
+  * standard mechanism for libraries that construct custom logical plans
+  * (graft.plans.AsOfJoinPlan) and need a DataFrame back. Nothing else
+  * from the private API surface is touched. */
+object GraftShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+}
