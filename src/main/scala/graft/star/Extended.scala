@@ -75,11 +75,45 @@ object Extended {
        |  CAST(SUM(CAST(xd AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mean_value
        |FROM b GROUP BY bucket${sqlOrderBy(Seq("bucket"))}""".stripMargin
 
+  /** Date/time function library coverage (SURVEY.md §2.5 F9): extract,
+    * truncate, offset, diff, end-of-month — engine-portable forms. */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .filter($"o_orderkey" % 500 === 0)
+      .select(
+        $"o_orderkey",
+        to_date($"o_orderdate").as("order_date"),
+        year($"o_orderdate").as("y"),
+        quarter($"o_orderdate").as("q"),
+        dayofmonth($"o_orderdate").as("dom"),
+        to_date(date_trunc("month", $"o_orderdate")).as("month_start"),
+        last_day($"o_orderdate").as("month_end"),
+        date_add(to_date($"o_orderdate"), 90).as("due_date"),
+        datediff(to_date(lit("1998-01-01")), to_date($"o_orderdate"))
+          .as("days_to_98"))
+      .orderBy($"o_orderkey")
+  }
+
+  val dateFunctionsSql: String =
+    s"""SELECT o_orderkey,
+       |  CAST(o_orderdate AS DATE) AS order_date,
+       |  CAST(year(o_orderdate) AS INTEGER) AS y,
+       |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       |  CAST(o_orderdate AS DATE) + 90 AS due_date,
+       |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98
+       |FROM orders WHERE o_orderkey % 500 = 0${graft.Det.sqlOrderBy(Seq("o_orderkey"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_udaf_weighted_rate" -> udafWeightedRate,
-    "embed_value_histogram" -> embedHistogram)
+    "embed_value_histogram" -> embedHistogram,
+    "func_dates" -> dateFunctions)
 
   val oracles: Map[String, String] = Map(
     "agg_udaf_weighted_rate" -> udafWeightedRateSql,
-    "embed_value_histogram" -> embedHistogramSql)
+    "embed_value_histogram" -> embedHistogramSql,
+    "func_dates" -> dateFunctionsSql)
 }

@@ -159,17 +159,48 @@ object Windows {
        |               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
        |) WHERE o_orderkey % 100 = 0${sqlOrderBy(Seq("c_mktsegment", "o_orderkey"))}""".stripMargin
 
+  /** Value window functions: first/last/nth order value per segment
+    * over the full-partition frame. */
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .withColumn("best_order", first($"o_orderkey").over(w))
+      .withColumn("worst_order", last($"o_orderkey").over(w))
+      .withColumn("third_best", nth_value($"o_orderkey", 3).over(w))
+      .filter($"o_orderkey" % 250 === 0)
+      .orderBy($"c_mktsegment", $"o_orderkey")
+  }
+
+  val firstLastSql: String =
+    s"""SELECT * FROM (
+       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+       |    first_value(o_orderkey) OVER w AS best_order,
+       |    last_value(o_orderkey) OVER w AS worst_order,
+       |    nth_value(o_orderkey, 3) OVER w AS third_best
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WINDOW w AS (PARTITION BY c_mktsegment
+       |               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |) WHERE o_orderkey % 250 = 0${sqlOrderBy(Seq("c_mktsegment", "o_orderkey"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_topn_rank" -> topnRank,
     "window_lag_mom" -> lagMom,
     "window_moving_avg" -> movingAvg,
     "window_running_total" -> runningTotal,
-    "window_distribution" -> distribution)
+    "window_distribution" -> distribution,
+    "window_first_last" -> firstLast)
 
   val oracles: Map[String, String] = Map(
     "window_topn_rank" -> topnRankSql,
     "window_lag_mom" -> lagMomSql,
     "window_moving_avg" -> movingAvgSql,
     "window_running_total" -> runningTotalSql,
-    "window_distribution" -> distributionSql)
+    "window_distribution" -> distributionSql,
+    "window_first_last" -> firstLastSql)
 }
