@@ -146,7 +146,32 @@ object Aggs {
        |  COUNT(DISTINCT user_id) AS n_users
        |FROM events GROUP BY 1, 2${sqlOrderBy(Seq("day", "event_type"))}""".stripMargin
 
+  /** PIVOT: carrier revenue spread across columns per year (explicit
+    * value list keeps the schema static — the scalable form; dynamic
+    * pivot requires a values scan first). Oracle uses the portable
+    * CASE-pivot, so Spark's pivot semantics are cross-checked. */
+  def pivotCarriers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val carriers = Seq("A-F", "N-F", "N-O", "R-F")
+    graft.pipeline.FlightPipeline.silver(spark, dir)
+      .groupBy($"year")
+      .pivot("carrier", carriers)
+      .agg(Det.xsum($"arr_delay"))
+      .orderBy($"year")
+  }
+
+  val pivotCarriersSql: String = {
+    val cols = Seq("A-F", "N-F", "N-O", "R-F").map { c =>
+      s"""${sqlSum(s"CASE WHEN carrier = '$c' THEN arr_delay END")} AS "$c""""
+    }.mkString(",\n  ")
+    graft.pipeline.FlightPipeline.withCtes(
+      s"""SELECT year,
+         |  $cols
+         |FROM master GROUP BY year${sqlOrderBy(Seq("year"))}""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> pivotCarriers,
     "agg_rollup" -> rollup,
     "agg_cube" -> cube2,
     "agg_grouping_sets" -> groupingSets,
@@ -156,6 +181,7 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot" -> pivotCarriersSql,
     "agg_rollup" -> rollupSql,
     "agg_cube" -> cube2Sql,
     "agg_grouping_sets" -> groupingSetsSql,
