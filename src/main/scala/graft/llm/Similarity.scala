@@ -27,12 +27,25 @@ import graft.Det.sqlOrderBy
 object Similarity {
 
   /** Spark SQL expr: exact DECIMAL(28,14)-accumulated dot product of
-    * two array columns (any numeric element type). */
-  private def dotSpark(x: String, y: String): String =
-    s"""CAST(aggregate(sequence(1, 64), CAST(0 AS DECIMAL(28,14)),
-       | (acc, i) -> CAST(acc + CAST(CAST(element_at($x, i) AS DOUBLE)
-       |   * CAST(element_at($y, i) AS DOUBLE) AS DECIMAL(28,14)) AS DECIMAL(28,14)))
-       | AS DOUBLE)""".stripMargin.replace("\n", "")
+    * two 64-d array columns (any numeric element type).
+    *
+    * Fully unrolled: the `aggregate` higher-order-function form runs
+    * INTERPRETED (no whole-stage codegen — the same 25x penalty measured
+    * on the minhash stage, see Dedup.scala). This flat form is 64
+    * codegen'd multiply/cast terms summed in groups of 8. Numerically
+    * identical to the HOF accumulator: each term is rounded once to
+    * DECIMAL(28,14); an 8-term add chain peaks at DECIMAL(35,14) — scale
+    * never shrinks, no rounding — and the group-sum re-cast to (28,14)
+    * is value-preserving (|dot| << 10^14), so every variant yields the
+    * bit-same exact decimal, hence the bit-same double.
+    */
+  private def dotSpark(x: String, y: String): String = {
+    val terms = (1 to 64).map(i =>
+      s"CAST(CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE) AS DECIMAL(28,14))")
+    val groups = terms.grouped(8)
+      .map(g => s"CAST(${g.mkString(" + ")} AS DECIMAL(28,14))")
+    s"CAST(${groups.mkString(" + ")} AS DOUBLE)"
+  }
 
   /** DuckDB twin of [[dotSpark]]. */
   private def dotDuck(x: String, y: String): String =
@@ -137,7 +150,18 @@ object Similarity {
       $"nrm".as("n1"))
     val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
       $"embedding".as("e2"), $"nrm".as("n2"))
+    // Two-phase pair scoring: a pure-double cosine (64 codegen'd FMAs,
+    // ~10x cheaper than the decimal-exact form) prefilters at threshold
+    // minus a margin, then the decimal-exact cosine re-scores only the
+    // survivors. |exact - double| is bounded by 64 term-roundings at
+    // 1e-14 plus double summation error (~1e-13 total), so a 1e-6
+    // margin provably loses no true pair — output values and the final
+    // exact > 0.35 cut are bit-identical to the single-phase form.
+    val dblDot = (1 to 64).map(i =>
+      s"CAST(element_at(e1, $i) AS DOUBLE) * CAST(element_at(e2, $i) AS DOUBLE)")
+      .mkString(" + ")
     a.join(b, $"label" === $"label_b" && $"v1" < $"v2")
+      .filter(expr(s"($dblDot) / sqrt(n1 * n2) > ${0.35 - 1e-6}"))
       .selectExpr("v1", "v2", "label",
         s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
       .filter($"cosine" > 0.35)

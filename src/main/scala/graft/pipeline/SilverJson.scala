@@ -107,9 +107,18 @@ object SilverJson {
 
   // NOTE: the synthetic lineitem has duplicate (orderkey, linenumber)
   // pairs, so produced_at is NOT unique — order by every output column
-  // (equal rows are interchangeable, so this is a total content order)
+  // (equal rows are interchangeable, so this is a total content order).
+  //
+  // The total order exists only for the oracle hash gate. A global
+  // `orderBy` would be RangePartitioning, whose bound-sampling job runs
+  // the whole decode->parse->cast chain a SECOND time (measured: 2x the
+  // query). `repartition(1).sortWithinPartitions` is the same total
+  // order with a single evaluation: the narrow chain runs parallel
+  // once, one round-robin shuffle, one in-partition sort. (In
+  // production the silver table is written unsorted — this tail is
+  // harness-only.)
   def silverQuery(spark: SparkSession, dir: String): DataFrame =
-    silver(spark, dir).orderBy(outCols.map(col): _*)
+    silver(spark, dir).repartition(1).sortWithinPartitions(outCols.map(col): _*)
 
   val silverSql: String = {
     val body =
