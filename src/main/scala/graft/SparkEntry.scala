@@ -19,6 +19,7 @@ object SparkEntry {
     pipeline.Gold.queries ++
       pipeline.Views.queries ++
       pipeline.SilverJson.queries ++
+      sources.AvroBronze.queries ++
       star.Joins.queries ++
       star.Windows.queries ++
       star.Aggs.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     pipeline.Gold.oracles ++
       pipeline.Views.oracles ++
       pipeline.SilverJson.oracles ++
+      sources.AvroBronze.oracles ++
       star.Joins.oracles ++
       star.Windows.oracles ++
       star.Aggs.oracles ++

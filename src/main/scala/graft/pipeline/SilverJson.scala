@@ -79,10 +79,15 @@ object SilverJson {
   }
 
   /** Silver: decode -> repair -> parse -> flatten -> drop -> cast. */
-  def silver(spark: SparkSession, dir: String): DataFrame = {
+  def silver(spark: SparkSession, dir: String): DataFrame =
+    silverFrom(spark, bronze(spark, dir))
+
+  /** The silver transform over any bronze envelope frame (synthesized
+    * in-query, Avro capture files, or a stream) — the reference applies
+    * the same cell to batch and streaming bronze (ipynb:1171-1244). */
+  def silverFrom(spark: SparkSession, env: DataFrame): DataFrame = {
     import spark.implicits._
     DecodeTrimJson.register(spark)
-    val env = bronze(spark, dir)
     // case-insensitive body resolution (P3): the capture schema says
     // `Body`, the stream schema says `body` (ipynb:1210-1216)
     val bodyCol = env.columns.find(_.equalsIgnoreCase("body"))
@@ -120,7 +125,10 @@ object SilverJson {
   def silverQuery(spark: SparkSession, dir: String): DataFrame =
     silver(spark, dir).repartition(1).sortWithinPartitions(outCols.map(col): _*)
 
-  val silverSql: String = {
+  /** Oracle SQL for the silver pipeline over lineitem-synthesized
+    * bronze, with an optional extra predicate on the bronze rows (used
+    * by the Avro capture subset, AvroBronze). */
+  def silverSqlWhere(extraWhere: String): String = {
     val body =
       """'{"year":"' || CAST(year(l_shipdate) AS VARCHAR)
         | || '","month":"' || CAST(month(l_shipdate) AS VARCHAR)
@@ -132,7 +140,7 @@ object SilverJson {
         | || '","produced_at":"' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
         | || '"}'""".stripMargin.replace("\n", "")
     s"""WITH j AS (
-       |  SELECT $body AS body, l_orderkey, l_linenumber FROM lineitem
+       |  SELECT $body AS body, l_orderkey, l_linenumber FROM lineitem$extraWhere
        |),
        |c AS (
        |  SELECT CASE
@@ -168,6 +176,8 @@ object SilverJson {
        |  CAST(produced_at_s AS BIGINT) AS produced_at
        |FROM p WHERE year_s IS NOT NULL${sqlOrderBy(outCols)}""".stripMargin
   }
+
+  val silverSql: String = silverSqlWhere("")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "silver_json_pipeline" -> silverQuery)

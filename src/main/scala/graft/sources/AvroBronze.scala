@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.SilverJson
+
+/** Avro bronze capture (SURVEY.md §2.1 S4): the reference's executed
+  * silver path reads Event-Hub-Capture Avro files through a six-level
+  * date directory glob before the JSON silver transform
+  * (`ETL/flight-silver-transformation (1).ipynb:574-578`). Here the
+  * capture tree is written by [[writeCapture]] (a real
+  * `format("avro")` sink, envelope schema preserved: binary `Body`,
+  * `SequenceNumber`, `EnqueuedTimeUtc`, `Properties`,
+  * `SystemProperties`) and read back by [[readCapture]] with the same
+  * six-level glob, feeding the unchanged silver transform.
+  *
+  * Layout note: `partitionBy` produces `y=1995/mo=01/...` directory
+  * names where capture uses bare `1995/01/...` — same depth, same glob
+  * semantics, and the key=value form additionally gives Spark partition
+  * pruning on the capture date, which is exactly what you want at
+  * 100 TB (scan only the capture windows a backfill touches).
+  *
+  * Scale posture: the write is one shuffle-free pass partitioned by
+  * derived date columns; the read is a parallel multi-file scan whose
+  * list cost is bounded by directory pruning. The silver transform
+  * stays a narrow codegen'd map (see SilverJson).
+  */
+object AvroBronze {
+
+  /** This Spark build bundles the Avro `FileFormat` inside spark-sql
+    * but omits it from the `DataSourceRegister` service file, so the
+    * `avro` shortname fails lookup; the fully-qualified class name
+    * resolves the identical datasource. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Deterministic capture subset — every 5th sequence number — keeps
+    * the fixture write cheap while exercising every corruption class. */
+  private val captureFilter = "SequenceNumber % 5 = 0"
+  private val captureFilterSql = "\n  WHERE (l_orderkey * 10 + l_linenumber) % 5 = 0"
+
+  /** Fixture root inside the build dir, keyed by scale factor. */
+  def captureRoot(dir: String): String =
+    s"target/avro_bronze/${new java.io.File(dir).getName}"
+
+  /** Write the bronze envelope as Avro capture files in a 6-level
+    * date-derived directory tree. */
+  def writeCapture(spark: SparkSession, dir: String): String = {
+    val root = captureRoot(dir)
+    SilverJson.bronze(spark, dir)
+      .filter(captureFilter)
+      .withColumn("y", substring(col("EnqueuedTimeUtc"), 1, 4))
+      .withColumn("mo", substring(col("EnqueuedTimeUtc"), 6, 2))
+      .withColumn("d", substring(col("EnqueuedTimeUtc"), 9, 2))
+      .withColumn("h", lit("00"))
+      .withColumn("mi", lit("00"))
+      .withColumn("s", lit("00"))
+      .write.mode("overwrite")
+      .partitionBy("y", "mo", "d", "h", "mi", "s")
+      .format(AvroFormat).save(root)
+    root
+  }
+
+  /** S4: the real `format("avro")` scan over the 6-level glob
+    * (ipynb:574-578). */
+  def readCapture(spark: SparkSession, root: String): DataFrame =
+    spark.read.format(AvroFormat).load(s"$root/*/*/*/*/*/*/*.avro")
+
+  /** End-to-end: write capture -> glob-scan Avro -> silver transform.
+    * Oracle-checked against the same DuckDB SQL as the synthesized
+    * silver pipeline, restricted to the capture subset. */
+  def silverAvro(spark: SparkSession, dir: String): DataFrame = {
+    val root = writeCapture(spark, dir)
+    SilverJson.silverFrom(spark, readCapture(spark, root))
+      .repartition(1)
+      .sortWithinPartitions(SilverJson.outCols.map(col): _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "silver_avro_capture" -> silverAvro)
+
+  val oracles: Map[String, String] = Map(
+    "silver_avro_capture" -> SilverJson.silverSqlWhere(captureFilterSql))
+}

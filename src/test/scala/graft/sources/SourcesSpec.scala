@@ -84,6 +84,29 @@ class SourcesSpec extends SparkSpec {
     assert(read.contains("l_orderkey") && !read.contains("l_extendedprice"), read)
   }
 
+  test("Avro bronze capture: 6-level glob scan feeds silver (S4)") {
+    import spark.implicits._
+    val root = AvroBronze.writeCapture(spark, sf0001)
+    // the glob must resolve real .avro leaf files six directories deep
+    val env = AvroBronze.readCapture(spark, root)
+    assert(env.columns.map(_.toLowerCase).contains("body"))
+    assert(env.rdd.partitions.nonEmpty)
+    val viaAvro = AvroBronze.silverAvro(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    // parity with the synthesized (non-avro) silver over the same subset
+    val direct = graft.pipeline.SilverJson
+      .silverFrom(spark, graft.pipeline.SilverJson.bronze(spark, sf0001)
+        .filter("SequenceNumber % 5 = 0"))
+      .repartition(1)
+      .sortWithinPartitions(graft.pipeline.SilverJson.outCols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(viaAvro.nonEmpty)
+    assert(viaAvro == direct)
+    // scan node really is the Avro file format, not a parquet substitute
+    val scan = env.queryExecution.executedPlan.toString
+    assert(scan.toLowerCase.contains("avro"), scan)
+  }
+
   test("SparkSessionExtensions installs decode_trim_json (GraftExtensions)") {
     val spark0 = spark // ensure shared context exists
     org.apache.spark.sql.SparkSession.clearActiveSession()
