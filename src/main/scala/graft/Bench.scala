@@ -27,6 +27,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Det.silenceBenignWindowWarning()
     // JVM/codegen warm-up outside the timed region: run every query once
     // at the smallest scale factor so generated code, Jackson, and
     // decimal paths are JIT-compiled before timing (steady-state numbers;

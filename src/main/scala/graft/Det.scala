@@ -58,4 +58,16 @@ object Det {
   /** DuckDB ORDER BY matching Spark's ascending default (nulls first). */
   def sqlOrderBy(cols: Seq[String]): String =
     cols.map(c => s"$c NULLS FIRST").mkString(" ORDER BY ", ", ", "")
+
+  /** WindowExec warns "No Partition Defined ... serious performance
+    * degradation" for any unpartitioned window. Ours (the monthly-trend
+    * windows, Windows.scala; the causes pie total, Views.scala) run
+    * over pre-aggregated frames bounded at |months| (~84) or |causes|
+    * (5) rows at ANY data scale, so the warning is a false alarm here —
+    * silence that single logger in the harness mains so bench tails
+    * show real signals only. */
+  def silenceBenignWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

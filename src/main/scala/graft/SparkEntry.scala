@@ -21,6 +21,7 @@ object SparkEntry {
       pipeline.SilverJson.queries ++
       sources.AvroBronze.queries ++
       star.Joins.queries ++
+      star.Salting.queries ++
       star.Windows.queries ++
       star.Aggs.queries ++
       star.SetOps.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       pipeline.SilverJson.oracles ++
       sources.AvroBronze.oracles ++
       star.Joins.oracles ++
+      star.Salting.oracles ++
       star.Windows.oracles ++
       star.Aggs.oracles ++
       star.SetOps.oracles ++

@@ -38,25 +38,49 @@ object AvroBronze {
   private val captureFilter = "SequenceNumber % 5 = 0"
   private val captureFilterSql = "\n  WHERE (l_orderkey * 10 + l_linenumber) % 5 = 0"
 
+  /** Capture envelope schema (what the reference's capture files carry:
+    * ipynb:574-578 / FIXTURES.md A2) — needed explicitly by streaming
+    * file sources, which cannot infer. */
+  val envelopeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "Body BINARY, SequenceNumber BIGINT, EnqueuedTimeUtc STRING, " +
+        "Properties MAP<STRING,STRING>, SystemProperties MAP<STRING,STRING>")
+
   /** Fixture root inside the build dir, keyed by scale factor. */
   def captureRoot(dir: String): String =
     s"target/avro_bronze/${new java.io.File(dir).getName}"
 
   /** Write the bronze envelope as Avro capture files in a 6-level
     * date-derived directory tree. */
-  def writeCapture(spark: SparkSession, dir: String): String = {
-    val root = captureRoot(dir)
-    SilverJson.bronze(spark, dir)
-      .filter(captureFilter)
-      .withColumn("y", substring(col("EnqueuedTimeUtc"), 1, 4))
-      .withColumn("mo", substring(col("EnqueuedTimeUtc"), 6, 2))
-      .withColumn("d", substring(col("EnqueuedTimeUtc"), 9, 2))
-      .withColumn("h", lit("00"))
-      .withColumn("mi", lit("00"))
-      .withColumn("s", lit("00"))
-      .write.mode("overwrite")
-      .partitionBy("y", "mo", "d", "h", "mi", "s")
-      .format(AvroFormat).save(root)
+  def writeCapture(spark: SparkSession, dir: String): String =
+    writeCapture(spark, dir, captureRoot(dir))
+
+  def writeCapture(spark: SparkSession, dir: String, root: String): String = {
+    // Fixture is deterministic per scale dir — reuse a completed write
+    // (_SUCCESS is committed last, so its presence = a complete tree).
+    // Without this, the harness re-pays the fixture write per run.
+    if (!new java.io.File(s"$root/_SUCCESS").isFile) {
+      SilverJson.bronze(spark, dir)
+        .filter(captureFilter)
+        // One capture window per shipdate month. Day/hour/min/sec are
+        // constant levels: the tree keeps the reference's 6-level depth
+        // (and its glob), while leaf-directory count stays |years×months|
+        // (~84) instead of |days| (~2500) — at 32 tasks the latter
+        // produced 52k ~9KB files, a small-files pathology that cost
+        // 379s at sf0.1. Same lesson at 100 TB: capture trees need
+        // file compaction before analytical scans.
+        .withColumn("y", substring(col("EnqueuedTimeUtc"), 1, 4))
+        .withColumn("mo", substring(col("EnqueuedTimeUtc"), 6, 2))
+        .withColumn("d", lit("01"))
+        .withColumn("h", lit("00"))
+        .withColumn("mi", lit("00"))
+        .withColumn("s", lit("00"))
+        // co-locate each capture window in one task -> one file per leaf
+        .repartition(col("y"), col("mo"))
+        .write.mode("overwrite")
+        .partitionBy("y", "mo", "d", "h", "mi", "s")
+        .format(AvroFormat).save(root)
+    }
     root
   }
 

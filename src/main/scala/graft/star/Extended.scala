@@ -107,13 +107,56 @@ object Extended {
        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98
        |FROM orders WHERE o_orderkey % 500 = 0${graft.Det.sqlOrderBy(Seq("o_orderkey"))}""".stripMargin
 
+  /** String/map function library coverage (SURVEY.md §2.5 F9):
+    * concat/case/substr/regexp/split/pad/replace/search plus
+    * `str_to_map` parsing — engine-portable forms over `customer`.
+    * (DuckDB's map extraction yields a LIST, so the map check oracles
+    * the extracted scalar: Spark builds and parses a real map whose
+    * value must round-trip back to the source column.) */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "part")
+      .filter($"p_partkey" % 20 === 0)
+      .selectExpr(
+        "p_partkey",
+        "concat(p_type, '|', p_name) AS full_name",
+        "lower(p_type) AS type_lower",
+        "reverse(p_name) AS name_rev",
+        "substr(p_type, 1, 3) AS type3",
+        "regexp_extract(p_brand, '#([0-9]+)$', 1) AS brand_num",
+        "element_at(split(p_name, ' '), 1) AS first_word",
+        "length(p_name) AS name_len",
+        "lpad(CAST(p_partkey AS STRING), 9, '0') AS padded_key",
+        "replace(p_brand, 'Brand#', 'B') AS short_brand",
+        "instr(p_brand, '#') AS hash_pos",
+        "str_to_map(concat('brand:', p_brand, ';type:', p_type), ';', ':')['type'] AS from_map")
+      .orderBy($"p_partkey")
+  }
+
+  val stringFunctionsSql: String =
+    s"""SELECT p_partkey,
+       |  concat(p_type, '|', p_name) AS full_name,
+       |  lower(p_type) AS type_lower,
+       |  reverse(p_name) AS name_rev,
+       |  substr(p_type, 1, 3) AS type3,
+       |  regexp_extract(p_brand, '#([0-9]+)$$', 1) AS brand_num,
+       |  split_part(p_name, ' ', 1) AS first_word,
+       |  CAST(length(p_name) AS INTEGER) AS name_len,
+       |  lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS padded_key,
+       |  replace(p_brand, 'Brand#', 'B') AS short_brand,
+       |  CAST(strpos(p_brand, '#') AS INTEGER) AS hash_pos,
+       |  p_type AS from_map
+       |FROM part WHERE p_partkey % 20 = 0${sqlOrderBy(Seq("p_partkey"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_udaf_weighted_rate" -> udafWeightedRate,
     "embed_value_histogram" -> embedHistogram,
-    "func_dates" -> dateFunctions)
+    "func_dates" -> dateFunctions,
+    "func_strings" -> stringFunctions)
 
   val oracles: Map[String, String] = Map(
     "agg_udaf_weighted_rate" -> udafWeightedRateSql,
     "embed_value_histogram" -> embedHistogramSql,
-    "func_dates" -> dateFunctionsSql)
+    "func_dates" -> dateFunctionsSql,
+    "func_strings" -> stringFunctionsSql)
 }

@@ -1,7 +1,9 @@
 package graft.star
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import graft.Det.{sqlSum, sqlOrderBy}
 
 /** Skew mitigation for large-x-large equi-joins (SURVEY.md §7 hard part
   * 5; AQE's skewJoin handles sort-merge skew automatically, this is the
@@ -29,4 +31,32 @@ object Salting {
         salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }
+
+  /** Oracle-checked proof that the skew machinery is answer-invariant:
+    * the salted orders x customer join aggregated per market segment
+    * carries the SAME DuckDB oracle as the plain equi-join — identical
+    * results regardless of the (nondeterministic) salt assignment. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    saltedEquiJoin(
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      "o_custkey", "c_custkey", salts = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.xsum($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val saltedJoinAggSql: String =
+    s"""SELECT c_mktsegment,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment${sqlOrderBy(Seq("c_mktsegment"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted_skew" -> saltedJoinAgg)
+
+  val oracles: Map[String, String] = Map(
+    "join_salted_skew" -> saltedJoinAggSql)
 }

@@ -51,7 +51,16 @@ object Windows {
        |) WHERE rn <= 3${sqlOrderBy(Seq("c_mktsegment", "rn"))}""".stripMargin
 
   /** Monthly order revenue (pre-aggregated) as the base for the trend
-    * windows below. */
+    * windows below.
+    *
+    * The trend windows over this frame are deliberately UNPARTITIONED
+    * (global month order), which makes WindowExec log its
+    * single-partition warning. That is benign by construction: the
+    * input is this pre-aggregated frame of |months| rows (~84 at any
+    * scale factor — months don't grow with data volume), not raw
+    * orders, so "all data to a single partition" is a bounded handful
+    * of rows even at 100x data. Bench/Verify suppress that one logger
+    * with this rationale. */
   private def monthlyRev(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "orders")

@@ -47,6 +47,30 @@ object SilverStream {
         $"timestamp".as("enqueuedTime"))
   }
 
+  /** S5: Auto-Loader-shaped bronze file source — a `readStream` over
+    * the watched Avro capture tree (the no-broker Capture analogue of
+    * the reference's Event Hubs readStream, ipynb:227-238,
+    * README.md:103-108): capture files appearing under the six-level
+    * date glob become micro-batches. `maxFilesPerTrigger` bounds batch
+    * size (ingest backpressure); the checkpoint's file log gives
+    * exactly-once file pickup across restarts.
+    *
+    * Scale posture: the file-source's directory listing is the only
+    * per-trigger overhead — bounded by the date-partitioned layout
+    * (list only recent capture windows in production via the glob
+    * prefix); everything downstream is the stateless silver map. */
+  def captureEnvelopes(spark: SparkSession, root: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .format(graft.sources.AvroBronze.AvroFormat)
+      .schema(graft.sources.AvroBronze.envelopeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(s"$root/*/*/*/*/*/*/*.avro")
+      .select(col("Body").as("body"),
+        col("SequenceNumber").as("sequenceNumber"),
+        to_timestamp(col("EnqueuedTimeUtc"), "yyyy-MM-dd'T'HH:mm:ss")
+          .as("enqueuedTime"))
+
   /** T3: the silver transformation on a streaming envelope frame
     * (body:binary, enqueuedTime:timestamp) — identical operators to the
     * batch path, stateless. */
