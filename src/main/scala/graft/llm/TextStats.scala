@@ -179,16 +179,51 @@ object TextStats {
       .limit(30)
   }
 
+  /** Document fingerprinting via rolling windows (Rabin/winnowing
+    * shape): slide an 8-char window over the text at stride 4, hash
+    * each window, keep the minimum — a content fingerprint stable
+    * under append-only edits past the minimizing window, the building
+    * block of winnowing-based near-dup detection.
+    *
+    * Scale posture: like the minhash stage, the |windows|-row explode
+    * collapses under a partial (map-side) `min` before the shuffle,
+    * so only one (doc_id, fingerprint) state per doc crosses the wire;
+    * window hashing is codegen'd projections, not a lambda. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        explode(expr("sequence(1, greatest(length(text) - 7, 1), 4)")).as("i"),
+        $"text")
+      .select($"doc_id", md5(expr("substr(text, i, 8)")).as("h"))
+      .groupBy($"doc_id")
+      .agg(min($"h").as("fingerprint"), count(lit(1)).as("n_windows"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i,
+       |    text
+       |  FROM documents
+       |)
+       |SELECT doc_id, MIN(md5(substr(text, CAST(i AS INTEGER), 8))) AS fingerprint,
+       |  COUNT(*) AS n_windows
+       |FROM w GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> stats,
     "text_lang_id" -> langId,
     "text_token_count" -> tokenCount,
     "text_word_topk" -> wordTopk,
-    "text_heavy_hitters" -> heavyHitters)
+    "text_heavy_hitters" -> heavyHitters,
+    "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> statsSql,
     "text_lang_id" -> langIdSql,
     "text_token_count" -> tokenCountSql,
-    "text_word_topk" -> wordTopkSql)
+    "text_word_topk" -> wordTopkSql,
+    "text_fingerprint" -> fingerprintSql)
 }

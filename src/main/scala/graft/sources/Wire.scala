@@ -27,4 +27,29 @@ object Wire {
       case None => stamped.select(lit(null).cast("string").as("key"), value)
     }
   }
+
+  /** S2, the actual sink: batch-produce [[kafkaShape]] rows to a topic.
+    * Runs verbatim on any cluster whose classpath carries the Kafka
+    * connector (`spark-sql-kafka-0-10`); this harness ships no broker
+    * and no connector jar, so execution here stops at datasource
+    * resolution (asserted in `WireAndBulkLoadSpec`) — the producer
+    * script's batching/linger knobs map to `kafka.*` options, not code. */
+  def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
+      keyField: Option[String] = None): Unit =
+    kafkaShape(df, keyField).write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+
+  /** S3/S5 streaming twin: paced production is the trigger cadence. */
+  def toKafkaStream(envelopes: DataFrame, bootstrapServers: String,
+      topic: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("15 minutes"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    envelopes.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
 }

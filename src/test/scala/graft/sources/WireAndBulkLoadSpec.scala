@@ -19,6 +19,18 @@ class WireAndBulkLoadSpec extends SparkSpec {
     assert(Wire.kafkaShape(df, None).where($"key".isNull).count() == 2)
   }
 
+  test("kafka sink path wires to the kafka datasource (S2, no broker here)") {
+    import spark.implicits._
+    val df = Seq((2024, "YV")).toDF("year", "carrier")
+    // no connector jar ships in this harness, so the save must fail AT
+    // DATASOURCE RESOLUTION — proving the sink path is wired to the
+    // real `kafka` format, not short-circuited before it
+    val e = intercept[Exception] {
+      Wire.toKafka(df, "broker:9092", "flights", Some("carrier"))
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   /** Snowflake `COPY INTO ... PATTERN='.*carrier.*' MATCH_BY_COLUMN_NAME
     * ON_ERROR=CONTINUE` (nb:188-193): regex file filtering, by-name
     * column resolution across files with different column order/subsets,

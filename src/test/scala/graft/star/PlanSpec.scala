@@ -50,6 +50,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("silver total order avoids RangePartitioning (no sampling re-eval)") {
+    // a global orderBy would add a range exchange whose bound-sampling
+    // job re-runs the whole decode/parse chain (measured 2x the query);
+    // the single-partition sortWithinPartitions form must stay
+    for (q <- Seq("silver_json_pipeline", "silver_avro_capture")) {
+      val p = plan(q).toLowerCase
+      assert(!p.contains("rangepartitioning"), s"$q re-grew a range sort")
+      assert(p.contains("sort"), s"$q lost its deterministic order")
+    }
+  }
+
+  test("embedding cosine path is codegen'd (no interpreted HOF lambda)") {
+    // the aggregate() higher-order function runs interpreted (measured
+    // 25x on minhash, 2x of the whole r1 bench on the pair join) — the
+    // unrolled decimal sum must stay out of lambda land
+    // (AQE prints isFinalPlan=false without codegen spans pre-execution,
+    // so assert the absence of the interpreted form, not the span)
+    for (q <- Seq("embed_neardup_pairs", "embed_cosine_topk")) {
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"), s"$q uses an interpreted lambda")
+      assert(!p.contains("aggregate("), s"$q re-grew the aggregate() HOF")
+    }
+  }
+
   test("minhash signature stage aggregates map-side before its shuffle") {
     val p = plan("dedup_minhash_sig")
     // string min buffers are var-length, so Spark picks SortAggregate;
