@@ -182,13 +182,64 @@ object Similarity {
        |SELECT * FROM p WHERE cosine > 0.35
        |${sqlOrderBy(Seq("v1", "v2")).trim}""".stripMargin
 
+  /** Int8 scalar quantization — the storage-side scale path for ANN: a
+    * 64-d float vector becomes 64 bytes (4x smaller than float32, 8x
+    * than float64), and the IVF probe scans quantized codes first.
+    * Codes are `clamp(floor(x*256 + 0.5), -128, 127)` (floor(+0.5), not
+    * round() — the engines' round() tie rules differ); per-vector audit
+    * stats quantify the information loss: clip count, worst-case
+    * reconstruction error, and decimal-exact summed squared error.
+    *
+    * Scale posture: explode -> partial aggregate, same as the minhash
+    * stage — the |corpus|x64 element stream collapses map-side to one
+    * state row per vector before the shuffle. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"label", $"pos",
+        $"x".cast("double").as("xd"),
+        floor($"x".cast("double") * 256 + 0.5).as("f"))
+      .withColumn("q", least(lit(127L), greatest(lit(-128L), $"f")).cast("int"))
+      .withColumn("err", abs($"xd" - $"q" / 256.0))
+      .groupBy($"vec_id", $"label")
+      .agg(
+        min(when($"pos" === 0, $"q")).as("q1"),
+        sum(when($"f" > 127 || $"f" < -128, 1L).otherwise(0L)).as("n_clipped"),
+        max($"err").as("max_abs_err"),
+        sum(($"err" * $"err").cast("decimal(28,14)")).cast("double").as("sse"))
+      .orderBy($"vec_id")
+  }
+
+  val quantizeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, i,
+       |    CAST(embedding[i] AS DOUBLE) AS xd,
+       |    floor(CAST(embedding[i] AS DOUBLE) * 256 + 0.5) AS f
+       |  FROM embeddings, range(1, 65) t(i)
+       |),
+       |q AS (
+       |  SELECT vec_id, label, i, xd, f,
+       |    CAST(least(CAST(127 AS DOUBLE), greatest(CAST(-128 AS DOUBLE), f)) AS INTEGER) AS q
+       |  FROM e
+       |),
+       |r AS (SELECT q.*, abs(xd - q / CAST(256 AS DOUBLE)) AS err FROM q)
+       |SELECT vec_id, label,
+       |  MIN(CASE WHEN i = 1 THEN q END) AS q1,
+       |  CAST(SUM(CASE WHEN f > 127 OR f < -128 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |  MAX(err) AS max_abs_err,
+       |  CAST(SUM(CAST(err * err AS DECIMAL(28,14))) AS DOUBLE) AS sse
+       |FROM r GROUP BY vec_id, label${sqlOrderBy(Seq("vec_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_cosine_topk" -> cosineTopk,
     "embed_ivf_topk" -> ivfTopk,
-    "embed_neardup_pairs" -> neardupPairs)
+    "embed_neardup_pairs" -> neardupPairs,
+    "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> cosineTopkSql,
     "embed_ivf_topk" -> ivfTopkSql,
-    "embed_neardup_pairs" -> neardupPairsSql)
+    "embed_neardup_pairs" -> neardupPairsSql,
+    "embed_quantize" -> quantizeSql)
 }

@@ -92,6 +92,19 @@ object SilverStream {
       .withColumn("produced_at", $"produced_at".cast("bigint"))
   }
 
+  /** Streaming exact dedup: brokers deliver at-least-once, so replayed
+    * envelopes reappear with the same sequence number; this drops them
+    * as they arrive. `dropDuplicatesWithinWatermark` keeps dedup state
+    * only for the watermark horizon — state is O(keys per horizon),
+    * bounded at any stream length, where a plain `dropDuplicates` on a
+    * stream holds every key ever seen (unbounded at 100 TB — the same
+    * reason the batch path dedups with a hash-groupBy instead). */
+  def dedupedSilver(silverStream: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    silverStream
+      .withWatermark("enqueuedTime", watermarkDelay)
+      .dropDuplicatesWithinWatermark("produced_at")
+
   /** T2: bronze capture equivalent — 5-minute file-sink micro-batches
     * (the Event Hubs Capture cadence, README.md:107). */
   def bronzeCapture(envelopes: DataFrame, path: String, checkpoint: String,
