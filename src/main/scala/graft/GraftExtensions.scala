@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DecodeTrimJson
+import graft.functions.{DecimalDot, DecodeTrimJson}
 
 /** SparkSessionExtensions entry point: installs the engine's custom
   * Catalyst surface into any session built with
@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decode_trim_json"),
       new ExpressionInfo(classOf[DecodeTrimJson].getName, "decode_trim_json"),
       (children: Seq[Expression]) => DecodeTrimJson(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decimal_dot"),
+      new ExpressionInfo(classOf[DecimalDot].getName, "decimal_dot"),
+      (children: Seq[Expression]) => DecimalDot(children.head, children(1))))
   }
 }

@@ -27,25 +27,18 @@ import graft.Det.sqlOrderBy
 object Similarity {
 
   /** Spark SQL expr: exact DECIMAL(28,14)-accumulated dot product of
-    * two 64-d array columns (any numeric element type).
-    *
-    * Fully unrolled: the `aggregate` higher-order-function form runs
-    * INTERPRETED (no whole-stage codegen — the same 25x penalty measured
-    * on the minhash stage, see Dedup.scala). This flat form is 64
-    * codegen'd multiply/cast terms summed in groups of 8. Numerically
-    * identical to the HOF accumulator: each term is rounded once to
-    * DECIMAL(28,14); an 8-term add chain peaks at DECIMAL(35,14) — scale
-    * never shrinks, no rounding — and the group-sum re-cast to (28,14)
-    * is value-preserving (|dot| << 10^14), so every variant yields the
-    * bit-same exact decimal, hence the bit-same double.
+    * two array columns — the native codegen'd expression
+    * (`functions/DecimalDot`, registered per query below). History of
+    * this hot path: the `aggregate` higher-order-function form ran
+    * INTERPRETED (the 25x penalty measured on the minhash stage); a
+    * 64-term unrolled CAST/multiply sum fixed that but cost Janino
+    * ~1-3s of compile per query (~2000 Catalyst nodes per call site);
+    * the native Expression keeps the identical per-term-rounding
+    * decimal arithmetic in a tight generated loop. All three forms are
+    * bit-identical — the DuckDB oracle never changed.
     */
-  private def dotSpark(x: String, y: String): String = {
-    val terms = (1 to 64).map(i =>
-      s"CAST(CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE) AS DECIMAL(28,14))")
-    val groups = terms.grouped(8)
-      .map(g => s"CAST(${g.mkString(" + ")} AS DECIMAL(28,14))")
-    s"CAST(${groups.mkString(" + ")} AS DOUBLE)"
-  }
+  private def dotSpark(x: String, y: String): String =
+    s"decimal_dot($x, $y)"
 
   /** DuckDB twin of [[dotSpark]]. */
   private def dotDuck(x: String, y: String): String =
@@ -63,6 +56,7 @@ object Similarity {
   /** Brute-force cosine top-10 neighbours of vec_id=0. */
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
     emb.crossJoin(broadcast(q))
@@ -85,6 +79,7 @@ object Similarity {
     * labels, (3) exact cosine only within those labels, top-10. */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
     // stage 1: centroids — posexplode -> (label, pos) mean, re-assembled
@@ -140,6 +135,7 @@ object Similarity {
     * corpus; real near-dup corpora use ~0.95. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
     // norms precomputed per vector BEFORE the pair join: |corpus| norm
     // dots instead of 2x|pairs| — 3x less decimal work per pair, and the
     // cosine values are bit-identical (same expressions, hoisted)

@@ -212,7 +212,42 @@ object TextStats {
        |  COUNT(*) AS n_windows
        |FROM w GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Corpus normalization (the Common-Crawl-style cleaning pass):
+    * strip non-alphanumerics, collapse whitespace runs, trim — emitted
+    * as before/after size metrics plus an md5 of the normalized form
+    * (the join key for cleaned-corpus dedup). Pure map, no shuffle;
+    * simple character-class regexes keep Java-regex (Spark) and RE2
+    * (DuckDB) semantics identical. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace($"text", "[^a-z0-9 ]", ""), " +", " ")))
+      .selectExpr(
+        "doc_id",
+        "length(text) AS raw_len",
+        "length(norm) AS norm_len",
+        "size(split(norm, ' ')) AS norm_words",
+        "md5(norm) AS norm_hash")
+      .orderBy($"doc_id")
+  }
+
+  val normalizeSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+       |         ' +', ' ', 'g')) AS norm
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS raw_len,
+       |  CAST(length(norm) AS INTEGER) AS norm_len,
+       |  CAST(len(string_split(norm, ' ')) AS INTEGER) AS norm_words,
+       |  md5(norm) AS norm_hash
+       |FROM n${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> normalize,
     "text_stats" -> stats,
     "text_lang_id" -> langId,
     "text_token_count" -> tokenCount,
@@ -221,6 +256,7 @@ object TextStats {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" -> normalizeSql,
     "text_stats" -> statsSql,
     "text_lang_id" -> langIdSql,
     "text_token_count" -> tokenCountSql,

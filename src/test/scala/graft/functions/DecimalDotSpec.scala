@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.expr
+import graft.SparkSpec
+
+/** Native decimal-exact dot product: bit-parity with the unrolled
+  * CAST-sum SQL form it replaced, and defined null behavior. */
+class DecimalDotSpec extends SparkSpec {
+
+  private def unrolled(x: String, y: String): String = {
+    val terms = (1 to 64).map(i =>
+      s"CAST(CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE) AS DECIMAL(28,14))")
+    val groups = terms.grouped(8)
+      .map(g => s"CAST(${g.mkString(" + ")} AS DECIMAL(28,14))")
+    s"CAST(${groups.mkString(" + ")} AS DOUBLE)"
+  }
+
+  test("bit-identical to the unrolled decimal CAST-sum on real vectors") {
+    DecimalDot.register(spark)
+    import spark.implicits._
+    val emb = graft.Tables(spark, sf0001, "embeddings").limit(50)
+      .select($"vec_id", $"embedding".as("e1"),
+        expr("reverse(embedding)").as("e2"))
+    val rows = emb.selectExpr(
+      "decimal_dot(e1, e2) AS native",
+      s"${unrolled("e1", "e2")} AS sql_form",
+      "decimal_dot(e1, e1) AS nrm_native",
+      s"${unrolled("e1", "e1")} AS nrm_sql").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r)
+    }
+  }
+
+  test("mixed float/double element types and literal arrays") {
+    DecimalDot.register(spark)
+    // double literal array x double literal array: 1*4 + 2*5 + 3*6 = 32
+    val r = spark.sql(
+      "SELECT decimal_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head.getDouble(0)
+    assert(r == 32.0)
+    // float column side against double side
+    import spark.implicits._
+    val f = Seq((Array(0.5f, 0.25f), Array(2.0, 4.0))).toDF("a", "b")
+      .selectExpr("decimal_dot(a, b) AS d").head.getDouble(0)
+    assert(f == 2.0)
+  }
+
+  test("null semantics: null array, length mismatch, null element") {
+    DecimalDot.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  decimal_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS null_arr,
+        |  decimal_dot(array(1.0D, 2.0D), array(1.0D)) AS len_mismatch,
+        |  decimal_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS null_elem
+        |""".stripMargin).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}
