@@ -95,12 +95,16 @@ object SilverJson {
     env
       .withColumn("body_str", expr(s"decode_trim_json(`$bodyCol`)"))
       .select(from_json($"body_str", payloadSchema).as("data"))
-      // `_rid` (nondeterministic) pins the na.drop filter ABOVE this
-      // projection: without it Catalyst pushes the null-check below and
-      // re-evaluates the whole decode+parse chain a second time per row
-      // (measured 2x). The filter must run on the parsed result anyway.
+      // `_rid` (nondeterministic) pins the null-drop filter ABOVE this
+      // projection: a projection containing a nondeterministic field
+      // blocks predicate pushdown, so the null-check can't sink below
+      // the parse and re-evaluate the whole decode+parse chain inside
+      // the scan filter (measured 4x: the CASE-branch corruption chain
+      // gets inlined 3x into the pushed predicate). The filter MUST
+      // also reference `_rid` — otherwise ColumnPruning deletes the
+      // unused pin first and the pushdown proceeds anyway.
       .select($"data.*", monotonically_increasing_id().as("_rid"))
-      .na.drop(Seq("year"))
+      .filter($"year".isNotNull && $"_rid" >= 0)
       .drop("_rid")
       .withColumn("year", $"year".cast("int"))
       .withColumn("month", $"month".cast("int"))
