@@ -227,15 +227,101 @@ object Similarity {
        |  CAST(SUM(CAST(err * err AS DECIMAL(28,14))) AS DOUBLE) AS sse
        |FROM r GROUP BY vec_id, label${sqlOrderBy(Seq("vec_id"))}""".stripMargin
 
+  /** 8 fixed +-1 random hyperplanes (64-d), generated once by a seeded
+    * LCG at query-construction time and embedded as literals in BOTH the
+    * Spark plan and the DuckDB oracle — no cross-engine RNG parity
+    * needed, and the plan is fully deterministic across runs/cluster
+    * sizes. */
+  private val srpPlanes: Seq[Seq[Double]] = {
+    var s = 0x5DEECE66DL
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if ((s >>> 63) == 1L) 1.0 else -1.0
+    }
+    Seq.fill(8)(Seq.fill(64)(next()))
+  }
+
+  private def planeSpark(p: Seq[Double]): String =
+    p.map(v => s"${v}D").mkString("array(", ", ", ")")
+  private def planeDuck(p: Seq[Double]): String =
+    p.mkString("([", ", ", "])")
+
+  /** SRP-LSH near-duplicate pairs — the scale path when NO clustering
+    * column exists (cf. [[neardupPairs]], which buckets on the given
+    * `label`): sign bits of 8 random-hyperplane projections form two
+    * 4-bit LSH band keys; only docs sharing a band bucket are paired,
+    * then re-scored with the exact decimal cosine at the same 0.35 cut.
+    *
+    * Scale posture: the signature stage is map-only (8 codegen'd
+    * decimal_dot calls per row); the candidate stage is two equi-joins
+    * on band keys (never an OR / nested-loop join), so the comparison
+    * count is sum of |bucket|^2 over 16 buckets per band, not
+    * |corpus|^2. Recall tuning = more planes / narrower bands — the
+    * classic SimHash/SRP trade, here sized for the 0.35 threshold. */
+  def srpNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    def bit(i: Int) =
+      s"(CASE WHEN ${dotSpark("embedding", planeSpark(srpPlanes(i)))} > 0 THEN 1 ELSE 0 END)"
+    val bandA = (0 until 4).map(i => s"(${bit(i)} * ${1 << i})").mkString(" + ")
+    val bandB = (4 until 8).map(i => s"(${bit(i)} * ${1 << (i - 4)})").mkString(" + ")
+    val sig = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm",
+        s"($bandA) AS band_a", s"($bandB) AS band_b")
+    val a = sig.select($"vec_id".as("v1"), $"embedding".as("e1"),
+      $"nrm".as("n1"), $"band_a".as("ba"), $"band_b".as("bb"))
+    val b = sig.select($"vec_id".as("v2"), $"embedding".as("e2"),
+      $"nrm".as("n2"), $"band_a".as("bc"), $"band_b".as("bd"))
+    val p1 = a.join(b, $"ba" === $"bc" && $"v1" < $"v2")
+    val p2 = a.join(b, $"bb" === $"bd" && $"v1" < $"v2")
+    p1.select($"v1", $"v2", $"e1", $"e2", $"n1", $"n2")
+      .union(p2.select($"v1", $"v2", $"e1", $"e2", $"n1", $"n2"))
+      .distinct()
+      .selectExpr("v1", "v2",
+        s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
+      .filter($"cosine" > 0.35)
+      .orderBy($"v1", $"v2")
+  }
+
+  val srpNeardupSql: String = {
+    def bit(i: Int) =
+      s"(CASE WHEN ${dotDuck("embedding", planeDuck(srpPlanes(i)))} > 0 THEN 1 ELSE 0 END)"
+    val bandA = (0 until 4).map(i => s"(${bit(i)} * ${1 << i})").mkString(" + ")
+    val bandB = (4 until 8).map(i => s"(${bit(i)} * ${1 << (i - 4)})").mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm,
+       |    ($bandA) AS band_a, ($bandB) AS band_b
+       |  FROM embeddings
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    a.embedding AS e1, b.embedding AS e2, a.nrm AS n1, b.nrm AS n2
+       |  FROM sig a JOIN sig b ON a.band_a = b.band_a AND a.vec_id < b.vec_id
+       |  UNION
+       |  SELECT a.vec_id, b.vec_id, a.embedding, b.embedding, a.nrm, b.nrm
+       |  FROM sig a JOIN sig b ON a.band_b = b.band_b AND a.vec_id < b.vec_id
+       |),
+       |scored AS (
+       |  SELECT v1, v2, (${dotDuck("e1", "e2")} / sqrt(n1 * n2)) AS cosine
+       |  FROM cand
+       |)
+       |SELECT * FROM scored WHERE cosine > 0.35
+       |${sqlOrderBy(Seq("v1", "v2")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_cosine_topk" -> cosineTopk,
     "embed_ivf_topk" -> ivfTopk,
     "embed_neardup_pairs" -> neardupPairs,
+    "embed_srp_neardup" -> srpNeardup,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
     "embed_cosine_topk" -> cosineTopkSql,
     "embed_ivf_topk" -> ivfTopkSql,
     "embed_neardup_pairs" -> neardupPairsSql,
+    "embed_srp_neardup" -> srpNeardupSql,
     "embed_quantize" -> quantizeSql)
 }

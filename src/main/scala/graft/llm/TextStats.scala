@@ -246,6 +246,139 @@ object TextStats {
        |  md5(norm) AS norm_hash
        |FROM n${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Per-document top-3 terms by TF-IDF. The idf here is the LINEAR
+    * variant `N / df` (a ratio of exact integers, one double rounding)
+    * rather than `ln(N/df)` — ln is transcendental and libm vs
+    * java.lang.Math differ by 1 ulp on some inputs, which would break
+    * the cross-engine hash gate; the ranking is identical for any
+    * monotone idf. Swap in `log` at deployment if the absolute scores
+    * matter.
+    *
+    * Scale posture: term counts and document frequency are both
+    * partial-aggregated map-side before their shuffles; N arrives via a
+    * broadcast 1-row cross join (no driver collect); the final top-3 is
+    * a row_number window partitioned by doc_id — millions of small
+    * partitions, never a global sort. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val terms = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term")
+    terms.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", ($"tf" * $"n_docs") / $"df".cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tfidfSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |    (t.tf * n.n_docs) / CAST(d.df AS DOUBLE) AS score
+       |  FROM terms t JOIN dfreq d ON t.term = d.term, n
+       |),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC NULLS LAST, term NULLS FIRST) AS INTEGER) AS rank,
+       |    term, tf, df, score
+       |  FROM scored
+       |)
+       |SELECT * FROM ranked WHERE rank <= 3
+       |${sqlOrderBy(Seq("doc_id", "rank")).trim}""".stripMargin
+
+  /** The end-to-end curation pass an LLM training-data pipeline runs
+    * before tokenization: quality-gate (composite score >= 2, same
+    * formula as [[stats]]) -> exact dedup on the NORMALIZED text hash
+    * (same cleaning as [[normalize]], keeper = min doc_id) -> per-lang
+    * yield report (surviving docs + whitespace/BPE-estimate token
+    * budgets). One query composing three operators, because that is how
+    * the pieces are actually used.
+    *
+    * Scale posture: one map-only pass derives quality + norm_hash; the
+    * dedup is a groupBy on the hash (partial agg first) followed by an
+    * inner join back on (norm_hash, doc_id) — both shuffles carry only
+    * survivors; the final per-lang rollup is ~|langs| rows. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .withColumn("n_words", size($"tokens"))
+      .withColumn("ttr",
+        size(array_distinct($"tokens")) / $"n_words".cast("double"))
+      .withColumn("stopword_ratio",
+        expr(s"size(filter(tokens, t -> t IN ${inList(stopwords)}))") /
+          $"n_words".cast("double"))
+      .withColumn("quality_score",
+        when($"n_words".between(20, 200), 1).otherwise(0) +
+          when($"ttr" >= 0.25, 1).otherwise(0) +
+          when($"stopword_ratio".between(0.01, 0.5), 1).otherwise(0))
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace($"text", "[^a-z0-9 ]", ""), " +", " ")))
+      .withColumn("norm_hash", md5($"norm"))
+      .filter($"quality_score" >= 2)
+    val keepers = scored.groupBy($"norm_hash")
+      .agg(min($"doc_id").as("doc_id"))
+    scored.join(keepers, Seq("norm_hash", "doc_id"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_words".cast("bigint")).as("total_ws_tokens"),
+        sum(ceil(length($"text") / lit(4.0)).cast("bigint")).as("total_est_bpe_tokens"))
+      .orderBy($"lang")
+  }
+
+  val corpusPrepSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    string_split(text, ' ') AS tokens,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+       |  FROM documents
+       |),
+       |q AS (
+       |  SELECT t.*,
+       |    len(list_distinct(tokens)) / CAST(n_words AS DOUBLE) AS ttr,
+       |    len(list_filter(tokens, x -> x IN ${inList(stopwords)}))
+       |      / CAST(n_words AS DOUBLE) AS stopword_ratio,
+       |    trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+       |         ' +', ' ', 'g')) AS norm
+       |  FROM t
+       |),
+       |s AS (
+       |  SELECT q.*,
+       |    (CASE WHEN n_words BETWEEN 20 AND 200 THEN 1 ELSE 0 END
+       |     + CASE WHEN ttr >= 0.25 THEN 1 ELSE 0 END
+       |     + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END)
+       |      AS quality_score,
+       |    md5(norm) AS norm_hash
+       |  FROM q
+       |),
+       |kept AS (SELECT * FROM s WHERE quality_score >= 2),
+       |keepers AS (SELECT norm_hash, MIN(doc_id) AS doc_id FROM kept GROUP BY norm_hash)
+       |SELECT k.lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(k.n_words) AS BIGINT) AS total_ws_tokens,
+       |  CAST(SUM(CAST(ceil(length(k.text) / CAST(4 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+       |    AS total_est_bpe_tokens
+       |FROM kept k JOIN keepers USING (norm_hash, doc_id)
+       |GROUP BY k.lang${sqlOrderBy(Seq("lang"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> normalize,
     "text_stats" -> stats,
@@ -253,7 +386,9 @@ object TextStats {
     "text_token_count" -> tokenCount,
     "text_word_topk" -> wordTopk,
     "text_heavy_hitters" -> heavyHitters,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_tfidf" -> tfidf,
+    "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
     "text_normalize" -> normalizeSql,
@@ -261,5 +396,7 @@ object TextStats {
     "text_lang_id" -> langIdSql,
     "text_token_count" -> tokenCountSql,
     "text_word_topk" -> wordTopkSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_tfidf" -> tfidfSql,
+    "corpus_prep" -> corpusPrepSql)
 }

@@ -1,0 +1,79 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-2 LLM-curation additions that the DuckDB
+  * oracle can't express: SRP-LSH precision/recall vs the brute-force
+  * ground truth, TF-IDF ranking coherence, and corpus-prep
+  * conservation bounds. */
+class LlmExtrasSpec extends SparkSpec {
+
+  private def bruteForcePairs = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "decimal_dot(embedding, embedding) AS nrm")
+    val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nrm".as("n1"))
+    val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nrm".as("n2"))
+    a.join(b, $"v1" < $"v2")
+      .selectExpr("v1", "v2", "(decimal_dot(e1, e2) / sqrt(n1 * n2)) AS cosine")
+      .filter($"cosine" > 0.35)
+  }
+
+  test("srp pairs are a subset of brute-force pairs (precision 1)") {
+    val srp = Similarity.srpNeardup(spark, sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = bruteForcePairs
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(srp.nonEmpty)
+    assert(srp.subsetOf(brute),
+      s"SRP emitted ${srp.diff(brute).size} pairs not in the exact set")
+  }
+
+  test("srp recall vs brute force is above the banding floor") {
+    // 8 planes / two 4-bit bands: P(pair at cosine c shares a band) =
+    // 1 - (1 - p^4)^2 with p = 1 - acos(c)/pi; at the 0.35 cut that is
+    // ~0.26 and rises steeply with c. Input is fixed, SRP is
+    // deterministic, so observed recall is a constant of the fixture;
+    // 0.15 is a conservative floor (regen-proof), not the expectation.
+    val srp = Similarity.srpNeardup(spark, sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = bruteForcePairs
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = srp.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.15, f"recall $recall%.3f below floor (|brute|=${brute.size})")
+  }
+
+  test("tfidf ranks are contiguous per doc with non-increasing scores") {
+    val rows = TextStats.tfidf(spark, sf0001)
+      .select("doc_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"doc $doc ranks not contiguous")
+      assert(sorted.length <= 3, s"doc $doc has ${sorted.length} ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3,
+          s"doc $doc scores increase from rank ${a._2} to ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("corpus_prep yields are bounded by the raw corpus") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val rawDocs = docs.count()
+    val rawWs = docs.selectExpr("sum(size(split(text, ' ')))").as[Long].head()
+    val prep = TextStats.corpusPrep(spark, sf0001).collect()
+    assert(prep.nonEmpty)
+    val kept = prep.map(_.getLong(1)).sum
+    val ws = prep.map(_.getLong(2)).sum
+    assert(kept > 0 && kept <= rawDocs, s"kept=$kept raw=$rawDocs")
+    assert(ws > 0 && ws <= rawWs, s"ws=$ws raw=$rawWs")
+  }
+}
