@@ -8,25 +8,36 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native decimal-exact dot product of two numeric arrays.
+/** Native fixed-point-exact dot product of two numeric arrays.
   *
-  * Semantics are bit-identical to the unrolled SQL form used by the
-  * similarity queries (and to their DuckDB oracles): each per-element
-  * double product is rounded once to DECIMAL(28,14) exactly as Spark's
-  * `CAST(double AS DECIMAL(28,14))` does (`BigDecimal.valueOf` -> string
-  * shortest-repr -> `setScale(14, HALF_UP)`), the terms are summed in
-  * exact decimal arithmetic (order-independent), and the exact sum is
-  * converted to double once.
+  * Each per-element double product is quantized once to scale 14 as
+  * `floor(x*y * 1e14 + 0.5)` (a 64-bit integer), the terms are summed
+  * in exact integer arithmetic (order-independent — partition count
+  * and evaluation order can never flip a bit), and the exact sum is
+  * divided by 1e14 once at the end.
   *
-  * Why an Expression and not the unrolled SQL: the 64-term expression
-  * tree is ~2000 Catalyst nodes per call site — it IS codegen'd, but
-  * Janino pays a visible compile cost per query (measured ~1-3s on the
-  * IVF query, which instantiates it four times). This node generates a
-  * single static call with a tight loop — same arithmetic, constant
-  * codegen size, and it scales to any vector length without string
-  * surgery. Preference order per SURVEY §2.10: native `Expression` with
-  * `doGenCode` > unrolled SQL > higher-order `aggregate` (interpreted,
-  * measured 25x slower).
+  * Why floor-scaled-long and not a decimal CAST: every operation here
+  * (double multiply, add 0.5, floor, int64 sum, int64->double, divide)
+  * is IEEE-754-defined and bit-identical across engines, so the DuckDB
+  * oracle can state the SAME arithmetic in portable SQL. Casting to
+  * DECIMAL is not portable at this scale: Spark's `Cast(double ->
+  * decimal)` rounds the SHORTEST STRING repr (`BigDecimal.valueOf`)
+  * while DuckDB 1.0 rounds `nearbyint(v * 1e14)` of the scaled double —
+  * measured ~2e-4 of terms disagreeing in the 14th decimal, enough to
+  * drift a handful of cells per million at sf0.1+ (and DuckDB's
+  * negative hugeint->double conversion adds its own 1-ulp bias). The
+  * scaled-long form has no such seam. |terms| must stay < 2^53 per
+  * element and < 2^63 summed — unit-norm-ish embeddings are 9 orders
+  * of magnitude below that.
+  *
+  * Why an Expression and not unrolled SQL: the 64-term expression tree
+  * is ~2000 Catalyst nodes per call site — it IS codegen'd, but Janino
+  * pays ~1-3s compile per query (measured on the IVF query, which
+  * instantiates it four times). This node generates a single static
+  * call with a tight loop — same arithmetic, constant codegen size,
+  * any vector length. Preference order per SURVEY §2.10: native
+  * `Expression` with `doGenCode` > unrolled SQL > higher-order
+  * `aggregate` (interpreted, measured 25x slower).
   */
 case class DecimalDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -71,8 +82,7 @@ case class DecimalDot(left: Expression, right: Expression)
 }
 
 object DecimalDot {
-  private val Scale = 14
-  private val HalfUp = java.math.RoundingMode.HALF_UP
+  private val ScaleF = 1e14
 
   /** Static helper referenced from generated code (and nullSafeEval).
     * Null on length mismatch or null elements — mirroring what the
@@ -81,19 +91,18 @@ object DecimalDot {
       xFloat: Boolean, yFloat: Boolean): java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) return null
-    var acc = java.math.BigDecimal.ZERO
+    var acc = 0L
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi: Double = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yi: Double = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
-      // exactly Spark's Cast(double -> DECIMAL(28,14)): valueOf uses the
-      // shortest decimal representation, then one HALF_UP rounding
-      acc = acc.add(
-        java.math.BigDecimal.valueOf(xi * yi).setScale(Scale, HalfUp))
+      // floor(v*1e14 + 0.5): every step IEEE-defined, portable to the
+      // DuckDB oracle verbatim (see class doc for why not a decimal CAST)
+      acc += Math.floor(xi * yi * ScaleF + 0.5).toLong
       i += 1
     }
-    java.lang.Double.valueOf(acc.doubleValue())
+    java.lang.Double.valueOf(acc.toDouble / ScaleF)
   }
 
   /** Register as a SQL function (idempotent) — call sites use

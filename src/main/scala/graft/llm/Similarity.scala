@@ -26,25 +26,28 @@ import graft.Det.sqlOrderBy
   */
 object Similarity {
 
-  /** Spark SQL expr: exact DECIMAL(28,14)-accumulated dot product of
-    * two array columns — the native codegen'd expression
+  /** Spark SQL expr: fixed-point (scale 14) exact dot product of two
+    * array columns — the native codegen'd expression
     * (`functions/DecimalDot`, registered per query below). History of
     * this hot path: the `aggregate` higher-order-function form ran
     * INTERPRETED (the 25x penalty measured on the minhash stage); a
     * 64-term unrolled CAST/multiply sum fixed that but cost Janino
     * ~1-3s of compile per query (~2000 Catalyst nodes per call site);
-    * the native Expression keeps the identical per-term-rounding
-    * decimal arithmetic in a tight generated loop. All three forms are
-    * bit-identical — the DuckDB oracle never changed.
+    * a decimal-CAST-based native Expression fixed that but hit the
+    * Spark-vs-DuckDB double->decimal rounding seam (~2e-4 of terms);
+    * the floor-scaled-long form (see DecimalDot doc) is IEEE-portable,
+    * so [[dotDuck]] states the identical arithmetic.
     */
   private def dotSpark(x: String, y: String): String =
     s"decimal_dot($x, $y)"
 
-  /** DuckDB twin of [[dotSpark]]. */
+  /** DuckDB twin of [[dotSpark]]: same floor(v*1e14 + 0.5) term
+    * quantization, exact BIGINT sum, one final division — every step
+    * IEEE-defined, so the hash gate sees bit-identical doubles. */
   private def dotDuck(x: String, y: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 65),
-       | i -> CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
-       |   AS DECIMAL(28,14)))) AS DOUBLE)""".stripMargin.replace("\n", "")
+    s"""(CAST(CAST(list_sum(list_transform(range(1, 65),
+       | i -> CAST(floor(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+       |   * 1e14 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e14)""".stripMargin.replace("\n", "")
 
   /** Exact cosine, computing all three dots inline (for one-off use). */
   private def cosSpark(a: String, b: String): String =

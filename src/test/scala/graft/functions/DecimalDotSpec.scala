@@ -3,19 +3,18 @@ package graft.functions
 import org.apache.spark.sql.functions.expr
 import graft.SparkSpec
 
-/** Native decimal-exact dot product: bit-parity with the unrolled
-  * CAST-sum SQL form it replaced, and defined null behavior. */
+/** Native fixed-point dot product: bit-parity with the unrolled
+  * floor-scaled-BIGINT SQL form (the arithmetic the DuckDB oracle
+  * states verbatim), and defined null behavior. */
 class DecimalDotSpec extends SparkSpec {
 
   private def unrolled(x: String, y: String): String = {
     val terms = (1 to 64).map(i =>
-      s"CAST(CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE) AS DECIMAL(28,14))")
-    val groups = terms.grouped(8)
-      .map(g => s"CAST(${g.mkString(" + ")} AS DECIMAL(28,14))")
-    s"CAST(${groups.mkString(" + ")} AS DOUBLE)"
+      s"CAST(floor(CAST(element_at($x, $i) AS DOUBLE) * CAST(element_at($y, $i) AS DOUBLE) * 1e14 + 0.5) AS BIGINT)")
+    s"(CAST(${terms.mkString(" + ")} AS DOUBLE) / 1e14)"
   }
 
-  test("bit-identical to the unrolled decimal CAST-sum on real vectors") {
+  test("bit-identical to the unrolled floor-scaled sum on real vectors") {
     DecimalDot.register(spark)
     import spark.implicits._
     val emb = graft.Tables(spark, sf0001, "embeddings").limit(50)
