@@ -10,9 +10,11 @@ import graft.Det.sqlOrderBy
   * IVF variant as the 100 TB scale path.
   *
   * Numerics: dot products and norms are per-element double products
-  * accumulated in DECIMAL(28,14) (exact, order-independent), then one
-  * double division by sqrt — bit-identical between Spark and DuckDB, so
-  * top-k ordering (cosine DESC, vec_id tiebreak) is stable.
+  * quantized to fixed point (floor(v*1e14 + 0.5) as long) and summed
+  * exactly (order-independent), then one double division by sqrt —
+  * bit-identical between Spark and DuckDB because every step is
+  * IEEE-defined (see DecimalDot), so top-k ordering (cosine DESC,
+  * vec_id tiebreak) is stable.
   *
   * Scale posture: brute force is a broadcast of ONE query vector and a
   * map-only scan — linear, embarrassingly parallel, but reads every
@@ -89,10 +91,13 @@ object Similarity {
     val cent = emb
       .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"label", $"pos")
-      // scale 12 (not 14): per-(label,pos) sums grow with rows/label; the
-      // unscaled decimal must stay < 2^53 for exact double casts (Det.scala)
-      .agg((sum($"x".cast("double").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("c"))
+      // floor-scaled fixed point at scale 12 (not 14: per-(label,pos)
+      // sums grow with rows/label and the scaled long must stay < 2^53
+      // for the exact double conversion). Same portable-IEEE rationale
+      // as decimal_dot — a decimal CAST of full-entropy doubles is not
+      // bit-stable across engines.
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
       .groupBy($"label")
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
         .as("centroid"))
@@ -114,7 +119,8 @@ object Similarity {
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |cent AS (
        |  SELECT label, i,
-       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
        |      / COUNT(*) AS c
        |  FROM embeddings, range(1, 65) t(i)
        |  GROUP BY label, i
