@@ -170,7 +170,66 @@ object Aggs {
          |FROM master GROUP BY year${sqlOrderBy(Seq("year"))}""".stripMargin)
   }
 
+  /** Exact discrete percentiles (p50/p90/p99 of line price per return
+    * flag) via rank-over-window: the value at row ceil(p*n) of each
+    * group's sort. Row_number among TIED prices differs between
+    * engines, but the k-th order statistic is the same value whatever
+    * the tie order, so the output is engine-independent — unlike
+    * interpolated `percentile`, whose lerp arithmetic is not specified
+    * identically across engines.
+    *
+    * Scale posture: the honest exact form — one full sort per group
+    * (window exchange + sort). [[approxPercentile]] is the 100 TB twin:
+    * a mergeable GK/KLL-style sketch, constant memory per group, no
+    * per-group sort. */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val wn = Window.partitionBy($"l_returnflag")
+    Tables(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"l_returnflag")
+      .agg(
+        max(when($"rn" === ceil($"n" * 0.5), $"v")).as("p50"),
+        max(when($"rn" === ceil($"n" * 0.9), $"v")).as("p90"),
+        max(when($"rn" === ceil($"n" * 0.99), $"v")).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val percentileDiscSql: String =
+    s"""WITH r AS (
+       |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem
+       |)
+       |SELECT l_returnflag,
+       |  MAX(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS p50,
+       |  MAX(CASE WHEN rn = ceil(n * 0.9) THEN v END) AS p90,
+       |  MAX(CASE WHEN rn = ceil(n * 0.99) THEN v END) AS p99
+       |FROM r GROUP BY l_returnflag${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
+
+  /** Sketch percentiles (no oracle — engine-specific estimator; driver
+    * records rows-only; the deterministic acceptance bound vs
+    * [[percentileDisc]] is asserted in ApproxSpec). */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"v", array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(10000)).as("pcts"))
+      .select($"l_returnflag",
+        $"pcts" (0).as("p50"), $"pcts" (1).as("p90"), $"pcts" (2).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile_disc" -> percentileDisc,
+    "agg_approx_percentile" -> approxPercentile,
     "agg_pivot" -> pivotCarriers,
     "agg_rollup" -> rollup,
     "agg_cube" -> cube2,
@@ -181,6 +240,7 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "agg_percentile_disc" -> percentileDiscSql,
     "agg_pivot" -> pivotCarriersSql,
     "agg_rollup" -> rollupSql,
     "agg_cube" -> cube2Sql,

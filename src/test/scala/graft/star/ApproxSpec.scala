@@ -10,6 +10,24 @@ import graft.SparkSpec
   * acceptance band that survives re-generation of the test data. */
 class ApproxSpec extends SparkSpec {
 
+  test("percentile_approx within 2% of exact discrete percentiles") {
+    // accuracy 10000 bounds rank error at n/10000; on a heavy-enough
+    // group the VALUE error stays well inside 2% for this price data —
+    // a deterministic bound for the no-oracle sketch query
+    val exact = Aggs.percentileDisc(spark, sf0001).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Aggs.approxPercentile(spark, sf0001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      val a = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      e.zip(a).zip(Seq("p50", "p90", "p99")).foreach { case ((ev, av), p) =>
+        assert(math.abs(av - ev) / ev <= 0.02,
+          s"${r.getString(0)} $p: approx=$av exact=$ev")
+      }
+    }
+  }
+
   test("approx_count_distinct within 15% of exact per group") {
     val exact = Aggs.countDistinct2(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap

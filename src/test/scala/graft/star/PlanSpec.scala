@@ -82,4 +82,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
     assert(p.indexOf("Exchange hashpartitioning") < p.indexOf("partial_min"), p)
   }
+
+  test("SRP-LSH candidates come from equi band joins, never a cartesian") {
+    // the whole point of banding is bounding the pair join: both
+    // candidate branches must be hash joins on the band keys; a
+    // cartesian/BNLJ here means |corpus|^2 at scale
+    val p = plan("embed_srp_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
+  test("tfidf gets N via a broadcast 1-row join, not a driver collect") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("corpus_prep keeps partial aggregation below its dedup shuffle") {
+    val p = plan("corpus_prep")
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
