@@ -212,7 +212,9 @@ object Similarity {
         min(when($"pos" === 0, $"q")).as("q1"),
         sum(when($"f" > 127 || $"f" < -128, 1L).otherwise(0L)).as("n_clipped"),
         max($"err").as("max_abs_err"),
-        sum(($"err" * $"err").cast("decimal(28,14)")).cast("double").as("sse"))
+        // floor-scaled fixed point, not a decimal CAST (see DecimalDot)
+        (sum(floor($"err" * $"err" * 1e14 + 0.5).cast("bigint")).cast("double")
+          / 1e14).as("sse"))
       .orderBy($"vec_id")
   }
 
@@ -233,7 +235,8 @@ object Similarity {
        |  MIN(CASE WHEN i = 1 THEN q END) AS q1,
        |  CAST(SUM(CASE WHEN f > 127 OR f < -128 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
        |  MAX(err) AS max_abs_err,
-       |  CAST(SUM(CAST(err * err AS DECIMAL(28,14))) AS DOUBLE) AS sse
+       |  CAST(CAST(SUM(CAST(floor(err * err * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / 1e14 AS sse
        |FROM r GROUP BY vec_id, label${sqlOrderBy(Seq("vec_id"))}""".stripMargin
 
   /** 8 fixed +-1 random hyperplanes (64-d), generated once by a seeded

@@ -44,9 +44,10 @@ object Extended {
   /** Generator query: explode every embedding value into 0.05-wide
     * buckets — a 320k-row explode collapsed by a partial-aggregating
     * count, the canonical explode->aggregate shape. Min/max are
-    * order-independent; the mean goes through DECIMAL(28,9) (scale
-    * chosen so the grand sum's unscaled value stays < 2^53 even at
-    * sf1+ — see Det.scala). */
+    * order-independent; the mean goes through floor-scaled fixed point
+    * at scale 9 (a decimal CAST of full-entropy doubles is not
+    * cross-engine bit-stable — see DecimalDot; scale 9 keeps the grand
+    * scaled sum < 2^53 even at sf1+). */
   def embedHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "embeddings")
@@ -58,8 +59,8 @@ object Extended {
         count(lit(1)).as("n_values"),
         min($"xd").as("min_value"),
         max($"xd").as("max_value"),
-        (sum($"xd".cast("decimal(28,9)")).cast("double") / count(lit(1)))
-          .as("mean_value"))
+        ((sum(floor($"xd" * 1e9 + 0.5).cast("bigint")).cast("double") / 1e9)
+          / count(lit(1))).as("mean_value"))
       .orderBy($"bucket")
   }
 
@@ -72,7 +73,8 @@ object Extended {
        |  COUNT(*) AS n_values,
        |  MIN(xd) AS min_value,
        |  MAX(xd) AS max_value,
-       |  CAST(SUM(CAST(xd AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mean_value
+       |  CAST(CAST(SUM(CAST(floor(xd * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / 1e9 / COUNT(*) AS mean_value
        |FROM b GROUP BY bucket${sqlOrderBy(Seq("bucket"))}""".stripMargin
 
   /** Date/time function library coverage (SURVEY.md §2.5 F9): extract,

@@ -180,6 +180,36 @@ object Joins {
        |JOIN lineitem ON l_quantity >= p_size - 1 AND l_quantity <= p_size + 1
        |GROUP BY p_size${sqlOrderBy(Seq("p_size"))}""".stripMargin
 
+  /** Banded (bucketed) range join — the 100 TB rewrite of [[rangeJoin]]:
+    * quantize the range predicate into interval buckets of width 2 (>=
+    * the interval length, so each interval spans <= 2 buckets), expand
+    * the small side to its covering buckets, EQUI-join on the bucket id,
+    * then re-apply the exact range predicate. Same answer as the
+    * nested-loop form (same DuckDB oracle proves it), but the join is a
+    * hash join: per probe row one bucket lookup instead of |build|
+    * predicate evaluations, and — unlike a nested loop — it shuffles/
+    * co-partitions on the bucket key when neither side fits in a
+    * broadcast. A point lands in exactly one bucket and each (size,
+    * bucket) pair is listed once, so no post-join dedup is needed. */
+  def rangeJoinBanded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 2
+    val sizes = Tables(spark, dir, "part").select($"p_size").distinct()
+      .select($"p_size", explode(sequence(
+        floor(($"p_size" - 1).cast("double") / W).cast("bigint"),
+        floor(($"p_size" + 1).cast("double") / W).cast("bigint"))).as("bucket"))
+    Tables(spark, dir, "lineitem")
+      .select($"l_quantity",
+        floor($"l_quantity".cast("double") / W).cast("bigint").as("bucket"))
+      .join(broadcast(sizes), Seq("bucket"))
+      .filter($"l_quantity" >= $"p_size" - 1 && $"l_quantity" <= $"p_size" + 1)
+      .groupBy($"p_size")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        Det.xsum($"l_quantity").as("total_qty"))
+      .orderBy($"p_size")
+  }
+
   /** J5 as-of join: for every click event, the most recent purchase by
     * the same user at ts <= click ts (inclusive). Spark has no built-in
     * as-of join; the scalable formulation used here is
@@ -242,6 +272,7 @@ object Joins {
     "join_semi" -> semi,
     "join_anti" -> anti,
     "join_range" -> rangeJoin,
+    "join_range_banded" -> rangeJoinBanded,
     "join_asof" -> asof)
 
   val oracles: Map[String, String] = Map(
@@ -253,5 +284,6 @@ object Joins {
     "join_semi" -> semiSql,
     "join_anti" -> antiSql,
     "join_range" -> rangeJoinSql,
+    "join_range_banded" -> rangeJoinSql,
     "join_asof" -> asofSql)
 }

@@ -83,6 +83,14 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("Exchange hashpartitioning") < p.indexOf("partial_min"), p)
   }
 
+  test("banded range join compiles to a hash join, not a nested loop") {
+    // the rewrite's whole value: one bucket lookup per probe row
+    // instead of |build| predicate evaluations
+    val p = plan("join_range_banded")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("SRP-LSH candidates come from equi band joins, never a cartesian") {
     // the whole point of banding is bounding the pair join: both
     // candidate branches must be hash joins on the band keys; a
