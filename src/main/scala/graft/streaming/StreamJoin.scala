@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join (SURVEY.md §2.9 [EXT]): attribute each
+  * purchase to a click by the same user within the preceding 5 minutes
+  * — the canonical streaming attribution shape (the batch twin is the
+  * as-of/range join family, `star/Joins`).
+  *
+  * State-boundedness is the 100 TB-stream point: BOTH sides carry
+  * watermarks and the join condition carries a two-sided time bound, so
+  * Spark evicts click state once `purchase watermark > click_ts + 5
+  * min` and purchase state once it falls behind the click watermark —
+  * without either bound the join buffers a side forever. Inner join =
+  * no late-emission ambiguity; state store size is O(events inside the
+  * watermark horizon), independent of stream length.
+  */
+object StreamJoin {
+
+  /** `clicks`/`purchases`: streaming frames with (user_id, event_id,
+    * ts[, value]). Returns one row per attributed (click, purchase)
+    * pair. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + interval 5 minutes""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+case class ClickEvt(user_id: Long, event_id: Long, ts: Timestamp)
+case class PurchaseEvt(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+/** Stream-stream interval join: in-window purchases attribute to the
+  * click, out-of-window and cross-user ones don't, and attribution
+  * works across micro-batch boundaries (the build side arrives in a
+  * later batch than the probe side). */
+class StreamJoinSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("purchases join clicks within 5 minutes, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[ClickEvt]
+    val purchases = MemoryStream[PurchaseEvt]
+    val joined = StreamJoin.clickToPurchase(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_mem").outputMode("append").start()
+    try {
+      // batch 1: click for users 1 and 2
+      clicks.addData(
+        ClickEvt(1L, 100L, t("2024-01-01 00:00:00")),
+        ClickEvt(2L, 101L, t("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // batch 2 (later micro-batch): user 1 purchases in-window,
+      // user 2 purchases out-of-window (6 min), user 3 has no click
+      purchases.addData(
+        PurchaseEvt(1L, 200L, t("2024-01-01 00:03:00"), 9.99),
+        PurchaseEvt(2L, 201L, t("2024-01-01 00:06:00"), 5.00),
+        PurchaseEvt(3L, 202L, t("2024-01-01 00:01:00"), 1.00))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_mem")
+        .select($"user_id", $"click_id", $"purchase_id", $"purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set((1L, 100L, 200L, 9.99)))
+    } finally q.stop()
+  }
+
+  test("join state is watermark-bounded (plan carries both watermarks)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[ClickEvt]
+    val purchases = MemoryStream[PurchaseEvt]
+    val joined = StreamJoin.clickToPurchase(clicks.toDF(), purchases.toDF())
+    // two EventTimeWatermark nodes = both sides evictable; without the
+    // second watermark + the two-sided bound, click state grows forever
+    val plan = joined.queryExecution.logical.toString
+    assert("EventTimeWatermark".r.findAllIn(plan).length == 2, plan)
+  }
+}
