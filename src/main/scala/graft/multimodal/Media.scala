@@ -110,9 +110,77 @@ object Media {
        |  (1 + byte_len % 24) / CAST(24 AS DOUBLE) AS est_duration_s
        |FROM m${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Frame sampling + thumbnail sizing — the 1→N generator stage of a
+    * video curation pipeline: every 4th frame index of each media file
+    * becomes a row with a per-frame fingerprint (stub: hash of content
+    * fingerprint + index; real: decoded frame bytes), plus
+    * aspect-preserving thumbnail dims fit to 32x32 (pure arithmetic
+    * here; the real resize kernel lives in the mapPartitions stub
+    * alongside the codec).
+    *
+    * Scale posture: explode(sequence(...)) is a codegen'd generator —
+    * map-only, no shuffle; output rows ∝ sampled frames, bounded by
+    * stride. Downstream per-frame dedup/embedding then reuses the
+    * document-side operators unchanged. */
+  def framesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        octet_length($"text".cast("binary")).as("byte_len"),
+        md5($"text".cast("binary")).as("fingerprint"))
+      .withColumn("width", lit(16) + $"byte_len" % 64)
+      .withColumn("height", lit(16) + ($"byte_len" * 7) % 64)
+      .withColumn("n_frames", lit(1) + $"byte_len" % 24)
+      .withColumn("scale",
+        lit(32.0) / greatest($"width", $"height").cast("double"))
+      .withColumn("thumb_w",
+        greatest(lit(1L), floor($"width" * $"scale")).cast("int"))
+      .withColumn("thumb_h",
+        greatest(lit(1L), floor($"height" * $"scale")).cast("int"))
+      .select($"doc_id", $"thumb_w", $"thumb_h",
+        explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_idx"),
+        $"fingerprint")
+      .withColumn("frame_fp",
+        md5(concat($"fingerprint", lit(":"), $"frame_idx".cast("string"))))
+      .drop("fingerprint")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val framesQuerySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       |    md5(text) AS fingerprint
+       |  FROM documents
+       |),
+       |d AS (
+       |  SELECT doc_id, fingerprint,
+       |    16 + byte_len % 64 AS width,
+       |    16 + (byte_len * 7) % 64 AS height,
+       |    1 + byte_len % 24 AS n_frames
+       |  FROM m
+       |),
+       |s AS (
+       |  SELECT d.*,
+       |    32.0 / CAST(greatest(width, height) AS DOUBLE) AS scale
+       |  FROM d
+       |),
+       |f AS (
+       |  SELECT doc_id, fingerprint,
+       |    CAST(greatest(1, floor(width * scale)) AS INTEGER) AS thumb_w,
+       |    CAST(greatest(1, floor(height * scale)) AS INTEGER) AS thumb_h,
+       |    CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+       |  FROM s
+       |)
+       |SELECT doc_id, thumb_w, thumb_h, frame_idx,
+       |  md5(fingerprint || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+       |FROM f${sqlOrderBy(Seq("doc_id", "frame_idx"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_meta" -> metaQuery)
+    "media_meta" -> metaQuery,
+    "media_frames" -> framesQuery)
 
   val oracles: Map[String, String] = Map(
-    "media_meta" -> metaQuerySql)
+    "media_meta" -> metaQuerySql,
+    "media_frames" -> framesQuerySql)
 }
