@@ -236,7 +236,55 @@ object Dedup {
        |JOIN cnt c2 ON c2.doc_id = p.d2
        |ORDER BY p.d1 NULLS FIRST, p.d2 NULLS FIRST""".stripMargin
 
+  /** Benchmark decontamination: flag corpus docs sharing >= 2 word
+    * 3-gram shingles with any "eval set" doc (here: doc_id < 5 stands
+    * in for the benchmark). The real-world shape for catching test-set
+    * leakage in training data.
+    *
+    * Scale posture: the eval side is benchmark-sized (thousands of
+    * docs, not billions) — its distinct shingle dictionary is BROADCAST,
+    * so the corpus side stays a map + partial-agg pass with no corpus
+    * shuffle on the raw shingle stream; only (doc, eval_doc) overlap
+    * counts (bounded by hits, not corpus size) reach the exchange. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def shingles(df: DataFrame) = df
+      .withColumn("tokens", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+    val docs = Tables(spark, dir, "documents")
+    val eval = shingles(docs.filter($"doc_id" < 5))
+      .withColumnRenamed("doc_id", "eval_doc")
+    val corpus = shingles(docs.filter($"doc_id" >= 5))
+    corpus.join(broadcast(eval), "shingle")
+      .groupBy($"doc_id", $"eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"doc_id", $"eval_doc")
+  }
+
+  val contaminationSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, len(tokens) - 2),
+       |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3])) AS shingle
+       |  FROM tok
+       |)
+       |SELECT c.doc_id, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+       |FROM sh c JOIN sh e ON c.shingle = e.shingle
+       |WHERE c.doc_id >= 5 AND e.doc_id < 5
+       |GROUP BY c.doc_id, e.doc_id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY c.doc_id NULLS FIRST, eval_doc NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> contamination,
     "dedup_exact" -> exact,
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_neardup_pairs" -> neardupPairs,
@@ -244,6 +292,7 @@ object Dedup {
     "dedup_simhash" -> simhash)
 
   val oracles: Map[String, String] = Map(
+    "text_contamination" -> contaminationSql,
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSqlQuery,
     "dedup_neardup_pairs" -> neardupPairsSql,
