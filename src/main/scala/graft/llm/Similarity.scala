@@ -145,6 +145,7 @@ object Similarity {
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
+    graft.functions.DoubleDot.register(spark)
     // norms precomputed per vector BEFORE the pair join: |corpus| norm
     // dots instead of 2x|pairs| — 3x less decimal work per pair, and the
     // cosine values are bit-identical (same expressions, hoisted)
@@ -155,18 +156,17 @@ object Similarity {
       $"nrm".as("n1"))
     val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
       $"embedding".as("e2"), $"nrm".as("n2"))
-    // Two-phase pair scoring: a pure-double cosine (64 codegen'd FMAs,
-    // ~10x cheaper than the decimal-exact form) prefilters at threshold
-    // minus a margin, then the decimal-exact cosine re-scores only the
-    // survivors. |exact - double| is bounded by 64 term-roundings at
-    // 1e-14 plus double summation error (~1e-13 total), so a 1e-6
-    // margin provably loses no true pair — output values and the final
-    // exact > 0.35 cut are bit-identical to the single-phase form.
-    val dblDot = (1 to 64).map(i =>
-      s"CAST(element_at(e1, $i) AS DOUBLE) * CAST(element_at(e2, $i) AS DOUBLE)")
-      .mkString(" + ")
+    // Two-phase pair scoring: a pure-double cosine (native double_dot —
+    // a tight loop, bit-identical to the unrolled element_at chain but
+    // without its per-call bounds/null checks) prefilters at threshold
+    // minus a margin; short-circuit conjunct order then gates the
+    // fixed-point-exact re-score to prefilter survivors only.
+    // |exact - double| is bounded by 64 term-quantizations at 1e-14
+    // plus double summation error (~1e-13 total), so a 1e-6 margin
+    // provably loses no true pair — output values and the final exact
+    // > 0.35 cut are bit-identical to the single-phase form.
     a.join(b, $"label" === $"label_b" && $"v1" < $"v2")
-      .filter(expr(s"($dblDot) / sqrt(n1 * n2) > ${0.35 - 1e-6}"))
+      .filter(expr(s"double_dot(e1, e2) / sqrt(n1 * n2) > ${0.35 - 1e-6}"))
       .selectExpr("v1", "v2", "label",
         s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
       .filter($"cosine" > 0.35)
