@@ -172,6 +172,10 @@ object Dedup {
     * sum of squared shingle frequencies. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT cached despite 3 consumers (both join sides + counts):
+    // measured no win at sf0.1 (the join tree dominates), and pinning a
+    // |docs x shingles|-sized intermediate is exactly what you can't
+    // afford at 100 TB
     val docs = Tables(spark, dir, "documents")
       .withColumn("tokens", split($"text", " "))
       .select($"doc_id", explode(expr(
