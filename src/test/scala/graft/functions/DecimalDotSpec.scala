@@ -34,6 +34,23 @@ class DecimalDotSpec extends SparkSpec {
     }
   }
 
+  test("double_dot is bit-identical to the unrolled element_at chain") {
+    DoubleDot.register(spark)
+    import spark.implicits._
+    val chain = (1 to 64).map(i =>
+      s"(CAST(element_at(e1, $i) AS DOUBLE) * CAST(element_at(e2, $i) AS DOUBLE))")
+      .mkString(" + ")
+    val rows = graft.Tables(spark, sf0001, "embeddings").limit(50)
+      .select($"embedding".as("e1"), expr("reverse(embedding)").as("e2"))
+      .selectExpr("double_dot(e1, e2) AS native", s"($chain) AS sql_form")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r)
+    }
+  }
+
   test("mixed float/double element types and literal arrays") {
     DecimalDot.register(spark)
     // double literal array x double literal array: 1*4 + 2*5 + 3*6 = 32
