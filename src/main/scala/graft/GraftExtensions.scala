@@ -22,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decimal_dot"),
       new ExpressionInfo(classOf[DecimalDot].getName, "decimal_dot"),
       (children: Seq[Expression]) => DecimalDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("double_dot"),
+      new ExpressionInfo(classOf[functions.DoubleDot].getName, "double_dot"),
+      (children: Seq[Expression]) => functions.DoubleDot(children.head, children(1))))
+    // auto-rewrite symmetric band range joins (nested loop -> hash join)
+    ext.injectOptimizerRule(_ => plans.BandedRangeJoinRule)
   }
 }

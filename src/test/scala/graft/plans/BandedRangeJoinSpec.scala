@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The band-join optimizer rule: result-identical to the nested-loop
+  * form it rewrites, physically a hash join, and idempotent. */
+class BandedRangeJoinSpec extends SparkSpec {
+
+  // the naive shape a user would write: non-equi band predicate only
+  private def naive = {
+    import spark.implicits._
+    val sizes = graft.Tables(spark, sf0001, "part").select($"p_size").distinct()
+    graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_quantity")
+      .join(sizes,
+        $"l_quantity" >= $"p_size" - 1 && $"l_quantity" <= $"p_size" + 1)
+  }
+
+  private def rewritten = {
+    val plan = BandedRangeJoinRule(naive.queryExecution.analyzed)
+    org.apache.spark.sql.GraftShim.ofRows(spark, plan)
+  }
+
+  test("rewrite is result-identical to the nested-loop join") {
+    val exp = naive.groupBy("p_size").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = rewritten.groupBy("p_size").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(exp.nonEmpty && got == exp)
+  }
+
+  test("rewrite replaces the nested loop with a hash join") {
+    val naiveP = naive.queryExecution.executedPlan.toString
+    assert(naiveP.contains("BroadcastNestedLoopJoin"), naiveP)
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("rule is idempotent") {
+    val once = BandedRangeJoinRule(naive.queryExecution.analyzed)
+    val twice = BandedRangeJoinRule(once)
+    assert(once.toString == twice.toString)
+  }
+
+  test("non-band conditions are left untouched") {
+    import spark.implicits._
+    val sizes = graft.Tables(spark, sf0001, "part").select($"p_size").distinct()
+    val oneSided = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_quantity")
+      .join(sizes, $"l_quantity" >= $"p_size" - 1)
+    val plan = oneSided.queryExecution.analyzed
+    assert(BandedRangeJoinRule(plan).toString == plan.toString)
+  }
+}
