@@ -85,7 +85,13 @@ object AvroBronze {
   }
 
   /** S4: the real `format("avro")` scan over the 6-level glob
-    * (ipynb:574-578). */
+    * (ipynb:574-578).
+    *
+    * Benign log noise: Spark's `FileStreamSink.hasMetadata` stats the
+    * raw glob STRING as a literal path before glob expansion, logs a
+    * `FileNotFoundException` for it, catches it internally, and
+    * proceeds to the real glob resolution — the scan succeeds. Do not
+    * chase that stack trace. */
   def readCapture(spark: SparkSession, root: String): DataFrame =
     spark.read.format(AvroFormat).load(s"$root/*/*/*/*/*/*/*.avro")
 
