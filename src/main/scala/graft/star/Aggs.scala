@@ -171,17 +171,21 @@ object Aggs {
   }
 
   /** Exact discrete percentiles (p50/p90/p99 of line price per return
-    * flag) via rank-over-window: the value at row ceil(p*n) of each
-    * group's sort. Row_number among TIED prices differs between
-    * engines, but the k-th order statistic is the same value whatever
-    * the tie order, so the output is engine-independent — unlike
-    * interpolated `percentile`, whose lerp arithmetic is not specified
-    * identically across engines.
+    * flag): the k-th order statistic (k = ceil(p*n)) as the SMALLEST
+    * value whose cumulative count reaches k — engine-independent even
+    * under ties, unlike interpolated `percentile`, whose lerp
+    * arithmetic is not specified identically across engines.
     *
-    * Scale posture: the honest exact form — one full sort per group
-    * (window exchange + sort). [[approxPercentile]] is the 100 TB twin:
-    * a mergeable GK/KLL-style sketch, constant memory per group, no
-    * per-group sort. */
+    * Scale posture: counting form, not rank-over-rows — the raw rows
+    * collapse to (group, value) counts under a partial-agg'd shuffle
+    * (fully parallel), and only |distinct values| rows flow through
+    * the per-group cumulative window. For repeated-value metrics
+    * (integer counts, bucketed scores — the common case) that is a
+    * large reduction; for near-continuous values like these prices it
+    * degenerates to the same window size, and the honest exact answer
+    * then costs a per-group sort either way. [[approxPercentile]] is
+    * the 100 TB twin: a mergeable GK/KLL-style sketch, constant memory
+    * per group, no sort at all. */
   def percentileDisc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -189,27 +193,33 @@ object Aggs {
     val wn = Window.partitionBy($"l_returnflag")
     Tables(spark, dir, "lineitem")
       .select($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"l_returnflag", $"v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wn))
       .groupBy($"l_returnflag")
       .agg(
-        max(when($"rn" === ceil($"n" * 0.5), $"v")).as("p50"),
-        max(when($"rn" === ceil($"n" * 0.9), $"v")).as("p90"),
-        max(when($"rn" === ceil($"n" * 0.99), $"v")).as("p99"))
+        min(when($"cum" >= ceil($"n" * 0.5), $"v")).as("p50"),
+        min(when($"cum" >= ceil($"n" * 0.9), $"v")).as("p90"),
+        min(when($"cum" >= ceil($"n" * 0.99), $"v")).as("p99"))
       .orderBy($"l_returnflag")
   }
 
   val percentileDiscSql: String =
-    s"""WITH r AS (
-       |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
-       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
-       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-       |  FROM lineitem
+    s"""WITH counts AS (
+       |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT l_returnflag, v,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+       |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM counts
        |)
        |SELECT l_returnflag,
-       |  MAX(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS p50,
-       |  MAX(CASE WHEN rn = ceil(n * 0.9) THEN v END) AS p90,
-       |  MAX(CASE WHEN rn = ceil(n * 0.99) THEN v END) AS p99
+       |  MIN(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS p50,
+       |  MIN(CASE WHEN cum >= ceil(n * 0.9) THEN v END) AS p90,
+       |  MIN(CASE WHEN cum >= ceil(n * 0.99) THEN v END) AS p99
        |FROM r GROUP BY l_returnflag${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
   /** Sketch percentiles (no oracle — engine-specific estimator; driver
