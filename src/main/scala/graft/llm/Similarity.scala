@@ -323,7 +323,86 @@ object Similarity {
        |${sqlOrderBy(Seq("v1", "v2")).trim}""".stripMargin
   }
 
+  /** K-means assignment step (one Lloyd iteration) against the
+    * per-label centroids: each vector is assigned to its nearest
+    * centroid by exact squared euclidean distance
+    * (||v||^2 - 2 v.c + ||c||^2, every dot fixed-point-exact), ties
+    * broken by smaller label; output is the (true label, assigned
+    * label) confusion matrix with counts and the fixed-point-exact
+    * mean assigned distance.
+    *
+    * Scale posture: THE canonical iterative-ML shape on Spark — the K
+    * centroids broadcast to every task, assignment is a map-only pass
+    * (|corpus| x K distance evaluations), and only the K^2 confusion
+    * cells reach the final exchange. An actual k-means loop repeats
+    * this + the centroid partial-agg; both stages are already here
+    * (see [[ivfTopk]] stage 1). */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+      .select($"label".as("c_label"), $"centroid")
+    val dist = emb.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "label", "c_label",
+        s"""(${dotSpark("embedding", "embedding")}
+           | - 2 * ${dotSpark("embedding", "centroid")}
+           | + ${dotSpark("centroid", "centroid")}) AS d""".stripMargin.replace("\n", ""))
+    val best = dist.groupBy($"vec_id").agg(min($"d").as("min_d"))
+    dist.join(best, "vec_id")
+      .filter($"d" === $"min_d")
+      .groupBy($"vec_id", $"label", $"min_d")
+      .agg(min($"c_label").as("assigned"))
+      .groupBy($"label", $"assigned")
+      .agg(count(lit(1)).as("n_vectors"),
+        ((sum(floor($"min_d" * 1e9 + 0.5).cast("bigint")).cast("double") / 1e9)
+          / count(lit(1))).as("mean_dist"))
+      .orderBy($"label", $"assigned")
+  }
+
+  val kmeansAssignSql: String = {
+    def dd(x: String, y: String) = dotDuck(x, y)
+    s"""WITH cent0 AS (
+       |  SELECT label, i,
+       |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
+       |      / COUNT(*) AS c
+       |  FROM embeddings, range(1, 65) t(i)
+       |  GROUP BY label, i
+       |),
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS centroid
+       |         FROM cent0 GROUP BY label),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    (${dd("e.embedding", "e.embedding")}
+       |     - 2 * ${dd("e.embedding", "c.centroid")}
+       |     + ${dd("c.centroid", "c.centroid")}) AS d
+       |  FROM embeddings e, cent c
+       |),
+       |best AS (SELECT vec_id, MIN(d) AS min_d FROM dist GROUP BY vec_id),
+       |assigned AS (
+       |  SELECT dist.vec_id, dist.label, best.min_d,
+       |    MIN(dist.c_label) AS assigned
+       |  FROM dist JOIN best ON dist.vec_id = best.vec_id AND dist.d = best.min_d
+       |  GROUP BY dist.vec_id, dist.label, best.min_d
+       |)
+       |SELECT label, assigned,
+       |  COUNT(*) AS n_vectors,
+       |  CAST(CAST(SUM(CAST(floor(min_d * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / 1e9 / COUNT(*) AS mean_dist
+       |FROM assigned GROUP BY label, assigned
+       |${sqlOrderBy(Seq("label", "assigned")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_kmeans_assign" -> kmeansAssign,
     "embed_cosine_topk" -> cosineTopk,
     "embed_ivf_topk" -> ivfTopk,
     "embed_neardup_pairs" -> neardupPairs,
@@ -331,6 +410,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_cosine_topk" -> cosineTopkSql,
     "embed_ivf_topk" -> ivfTopkSql,
     "embed_neardup_pairs" -> neardupPairsSql,
