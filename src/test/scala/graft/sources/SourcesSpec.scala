@@ -128,4 +128,26 @@ class SourcesSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setActiveSession(spark0)
     }
   }
+
+  test("schema evolution: mergeSchema read + unionByName across drift") {
+    // bronze schema drift is routine at 100 TB: a later capture window
+    // gains a column. mergeSchema widens the scan schema (absent values
+    // null); unionByName(allowMissingColumns) is the frame-level twin
+    import spark.implicits._
+    val dir = tmp("evolve")
+    Seq((2024, "YV", 10.0)).toDF("year", "carrier", "arr_flights")
+      .write.parquet(s"$dir/w1")
+    Seq((2024, "AA", 20.0, 3.5)).toDF("year", "carrier", "arr_flights", "arr_delay")
+      .write.parquet(s"$dir/w2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/w1", s"$dir/w2")
+    assert(merged.columns.toSet ==
+      Set("year", "carrier", "arr_flights", "arr_delay"))
+    assert(merged.count() == 2)
+    assert(merged.filter($"carrier" === "YV").head.isNullAt(
+      merged.columns.indexOf("arr_delay")))
+    val u = spark.read.parquet(s"$dir/w1")
+      .unionByName(spark.read.parquet(s"$dir/w2"), allowMissingColumns = true)
+    assert(u.count() == 2 && u.columns.toSet == merged.columns.toSet)
+  }
 }

@@ -44,6 +44,37 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("join state survives a checkpointed restart") {
+    // the click arrives before the stop; the matching purchase arrives
+    // after the restart — attribution requires the click's join state
+    // to be restored from the state store, not the source replay
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("ssj_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ssj_ck").toFile.getAbsolutePath
+    val clicks = MemoryStream[ClickEvt]
+    val purchases = MemoryStream[PurchaseEvt]
+    val joined = StreamJoin.clickToPurchase(clicks.toDF(), purchases.toDF())
+    def start() = joined.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      clicks.addData(ClickEvt(7L, 300L, t("2024-01-01 00:00:00")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      purchases.addData(PurchaseEvt(7L, 301L, t("2024-01-01 00:02:00"), 4.2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .select($"user_id", $"click_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set((7L, 300L, 301L)))
+  }
+
   test("join state is watermark-bounded (plan carries both watermarks)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
