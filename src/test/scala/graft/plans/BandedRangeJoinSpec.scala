@@ -54,4 +54,31 @@ class BandedRangeJoinSpec extends SparkSpec {
     val plan = oneSided.queryExecution.analyzed
     assert(BandedRangeJoinRule(plan).toString == plan.toString)
   }
+
+  test("bigint band columns are NOT rewritten (double rounding unsafe)") {
+    import spark.implicits._
+    // nanosecond-epoch magnitudes: > 2^53, not exactly double-representable
+    val probe = Seq(18014398509481986L - 1).toDF("a") // 2^54 + 2 - 1
+    val build = Seq(18014398509481986L).toDF("b")
+    val j = probe.join(build, $"a" >= $"b" - 1 && $"a" <= $"b" + 1)
+    val plan = j.queryExecution.analyzed
+    assert(BandedRangeJoinRule(plan).toString == plan.toString)
+    assert(j.count() == 1) // the pair the rounded rewrite would drop
+  }
+
+  test("bucket misalignment at the rounding edge is absorbed by padding") {
+    import spark.implicits._
+    // int values adjacent to bucket boundaries of W=2: every boundary
+    // value must still find its band partners after the rewrite
+    val vals = Seq(-3, -2, -1, 0, 1, 2, 3, 1999999998, 1999999999, 2000000000)
+    val probe = vals.toDF("a")
+    val build = vals.toDF("b")
+    val j = probe.join(build, $"a" >= $"b" - 1 && $"a" <= $"b" + 1)
+    val exp = j.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val rw = BandedRangeJoinRule(j.queryExecution.analyzed)
+    assert(rw.toString != j.queryExecution.analyzed.toString, "rule must fire for int")
+    val got = org.apache.spark.sql.GraftShim.ofRows(spark, rw)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(exp.nonEmpty && got == exp)
+  }
 }
