@@ -27,8 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * drift a handful of cells per million at sf0.1+ (and DuckDB's
   * negative hugeint->double conversion adds its own 1-ulp bias). The
   * scaled-long form has no such seam. |terms| must stay < 2^53 per
-  * element and < 2^63 summed — unit-norm-ish embeddings are 9 orders
-  * of magnitude below that.
+  * element (ENFORCED — an out-of-range or NaN/Inf term yields NULL
+  * instead of a silently saturated sum) and < 2^63 summed —
+  * unit-norm-ish embeddings are 9 orders of magnitude below that.
   *
   * Why an Expression and not unrolled SQL: the 64-term expression tree
   * is ~2000 Catalyst nodes per call site — it IS codegen'd, but Janino
@@ -83,10 +84,18 @@ case class DecimalDot(left: Expression, right: Expression)
 
 object DecimalDot {
   private val ScaleF = 1e14
+  // 2^53: beyond this the double grid is coarser than 1, so the scaled
+  // term is no longer an exact integer — and toLong would silently
+  // SATURATE at 2^63 where the oracle's CAST(floor(...) AS BIGINT)
+  // raises. The contract is NULL for any out-of-range (or NaN/Inf)
+  // term, enforced rather than assumed.
+  private val TermMax = 9007199254740992.0
 
   /** Static helper referenced from generated code (and nullSafeEval).
-    * Null on length mismatch or null elements — mirroring what the
-    * unrolled `element_at` SQL yields on malformed input. */
+    * Null on length mismatch, null elements, or any term whose scaled
+    * magnitude leaves the exact-integer double range — mirroring what
+    * the unrolled `element_at` SQL yields on malformed input and
+    * refusing to return silently-saturated sums on out-of-spec input. */
   def dot(x: ArrayData, y: ArrayData,
       xFloat: Boolean, yFloat: Boolean): java.lang.Double = {
     val n = x.numElements()
@@ -99,7 +108,9 @@ object DecimalDot {
       val yi: Double = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
       // floor(v*1e14 + 0.5): every step IEEE-defined, portable to the
       // DuckDB oracle verbatim (see class doc for why not a decimal CAST)
-      acc += Math.floor(xi * yi * ScaleF + 0.5).toLong
+      val scaled = xi * yi * ScaleF + 0.5
+      if (!(Math.abs(scaled) < TermMax)) return null // also rejects NaN/Inf
+      acc += Math.floor(scaled).toLong
       i += 1
     }
     java.lang.Double.valueOf(acc.toDouble / ScaleF)

@@ -53,6 +53,11 @@ object Dedup {
     def h(j: Int) = md5(concat(lit(s"$j:"), $"shingle").cast("binary"))
     Tables(spark, dir, "documents")
       .withColumn("tokens", split($"text", " "))
+      // <3-token docs have no 3-gram shingles (and hence no signature):
+      // without the guard Spark's sequence(0, size-3) auto-steps -1 for
+      // negative spans and emits bogus partial shingles that DuckDB's
+      // range() (empty on negative span) never produces
+      .filter(size($"tokens") >= 3)
       .select($"doc_id", $"lang", explode(expr(
         """transform(sequence(0, size(tokens) - 3),
           |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
@@ -78,7 +83,7 @@ object Dedup {
        |  SELECT doc_id, lang,
        |    list_transform(range(0, len(tokens) - 2),
        |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]) AS shingles
-       |  FROM tok
+       |  FROM tok WHERE len(tokens) >= 3
        |),
        |sig0 AS (
        |  SELECT doc_id, lang,
@@ -178,6 +183,7 @@ object Dedup {
     // afford at 100 TB
     val docs = Tables(spark, dir, "documents")
       .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 3) // see minhashSig: no shingles under 3 tokens
       .select($"doc_id", explode(expr(
         """transform(sequence(0, size(tokens) - 3),
           |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
@@ -254,6 +260,7 @@ object Dedup {
     import spark.implicits._
     def shingles(df: DataFrame) = df
       .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 3) // see minhashSig: no shingles under 3 tokens
       .select($"doc_id", explode(expr(
         """transform(sequence(0, size(tokens) - 3),
           |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
@@ -282,7 +289,7 @@ object Dedup {
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(0, len(tokens) - 2),
        |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3])) AS shingle
-       |  FROM tok
+       |  FROM tok WHERE len(tokens) >= 3
        |)
        |SELECT c.doc_id, e.doc_id AS eval_doc, COUNT(*) AS n_shared
        |FROM sh c JOIN sh e ON c.shingle = e.shingle

@@ -156,17 +156,23 @@ object Similarity {
       $"nrm".as("n1"))
     val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
       $"embedding".as("e2"), $"nrm".as("n2"))
-    // Two-phase pair scoring: a pure-double cosine (native double_dot —
-    // a tight loop, bit-identical to the unrolled element_at chain but
-    // without its per-call bounds/null checks) prefilters at threshold
-    // minus a margin; short-circuit conjunct order then gates the
-    // fixed-point-exact re-score to prefilter survivors only.
-    // |exact - double| is bounded by 64 term-quantizations at 1e-14
-    // plus double summation error (~1e-13 total), so a 1e-6 margin
-    // provably loses no true pair — output values and the final exact
-    // > 0.35 cut are bit-identical to the single-phase form.
+    // Two-phase pair scoring: a pure-double dot (native double_dot — a
+    // tight loop, bit-identical to the unrolled element_at chain but
+    // without its per-call bounds/null checks) prefilters; short-circuit
+    // conjunct order then gates the fixed-point-exact re-score to
+    // prefilter survivors only. The prefilter is stated in the DOT
+    // domain (dot > t*sqrt(n1*n2) - eps), NOT as a cosine: dividing by
+    // sqrt(n1*n2) would amplify the absolute dot error by 1/sqrt(n1*n2)
+    // for small-norm vectors and could breach any fixed cosine margin.
+    // Undivided, |double_dot - exact_dot| <= 64 term-quantizations at
+    // 1e-14 plus double summation error (~1e-13 total), and the
+    // sqrt(n1*n2) term's own rounding is relative (norms are bounded by
+    // DecimalDot's 2^53/1e14 term cap, so absolutely tiny) — a 1e-6
+    // margin provably loses no true pair regardless of norm magnitude.
+    // Output values and the final exact > 0.35 cut are bit-identical to
+    // the single-phase form.
     a.join(b, $"label" === $"label_b" && $"v1" < $"v2")
-      .filter(expr(s"double_dot(e1, e2) / sqrt(n1 * n2) > ${0.35 - 1e-6}"))
+      .filter(expr(s"double_dot(e1, e2) > 0.35 * sqrt(n1 * n2) - 1e-6"))
       .selectExpr("v1", "v2", "label",
         s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
       .filter($"cosine" > 0.35)

@@ -55,11 +55,33 @@ object AvroBronze {
   def writeCapture(spark: SparkSession, dir: String): String =
     writeCapture(spark, dir, captureRoot(dir))
 
+  /** Content fingerprint of the source scale dir (file names + sizes +
+    * mtimes of every parquet input). The fixture cache below is keyed on
+    * it, NOT just on the dir NAME: if the harness regenerates the test
+    * data under the same path, a name-keyed cache would silently run the
+    * avro query against the stale tree while the DuckDB oracle reads the
+    * new data — a baffling mismatch (or worse, a stale pass). */
+  private def fingerprint(dir: String): String = {
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   def writeCapture(spark: SparkSession, dir: String, root: String): String = {
-    // Fixture is deterministic per scale dir — reuse a completed write
-    // (_SUCCESS is committed last, so its presence = a complete tree).
-    // Without this, the harness re-pays the fixture write per run.
-    if (!new java.io.File(s"$root/_SUCCESS").isFile) {
+    // Fixture is deterministic per source-data content — reuse a
+    // completed write (_SUCCESS is committed last, so its presence = a
+    // complete tree) only when the recorded source fingerprint still
+    // matches. Without the cache the harness re-pays the fixture write
+    // per run; without the fingerprint it can reuse a stale tree.
+    val fp = fingerprint(dir)
+    val fpFile = new java.io.File(s"$root/_SOURCE_FINGERPRINT")
+    val cached = new java.io.File(s"$root/_SUCCESS").isFile && fpFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
+    if (!cached) {
       SilverJson.bronze(spark, dir)
         .filter(captureFilter)
         // One capture window per shipdate month. Day/hour/min/sec are
@@ -80,6 +102,7 @@ object AvroBronze {
         .write.mode("overwrite")
         .partitionBy("y", "mo", "d", "h", "mi", "s")
         .format(AvroFormat).save(root)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
     }
     root
   }

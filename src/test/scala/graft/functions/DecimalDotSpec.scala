@@ -75,4 +75,20 @@ class DecimalDotSpec extends SparkSpec {
         |""".stripMargin).head
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("out-of-range terms yield NULL, never a saturated sum") {
+    DecimalDot.register(spark)
+    // 1e3 * 1e3 * 1e14 = 1e20 > 2^63: toLong would saturate silently
+    // where the oracle's CAST raises; the enforced contract is NULL
+    val r = spark.sql(
+      """SELECT
+        |  decimal_dot(array(1e3D), array(1e3D)) AS overflow,
+        |  decimal_dot(array(1e0D), array(1e0D)) AS boundary_ok,
+        |  decimal_dot(array(CAST('NaN' AS DOUBLE)), array(1.0D)) AS nan_term,
+        |  decimal_dot(array(CAST('Infinity' AS DOUBLE)), array(1.0D)) AS inf_term
+        |""".stripMargin).head
+    assert(r.isNullAt(0), "overflow must be NULL")
+    assert(r.getDouble(1) == 1.0)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
 }
