@@ -407,8 +407,112 @@ object Similarity {
        |${sqlOrderBy(Seq("label", "assigned")).trim}""".stripMargin
   }
 
+  /** K-means centroid-UPDATE step — the second half of a Lloyd
+    * iteration (cf. [[kmeansAssign]], the first half): re-assign every
+    * vector to its nearest centroid, recompute each cluster's centroid
+    * as the fixed-point-exact mean of its members, and report per
+    * cluster the member count and the squared euclidean SHIFT between
+    * old and new centroid (the quantity a k-means loop tests for
+    * convergence).
+    *
+    * Scale posture: assignment is the same broadcast-K map-only pass as
+    * [[kmeansAssign]]; the update is posexplode -> partial aggregate,
+    * so the shuffle carries K x 64 cell sums, not |corpus| vectors; the
+    * final shift join is K rows against K rows. One Lloyd iteration =
+    * this query's plan; a full k-means = driver loop re-broadcasting
+    * the K x 64 result, which is exactly how MLlib does it. */
+  def kmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+      .select($"label".as("c_label"), $"centroid")
+    val dist = emb.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "c_label",
+        s"""(${dotSpark("embedding", "embedding")}
+           | - 2 * ${dotSpark("embedding", "centroid")}
+           | + ${dotSpark("centroid", "centroid")}) AS d""".stripMargin.replace("\n", ""))
+    val best = dist.groupBy($"vec_id").agg(min($"d").as("min_d"))
+    val asg = dist.join(best, "vec_id")
+      .filter($"d" === $"min_d")
+      .groupBy($"vec_id")
+      .agg(min($"c_label").as("assigned"))
+    val members = emb.join(asg, "vec_id")
+    val newCent = members
+      .select($"assigned", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"assigned", $"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
+      .groupBy($"assigned")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("new_centroid"))
+    val nm = asg.groupBy($"assigned").agg(count(lit(1)).as("n_members"))
+    newCent.join(nm, "assigned")
+      .join(cent, $"assigned" === $"c_label")
+      .selectExpr("assigned", "n_members",
+        s"""(${dotSpark("centroid", "centroid")}
+           | - 2 * ${dotSpark("centroid", "new_centroid")}
+           | + ${dotSpark("new_centroid", "new_centroid")}) AS shift""".stripMargin
+          .replace("\n", ""))
+      .orderBy($"assigned")
+  }
+
+  val kmeansUpdateSql: String = {
+    def dd(x: String, y: String) = dotDuck(x, y)
+    s"""WITH cent0 AS (
+       |  SELECT label, i,
+       |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
+       |      / COUNT(*) AS c
+       |  FROM embeddings, range(1, 65) t(i)
+       |  GROUP BY label, i
+       |),
+       |cent AS (SELECT label AS c_label, list(c ORDER BY i) AS centroid
+       |         FROM cent0 GROUP BY label),
+       |dist AS (
+       |  SELECT e.vec_id, c.c_label,
+       |    (${dd("e.embedding", "e.embedding")}
+       |     - 2 * ${dd("e.embedding", "c.centroid")}
+       |     + ${dd("c.centroid", "c.centroid")}) AS d
+       |  FROM embeddings e, cent c
+       |),
+       |best AS (SELECT vec_id, MIN(d) AS min_d FROM dist GROUP BY vec_id),
+       |asg AS (
+       |  SELECT dist.vec_id, MIN(dist.c_label) AS assigned
+       |  FROM dist JOIN best ON dist.vec_id = best.vec_id AND dist.d = best.min_d
+       |  GROUP BY dist.vec_id
+       |),
+       |newc0 AS (
+       |  SELECT a.assigned, i,
+       |    CAST(CAST(SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
+       |      / COUNT(*) AS c
+       |  FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, range(1, 65) t(i)
+       |  GROUP BY a.assigned, i
+       |),
+       |newc AS (SELECT assigned, list(c ORDER BY i) AS new_centroid
+       |         FROM newc0 GROUP BY assigned),
+       |nm AS (SELECT assigned, COUNT(*) AS n_members FROM asg GROUP BY assigned)
+       |SELECT n.assigned, nm.n_members,
+       |  (${dd("c.centroid", "c.centroid")}
+       |   - 2 * ${dd("c.centroid", "n.new_centroid")}
+       |   + ${dd("n.new_centroid", "n.new_centroid")}) AS shift
+       |FROM newc n
+       |JOIN nm ON nm.assigned = n.assigned
+       |JOIN cent c ON c.c_label = n.assigned
+       |${sqlOrderBy(Seq("assigned")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_kmeans_assign" -> kmeansAssign,
+    "embed_kmeans_update" -> kmeansUpdate,
     "embed_cosine_topk" -> cosineTopk,
     "embed_ivf_topk" -> ivfTopk,
     "embed_neardup_pairs" -> neardupPairs,
@@ -417,6 +521,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embed_kmeans_assign" -> kmeansAssignSql,
+    "embed_kmeans_update" -> kmeansUpdateSql,
     "embed_cosine_topk" -> cosineTopkSql,
     "embed_ivf_topk" -> ivfTopkSql,
     "embed_neardup_pairs" -> neardupPairsSql,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Det.sqlOrderBy
@@ -379,7 +380,111 @@ object TextStats {
        |FROM kept k JOIN keepers USING (norm_hash, doc_id)
        |GROUP BY k.lang${sqlOrderBy(Seq("lang"))}""".stripMargin
 
+  /** Deterministic train/val/test split by content-independent hash of
+    * the document key: md5(doc_id) first-8-hex-chars mod 100 → 80/10/10.
+    * The split is a pure function of doc_id — stable under corpus
+    * growth, re-partitioning, and cluster resize (no RNG, no sampling
+    * seed to version), which is the property a reproducible training-
+    * data pipeline needs. Map-only until the tiny (split, lang) rollup.
+    * Holding out by hash also composes with dedup: the same doc always
+    * lands in the same split, so near-duplicate leakage across splits is
+    * traceable to the dedup stage, not the splitter. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(cast(cast(doc_id AS STRING) as binary)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("cast(size(split(text, ' ')) as bigint)")).as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  val corpusSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+       |      AS bucket
+       |  FROM documents
+       |)
+       |SELECT
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM b GROUP BY 1, 2${sqlOrderBy(Seq("split", "lang"))}""".stripMargin
+
+  /** Token-budget sequence packing (fixed-boundary): documents in
+    * doc_id order are laid end-to-end on a token tape and each doc is
+    * assigned to the 2048-token bin its FIRST token falls in — the
+    * deterministic cousin of greedy bin packing (greedy depends on
+    * visit order, which no distributed engine should promise; the
+    * fixed-boundary form is a pure function of the sorted corpus).
+    * Output is per-bin doc count, token count, and budget utilization —
+    * what a pretraining data loader needs to size batches.
+    *
+    * Scale posture: the global running sum is a DISTRIBUTED prefix sum,
+    * not a single-partition window (`Window.orderBy` with no partition
+    * key coalesces the world into one task — the exact WindowExec
+    * pathology Det documents). Docs are grouped into fixed doc_id
+    * buckets (1024 ids each — a pure function of the key, NOT
+    * spark_partition_id or sampled range boundaries, both of which can
+    * differ between a plan's two evaluations); the per-doc running sum
+    * within a bucket is a hash-partitioned parallel window, and only
+    * the |corpus|/1024 per-bucket totals flow through the one global
+    * (exclusive-prefix) window — 10^5 tiny rows per 10^8 docs; recurse
+    * the same trick if buckets themselves outgrow one task. Integer
+    * arithmetic throughout, so bin ids are engine-independent — the
+    * oracle's single-window form proves the decomposition. */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 2048L
+    val t = Tables(spark, dir, "documents")
+      .select($"doc_id", expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+      .withColumn("bkt", expr("doc_id div 1024"))
+    // exclusive prefix over per-bucket totals: |buckets| rows only
+    val boff = t.groupBy($"bkt").agg(sum($"n_tok").as("bsum"))
+      .withColumn("boff", coalesce(sum($"bsum").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bkt", $"boff")
+    val local = t.withColumn("lcum", sum($"n_tok").over(
+      Window.partitionBy($"bkt").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    local.join(broadcast(boff), "bkt")
+      .withColumn("cum", $"lcum" + $"boff")
+      .withColumn("bin", (($"cum" - $"n_tok") / budget).cast("bigint"))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        (sum($"n_tok").cast("double") / budget).as("utilization"))
+      .orderBy($"bin")
+  }
+
+  val corpusPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |)
+       |SELECT CAST((cum - n_tok) / 2048 AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_tok) AS DOUBLE) / 2048 AS utilization
+       |FROM c GROUP BY 1${sqlOrderBy(Seq("bin"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split" -> corpusSplit,
+    "corpus_pack" -> corpusPack,
     "text_normalize" -> normalize,
     "text_stats" -> stats,
     "text_lang_id" -> langId,
@@ -391,6 +496,8 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "corpus_split" -> corpusSplitSql,
+    "corpus_pack" -> corpusPackSql,
     "text_normalize" -> normalizeSql,
     "text_stats" -> statsSql,
     "text_lang_id" -> langIdSql,
