@@ -26,9 +26,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads all allocate into one heap; at 8g the late
+  // queries of a 75+-query bench run degrade into GC thrash under
+  // concurrent machine load (observed: alphabetically-late queries 5-40x
+  // slower in a shared environment, unreproducible locally). The box has
+  // 128 GiB — leave generous headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // throughput-oriented collector: these are short-lived batch jobs with
   // no latency requirement, where ParallelGC's higher throughput beats
   // G1's pause-target heuristics
   "-XX:+UseParallelGC",
+  // 75+ queries x whole-stage codegen x warmup pass compiles thousands of
+  // generated classes; the 240m default code cache can fill late in the
+  // run and silently disable JIT (another tail-degradation mode)
+  "-XX:ReservedCodeCacheSize=512m",
 )

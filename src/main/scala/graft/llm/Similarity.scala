@@ -507,7 +507,7 @@ object Similarity {
        |FROM newc n
        |JOIN nm ON nm.assigned = n.assigned
        |JOIN cent c ON c.c_label = n.assigned
-       |${sqlOrderBy(Seq("assigned")).trim}""".stripMargin
+       |ORDER BY n.assigned NULLS FIRST""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

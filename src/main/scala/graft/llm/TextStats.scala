@@ -456,7 +456,7 @@ object TextStats {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     local.join(broadcast(boff), "bkt")
       .withColumn("cum", $"lcum" + $"boff")
-      .withColumn("bin", (($"cum" - $"n_tok") / budget).cast("bigint"))
+      .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
       .groupBy($"bin")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -476,7 +476,7 @@ object TextStats {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM t
        |)
-       |SELECT CAST((cum - n_tok) / 2048 AS BIGINT) AS bin,
+       |SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        |  CAST(SUM(n_tok) AS DOUBLE) / 2048 AS utilization

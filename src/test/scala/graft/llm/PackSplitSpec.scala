@@ -23,15 +23,21 @@ class PackSplitSpec extends SparkSpec {
     assert(naive.nonEmpty && dist == naive)
   }
 
-  test("pack bins are gapless and within budget doc-wise") {
+  test("pack bins are gapless and close past their boundary") {
     val rows = TextStats.corpusPack(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     val bins = rows.map(_._1)
     assert(bins.toSeq == (bins.min to bins.max).toSeq, "bins must be contiguous")
-    // every bin except possibly the last holds >= 2048 tokens (a doc
-    // straddling the boundary closes the bin past its budget)
-    rows.sortBy(_._1).dropRight(1).foreach { case (b, _, tok) =>
-      assert(tok >= 2048, s"bin $b under budget with $tok tokens")
+    // A bin's own token sum may legally be under budget (a doc straddling
+    // IN from the previous bin eats its head), but the tape position at
+    // the end of every non-last bin must have crossed that bin's upper
+    // boundary — otherwise the next doc would still belong to this bin.
+    var end = 0L
+    rows.dropRight(1).foreach { case (b, _, tok) =>
+      end += tok
+      assert(end >= 2048L * (b + 1),
+        s"bin $b ends at tape offset $end, before boundary ${2048L * (b + 1)}")
     }
   }
 
