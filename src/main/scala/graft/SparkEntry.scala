@@ -28,6 +28,7 @@ object SparkEntry {
       star.Extended.queries ++
       star.EventWindows.queries ++
       llm.Dedup.queries ++
+      llm.Cluster.queries ++
       llm.TextStats.queries ++
       llm.Similarity.queries ++
       multimodal.Media.queries
@@ -47,6 +48,7 @@ object SparkEntry {
       star.Extended.oracles ++
       star.EventWindows.oracles ++
       llm.Dedup.oracles ++
+      llm.Cluster.oracles ++
       llm.TextStats.oracles ++
       llm.Similarity.oracles ++
       multimodal.Media.oracles

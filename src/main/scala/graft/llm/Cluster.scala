@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Duplicate-cluster resolution: connected components over the
+  * MinHash-LSH candidate-pair graph ([[Dedup.candidatePairs]]), so each
+  * group of transitively-near-duplicate documents collapses to one
+  * canonical keeper (the minimum doc_id of the component). This is the
+  * finishing step of every production dedup funnel: LSH emits PAIRS,
+  * but a keep/drop decision needs per-document cluster ids — and
+  * near-duplication is not transitive pairwise, so chains (A~B~C with A
+  * !~ C) must still land in one cluster.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+  * round is a pair of hash-partitioned min-aggregations + equi-joins on
+  * the node id — no adjacency list ever materializes on one machine, no
+  * vertex-indexed driver state, and convergence is O(log n) rounds
+  * independent of graph diameter. The naive alternative (propagate
+  * min label to neighbors until fixpoint) needs O(diameter) shuffles —
+  * a duplicate CHAIN of length k (common: serial near-copies of one
+  * page) costs k rounds vs log k here, which is the difference between
+  * 40 and 6 shuffles at web scale.
+  *
+  * The driver loop compares two scalar counts per round (convergence
+  * test only — no data is collected), and each round's edge set is
+  * localCheckpoint'd to truncate lineage, without which the plan tree
+  * doubles per iteration.
+  */
+object Cluster {
+
+  /** Undirected view of a directed edge list (src, dst). */
+  private def bothDirs(e: DataFrame): DataFrame =
+    e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** m(u) = min(Γ(u) ∪ {u}), as (src, m). */
+  private def minNbr(nbrs: DataFrame): DataFrame =
+    nbrs.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+
+  /** Large-star: connect every strictly-larger neighbor of u to m(u). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = bothDirs(e)
+    nbrs.join(minNbr(nbrs), "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: connect u and every smaller neighbor of u to m(u). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val nbrs = bothDirs(e)
+    val nPlus = nbrs.where(col("dst") < col("src"))
+      .union(nbrs.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+    nPlus.join(minNbr(nbrs), "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components of an undirected edge list. Returns star
+    * edges (member, component_min) for every non-root member; isolated
+    * vertices (those not in `edges`) are absent and are their own
+    * component. */
+  def components(edges: DataFrame): DataFrame = {
+    var e = edges.toDF("src", "dst")
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      rounds += 1
+    }
+    // the alternation converges monotonically (SoCC'14, Thm 2) — 25
+    // rounds covers graphs up to ~2^25 nodes per component; failing
+    // loudly beats returning a half-merged clustering
+    require(converged, s"large/small-star did not converge in $rounds rounds")
+    e
+  }
+
+  /** Per-document duplicate-cluster assignment over the whole corpus:
+    * (doc_id, cluster_id, cluster_size, is_keeper). Documents outside
+    * any candidate pair are singleton clusters of themselves. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stars = components(
+      Dedup.candidatePairs(spark, dir).select($"d1", $"d2"))
+    val assign = stars.select($"src".as("doc_id"), $"dst".as("cid"))
+    val labeled = Tables(spark, dir, "documents").select($"doc_id")
+      .join(assign, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cid", $"doc_id").as("cluster_id"))
+    val sizes = labeled.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle: transitive closure by recursive CTE — a completely
+    * independent formulation (closure vs star-contraction), so the two
+    * engines check each other's clustering, not just each other's
+    * arithmetic. */
+  val clustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+       |),
+       |comp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+       |),
+       |sz AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY cluster_id
+       |)
+       |SELECT c.doc_id, c.cluster_id, sz.cluster_size,
+       |  c.doc_id = c.cluster_id AS is_keeper
+       |FROM comp c JOIN sz USING (cluster_id)
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> clusters)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersSql)
+}

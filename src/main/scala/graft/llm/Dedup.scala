@@ -73,7 +73,7 @@ object Dedup {
     minhashSig(spark, dir).orderBy("doc_id")
 
   /** DuckDB twin of [[minhashSig]] as a CTE named `sig`. */
-  private val sigSqlCte: String = {
+  private[llm] val sigSqlCte: String = {
     def sig(j: Int) =
       s"list_min(list_transform(shingles, s -> md5('$j:' || s)))"
     s"""tok AS (
@@ -100,10 +100,23 @@ object Dedup {
   val minhashSqlQuery: String =
     s"WITH $sigSqlCte SELECT * FROM sig${sqlOrderBy(Seq("doc_id"))}"
 
+  /** Bare candidate-pair CTE (`cand(d1, d2)`) over `sig`, for oracles
+    * that consume the pair graph without the Jaccard estimate. */
+  private[llm] val candSqlCte: String =
+    s"""cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sig a JOIN sig b ON a.band_a = b.band_a AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sig a JOIN sig b ON a.band_b = b.band_b AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
   /** Candidate near-duplicate pairs: docs sharing an LSH band bucket,
     * with the 4-hash Jaccard estimate. Two equi-joins (one per band)
-    * unioned — never an OR-join (which would degrade to nested-loop). */
-  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    * unioned — never an OR-join (which would degrade to nested-loop).
+    * Unsorted form, reused by [[Cluster]] (a sort mid-pipeline would be
+    * wasted work there). */
+  private[llm] def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = minhashSig(spark, dir).cache()
     val a = s.select($"doc_id".as("d1"), $"sig0".as("a0"), $"sig1".as("a1"),
@@ -117,7 +130,12 @@ object Dedup {
       .select($"d1", $"d2", est.as("est_jaccard"))
     val p2 = a.join(b, $"bb" === $"bd" && $"d1" < $"d2")
       .select($"d1", $"d2", est.as("est_jaccard"))
-    p1.union(p2).distinct().orderBy($"d1", $"d2")
+    p1.union(p2).distinct()
+  }
+
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    candidatePairs(spark, dir).orderBy($"d1", $"d2")
   }
 
   val neardupPairsSql: String =

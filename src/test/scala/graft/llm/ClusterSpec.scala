@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected components via large-star/small-star: checked against a
+  * brute-force union-find on synthetic graphs whose shapes stress the
+  * algorithm (chains for diameter, stars, cliques, singleton merges),
+  * then end-to-end on the real candidate-pair graph. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Cluster.components(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val expect = brute(edges).filter { case (k, v) => k != v }
+    assert(run(edges) == expect)
+  }
+
+  test("chain of 40 collapses to one cluster (diameter >> rounds)") {
+    // a path graph is the worst case for naive min-propagation
+    // (diameter 39); star-contraction must still converge in <= 25 rounds
+    check((1L until 40L).map(i => (i, i + 1)))
+  }
+
+  test("disjoint cliques, stars, and reversed/duplicated edges") {
+    val clique = for { a <- 10L to 14L; b <- (a + 1) to 14L } yield (a, b)
+    val star = (101L to 110L).map(i => (100L, i))
+    val dupes = Seq((200L, 201L), (201L, 200L), (200L, 201L))
+    check(clique ++ star ++ dupes)
+  }
+
+  test("two chains merged by a bridge edge") {
+    val c1 = (1L until 10L).map(i => (i, i + 1))
+    val c2 = (21L until 30L).map(i => (i, i + 1))
+    check(c1 ++ c2 :+ (10L, 21L))
+  }
+
+  test("empty edge list yields no assignments") {
+    assert(run(Seq.empty) == Map.empty)
+  }
+
+  test("clusters query: partition of all docs, keeper is min, sizes consistent") {
+    val rows = Cluster.clusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nDocs = graft.Tables(spark, sf0001, "documents").count()
+    assert(rows.length == nDocs, "every document gets exactly one cluster row")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster id $cid must be its min member")
+      assert(members.forall(_._3 == members.length.toLong), "cluster_size consistent")
+      assert(members.count(_._4) == 1, "exactly one keeper per cluster")
+    }
+    // the LSH pair graph at sf0.001 has at least one multi-doc cluster
+    assert(byCluster.values.exists(_.length > 1), "fixture has near-dup clusters")
+  }
+}
