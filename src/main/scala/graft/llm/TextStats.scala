@@ -482,9 +482,128 @@ object TextStats {
        |  CAST(SUM(n_tok) AS DOUBLE) / 2048 AS utilization
        |FROM c GROUP BY 1${sqlOrderBy(Seq("bin"))}""".stripMargin
 
+  /** Target sampling rate per language for [[sampleMix]] — the "data
+    * mixture" a pretraining run wants (downsample the over-represented
+    * head, keep the tail). */
+  private val mixRates = Seq(
+    "de" -> 1.0, "en" -> 0.5, "es" -> 0.75, "fr" -> 1.0, "zh" -> 0.25)
+
+  /** Deterministic mixture (re-)sampling: keep each document with a
+    * per-language probability, decided by a salted content-independent
+    * hash of the doc key — u = md5("mix:" || doc_id) first-8-hex /
+    * 2^32 ∈ [0,1), keep iff u < rate(lang). Like [[corpusSplit]] the
+    * decision is a pure function of the key: stable under corpus
+    * growth, partitioning, and re-runs, and independent of the split
+    * assignment (different salt). u is a 32-bit integer divided by a
+    * power of two, so the double is EXACT and the comparison has no
+    * cross-engine rounding hazard. Map-only until the 5-row rollup;
+    * at 100 TB the filter runs at scan speed and the shuffle carries
+    * |langs| rows. Unknown languages default to keep-all (rate 1.0):
+    * a sampler that silently drops unlisted sources is a data-loss
+    * bug, not a mixture. */
+  def sampleMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = mixRates.foldLeft(lit(1.0)) { case (e, (l, r)) =>
+      when($"lang" === l, lit(r)).otherwise(e)
+    }
+    Tables(spark, dir, "documents")
+      .withColumn("u",
+        expr("cast(conv(substr(md5(cast(concat('mix:', cast(doc_id AS STRING)) as binary)), 1, 8), 16, 10) as bigint)")
+          / lit(4294967296.0))
+      .withColumn("target_rate", rate)
+      .withColumn("keep", ($"u" < $"target_rate").cast("int"))
+      .groupBy($"lang")
+      .agg(
+        first($"target_rate").as("target_rate"),
+        count(lit(1)).as("n_total"),
+        sum($"keep").as("n_kept"),
+        (sum($"keep") / count(lit(1)).cast("double")).as("realized_rate"))
+      .orderBy($"lang")
+  }
+
+  val sampleMixSql: String = {
+    val rateCase = mixRates
+      .map { case (l, r) => s"WHEN '$l' THEN CAST($r AS DOUBLE)" }
+      .mkString("CASE lang ", " ", " ELSE CAST(1.0 AS DOUBLE) END")
+    s"""WITH d AS (
+       |  SELECT lang, $rateCase AS target_rate,
+       |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      / 4294967296.0 AS u
+       |  FROM documents
+       |)
+       |SELECT lang, ANY_VALUE(target_rate) AS target_rate,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN u < target_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  SUM(CASE WHEN u < target_rate THEN 1 ELSE 0 END)
+       |    / CAST(COUNT(*) AS DOUBLE) AS realized_rate
+       |FROM d GROUP BY lang${sqlOrderBy(Seq("lang"))}""".stripMargin
+  }
+
+  /** Within-document repetition stats (Gopher-style quality rule):
+    * duplicate-word and duplicate-bigram fractions, plus a repetitive
+    * flag. Boilerplate, keyword-stuffed, and template-generated pages
+    * score high; a curation pipeline drops or downweights them. Pure
+    * map over per-doc arrays — no shuffle, no cross-doc state, scales
+    * at scan speed (the array lambdas run interpreted, but the work is
+    * bounded by document length and avoids the |docs x ngrams| explode
+    * + two-level groupBy a codegen'd formulation would shuffle). */
+  def repNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .selectExpr(
+        "doc_id", "lang",
+        "size(tokens) AS n_words",
+        "size(array_distinct(tokens)) AS n_uniq_words",
+        // CASE keeps sequence() off the <2-token branch (negative spans
+        // auto-step -1 — same hazard as the shingle builders)
+        """CASE WHEN size(tokens) >= 2 THEN
+          |  size(array_distinct(transform(sequence(0, size(tokens) - 2),
+          |       i -> concat_ws(' ', tokens[i], tokens[i+1]))))
+          | ELSE 0 END AS n_uniq_bigrams""".stripMargin)
+      .withColumn("n_bigrams", greatest($"n_words" - 1, lit(0)))
+      .withColumn("dup_word_frac",
+        ($"n_words" - $"n_uniq_words") / $"n_words".cast("double"))
+      .withColumn("dup_bigram_frac",
+        when($"n_bigrams" > 0,
+          ($"n_bigrams" - $"n_uniq_bigrams") / $"n_bigrams".cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive", $"dup_bigram_frac" > 0.2)
+      .select($"doc_id", $"lang", $"n_words", $"n_uniq_words", $"n_bigrams",
+        $"n_uniq_bigrams", $"dup_word_frac", $"dup_bigram_frac", $"repetitive")
+      .orderBy($"doc_id")
+  }
+
+  val repNgramsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(tokens) AS INTEGER) AS n_words,
+       |    CAST(len(list_distinct(tokens)) AS INTEGER) AS n_uniq_words,
+       |    CASE WHEN len(tokens) >= 2 THEN
+       |      CAST(len(list_distinct(list_transform(range(0, len(tokens) - 1),
+       |           i -> tokens[i+1] || ' ' || tokens[i+2]))) AS INTEGER)
+       |     ELSE 0 END AS n_uniq_bigrams,
+       |    CAST(greatest(len(tokens) - 1, 0) AS INTEGER) AS n_bigrams
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, n_words, n_uniq_words, n_bigrams, n_uniq_bigrams,
+       |  (n_words - n_uniq_words) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+       |  CASE WHEN n_bigrams > 0 THEN
+       |    (n_bigrams - n_uniq_bigrams) / CAST(n_bigrams AS DOUBLE)
+       |   ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+       |  CASE WHEN n_bigrams > 0 THEN
+       |    (n_bigrams - n_uniq_bigrams) / CAST(n_bigrams AS DOUBLE)
+       |   ELSE CAST(0.0 AS DOUBLE) END > 0.2 AS repetitive
+       |FROM s${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_split" -> corpusSplit,
     "corpus_pack" -> corpusPack,
+    "corpus_sample_mix" -> sampleMix,
+    "text_rep_ngrams" -> repNgrams,
     "text_normalize" -> normalize,
     "text_stats" -> stats,
     "text_lang_id" -> langId,
@@ -498,6 +617,8 @@ object TextStats {
   val oracles: Map[String, String] = Map(
     "corpus_split" -> corpusSplitSql,
     "corpus_pack" -> corpusPackSql,
+    "corpus_sample_mix" -> sampleMixSql,
+    "text_rep_ngrams" -> repNgramsSql,
     "text_normalize" -> normalizeSql,
     "text_stats" -> statsSql,
     "text_lang_id" -> langIdSql,
