@@ -29,6 +29,7 @@ object SparkEntry {
       star.EventWindows.queries ++
       llm.Dedup.queries ++
       llm.Cluster.queries ++
+      llm.Search.queries ++
       llm.TextStats.queries ++
       llm.Similarity.queries ++
       multimodal.Media.queries
@@ -49,6 +50,7 @@ object SparkEntry {
       star.EventWindows.oracles ++
       llm.Dedup.oracles ++
       llm.Cluster.oracles ++
+      llm.Search.oracles ++
       llm.TextStats.oracles ++
       llm.Similarity.oracles ++
       multimodal.Media.oracles
