@@ -599,11 +599,58 @@ object TextStats {
        |   ELSE CAST(0.0 AS DOUBLE) END > 0.2 AS repetitive
        |FROM s${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  // Conservative regex subset valid with identical semantics in Java
+  // regex (Spark) and RE2 (DuckDB): literal classes, bounded/greedy
+  // quantifiers, no backrefs/lookarounds.
+  private val emailRx = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRx = "\\+?[0-9][0-9 .-]{6,}[0-9]"
+
+  /** PII redaction: scrub emails/phone numbers, count redactions. The
+    * corpus fixture contains no PII, so the query first embeds a
+    * deterministic contact line derived from doc_id (same construction
+    * in the oracle) — the scrub logic, not the data, is under test.
+    * Map-only: regex replace at scan speed, no shuffle; patterns stay
+    * in the Java∩RE2 common subset so engines agree match-for-match. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("raw", concat(
+        $"text", lit(" contact user"), $"doc_id",
+        lit("@mail.example.com or +1 555-010-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+      .select(
+        $"doc_id",
+        size(expr(s"regexp_extract_all(raw, '${emailRx.replace("\\", "\\\\")}', 0)"))
+          .as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '${phoneRx.replace("\\", "\\\\")}', 0)"))
+          .as("n_phones"),
+        regexp_replace(
+          regexp_replace($"raw", lit(emailRx), lit("<EMAIL>")),
+          lit(phoneRx), lit("<PHONE>")).as("scrubbed"))
+      .orderBy($"doc_id")
+  }
+
+  val piiScrubSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com or +1 555-010-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$emailRx')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$phoneRx')) AS INTEGER) AS n_phones,
+       |  regexp_replace(regexp_replace(raw, '$emailRx', '<EMAIL>', 'g'),
+       |                 '$phoneRx', '<PHONE>', 'g') AS scrubbed
+       |FROM r${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_split" -> corpusSplit,
     "corpus_pack" -> corpusPack,
     "corpus_sample_mix" -> sampleMix,
     "text_rep_ngrams" -> repNgrams,
+    "text_pii_scrub" -> piiScrub,
     "text_normalize" -> normalize,
     "text_stats" -> stats,
     "text_lang_id" -> langId,
@@ -619,6 +666,7 @@ object TextStats {
     "corpus_pack" -> corpusPackSql,
     "corpus_sample_mix" -> sampleMixSql,
     "text_rep_ngrams" -> repNgramsSql,
+    "text_pii_scrub" -> piiScrubSql,
     "text_normalize" -> normalizeSql,
     "text_stats" -> statsSql,
     "text_lang_id" -> langIdSql,

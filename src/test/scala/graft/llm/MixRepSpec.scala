@@ -50,6 +50,20 @@ class MixRepSpec extends SparkSpec {
     }
   }
 
+  test("pii_scrub: multiple hits per line, clean text untouched") {
+    val out = Seq(
+      (1L, "write to a.b@x.io or c_d@y.org call +44 20 7946 0958 now"),
+      (2L, "no contact details here at all")
+    ).toDF("doc_id", "raw")
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"raw",
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit("<EMAIL>")),
+          lit("\\+?[0-9][0-9 .-]{6,}[0-9]"), lit("<PHONE>")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> or <EMAIL> call <PHONE> now")
+    assert(out(2L) == "no contact details here at all")
+  }
+
   test("rep_ngrams flags a synthetic repeated-template doc, passes varied prose") {
     val df = Seq(
       (1L, "en", Seq.fill(30)("buy now click here").mkString(" ")),
