@@ -79,11 +79,92 @@ object EventWindows {
        |  ${sqlSum("value")} AS total_value
        |FROM e GROUP BY window_start, event_type${sqlOrderBy(Seq("window_start", "event_type"))}""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * for a stage only if the event happened STRICTLY AFTER the previous
+    * stage's first qualifying event (a click before any view is not a
+    * conversion). The windowless-join formulation: running "seen
+    * previous stage" flags over a strictly-before frame, so the whole
+    * funnel is ONE shuffle on user_id + one in-partition sort (chained
+    * window + aggregate reuse the same partitioning) — no self-joins,
+    * no per-user event list in memory, state bounded by a frame flag.
+    * That is the sequence-analytics shape that survives 100 TB of
+    * events; a join-per-stage formulation shuffles once per stage. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // strictly-before frame; event_id tiebreak makes the order total
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = Tables(spark, dir, "events")
+      .withColumn("is_view", ($"event_type" === "view").cast("int"))
+      .withColumn("seen_view", coalesce(max($"is_view").over(w), lit(0)))
+      .withColumn("click_ok",
+        (($"event_type" === "click") && $"seen_view" === 1).cast("int"))
+      .withColumn("seen_click", coalesce(max($"click_ok").over(w), lit(0)))
+      .withColumn("purchase_ok",
+        (($"event_type" === "purchase") && $"seen_click" === 1).cast("int"))
+    staged.groupBy($"user_id")
+      .agg(max($"is_view").as("v"), max($"click_ok").as("c"),
+        max($"purchase_ok").as("p"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"v").as("n_view"),
+        sum($"c").as("n_click_after_view"),
+        sum($"p").as("n_purchase_after_click"),
+        (sum($"c") / nullif(sum($"v"), lit(0)).cast("double"))
+          .as("view_to_click"),
+        (sum($"p") / nullif(sum($"c"), lit(0)).cast("double"))
+          .as("click_to_purchase"))
+  }
+
+  val funnelSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+       |  FROM events
+       |),
+       |s1 AS (
+       |  SELECT *, COALESCE(MAX(is_view) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_view
+       |  FROM e
+       |),
+       |s2 AS (
+       |  SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+       |    THEN 1 ELSE 0 END AS click_ok
+       |  FROM s1
+       |),
+       |s3 AS (
+       |  SELECT *, COALESCE(MAX(click_ok) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_click
+       |  FROM s2
+       |),
+       |s4 AS (
+       |  SELECT *, CASE WHEN event_type = 'purchase' AND seen_click = 1
+       |    THEN 1 ELSE 0 END AS purchase_ok
+       |  FROM s3
+       |),
+       |u AS (
+       |  SELECT user_id, MAX(is_view) AS v, MAX(click_ok) AS c,
+       |    MAX(purchase_ok) AS p
+       |  FROM s4 GROUP BY user_id
+       |)
+       |SELECT COUNT(*) AS n_users,
+       |  CAST(SUM(v) AS BIGINT) AS n_view,
+       |  CAST(SUM(c) AS BIGINT) AS n_click_after_view,
+       |  CAST(SUM(p) AS BIGINT) AS n_purchase_after_click,
+       |  SUM(c) / CAST(NULLIF(SUM(v), 0) AS DOUBLE) AS view_to_click,
+       |  SUM(p) / CAST(NULLIF(SUM(c), 0) AS DOUBLE) AS click_to_purchase
+       |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> sessionize,
-    "events_sliding" -> sliding)
+    "events_sliding" -> sliding,
+    "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
     "events_sessionize" -> sessionizeSql,
-    "events_sliding" -> slidingSql)
+    "events_sliding" -> slidingSql,
+    "events_funnel" -> funnelSql)
 }
