@@ -55,6 +55,17 @@ class ClusterSpec extends SparkSpec {
     assert(run(Seq.empty) == Map.empty)
   }
 
+  test("random graphs match brute-force union-find (fixed seeds)") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 5).foreach { _ =>
+      val n = 30 + rnd.nextInt(30)
+      val edges = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      check(edges)
+    }
+  }
+
   test("clusters query: partition of all docs, keeper is min, sizes consistent") {
     val rows = Cluster.clusters(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
