@@ -92,9 +92,82 @@ object Search {
        |LIMIT 20""".stripMargin
   }
 
+  /** Collocation mining: top word bigrams by pointwise-lift — the
+    * ratio form of PMI, lift(a,b) = P(ab)/(P(a)P(b)) = c(ab)·N_bi /
+    * (c(a)·c(b)) — used in curation to find multi-word expressions
+    * worth treating as units (tokenizer merges, stop-phrase lists).
+    * Ratio, not log (transcendental-free cross-engine rule; log is
+    * monotone so the RANKING is identical to true PMI). The lift
+    * numerator/denominator are multiplied as doubles, so there is no
+    * integer-overflow hazard at corpus scale and both engines round
+    * identically (same formula text).
+    *
+    * Scale posture: bigram and unigram counts are partial-aggregated
+    * map-side before their exchanges (counts, not token streams, cross
+    * the wire); the corpus-total row broadcasts; the two unigram-count
+    * joins reuse one exchange; top-k is TakeOrderedAndProject. The
+    * c(ab) >= 3 support floor is applied BEFORE the joins, so join
+    * input is the (small) frequent-bigram set, not the full bigram
+    * vocabulary. */
+  def wordPmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+    val uni = tok.select(explode($"tokens").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c_w"))
+    val bi = tok.filter(size($"tokens") >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1]))""".stripMargin))
+        .as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+    val nBi = bi.agg(sum($"c_ab").as("n_bi"))
+    bi.filter($"c_ab" >= 3)
+      .crossJoin(broadcast(nBi))
+      .withColumn("a", expr("split(bg, ' ')[0]"))
+      .withColumn("b", expr("split(bg, ' ')[1]"))
+      .join(uni.select($"w".as("a"), $"c_w".as("c_a")), "a")
+      .join(uni.select($"w".as("b"), $"c_w".as("c_b")), "b")
+      .selectExpr("a", "b", "c_ab", "c_a", "c_b",
+        "(CAST(c_ab AS DOUBLE) * n_bi) / (CAST(c_a AS DOUBLE) * c_b) AS lift")
+      .orderBy($"lift".desc, $"a", $"b")
+      .limit(30)
+  }
+
+  val wordPmiSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c_w
+       |  FROM (SELECT unnest(tokens) AS w FROM tok) GROUP BY w
+       |),
+       |bi AS (
+       |  SELECT bg, COUNT(*) AS c_ab
+       |  FROM (SELECT unnest(list_transform(range(0, len(tokens) - 1),
+       |          i -> tokens[i+1] || ' ' || tokens[i+2])) AS bg
+       |        FROM tok WHERE len(tokens) >= 2)
+       |  GROUP BY bg
+       |),
+       |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi),
+       |f AS (
+       |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+       |    c_ab, n_bi
+       |  FROM bi, nb WHERE c_ab >= 3
+       |)
+       |SELECT f.a, f.b, f.c_ab, u1.c_w AS c_a, u2.c_w AS c_b,
+       |  (CAST(f.c_ab AS DOUBLE) * f.n_bi) / (CAST(u1.c_w AS DOUBLE) * u2.c_w) AS lift
+       |FROM f
+       |JOIN uni u1 ON u1.w = f.a
+       |JOIN uni u2 ON u2.w = f.b
+       |ORDER BY lift DESC, a NULLS FIRST, b NULLS FIRST
+       |LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25" -> bm25)
+    "text_bm25" -> bm25,
+    "text_word_pmi" -> wordPmi)
 
   val oracles: Map[String, String] = Map(
-    "text_bm25" -> bm25Sql)
+    "text_bm25" -> bm25Sql,
+    "text_word_pmi" -> wordPmiSql)
 }

@@ -28,6 +28,19 @@ class SearchSpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted), "descending score, doc_id tiebreak")
   }
 
+  test("word_pmi: top collocations are positively associated, counts consistent") {
+    val pmi = Search.wordPmi(spark, sf0001)
+    assert(pmi.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = pmi.collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val (cab, ca, cb, lift) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(cab >= 3 && cab <= math.min(ca, cb),
+        "a bigram can't outnumber either of its words")
+      assert(lift > 1.0, "top-30 collocations must beat independence")
+    }
+  }
+
   test("a doc with more occurrences of a rare term outranks fewer (fixed dl)") {
     import spark.implicits._
     // synthetic: same length, same df environment, tf 3 vs 1
