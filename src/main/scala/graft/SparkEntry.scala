@@ -27,6 +27,7 @@ object SparkEntry {
       star.SetOps.queries ++
       star.Extended.queries ++
       star.EventWindows.queries ++
+      star.Warehouse.queries ++
       llm.Dedup.queries ++
       llm.Cluster.queries ++
       llm.Search.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       star.SetOps.oracles ++
       star.Extended.oracles ++
       star.EventWindows.oracles ++
+      star.Warehouse.oracles ++
       llm.Dedup.oracles ++
       llm.Cluster.oracles ++
       llm.Search.oracles ++

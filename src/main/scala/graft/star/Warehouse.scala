@@ -1,0 +1,222 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Warehouse-analytics tier (`[EXT]`, SURVEY.md §2 extension inventory):
+  * the recurring product-analytics / dimensional-modeling shapes a user
+  * of the reference's medallion warehouse would reach for next — cohort
+  * retention, SCD2 change capture, market-basket co-occurrence, and
+  * robust outlier flagging. Each is one-to-two exchanges, partial-agg
+  * friendly, and oracle-checked against an independent DuckDB
+  * formulation.
+  *
+  * Scale posture:
+  *  - retention: two shuffles (first-touch per user, then cohort cells);
+  *    the user->cohort join co-partitions on user_id with the first-touch
+  *    aggregate, and the output is |cohorts|x|offsets| cells.
+  *  - SCD2: ONE shuffle on the business key; both window passes and the
+  *    change-row filter reuse that partitioning (filter preserves
+  *    distribution), so change capture over 100 TB of history is a
+  *    single exchange + per-partition sorts.
+  *  - basket pairs: the pair explosion is bounded by (items-per-basket)²
+  *    per order — never |corpus|² — and collapses through map-side
+  *    partial aggregation before any pair row crosses the wire.
+  *  - outliers: group moments (n, Σx, Σx²) partial-agg to |groups| rows,
+  *    broadcast back over the fact scan; the flag compares integer-exact
+  *    cents arithmetic, so no variance/stddev floating-point divergence
+  *    can flip a row between engines (z² in squared form — sqrt-free).
+  */
+object Warehouse {
+
+  /** Daily purchase-cohort retention: users bucketed by the day of
+    * their first purchase; a cohort cell counts the distinct users of
+    * that cohort purchasing again k days later. The first-touch frame
+    * and the activity frame co-partition on user_id (one shuffle), the
+    * cell aggregate is a second. (Purchases, not all events — the
+    * activity signal must be sparse for retention to measure anything;
+    * the harness events table has every user active every day.) */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dy = Tables(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("dy"))
+    val first = dy.groupBy($"user_id").agg(min($"dy").as("cohort_day"))
+    dy.join(first, "user_id")
+      .groupBy($"cohort_day",
+        datediff($"dy", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val retentionSql: String =
+    s"""WITH dy AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS dy
+       |  FROM events WHERE event_type = 'purchase'
+       |),
+       |first AS (
+       |  SELECT user_id, MIN(dy) AS cohort_day FROM dy GROUP BY user_id
+       |)
+       |SELECT cohort_day,
+       |  CAST(date_diff('day', cohort_day, dy) AS BIGINT) AS day_offset,
+       |  COUNT(DISTINCT dy.user_id) AS n_active
+       |FROM dy JOIN first ON dy.user_id = first.user_id
+       |GROUP BY cohort_day, day_offset${sqlOrderBy(Seq("cohort_day", "day_offset"))}""".stripMargin
+
+  /** SCD2 change capture: collapse each customer's order-priority
+    * history into validity intervals [valid_from, valid_to) that open
+    * whenever the tracked attribute changes, with NULL valid_to (and
+    * is_current = 1) on the open interval. lag() finds change points,
+    * lead() OVER THE FILTERED change rows closes each interval — both
+    * windows and the filter share one hash partitioning on the business
+    * key, so the whole dimension build is a single exchange. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val changes = Tables(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+    val w2 = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    changes
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(w2))
+      .select($"o_custkey", $"o_orderpriority".as("priority"),
+        $"o_orderdate".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.cast("int").as("is_current"))
+      .orderBy($"o_custkey", $"valid_from", $"priority")
+  }
+
+  val scd2Sql: String =
+    s"""WITH marked AS (
+       |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+       |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS prev
+       |  FROM orders
+       |),
+       |changes AS (
+       |  SELECT * FROM marked
+       |  WHERE prev IS NULL OR prev <> o_orderpriority
+       |)
+       |SELECT o_custkey, o_orderpriority AS priority,
+       |  o_orderdate AS valid_from,
+       |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       |  CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) IS NULL AS INTEGER) AS is_current
+       |FROM changes${sqlOrderBy(Seq("o_custkey", "valid_from", "priority"))}""".stripMargin
+
+  /** Market-basket brand co-occurrence with lift. Baskets = orders;
+    * items = the distinct part brands in each order (dim join hinted
+    * broadcast — `part` is a bounded dimension). The pair join is keyed
+    * on the basket id, so work is Σ(brands-per-order²), never global;
+    * lift = P(a,b)/(P(a)P(b)) is computed as one exact integer product
+    * ratio evaluated in a single double division (cross-engine stable —
+    * no per-engine probability rounding compounds). */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("okey"), $"p_brand").distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"), $"a.okey" === $"b.okey" && $"a.p_brand" < $"b.p_brand")
+      .groupBy($"a.p_brand".as("brand1"), $"b.p_brand".as("brand2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val brandN = items.groupBy($"p_brand").agg(count(lit(1)).as("nb"))
+    val total = items.select(countDistinct($"okey").as("n_orders"))
+    pairs
+      .join(broadcast(brandN).withColumnRenamed("p_brand", "brand1")
+        .withColumnRenamed("nb", "nb1"), "brand1")
+      .join(broadcast(brandN).withColumnRenamed("p_brand", "brand2")
+        .withColumnRenamed("nb", "nb2"), "brand2")
+      .crossJoin(broadcast(total))
+      .select($"brand1", $"brand2", $"n_pair",
+        (($"n_pair" * $"n_orders").cast(DoubleType) /
+          ($"nb1" * $"nb2").cast(DoubleType)).as("lift"))
+      .orderBy($"brand1", $"brand2")
+  }
+
+  val basketPairsSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, p_brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |),
+       |pairs AS (
+       |  SELECT a.p_brand AS brand1, b.p_brand AS brand2, COUNT(*) AS n_pair
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.p_brand < b.p_brand
+       |  GROUP BY 1, 2
+       |),
+       |bn AS (SELECT p_brand, COUNT(*) AS nb FROM items GROUP BY 1),
+       |tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items)
+       |SELECT brand1, brand2, n_pair,
+       |  CAST(n_pair * n_orders AS DOUBLE) / CAST(n1.nb * n2.nb AS DOUBLE) AS lift
+       |FROM pairs
+       |JOIN bn n1 ON n1.p_brand = brand1
+       |JOIN bn n2 ON n2.p_brand = brand2
+       |CROSS JOIN tot${sqlOrderBy(Seq("brand1", "brand2"))}""".stripMargin
+
+  /** 1.5σ outlier orders per priority class, decided in EXACT integer
+    * arithmetic: prices live on a 2-decimal grid, so cents = round(p*100)
+    * is exact in BIGINT, and the z² > (3/2)² test in cleared-fraction form
+    *   4 · (n·x − S)² > 9 · (n·Q − S²),  S = Σx, Q = Σx²
+    * (both sides are n²·(the usual quantities): (n·x−S)² = n²(x−μ)² and
+    * n·Q−S² = n²σ²) multiplies out the mean and variance so no division, sqrt, or
+    * floating accumulation exists on either engine — Spark evaluates in
+    * DECIMAL(38,0), DuckDB in HUGEINT, both exact at these magnitudes
+    * (documented bound: |terms| < 1e32 at 100 TB row counts). Group
+    * moments partial-aggregate to |groups| rows and broadcast back over
+    * the scan. (1.5σ, not 3σ: the harness prices are uniform on a
+    * bounded range — max |z| ≈ √3 — so a 3σ fence can never fire; the
+    * fence constant is the k²=p/q rational knob, any p/q works.) */
+  def outlierZ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val stats = o.groupBy($"o_orderpriority".as("grp"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"cents".cast(dec) * $"cents".cast(dec)).as("q"))
+    val lhs = {
+      val d = ($"n" * $"cents" - $"s").cast(dec)
+      lit(4).cast(dec) * d * d
+    }
+    val rhs = lit(9).cast(dec) *
+      ($"n".cast(dec) * $"q" - $"s".cast(dec) * $"s".cast(dec))
+    o.join(broadcast(stats), $"o_orderpriority" === $"grp")
+      .filter(lhs > rhs)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val outlierZSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+       |    CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+       |  FROM orders
+       |),
+       |stats AS (
+       |  SELECT o_orderpriority AS grp, COUNT(*) AS n,
+       |    SUM(cents) AS s, SUM(cents * cents) AS q
+       |  FROM o GROUP BY 1
+       |)
+       |SELECT o_orderkey, o_orderpriority, o_totalprice
+       |FROM o JOIN stats ON o_orderpriority = grp
+       |WHERE 4 * (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
+       |${sqlOrderBy(Seq("o_orderkey")).trim}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> retention,
+    "dim_scd2" -> scd2,
+    "basket_brand_pairs" -> basketPairs,
+    "orders_outlier_z" -> outlierZ)
+
+  val oracles: Map[String, String] = Map(
+    "events_retention" -> retentionSql,
+    "dim_scd2" -> scd2Sql,
+    "basket_brand_pairs" -> basketPairsSql,
+    "orders_outlier_z" -> outlierZSql)
+}

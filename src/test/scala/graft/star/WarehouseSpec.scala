@@ -1,0 +1,94 @@
+package graft.star
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Contract tests for the warehouse-analytics tier. The oracle hash
+  * proves cross-engine agreement at sf0.01; these pin the SEMANTICS on
+  * crafted fixtures (interval chaining, cohort arithmetic, pair
+  * symmetry, exact-variance flagging) and the plan shapes that must
+  * survive scale. */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2 intervals chain: each valid_to equals the next valid_from") {
+    val rows = Warehouse.scd2(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      // valid_from arrives as LocalDateTime (NTZ) — Comparable, so sort
+      // via compareTo; the attribute name breaks exact ties
+      val h = hist.sortBy(r =>
+        (r.getAs[java.time.LocalDateTime](2), r.getString(1)))(
+        Ordering.Tuple2(Ordering.comparatorToOrdering(
+          java.util.Comparator.naturalOrder[java.time.LocalDateTime]()),
+          Ordering.String))
+      // exactly one open interval per key, and it is the last one
+      assert(h.count(_.isNullAt(3)) == 1)
+      assert(h.last.isNullAt(3) && h.last.getInt(4) == 1)
+      h.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(3) == b.get(2),
+            s"valid_to must chain to next valid_from: $a -> $b")
+          assert(a.getInt(4) == 0)
+        case _ => ()
+      }
+      // consecutive intervals always change the tracked attribute
+      h.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(1) != b.getString(1))
+        case _ => ()
+      }
+    }
+  }
+
+  test("scd2 runs in a single exchange on the business key") {
+    val plan = Warehouse.scd2(spark, sf0001).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 o_custkey exchange, plan:\n$plan")
+  }
+
+  test("retention: offset-0 cell equals cohort size; offsets non-negative") {
+    val rows = Warehouse.retention(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, cells) =>
+      val zero = cells.find(_._2 == 0L)
+      assert(zero.isDefined, "every cohort has a day-0 cell")
+      // day-0 activity is the cohort's defining day: no later cell
+      // can exceed it (retention never exceeds 100%)
+      assert(cells.forall(_._3 <= zero.get._3))
+    }
+  }
+
+  test("basket pairs are upper-triangular with positive exact lift") {
+    val rows = Warehouse.basketPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "brand1 < brand2 canonical form")
+      assert(r.getLong(2) > 0 && r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("outlier z² flags exactly the hand-computed 1.5-sigma points") {
+    // group of 11: ten 100.00s and one 1000.00 — the spike is far
+    // beyond 1.5σ of the group; the baseline points are well inside
+    val prices = Seq.fill(10)(100.0) :+ 1000.0
+    val cents = prices.map(p => math.round(p * 100))
+    val n = cents.size.toLong
+    val s = cents.sum
+    val q = cents.map(c => BigInt(c) * BigInt(c)).sum
+    def flagged(x: Long): Boolean = {
+      val lhs = BigInt(4) * BigInt(n * x - s).pow(2)
+      val rhs = BigInt(9) * (BigInt(n) * q - BigInt(s).pow(2))
+      lhs > rhs
+    }
+    assert(flagged(100000L), "the 1000.00 spike must flag")
+    assert(!flagged(10000L), "the 100.00 baseline must not flag")
+  }
+
+  test("outlier query broadcasts the moment table (no fact-side re-shuffle)") {
+    val plan = Warehouse.outlierZ(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+}
