@@ -20,6 +20,7 @@ object SparkEntry {
       pipeline.Views.queries ++
       pipeline.SilverJson.queries ++
       sources.AvroBronze.queries ++
+      sources.OrcLake.queries ++
       star.Joins.queries ++
       star.Salting.queries ++
       star.Windows.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       pipeline.Views.oracles ++
       pipeline.SilverJson.oracles ++
       sources.AvroBronze.oracles ++
+      sources.OrcLake.oracles ++
       star.Joins.oracles ++
       star.Salting.oracles ++
       star.Windows.oracles ++

@@ -135,9 +135,58 @@ object Cluster {
        |FROM comp c JOIN sz USING (cluster_id)
        |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
 
+  /** One damped PageRank power-iteration step (d = 0.85) from the
+    * uniform vector over the undirected candidate-pair graph — the
+    * centrality primitive for picking the CANONICAL document of a
+    * duplicate cluster (highest-rank member) instead of min-id. With
+    * r₀ = 1/N the update is
+    *   r₁(v) = 0.15/N + Σ_{u∈Γ(v)} 0.85/(N·deg(u)),
+    * reported in parts-per-billion. Cross-engine determinism: each
+    * per-edge term is ONE double division of exact integers (identical
+    * IEEE result in both engines), summed under the Det decimal
+    * discipline (order-free), then one multiply-free add — no
+    * transcendental, no accumulation-order dependence. Scale: one
+    * degree aggregate + one edge join + one per-node aggregate, all
+    * hash-partitioned on node id; N is a 1-row broadcast, nothing
+    * collects. A full PageRank is this step iterated (the r-vector
+    * replaces the uniform 1/N join side). */
+  def pagerankStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(
+      Dedup.candidatePairs(spark, dir).select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint() // cut the LSH lineage: edges feed 3 subplans
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("dg"))
+    val n = edges.agg(countDistinct($"src").as("nn"))
+    edges.join(deg, "src").crossJoin(broadcast(n))
+      .groupBy($"dst".as("doc_id"))
+      .agg(graft.Det.xsum(lit(8.5e8) / ($"nn" * $"dg")).as("inflow_ppb"),
+        first($"nn").as("n_nodes"))
+      .select($"doc_id",
+        ((lit(1.5e8) / $"n_nodes") + $"inflow_ppb").as("rank_ppb"))
+      .orderBy($"doc_id")
+  }
+
+  val pagerankStepSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(DISTINCT src) AS nn FROM edges)
+       |SELECT dst AS doc_id,
+       |  (150000000.0 / nn) + ${graft.Det.sqlSum("850000000.0 / (nn * dg)")}
+       |    AS rank_ppb
+       |FROM edges JOIN deg USING (src) CROSS JOIN n
+       |GROUP BY dst, nn${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> clusters)
+    "dedup_clusters" -> clusters,
+    "graph_pagerank_step" -> pagerankStep)
 
   val oracles: Map[String, String] = Map(
-    "dedup_clusters" -> clustersSql)
+    "dedup_clusters" -> clustersSql,
+    "graph_pagerank_step" -> pagerankStepSql)
 }

@@ -316,7 +316,53 @@ object Dedup {
        |HAVING COUNT(*) >= 2
        |ORDER BY c.doc_id NULLS FIRST, eval_doc NULLS FIRST""".stripMargin
 
+  /** Edit-distance verification of the LSH candidate pairs: exact
+    * Levenshtein over an ascii-normalized 80-char prefix of each
+    * document, with a length-normalized similarity. The shingle-set
+    * estimators (Jaccard, SimHash) miss small in-place edits that
+    * character-level distance catches — this is the precision backstop
+    * of the dedup funnel, and like [[ngramJaccard]] it is CANDIDATE-
+    * DRIVEN: the O(len²) DP runs only on LSH survivors, never all
+    * pairs. Normalization pins the text to [a-z0-9 ] so both engines
+    * measure the same code-point sequence (DuckDB's levenshtein and
+    * Spark's agree on ascii; multibyte handling is engine-specific).
+    * Scale: two co-partitioned joins on doc_id bring the prefixes to
+    * the pair rows; the DP cost is bounded by the fixed prefix. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = Tables(spark, dir, "documents").select($"doc_id",
+      substring(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), 1, 80)
+        .as("norm"))
+    candidatePairs(spark, dir).select($"d1", $"d2")
+      .join(norm.select($"doc_id".as("d1"), $"norm".as("n1")), "d1")
+      .join(norm.select($"doc_id".as("d2"), $"norm".as("n2")), "d2")
+      .select($"d1", $"d2", levenshtein($"n1", $"n2").as("editdist"),
+        (lit(1.0) - levenshtein($"n1", $"n2").cast("double") /
+          greatest(length($"n1"), length($"n2"), lit(1)).cast("double"))
+          .as("sim"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val editDistanceSql: String =
+    s"""WITH $sigSqlCte,
+       |$candSqlCte,
+       |norm AS (
+       |  SELECT doc_id,
+       |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 80)
+       |      AS norm
+       |  FROM documents
+       |)
+       |SELECT d1, d2,
+       |  CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS editdist,
+       |  1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE)
+       |      / CAST(GREATEST(length(a.norm), length(b.norm), 1) AS DOUBLE)
+       |    AS sim
+       |FROM cand
+       |JOIN norm a ON a.doc_id = d1
+       |JOIN norm b ON b.doc_id = d2${sqlOrderBy(Seq("d1", "d2"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_editdist" -> editDistance,
     "text_contamination" -> contamination,
     "dedup_exact" -> exact,
     "dedup_minhash_sig" -> minhashQuery,
@@ -325,6 +371,7 @@ object Dedup {
     "dedup_simhash" -> simhash)
 
   val oracles: Map[String, String] = Map(
+    "dedup_editdist" -> editDistanceSql,
     "text_contamination" -> contaminationSql,
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSqlQuery,

@@ -80,4 +80,26 @@ class ClusterSpec extends SparkSpec {
     // the LSH pair graph at sf0.001 has at least one multi-doc cluster
     assert(byCluster.values.exists(_.length > 1), "fixture has near-dup clusters")
   }
+
+  test("pagerank step conserves probability mass over the pair graph") {
+    // with r0 uniform, one damped step sums to exactly 1 over the graph
+    // nodes: Σ inflow = Σ_u deg(u)·0.85/(N·deg(u)) = 0.85, plus N·0.15/N
+    val rows = Cluster.pagerankStep(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1e9) < 1.0,
+      s"rank mass must be ~1e9 ppb (got $total)")
+  }
+
+  test("edit distance on candidate pairs: bounds and exact-dup zeros") {
+    val rows = Dedup.editDistance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d1, d2, dist, sim) =>
+      assert(d1 < d2 && dist >= 0 && sim >= 0.0 && sim <= 1.0)
+    }
+    // the fixture's near-dup pairs include byte-identical prefixes
+    assert(rows.exists(_._4 == 1.0), "some candidate pair is prefix-identical")
+  }
 }

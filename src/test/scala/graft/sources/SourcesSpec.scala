@@ -150,4 +150,19 @@ class SourcesSpec extends SparkSpec {
       .unionByName(spark.read.parquet(s"$dir/w2"), allowMissingColumns = true)
     assert(u.count() == 2 && u.columns.toSet == merged.columns.toSet)
   }
+
+  test("ORC lake query prunes to the matching returnflag partition") {
+    import graft.sources.OrcLake
+    val plan = OrcLake.orcAgg(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("l_returnflag"), plan)
+    // the pruned scan only ever sees the R partition's rows
+    val root = OrcLake.writeOrc(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    val flags = spark.read.format("orc").load(root)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_returnflag")).distinct().collect().map(_.getString(0)).toSeq
+    assert(flags == Seq("R"))
+  }
 }
