@@ -150,15 +150,44 @@ object Extended {
        |  p_type AS from_map
        |FROM part WHERE p_partkey % 20 = 0${sqlOrderBy(Seq("p_partkey"))}""".stripMargin
 
+  /** Schemaless JSON-path extraction (F-tier complement to the
+    * schema'd `from_json` silver path): `get_json_object` pulls one
+    * field out of a free-form JSON properties column — the "I just need
+    * this key" shape that dominates event analytics, where declaring a
+    * full schema per query is impractical. Map-only + one partial-agg
+    * exchange; at 100 TB the path extraction runs at scan speed and
+    * only \|event_type\| aggregate rows move. */
+  def jsonPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonPathSql: String =
+    s"""SELECT event_type,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  MIN(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+       |  MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+       |FROM events
+       |GROUP BY event_type${sqlOrderBy(Seq("event_type"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_udaf_weighted_rate" -> udafWeightedRate,
     "embed_value_histogram" -> embedHistogram,
     "func_dates" -> dateFunctions,
-    "func_strings" -> stringFunctions)
+    "func_strings" -> stringFunctions,
+    "func_json_path" -> jsonPath)
 
   val oracles: Map[String, String] = Map(
     "agg_udaf_weighted_rate" -> udafWeightedRateSql,
     "embed_value_histogram" -> embedHistogramSql,
     "func_dates" -> dateFunctionsSql,
-    "func_strings" -> stringFunctionsSql)
+    "func_strings" -> stringFunctionsSql,
+    "func_json_path" -> jsonPathSql)
 }
