@@ -208,15 +208,80 @@ object Warehouse {
        |WHERE 4 * (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
        |${sqlOrderBy(Seq("o_orderkey")).trim}""".stripMargin
 
+  /** Data-quality audit in long form (check_name, n_violations): the
+    * dbt-tests / Great-Expectations shape every warehouse runs before
+    * publishing a table. All single-table checks on a table share ONE
+    * scan (conditional aggregates, stacked to long form); referential
+    * integrity is a left-anti join whose output is only the violation
+    * COUNT — at 100 TB each check family is one pass and the result is
+    * |checks| rows. Violations are 0 on the clean harness data, which
+    * is itself the assertion: the oracle proves both engines count the
+    * same violations, the spec proves a seeded-dirty frame trips each
+    * check. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+    val ordersWide = o.agg(
+      sum($"o_orderpriority".isNull.cast("long")).as("orders_null_priority"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("orders_dup_key"),
+      sum((!$"o_orderstatus".isin("O", "F", "P")).cast("long"))
+        .as("orders_bad_status"),
+      sum(($"o_totalprice" <= 0).cast("long")).as("orders_negative_price"))
+      .selectExpr("stack(4, " +
+        "'orders_null_priority', orders_null_priority, " +
+        "'orders_dup_key', orders_dup_key, " +
+        "'orders_bad_status', orders_bad_status, " +
+        "'orders_negative_price', orders_negative_price) " +
+        "AS (check_name, n_violations)")
+    val orphanCust = o
+      .join(Tables(spark, dir, "customer"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_orphan_customer").as("check_name"), $"n_violations")
+    val orphanOrder = Tables(spark, dir, "lineitem")
+      .join(o, $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_orphan_order").as("check_name"), $"n_violations")
+    ordersWide.unionByName(orphanCust).unionByName(orphanOrder)
+      .orderBy($"check_name")
+  }
+
+  val dqChecksSql: String =
+    s"""SELECT check_name, n_violations FROM (
+       |  SELECT 'orders_null_priority' AS check_name,
+       |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_violations FROM orders
+       |  UNION ALL
+       |  SELECT 'orders_dup_key',
+       |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+       |  UNION ALL
+       |  SELECT 'orders_bad_status',
+       |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM orders
+       |  UNION ALL
+       |  SELECT 'orders_negative_price',
+       |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+       |  UNION ALL
+       |  SELECT 'orders_orphan_customer',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       |     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+       |  UNION ALL
+       |  SELECT 'lineitem_orphan_order',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+       |     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+       |)${sqlOrderBy(Seq("check_name"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> retention,
     "dim_scd2" -> scd2,
     "basket_brand_pairs" -> basketPairs,
-    "orders_outlier_z" -> outlierZ)
+    "orders_outlier_z" -> outlierZ,
+    "dq_checks" -> dqChecks)
 
   val oracles: Map[String, String] = Map(
     "events_retention" -> retentionSql,
     "dim_scd2" -> scd2Sql,
     "basket_brand_pairs" -> basketPairsSql,
-    "orders_outlier_z" -> outlierZSql)
+    "orders_outlier_z" -> outlierZSql,
+    "dq_checks" -> dqChecksSql)
 }

@@ -91,4 +91,34 @@ class WarehouseSpec extends SparkSpec {
     val plan = Warehouse.outlierZ(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
+
+  test("dq checks: clean data passes; seeded-dirty data trips every check") {
+    val clean = Warehouse.dqChecks(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.size == 6)
+    assert(clean.values.forall(_ == 0L), s"harness data must be clean: $clean")
+
+    // seeded-dirty star schema: one violation per check
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    Seq(
+      (1L, 1L, "O", 10.0, "P1"),
+      (1L, 1L, "O", 10.0, "P1"),   // duplicate key
+      (2L, 1L, "O", 10.0, null),   // null priority
+      (3L, 1L, "X", 10.0, "P1"),   // bad status
+      (4L, 1L, "O", -5.0, "P1"),   // negative price
+      (5L, 99L, "O", 10.0, "P1"))  // orphan customer
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "c1")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1), (999L, 1)).toDF("l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val dirty = Warehouse.dqChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dirty == Map(
+      "orders_null_priority" -> 1L, "orders_dup_key" -> 1L,
+      "orders_bad_status" -> 1L, "orders_negative_price" -> 1L,
+      "orders_orphan_customer" -> 1L, "lineitem_orphan_order" -> 1L), dirty)
+  }
 }
