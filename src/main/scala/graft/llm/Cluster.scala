@@ -182,11 +182,60 @@ object Cluster {
        |FROM edges JOIN deg USING (src) CROSS JOIN n
        |GROUP BY dst, nn${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Triangle census of the candidate-pair graph, per document: how
+    * many of a doc's neighbor pairs are themselves near-duplicates.
+    * High triangle density around a doc = a tight duplicate clique
+    * (template spam); low density = chain-like drift. The two-path +
+    * closing-edge join is the standard distributed formulation
+    * (edges ordered a<b<c so each triangle counts exactly once): work
+    * is Σ deg(v)² for the wedge join — bounded by the LSH band sizes —
+    * and the closure check is an equi-join against the (sorted) edge
+    * list, all hash-partitioned, nothing driver-side. */
+  /** Census core over an ordered edge list (d1 < d2 canonical form). */
+  private[llm] def triangleCensus(e0: DataFrame): DataFrame = {
+    val e = e0.toDF("d1", "d2")
+    // wedges a<b<c around center b: (a,b) and (b,c)
+    val wedges = e.select(col("d1").as("a"), col("d2").as("b"))
+      .join(e.select(col("d1").as("b"), col("d2").as("c")), "b")
+    val tri = wedges
+      .join(e.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+    // census per participating document (each triangle touches 3 docs)
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    triangleCensus(Dedup.candidatePairs(spark, dir).select($"d1", $"d2")
+      .localCheckpoint()) // 3 consumers; cut the LSH lineage
+  }
+
+  val trianglesSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |tri AS (
+       |  SELECT w1.d1 AS a, w1.d2 AS b, w2.d2 AS c
+       |  FROM cand w1
+       |  JOIN cand w2 ON w2.d1 = w1.d2
+       |  JOIN cand w3 ON w3.d1 = w1.d1 AND w3.d2 = w2.d2
+       |),
+       |m AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri
+       |)
+       |SELECT doc_id, COUNT(*) AS n_triangles
+       |FROM m GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> clusters,
-    "graph_pagerank_step" -> pagerankStep)
+    "graph_pagerank_step" -> pagerankStep,
+    "graph_triangles" -> triangles)
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
-    "graph_pagerank_step" -> pagerankStepSql)
+    "graph_pagerank_step" -> pagerankStepSql,
+    "graph_triangles" -> trianglesSql)
 }

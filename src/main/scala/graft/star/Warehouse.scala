@@ -271,17 +271,159 @@ object Warehouse {
        |     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
        |)${sqlOrderBy(Seq("check_name"))}""".stripMargin
 
+  /** First-order Markov transition matrix over the event stream: count
+    * (previous event type → event type) transitions within each user's
+    * time-ordered history, with the conditional probability as one
+    * exact-count ratio. The clickstream "what happens next" primitive.
+    * One shuffle on user_id for the lag window, then a tiny
+    * |types|² aggregate; the probability divides two exact longs in a
+    * single IEEE division (cross-engine stable). */
+  def pathMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTotals = trans.groupBy($"prev_type")
+      .agg(sum($"n_trans").as("n_from"))
+    trans.join(broadcast(fromTotals), "prev_type")
+      .select($"prev_type", $"next_type", $"n_trans",
+        ($"n_trans".cast(DoubleType) / $"n_from".cast(DoubleType)).as("p"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val pathMarkovSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |),
+       |trans AS (
+       |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+       |  FROM trans GROUP BY 1
+       |)
+       |SELECT prev_type, next_type, n_trans,
+       |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+       |FROM trans JOIN tot USING (prev_type)${sqlOrderBy(Seq("prev_type", "next_type"))}""".stripMargin
+
+  /** RFM segmentation: per customer recency (last order date),
+    * frequency (order count), monetary (decimal-exact spend), each
+    * quartiled by ntile(4) with a custkey tiebreak so bucket boundaries
+    * are total-order deterministic in both engines.
+    *
+    * Scale note (honest): ntile needs a GLOBAL sort per metric — fine
+    * at |customers| rows after the aggregate, but the 100 TB path
+    * replaces exact quartiles with approx_percentile cutoffs (mergeable
+    * sketch, no global sort) and a map-only bucket lookup; the sketch
+    * machinery is in `agg_approx_percentile`. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        graft.Det.xsum($"o_totalprice").as("monetary"))
+    base
+      .withColumn("r_score",
+        ntile(4).over(Window.orderBy($"last_order".desc, $"o_custkey")))
+      .withColumn("f_score",
+        ntile(4).over(Window.orderBy($"frequency".desc, $"o_custkey")))
+      .withColumn("m_score",
+        ntile(4).over(Window.orderBy($"monetary".desc, $"o_custkey")))
+      .select($"o_custkey", $"frequency", $"monetary",
+        $"r_score", $"f_score", $"m_score",
+        concat($"r_score", $"f_score", $"m_score").as("segment"))
+      .orderBy($"o_custkey")
+  }
+
+  val rfmSql: String =
+    s"""WITH base AS (
+       |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+       |    COUNT(*) AS frequency,
+       |    ${graft.Det.sqlSum("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT o_custkey, frequency, monetary,
+       |  CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r_score,
+       |  CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+       |  CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_score,
+       |  CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR)
+       |    || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+       |    || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS segment
+       |FROM base${sqlOrderBy(Seq("o_custkey"))}""".stripMargin
+
+  /** ABC (Pareto) classification of parts by revenue: class A covers
+    * the first 70% of cumulative revenue, B to 90%, C the tail. The
+    * cumulative share thresholds are decided in cleared-fraction
+    * decimal form (cum·100 ≤ total·70) — no per-row percentage division
+    * to drift. Same honest scale note as RFM: the running window is a
+    * global sort over |parts| aggregate rows; at 100 TB the Pareto cut
+    * is computed per category or from a quantile sketch of the revenue
+    * distribution. */
+  def abcParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(28, 5)
+    val rev = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast(dec))
+        .as("rev"))
+    val w = Window.orderBy($"rev".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum($"rev").over(w))
+      .withColumn("total", sum($"rev").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"l_partkey", $"rev".cast(DoubleType).as("revenue"),
+        when($"cum" * 100 <= $"total" * 70, "A")
+          .when($"cum" * 100 <= $"total" * 90, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy($"l_partkey")
+  }
+
+  val abcPartsSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_partkey,
+       |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,5))) AS rev
+       |  FROM lineitem GROUP BY 1
+       |),
+       |c AS (
+       |  SELECT l_partkey, rev,
+       |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(rev) OVER () AS total
+       |  FROM rev
+       |)
+       |SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+       |  CASE WHEN cum * 100 <= total * 70 THEN 'A'
+       |       WHEN cum * 100 <= total * 90 THEN 'B'
+       |       ELSE 'C' END AS abc_class
+       |FROM c${sqlOrderBy(Seq("l_partkey"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> retention,
     "dim_scd2" -> scd2,
     "basket_brand_pairs" -> basketPairs,
     "orders_outlier_z" -> outlierZ,
-    "dq_checks" -> dqChecks)
+    "dq_checks" -> dqChecks,
+    "events_path_markov" -> pathMarkov,
+    "customer_rfm" -> rfm,
+    "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
     "events_retention" -> retentionSql,
     "dim_scd2" -> scd2Sql,
     "basket_brand_pairs" -> basketPairsSql,
     "orders_outlier_z" -> outlierZSql,
-    "dq_checks" -> dqChecksSql)
+    "dq_checks" -> dqChecksSql,
+    "events_path_markov" -> pathMarkovSql,
+    "customer_rfm" -> rfmSql,
+    "parts_abc_pareto" -> abcPartsSql)
 }

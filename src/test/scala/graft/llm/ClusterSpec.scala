@@ -92,6 +92,18 @@ class ClusterSpec extends SparkSpec {
       s"rank mass must be ~1e9 ppb (got $total)")
   }
 
+  test("triangle census: K4 gives 3 per vertex, chains give none") {
+    // K4 on {1,2,3,4}: 4 triangles, each vertex in C(3,2) = 3
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+      .toDF("d1","d2")
+    val census = Cluster.triangleCensus(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a path graph has wedges but no closures
+    val chain = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("d1","d2")
+    assert(Cluster.triangleCensus(chain).collect().isEmpty)
+  }
+
   test("edit distance on candidate pairs: bounds and exact-dup zeros") {
     val rows = Dedup.editDistance(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
