@@ -21,6 +21,7 @@ object SparkEntry {
       pipeline.SilverJson.queries ++
       sources.AvroBronze.queries ++
       sources.OrcLake.queries ++
+      sources.v2.Synth.queries ++
       star.Joins.queries ++
       star.Salting.queries ++
       star.Windows.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       pipeline.SilverJson.oracles ++
       sources.AvroBronze.oracles ++
       sources.OrcLake.oracles ++
+      sources.v2.Synth.oracles ++
       star.Joins.oracles ++
       star.Salting.oracles ++
       star.Windows.oracles ++

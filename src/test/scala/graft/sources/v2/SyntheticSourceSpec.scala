@@ -1,0 +1,48 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector contract: generated content matches the reference
+  * row function, id-range filters prune the generated range at
+  * partition-planning time, and column pruning reaches the reader. */
+class SyntheticSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.v2.SyntheticProvider")
+      .option("rows", rows).option("parts", parts).load()
+
+  test("generated rows match the deterministic row function") {
+    val got = table(100, 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(got.length == 100)
+    got.foreach { case (id, v, l) =>
+      assert(v == SyntheticTable.valOf(id) && l == SyntheticTable.labelOf(id))
+    }
+  }
+
+  test("id-range filter prunes the scan range before partition planning") {
+    val q = table(200000, 8).filter($"id" >= 190000 && $"id" < 195000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[190000,195000)"), s"plan:\n$plan")
+    assert(q.count() == 5000)
+    // residual re-application: pushed filters stay in the plan above
+    // the scan, so an over-reading source could not corrupt results
+    assert(plan.contains("Filter"), s"plan:\n$plan")
+  }
+
+  test("column pruning reaches the reader") {
+    val q = table(1000, 2).select($"label")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=label]"), s"plan:\n$plan")
+    assert(q.distinct().count() == 7)
+  }
+
+  test("partition count follows the parts option over the pruned range") {
+    val q = table(1000, 5).filter($"id" >= 800)
+    // 200 remaining rows over 5 parts -> 5 partitions of 40
+    assert(q.rdd.getNumPartitions == 5)
+    assert(q.count() == 200)
+  }
+}
