@@ -30,6 +30,7 @@ object SparkEntry {
       star.Extended.queries ++
       star.EventWindows.queries ++
       star.Warehouse.queries ++
+      star.Calendar.queries ++
       llm.Dedup.queries ++
       llm.Cluster.queries ++
       llm.Search.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       star.Extended.oracles ++
       star.EventWindows.oracles ++
       star.Warehouse.oracles ++
+      star.Calendar.oracles ++
       llm.Dedup.oracles ++
       llm.Cluster.oracles ++
       llm.Search.oracles ++
