@@ -82,25 +82,44 @@ object Similarity {
   /** IVF two-stage ANN: (1) exact per-label centroids (decimal-exact
     * element means), (2) rank centroids vs the query, keep nprobe=2
     * labels, (3) exact cosine only within those labels, top-10. */
+  /** Exact per-label centroids — posexplode -> (label, pos) mean,
+    * re-assembled. Floor-scaled fixed point at scale 12 (not 14:
+    * per-(label,pos) sums grow with rows/label and the scaled long
+    * must stay < 2^53 for the exact double conversion). Same
+    * portable-IEEE rationale as decimal_dot — a decimal CAST of
+    * full-entropy doubles is not bit-stable across engines. Shared by
+    * IVF probing and PQ sub-codebooks (a slice of the mean IS the mean
+    * of the slice). */
+  private def centroids(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c0}
+    emb
+      .select(c0("label"), posexplode(c0("embedding")).as(Seq("pos", "x")))
+      .groupBy(c0("label"), c0("pos"))
+      .agg(((sum(floor(c0("x").cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
+      .groupBy(c0("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+  }
+
+  /** DuckDB twin of [[centroids]] as CTEs `cent` + `cvec`. */
+  private val centroidsSqlCtes: String =
+    s"""cent AS (
+       |  SELECT label, i,
+       |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
+       |      / COUNT(*) AS c
+       |  FROM embeddings, range(1, 65) t(i)
+       |  GROUP BY label, i
+       |),
+       |cvec AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label)""".stripMargin
+
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
-    // stage 1: centroids — posexplode -> (label, pos) mean, re-assembled
-    val cent = emb
-      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy($"label", $"pos")
-      // floor-scaled fixed point at scale 12 (not 14: per-(label,pos)
-      // sums grow with rows/label and the scaled long must stay < 2^53
-      // for the exact double conversion). Same portable-IEEE rationale
-      // as decimal_dot — a decimal CAST of full-entropy doubles is not
-      // bit-stable across engines.
-      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
-        .cast("double") / 1e12) / count(lit(1))).as("c"))
-      .groupBy($"label")
-      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
-        .as("centroid"))
+    val cent = centroids(emb)
     // stage 2: nprobe=2 nearest centroids
     val top2 = cent.crossJoin(broadcast(q))
       .selectExpr("label", s"${cosSpark("centroid", "qv")} AS ccos")
@@ -117,15 +136,7 @@ object Similarity {
 
   val ivfTopkSql: String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |cent AS (
-       |  SELECT label, i,
-       |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
-       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
-       |      / COUNT(*) AS c
-       |  FROM embeddings, range(1, 65) t(i)
-       |  GROUP BY label, i
-       |),
-       |cvec AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+       |$centroidsSqlCtes,
        |top2 AS (
        |  SELECT cvec.label
        |  FROM cvec, q
@@ -510,6 +521,65 @@ object Similarity {
        |ORDER BY n.assigned NULLS FIRST""".stripMargin
   }
 
+  /** DuckDB fixed-point dot over the 16-dim PQ slices ([[dotDuck]]
+    * with range(1, 17)). */
+  private def dotDuck16(x: String, y: String): String =
+    s"""(CAST(CAST(list_sum(list_transform(range(1, 17),
+       | i -> CAST(floor(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+       |   * 1e14 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e14)""".stripMargin.replace("\n", "")
+
+  /** Product-quantization encoding (IVF's storage-side companion: a
+    * 64-dim vector compresses to M=4 sub-codes): split each embedding
+    * into 4 subspaces of 16 dims, assign each slice to its nearest
+    * sub-codebook entry by exact L2² (argmin via d² = x·x − 2x·c + c·c
+    * over the fixed-point dots, label tiebreak). Sub-codebooks are the
+    * per-label centroid slices — a slice of the mean is the mean of
+    * the slice, so the codebook derivation is shared with IVF
+    * ([[centroids]]) and stays deterministic (no RNG k-means init).
+    * Scale: the codebook is tiny and broadcast; encoding is map-only
+    * per (vector × K × M) with 16-dim native dots; the argmin windows
+    * partition by vec_id — millions of 20-row windows, never global. */
+  def pqCode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val cand = centroids(emb).withColumnRenamed("label", "cand")
+    val scored = emb.crossJoin(broadcast(cand))
+      .select($"vec_id", $"cand", $"embedding", $"centroid",
+        explode(expr("array(0,1,2,3)")).as("sub"))
+      .selectExpr("vec_id", "cand", "sub",
+        "slice(embedding, 1 + 16*sub, 16) AS xs",
+        "slice(centroid, 1 + 16*sub, 16) AS cs")
+      .selectExpr("vec_id", "sub", "cand",
+        s"(${dotSpark("xs", "xs")} - 2 * ${dotSpark("xs", "cs")}" +
+          s" + ${dotSpark("cs", "cs")}) AS d2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id", $"sub").orderBy($"d2", $"cand")
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"sub".as("subspace"),
+        $"cand".as("code_label"), $"d2")
+      .orderBy($"vec_id", $"subspace")
+  }
+
+  val pqCodeSql: String =
+    s"""WITH $centroidsSqlCtes,
+       |pairs AS (
+       |  SELECT e.vec_id, s.sub, cvec.label AS cand,
+       |    e.embedding[(1+16*s.sub):(16+16*s.sub)] AS xs,
+       |    cvec.centroid[(1+16*s.sub):(16+16*s.sub)] AS cs
+       |  FROM embeddings e, (SELECT unnest(range(4)) AS sub) s, cvec
+       |),
+       |scored AS (
+       |  SELECT vec_id, sub, cand,
+       |    (${dotDuck16("xs", "xs")} - 2 * ${dotDuck16("xs", "cs")}
+       |     + ${dotDuck16("cs", "cs")}) AS d2
+       |  FROM pairs
+       |)
+       |SELECT vec_id, CAST(sub AS INTEGER) AS subspace, cand AS code_label, d2
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) = 1
+       |ORDER BY vec_id NULLS FIRST, subspace NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
@@ -517,6 +587,7 @@ object Similarity {
     "embed_ivf_topk" -> ivfTopk,
     "embed_neardup_pairs" -> neardupPairs,
     "embed_srp_neardup" -> srpNeardup,
+    "embed_pq_code" -> pqCode,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
@@ -526,5 +597,6 @@ object Similarity {
     "embed_ivf_topk" -> ivfTopkSql,
     "embed_neardup_pairs" -> neardupPairsSql,
     "embed_srp_neardup" -> srpNeardupSql,
+    "embed_pq_code" -> pqCodeSql,
     "embed_quantize" -> quantizeSql)
 }

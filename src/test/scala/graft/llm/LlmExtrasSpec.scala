@@ -76,4 +76,21 @@ class LlmExtrasSpec extends SparkSpec {
     assert(kept > 0 && kept <= rawDocs, s"kept=$kept raw=$rawDocs")
     assert(ws > 0 && ws <= rawWs, s"ws=$ws raw=$rawWs")
   }
+
+  test("PQ encoding: one code per (vector, subspace), non-negative d2") {
+    import spark.implicits._
+    val rows = Similarity.pqCode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Number](2).longValue(), r.getDouble(3)))
+    val nVecs = graft.Tables(spark, sf0001, "embeddings").count()
+    assert(rows.length == nVecs * 4, "M=4 sub-codes per vector")
+    rows.groupBy(_._1).foreach { case (_, subs) =>
+      assert(subs.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3))
+    }
+    // exact-arithmetic L2^2 can round to a hair below zero only if the
+    // slice equals the centroid slice; otherwise strictly positive
+    assert(rows.forall(_._4 >= -1e-12))
+    // the codebook is actually used: more than one distinct code label
+    assert(rows.map(_._3).distinct.length > 1)
+  }
 }
