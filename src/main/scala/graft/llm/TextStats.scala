@@ -645,7 +645,49 @@ object TextStats {
        |                 '$phoneRx', '<PHONE>', 'g') AS scrubbed
        |FROM r${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** RAG-ingestion chunking: split each document into overlapping
+    * token windows (W=50, stride S=25), the retrieval-index unit every
+    * embedding pipeline feeds on. Chunk count = 1 + max(0,
+    * ceil((n-W)/S)) so every doc yields at least one chunk and the
+    * last window may run short; `slice` clamps identically in both
+    * engines. Map-only explode — chunk rows ∝ corpus tokens / S, no
+    * shuffle before the output sort; at 100 TB this runs at scan speed
+    * and feeds the embedding stage per-partition. */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 50
+    val S = 25
+    Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0),
+          greatest(lit(0), floor((size($"toks") - W + (S - 1)).cast("double") / S)
+            .cast("int")))).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        expr(s"slice(toks, 1 + chunk_id * $S, $W)").as("ctoks"))
+      .select($"doc_id", $"chunk_id",
+        size($"ctoks").as("n_tokens"),
+        array_join($"ctoks", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, 1 + GREATEST(CAST(0 AS BIGINT),
+       |      CAST(floor(CAST(len(toks) - 50 + 24 AS DOUBLE) / 25) AS BIGINT)))) AS chunk_id
+       |  FROM tok
+       |)
+       |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       |  CAST(len(toks[(1 + chunk_id * 25):(chunk_id * 25 + 50)]) AS INTEGER) AS n_tokens,
+       |  array_to_string(toks[(1 + chunk_id * 25):(chunk_id * 25 + 50)], ' ') AS chunk_text
+       |FROM c${sqlOrderBy(Seq("doc_id", "chunk_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chunk" -> chunk,
     "corpus_split" -> corpusSplit,
     "corpus_pack" -> corpusPack,
     "corpus_sample_mix" -> sampleMix,
@@ -662,6 +704,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "corpus_chunk" -> chunkSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_pack" -> corpusPackSql,
     "corpus_sample_mix" -> sampleMixSql,

@@ -77,6 +77,27 @@ class LlmExtrasSpec extends SparkSpec {
     assert(ws > 0 && ws <= rawWs, s"ws=$ws raw=$rawWs")
   }
 
+  test("chunking covers every token: contiguous ids, last chunk ends at n") {
+    import spark.implicits._
+    val chunks = TextStats.chunk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nToks = graft.Tables(spark, sf0001, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val ids = cs.map(_._2).sorted
+      assert(ids.toSeq == (0 until cs.length), s"doc $doc ids not contiguous")
+      // stride 25: chunk i starts at i*25; its window must reach the
+      // document end on the LAST chunk exactly
+      val n = nToks(doc)
+      val endOfLast = cs.map(c => c._2 * 25 + c._3).max
+      assert(endOfLast == n, s"doc $doc: last chunk ends $endOfLast of $n")
+      // every non-final chunk is the full 50-token window
+      cs.filter(_._2 < ids.last).foreach(c => assert(c._3 == 50))
+    }
+  }
+
   test("PQ encoding: one code per (vector, subspace), non-negative d2") {
     import spark.implicits._
     val rows = Similarity.pqCode(spark, sf0001).collect()
