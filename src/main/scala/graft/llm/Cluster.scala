@@ -229,13 +229,75 @@ object Cluster {
        |SELECT doc_id, COUNT(*) AS n_triangles
        |FROM m GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Dedup-aware negative sampling for contrastive training: each
+    * anchor doc draws k=2 pseudo-random negatives by salted hash
+    * (deterministic — re-runs, retries, and cluster resizes sample the
+    * SAME negatives, no RNG seed to version), then REJECTS any draw
+    * that is the anchor itself or its near-duplicate (anti-join
+    * against the symmetric LSH pair graph — a near-dup labeled
+    * "negative" is a poisoned training pair). 3 draws per anchor
+    * absorb rejections; survivors rank by draw order. Scale: draws are
+    * map-only over a 1-row doc-count broadcast; the rejection is one
+    * anti-join keyed on (anchor, candidate); nothing driver-side. */
+  def negatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").select($"doc_id")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val sym = bothDirs(Dedup.candidatePairs(spark, dir)
+      .select($"d1".as("src"), $"d2".as("dst")))
+      .select($"src".as("a"), $"dst".as("b"))
+    val draws = docs.crossJoin(broadcast(n))
+      .select($"doc_id", $"n_docs",
+        explode(expr("array(0, 1, 2)")).as("try"))
+      .withColumn("neg_id", expr(
+        "cast(conv(substr(md5(cast(concat(doc_id, ':', try) as binary)), 1, 8), 16, 10) as bigint) % n_docs"))
+      .filter($"neg_id" =!= $"doc_id")
+      .join(sym, $"doc_id" === $"a" && $"neg_id" === $"b", "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"try")
+    draws.withColumn("neg_rank", row_number().over(w))
+      .filter($"neg_rank" <= 2)
+      .select($"doc_id", $"neg_rank", $"neg_id")
+      .orderBy($"doc_id", $"neg_rank")
+  }
+
+  val negativesSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |sym AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |draws AS (
+       |  SELECT doc_id, t.try,
+       |    CAST('0x' || substr(md5(doc_id || ':' || t.try), 1, 8) AS BIGINT)
+       |      % n_docs AS neg_id
+       |  FROM documents, (SELECT unnest(range(3)) AS try) t, n
+       |),
+       |ok AS (
+       |  SELECT doc_id, try, neg_id FROM draws
+       |  WHERE neg_id <> doc_id
+       |    AND NOT EXISTS (SELECT 1 FROM sym WHERE a = doc_id AND b = neg_id)
+       |)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY try) AS INTEGER)
+       |    AS neg_rank,
+       |  neg_id
+       |FROM ok
+       |QUALIFY neg_rank <= 2
+       |${sqlOrderBy(Seq("doc_id", "neg_rank")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> clusters,
     "graph_pagerank_step" -> pagerankStep,
-    "graph_triangles" -> triangles)
+    "graph_triangles" -> triangles,
+    "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
     "graph_pagerank_step" -> pagerankStepSql,
-    "graph_triangles" -> trianglesSql)
+    "graph_triangles" -> trianglesSql,
+    "corpus_negatives" -> negativesSql)
 }

@@ -104,6 +104,26 @@ class ClusterSpec extends SparkSpec {
     assert(Cluster.triangleCensus(chain).collect().isEmpty)
   }
 
+  test("negative sampling: no anchors, no near-dups, deterministic") {
+    import spark.implicits._
+    val rows = Cluster.negatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val pairs = Dedup.candidatePairs(spark, sf0001).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    rows.foreach { case (doc, rank, neg) =>
+      assert(neg != doc, s"doc $doc drew itself")
+      assert(!pairs((doc, neg)), s"doc $doc drew near-dup $neg")
+      assert(rank == 1 || rank == 2)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 2) }
+    // re-run: the salted-hash draw is a pure function of ids
+    val again = Cluster.negatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("edit distance on candidate pairs: bounds and exact-dup zeros") {
     val rows = Dedup.editDistance(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
