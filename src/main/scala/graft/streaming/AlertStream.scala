@@ -73,12 +73,15 @@ object AlertStream {
     * `withTtl = true` (production) runs the processing-time clock so
     * idle users' baselines expire after 4h; the default `TimeMode.None`
     * keeps batch-deterministic tests finite. */
-  def spikes(ds: Dataset[UserActivity], withTtl: Boolean = false): Dataset[Alert] = {
+  def spikes(ds: Dataset[UserActivity], withTtl: Boolean = false,
+      mode: OutputMode = OutputMode.Update()): Dataset[Alert] = {
     implicit val outEnc = Encoders.product[Alert]
+    // alerts are emit-once facts (never retracted), so Append — needed
+    // by recoverable file sinks (AlertRestartSpec) — is equally valid
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new SpikeProcessor,
         if (withTtl) TimeMode.ProcessingTime() else TimeMode.None(),
-        OutputMode.Update())
+        mode)
   }
 
   val outputMode: OutputMode = OutputMode.Update()
