@@ -77,6 +77,21 @@ class LlmExtrasSpec extends SparkSpec {
     assert(ws > 0 && ws <= rawWs, s"ws=$ws raw=$rawWs")
   }
 
+  test("simhash banding finds exactly the brute-force hamming<=1 pairs") {
+    val fp = Dedup.simhashCore(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("simhash16"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (d1, h1) <- fp; (d2, h2) <- fp if d1 < d2
+      if java.lang.Long.bitCount(h1 ^ h2) <= 1
+    } yield (d1, d2)).toSet
+    val banded = Dedup.simhashPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, "pigeonhole banding must be exact-complete")
+    assert(brute.nonEmpty, "fixture should contain close fingerprints")
+  }
+
   test("chunking covers every token: contiguous ids, last chunk ends at n") {
     import spark.implicits._
     val chunks = TextStats.chunk(spark, sf0001).collect()
