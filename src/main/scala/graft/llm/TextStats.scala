@@ -686,7 +686,69 @@ object TextStats {
        |  array_to_string(toks[(1 + chunk_id * 25):(chunk_id * 25 + 50)], ' ') AS chunk_text
        |FROM c${sqlOrderBy(Seq("doc_id", "chunk_id"))}""".stripMargin
 
+  /** Corpus-LM fluency score: the average bigram transition probability
+    * P(w2|w1) of a document under the corpus's own first-order language
+    * model — the classic cheap perplexity proxy for quality filtering
+    * (gibberish and shuffled text score near zero; template text scores
+    * high) WITHOUT transcendentals: probabilities are exact-count
+    * ratios c(w1,w2)/c(w1·) in one IEEE division each, decimal-summed
+    * per doc, one final division — cross-engine exact, log-free.
+    * A support floor (count >= 3) bounds the model dictionary; bigrams
+    * below it count as unknown (reported separately), so rare-token
+    * noise doesn't masquerade as fluency. Scale: model counts
+    * partial-agg map-side to the dictionary size; the doc-side join is
+    * keyed on the bigram string, and the model is broadcastable after
+    * the floor at any corpus size with a bounded vocabulary. */
+  def fluency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bigrams(df: DataFrame): DataFrame = df
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bg"))
+    val bg = bigrams(Tables(spark, dir, "documents"))
+    val model = bg.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+      .filter($"c_bg" >= 3)
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+    val left = model.groupBy($"w1").agg(sum($"c_bg").as("c_left"))
+    val probs = model.join(left, "w1")
+      .select($"bg", ($"c_bg".cast("double") / $"c_left".cast("double")).as("p"))
+    bg.join(probs, Seq("bg"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count($"p").as("n_known"),
+        (graft.Det.xsum($"p") / nullif(count($"p"), lit(0)).cast("double"))
+          .as("fluency"))
+      .orderBy($"doc_id")
+  }
+
+  val fluencySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, len(t) - 1),
+       |      i -> t[i+1] || ' ' || t[i+2])) AS bg
+       |  FROM tok WHERE len(t) >= 2
+       |),
+       |model AS (
+       |  SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg HAVING COUNT(*) >= 3
+       |),
+       |m2 AS (SELECT bg, c_bg, split_part(bg, ' ', 1) AS w1 FROM model),
+       |lf AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_left FROM m2 GROUP BY w1),
+       |probs AS (
+       |  SELECT bg, CAST(c_bg AS DOUBLE) / CAST(c_left AS DOUBLE) AS p
+       |  FROM m2 JOIN lf USING (w1)
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(p) AS n_known,
+       |  ${graft.Det.sqlSum("p")} / CAST(NULLIF(COUNT(p), 0) AS DOUBLE) AS fluency
+       |FROM bg LEFT JOIN probs USING (bg)
+       |GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fluency" -> fluency,
     "corpus_chunk" -> chunk,
     "corpus_split" -> corpusSplit,
     "corpus_pack" -> corpusPack,
@@ -704,6 +766,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "text_fluency" -> fluencySql,
     "corpus_chunk" -> chunkSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_pack" -> corpusPackSql,

@@ -77,6 +77,25 @@ class LlmExtrasSpec extends SparkSpec {
     assert(ws > 0 && ws <= rawWs, s"ws=$ws raw=$rawWs")
   }
 
+  test("fluency: template text outscores shuffled text under the corpus LM") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fluency").toString
+    val pattern = Seq.fill(8)("a b c d").mkString(" ")   // bigrams repeat
+    val shuffled = "d b a c " * 8                        // same words, broken order
+    ((0L until 10L).map(i => (i, pattern)) :+ (10L, shuffled.trim))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextStats.fluency(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toMap
+    val (knownP, fluP) = rows(0L)
+    val (_, fluS) = rows(10L)
+    assert(knownP > 0 && fluP > 0.5, s"pattern doc should be fluent: $fluP")
+    // the scrambled doc's transitions carry a small share of each
+    // left-word's mass (10 pattern docs dominate the model), so its
+    // average transition probability must sit far below the pattern's
+    assert(fluS < fluP - 0.3, s"shuffled fluency=$fluS vs pattern=$fluP")
+  }
+
   test("simhash banding finds exactly the brute-force hamming<=1 pairs") {
     val fp = Dedup.simhashCore(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("doc_id"),
