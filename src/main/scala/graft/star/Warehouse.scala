@@ -407,6 +407,87 @@ object Warehouse {
        |       ELSE 'C' END AS abc_class
        |FROM c${sqlOrderBy(Seq("l_partkey"))}""".stripMargin
 
+  /** Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    * days, via the classic row_number difference — day − row_number()
+    * is constant exactly within a consecutive run, so one shuffle on
+    * user_id turns streak detection into a plain groupBy. Output: one
+    * row per streak of length ≥ 2. The idiom time-gap sessionization
+    * (`events_sessionize`) cannot express: islands are defined on the
+    * integer day grid, not on event spacing. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("d"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    days
+      .withColumn("grp", expr("date_sub(d, row_number() over " +
+        "(partition by user_id order by d))"))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"d").as("streak_start"), max($"d").as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .filter($"streak_days" >= 2)
+      .select($"user_id", $"streak_start", $"streak_end", $"streak_days")
+      .orderBy($"user_id", $"streak_start")
+  }
+
+  val streaksSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+       |  FROM events WHERE event_type = 'purchase'
+       |),
+       |g AS (
+       |  SELECT user_id, d,
+       |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+       |      AS grp
+       |  FROM days
+       |)
+       |SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+       |  COUNT(*) AS streak_days
+       |FROM g GROUP BY user_id, grp
+       |HAVING COUNT(*) >= 2${sqlOrderBy(Seq("user_id", "streak_start"))}""".stripMargin
+
+  /** Keyed interval-overlap join: same-customer pairs of an URGENT and
+    * a LOW order whose 7-day fulfillment windows overlap, with the
+    * exact overlap length. The half-open overlap predicate
+    * (a.start < b.end AND b.start < a.end) composes with the customer
+    * equi-key, so the join co-partitions on o_custkey and the interval
+    * comparison runs only within a customer's orders — the keyed
+    * interval join at scale; the KEYLESS case is what
+    * [[graft.plans.BandedRangeJoinRule]] handles by bucketing. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def windowed(prio: String) = Tables(spark, dir, "orders")
+      .filter($"o_orderpriority" === prio)
+      .select($"o_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("s"), date_add(to_date($"o_orderdate"), 7).as("e"))
+    val a = windowed("1-URGENT")
+      .select($"o_custkey", $"o_orderkey".as("urgent_key"), $"s".as("a_s"), $"e".as("a_e"))
+    val b = windowed("5-LOW")
+      .select($"o_custkey", $"o_orderkey".as("low_key"), $"s".as("b_s"), $"e".as("b_e"))
+    a.join(b, Seq("o_custkey"))
+      .filter($"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .select($"o_custkey", $"urgent_key", $"low_key",
+        datediff(least($"a_e", $"b_e"), greatest($"a_s", $"b_s")).as("overlap_days"))
+      .orderBy($"o_custkey", $"urgent_key", $"low_key")
+  }
+
+  val intervalOverlapSql: String =
+    s"""WITH w AS (
+       |  SELECT o_custkey, o_orderkey, o_orderpriority,
+       |    CAST(o_orderdate AS DATE) AS s,
+       |    CAST(o_orderdate AS DATE) + 7 AS e
+       |  FROM orders
+       |)
+       |SELECT a.o_custkey, a.o_orderkey AS urgent_key, b.o_orderkey AS low_key,
+       |  CAST(date_diff('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) AS INTEGER)
+       |    AS overlap_days
+       |FROM w a JOIN w b
+       |  ON a.o_custkey = b.o_custkey AND a.s < b.e AND b.s < a.e
+       |WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '5-LOW'
+       |${sqlOrderBy(Seq("a.o_custkey", "urgent_key", "low_key")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> retention,
     "dim_scd2" -> scd2,
@@ -415,6 +496,8 @@ object Warehouse {
     "dq_checks" -> dqChecks,
     "events_path_markov" -> pathMarkov,
     "customer_rfm" -> rfm,
+    "events_streaks" -> streaks,
+    "join_interval_overlap" -> intervalOverlap,
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
@@ -425,5 +508,7 @@ object Warehouse {
     "dq_checks" -> dqChecksSql,
     "events_path_markov" -> pathMarkovSql,
     "customer_rfm" -> rfmSql,
+    "events_streaks" -> streaksSql,
+    "join_interval_overlap" -> intervalOverlapSql,
     "parts_abc_pareto" -> abcPartsSql)
 }

@@ -92,6 +92,30 @@ class WarehouseSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("streaks are maximal consecutive runs: no adjacent islands, len matches span") {
+    val rows = Warehouse.streaks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate, r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, s, e, n) =>
+      assert(java.time.temporal.ChronoUnit.DAYS.between(s, e) == n - 1,
+        "streak length must equal its day span")
+    }
+    rows.groupBy(_._1).foreach { case (_, st) =>
+      st.sortBy(_._2.toEpochDay).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.toEpochDay > a._3.toEpochDay + 1,
+            s"adjacent islands must be separated by a gap: $a then $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("interval overlap: every pair genuinely overlaps with positive length") {
+    val rows = Warehouse.intervalOverlap(spark, sf0001).collect()
+    assert(rows.forall(_.getInt(3) > 0), "half-open overlap must be >= 1 day")
+    assert(rows.forall(r => r.getInt(3) <= 7), "7-day windows cap the overlap")
+  }
+
   test("dq checks: clean data passes; seeded-dirty data trips every check") {
     val clean = Warehouse.dqChecks(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
