@@ -407,6 +407,43 @@ object Warehouse {
        |       ELSE 'C' END AS abc_class
        |FROM c${sqlOrderBy(Seq("l_partkey"))}""".stripMargin
 
+  /** Sweep-line census: how many orders are OPEN (within their 7-day
+    * fulfillment window) on each date the count changes. Intervals
+    * become +1/−1 delta events at their endpoints; a running sum over
+    * the sorted change points yields the concurrency curve — the
+    * interval-census idiom that replaces an interval×day join (|orders|
+    * × |days| rows) with |2·orders| deltas collapsing to |distinct
+    * dates| change points before the one running window. That window
+    * is bounded by the DATE RANGE, not data volume, at any scale. */
+  def backlog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders").select(to_date($"o_orderdate").as("s"))
+    val deltas = o.select($"s".as("d"), lit(1L).as("delta"))
+      .unionByName(o.select(date_add($"s", 7).as("d"), lit(-1L).as("delta")))
+      .groupBy($"d").agg(sum($"delta").as("net"))
+    val w = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open_orders", sum($"net").over(w))
+      .select($"d", $"net", $"open_orders")
+      .orderBy($"d")
+  }
+
+  val backlogSql: String =
+    s"""WITH deltas AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+       |  UNION ALL
+       |  SELECT CAST(o_orderdate AS DATE) + 7, -1 FROM orders
+       |),
+       |net AS (
+       |  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+       |)
+       |SELECT d, net,
+       |  CAST(SUM(net) OVER (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS open_orders
+       |FROM net${sqlOrderBy(Seq("d"))}""".stripMargin
+
   /** Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
     * days, via the classic row_number difference — day − row_number()
     * is constant exactly within a consecutive run, so one shuffle on
@@ -498,6 +535,7 @@ object Warehouse {
     "customer_rfm" -> rfm,
     "events_streaks" -> streaks,
     "join_interval_overlap" -> intervalOverlap,
+    "orders_backlog" -> backlog,
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
@@ -510,5 +548,6 @@ object Warehouse {
     "customer_rfm" -> rfmSql,
     "events_streaks" -> streaksSql,
     "join_interval_overlap" -> intervalOverlapSql,
+    "orders_backlog" -> backlogSql,
     "parts_abc_pareto" -> abcPartsSql)
 }

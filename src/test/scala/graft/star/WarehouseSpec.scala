@@ -116,6 +116,17 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(3) <= 7), "7-day windows cap the overlap")
   }
 
+  test("backlog sweep-line: non-negative, peaks above zero, closes at zero") {
+    val rows = Warehouse.backlog(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0), "an interval census can never go negative")
+    assert(rows.map(_._3).max > 0)
+    // every +1 has a matching -1 seven days later: the curve ends closed
+    assert(rows.last._3 == 0, s"final open count must be 0, got ${rows.last}")
+    assert(rows.map(_._2).sum == 0, "deltas must cancel")
+  }
+
   test("dq checks: clean data passes; seeded-dirty data trips every check") {
     val clean = Warehouse.dqChecks(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
