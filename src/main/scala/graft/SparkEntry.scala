@@ -32,6 +32,7 @@ object SparkEntry {
       star.Warehouse.queries ++
       star.Calendar.queries ++
       llm.Dedup.queries ++
+      llm.Curate.queries ++
       llm.Cluster.queries ++
       llm.Search.queries ++
       llm.TextStats.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       star.Warehouse.oracles ++
       star.Calendar.oracles ++
       llm.Dedup.oracles ++
+      llm.Curate.oracles ++
       llm.Cluster.oracles ++
       llm.Search.oracles ++
       llm.TextStats.oracles ++

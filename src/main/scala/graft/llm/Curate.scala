@@ -1,0 +1,245 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Corpus-curation operators, batch 2 (round 3): the selection /
+  * tokenizer-prep steps a web-scale pretraining pipeline runs after
+  * dedup and quality scoring.
+  *
+  *  - [[sourceCap]]    — per-domain document caps (crawl head-domain
+  *                       suppression) as a two-stage distributed top-N.
+  *  - [[qualityBuckets]] — CCNet-style head/middle/tail terciles per
+  *                       language over a deterministic quality proxy.
+  *  - [[bpePairs]]     — one BPE-training merge iteration (top adjacent
+  *                       symbol pairs) computed over the word-frequency
+  *                       dictionary, so cost is vocab-bounded.
+  *  - [[spanCover]]    — cross-document duplicated 8-gram span coverage
+  *                       (the exact-substring dedup signal of Lee et al.
+  *                       2022, "Deduplicating Training Data Makes
+  *                       Language Models Better").
+  *
+  * Shared discipline (Det.scala): integer/decimal arithmetic everywhere
+  * except single exactly-rounded IEEE divisions, salted md5 for any
+  * sampling decision, and a DuckDB oracle written as an independent
+  * single-stage formulation so the distributed decomposition is proved,
+  * not assumed.
+  */
+object Curate {
+
+  /** Max documents kept per source ([[sourceCap]]). */
+  private val Cap = 15
+  /** Sub-bucket fan-out for the local pre-rank stage. */
+  private val SubBuckets = 8
+
+  /** Per-source document cap — the "no single domain dominates the
+    * corpus" rule every crawl-derived dataset applies. Keeps the Cap
+    * lowest-hash documents of each source, hash = md5("cap:" || doc_id)
+    * (salted, content-independent: stable under re-crawls and
+    * re-partitioning, uncorrelated with [[TextStats.corpusSplit]]'s and
+    * [[TextStats.sampleMix]]'s salts).
+    *
+    * Scale posture: a naive `row_number() OVER (PARTITION BY source)`
+    * sends every document of a hot domain to ONE task — the classic
+    * skew pathology (a head domain in a crawl can be 1% of the corpus).
+    * Stage 1 ranks within (source, hash-sub-bucket) and keeps only Cap
+    * per sub-bucket, shrinking any domain to <= SubBuckets*Cap rows;
+    * stage 2 ranks those survivors exactly. Any global top-Cap row is
+    * top-Cap within its sub-bucket, so the pre-filter drops no winner —
+    * the DuckDB oracle's single-stage rank proves it. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("u",
+        expr("cast(conv(substr(md5(cast(concat('cap:', cast(doc_id AS STRING)) as binary)), 1, 8), 16, 10) as bigint)"))
+    val local = docs
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy($"source", pmod($"u", lit(SubBuckets)))
+          .orderBy($"u", $"doc_id")))
+      .filter($"lrk" <= Cap)
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"u", $"doc_id")))
+      .filter($"rk" <= Cap)
+      .select($"source", $"rk", $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
+  val sourceCapSql: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      AS u
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS INTEGER)
+       |      AS rk
+       |  FROM h
+       |)
+       |SELECT source, rk, doc_id FROM r WHERE rk <= $Cap
+       |${sqlOrderBy(Seq("source", "rk")).trim}""".stripMargin
+
+  /** CCNet-style quality terciles: within each language, rank documents
+    * by a deterministic quality proxy (type-token ratio — both engines
+    * compute the identical IEEE double from the same two integers) and
+    * cut into head/middle/tail with ntile(3). CCNet keeps "head",
+    * retrains on "middle", drops "tail"; the bucket label is the
+    * routing key. Ties broken by doc_id so the tercile assignment is a
+    * pure function of the corpus. One shuffle on lang; per-language
+    * ntile needs a per-partition sort — at 100 TB replace the global
+    * per-lang sort with the same bucketed pre-rank as [[sourceCap]] or
+    * an approx-quantile cut; here |docs per lang| is window-safe. */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
+        expr("size(split(text, ' '))").as("n_words"))
+      .withColumn("ttr", $"n_distinct" / $"n_words".cast("double"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy($"lang").orderBy($"ttr".desc, $"doc_id")))
+      .select($"doc_id", $"lang", $"ttr", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |  n_distinct / CAST(n_words AS DOUBLE) AS ttr,
+       |  CAST(ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY n_distinct / CAST(n_words AS DOUBLE) DESC, doc_id) AS INTEGER)
+       |    AS bucket
+       |FROM t${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  /** One merge iteration of BPE tokenizer training: the 20 most frequent
+    * adjacent character pairs across the corpus, weighted by word
+    * frequency. The trick that makes BPE trainable at 100 TB: collapse
+    * the corpus to its word-frequency DICTIONARY first (a map-side-
+    * combined groupBy — |vocab| rows out, Zipf-bounded regardless of
+    * corpus size), then explode character pairs only over vocab entries.
+    * Pair counting is |vocab| x avg_word_len work, independent of corpus
+    * row count; each further merge iteration re-runs over the (tiny)
+    * dictionary only. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("c_w"))
+    vocab
+      .select($"c_w", explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substr(w, i + 1, 2))"))
+        .as("pair"))
+      .groupBy($"pair")
+      .agg(sum($"c_w").as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH vocab AS (
+       |  SELECT w, COUNT(*) AS c_w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) >= 2 GROUP BY w
+       |),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(0, length(w) - 1),
+       |    i -> substr(w, CAST(i + 1 AS INTEGER), 2))) AS pair, c_w
+       |  FROM vocab
+       |)
+       |SELECT pair, CAST(SUM(c_w) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** Cross-document duplicated-span coverage — the exact-substring dedup
+    * signal (Lee et al. 2022): for every document, how much of it is
+    * covered by an 8-token window that appears verbatim in at least one
+    * OTHER document. Pipeline: 8-gram shingles with start positions →
+    * shingles present in >= 2 distinct docs (the duplicate set) →
+    * candidate-driven join back to positions → per-doc union of the
+    * covered [i, i+7] intervals (counted exactly by exploding each
+    * window to its 8 token slots and distinct-counting).
+    *
+    * Scale posture: the shingle groupBy shuffles |tokens| rows (same
+    * class as the minhash signature build, Dedup.scala); everything
+    * after is proportional to DUPLICATED spans only, which curation
+    * assumes is the small minority. No all-pairs comparison anywhere.
+    * Spans shorter than 8 tokens never match (both engines emit zero
+    * shingles for <8-token docs — the <3-token sequence() hazard from
+    * ADVICE.md round 2 doesn't arise because of the size filter). */
+  def spanCover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 8)
+      .select($"doc_id", size($"t").as("n_tok"), $"t")
+    val sh = toks.select($"doc_id", $"n_tok", explode(expr(
+      "transform(sequence(0, size(t) - 8), i -> named_struct('i', i, 'sh', concat_ws(' ', slice(t, i + 1, 8))))"))
+      .as("s"))
+      .select($"doc_id", $"n_tok", $"s.i".as("i"), $"s.sh".as("sh"))
+    val dup = sh.groupBy($"sh")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"sh")
+    sh.join(dup, "sh")
+      .select($"doc_id", $"n_tok", $"i",
+        explode(expr("sequence(i, i + 7)")).as("p"))
+      .groupBy($"doc_id")
+      .agg(
+        first($"n_tok").as("n_tok"),
+        countDistinct(when($"p" === $"i", $"i")).as("n_dup_spans"),
+        countDistinct($"p").as("n_covered"),
+        (countDistinct($"p") / first($"n_tok").cast("double"))
+          .as("dup_fraction"))
+      .orderBy($"doc_id")
+  }
+
+  val spanCoverSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8
+       |),
+       |sh AS (
+       |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tok,
+       |    unnest(list_transform(range(0, len(t) - 7),
+       |      i -> struct_pack(i := CAST(i AS INTEGER),
+       |                       sh := array_to_string(list_slice(t, i + 1, i + 8), ' '))))
+       |      AS s
+       |  FROM toks
+       |),
+       |flat AS (SELECT doc_id, n_tok, s.i AS i, s.sh AS sh FROM sh),
+       |dup AS (
+       |  SELECT sh FROM flat GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+       |),
+       |cov AS (
+       |  SELECT doc_id, n_tok, i, unnest(range(i, i + 8)) AS p
+       |  FROM flat JOIN dup USING (sh)
+       |)
+       |SELECT doc_id, ANY_VALUE(n_tok) AS n_tok,
+       |  CAST(COUNT(DISTINCT CASE WHEN p = i THEN i END) AS BIGINT) AS n_dup_spans,
+       |  CAST(COUNT(DISTINCT p) AS BIGINT) AS n_covered,
+       |  COUNT(DISTINCT p) / CAST(ANY_VALUE(n_tok) AS DOUBLE) AS dup_fraction
+       |FROM cov GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_cap" -> sourceCap,
+    "corpus_quality_buckets" -> qualityBuckets,
+    "text_bpe_pairs" -> bpePairs,
+    "dedup_span_cover" -> spanCover)
+
+  val oracles: Map[String, String] = Map(
+    "corpus_source_cap" -> sourceCapSql,
+    "corpus_quality_buckets" -> qualityBucketsSql,
+    "text_bpe_pairs" -> bpePairsSql,
+    "dedup_span_cover" -> spanCoverSql)
+}
