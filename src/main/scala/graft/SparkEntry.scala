@@ -31,6 +31,7 @@ object SparkEntry {
       star.EventWindows.queries ++
       star.Warehouse.queries ++
       star.Calendar.queries ++
+      star.SqlFeatures.queries ++
       llm.Dedup.queries ++
       llm.Curate.queries ++
       llm.Cluster.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       star.EventWindows.oracles ++
       star.Warehouse.oracles ++
       star.Calendar.oracles ++
+      star.SqlFeatures.oracles ++
       llm.Dedup.oracles ++
       llm.Curate.oracles ++
       llm.Cluster.oracles ++

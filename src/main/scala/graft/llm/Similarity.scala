@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Det.sqlOrderBy
@@ -580,7 +581,56 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) = 1
        |ORDER BY vec_id NULLS FIRST, subspace NULLS FIRST""".stripMargin
 
+  /** k-NN graph build (k=3) within label buckets — the batch companion
+    * to [[ivfTopk]]: ANN indexes (HNSW, disk-IVF) and graph-based dedup
+    * both start from "every vector's k nearest neighbours". Buckets
+    * bound the candidate set exactly like [[neardupPairs]] (Σ|bucket|²
+    * dots, never |corpus|²; at 100 TB the bucket key is the IVF cell so
+    * each task scores one cell against itself). No threshold exists to
+    * prefilter with, so every in-bucket pair pays the exact fixed-point
+    * dot; ranking and output use the same exact cosine (ranking by a
+    * fast double and re-scoring survivors could disagree with the
+    * oracle's exact ordering near ties). Ties broken by neighbour id. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val a = emb.select($"vec_id".as("v1"), $"label", $"embedding".as("e1"),
+      $"nrm".as("n1"))
+    val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
+      $"embedding".as("e2"), $"nrm".as("n2"))
+    a.join(b, $"label" === $"label_b" && $"v1" =!= $"v2")
+      .selectExpr("v1", "label", "v2",
+        s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"v1").orderBy($"cosine".desc, $"v2")))
+      .filter($"rank" <= 3)
+      .select($"v1", $"rank", $"v2", $"label", $"cosine")
+      .orderBy($"v1", $"rank")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, a.label, b.vec_id AS v2,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm)) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |)
+       |SELECT v1, CAST(rank AS INTEGER) AS rank, v2, label, cosine FROM (
+       |  SELECT p.*, row_number() OVER (PARTITION BY v1
+       |    ORDER BY cosine DESC, v2) AS rank
+       |  FROM p
+       |) WHERE rank <= 3
+       |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_knn_graph" -> knnGraph,
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
     "embed_cosine_topk" -> cosineTopk,
@@ -591,6 +641,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_knn_graph" -> knnGraphSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
     "embed_cosine_topk" -> cosineTopkSql,

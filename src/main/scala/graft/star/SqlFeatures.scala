@@ -1,0 +1,123 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Advanced SQL surface (round 3): features a reference user migrating
+  * real warehouse SQL would reach for next — recursive CTEs (Spark 4's
+  * `WITH RECURSIVE`), correlated LATERAL subqueries, and calendar-
+  * interval RANGE window frames. Each is stated as SQL because that IS
+  * the feature under test; the DuckDB oracle runs the same text modulo
+  * dialect (`DIV` vs `//`, explicit NULLS FIRST).
+  *
+  * Scale posture:
+  *  - [[recursiveClosure]]: the recursion frontier stays |docs| rows and
+  *    the depth is log2(max id) iterations — each step is an ordinary
+  *    distributed self-join+union, so a 1000-executor cluster runs ~13
+  *    bounded rounds for 100 TB, never a driver-side loop.
+  *  - [[lateralTopn]]: Catalyst rewrites the correlated LATERAL LIMIT
+  *    into a ranked window over the join — same physical shape as the
+  *    explicit row_number top-N, proving the sugar costs nothing.
+  *  - [[rangeInterval]]: the interval frame runs over the PRE-AGGREGATED
+  *    daily grid (bounded at |event types| x |days|), not raw events —
+  *    the only formulation that survives unbounded event volume.
+  */
+object SqlFeatures {
+
+  private def view(spark: SparkSession, dir: String, t: String): Unit =
+    Tables(spark, dir, t).createOrReplaceTempView(t)
+
+  /** Recursive CTE: tree-depth census over the implicit binary-heap
+    * hierarchy parent(n) = n DIV 2 derived from doc ids — the org-chart
+    * / BOM-closure query shape, with a deterministic synthetic
+    * hierarchy so the answer is a pure function of the corpus. */
+  def recursiveClosure(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "documents")
+    spark.sql(
+      """WITH RECURSIVE walk(start_id, cur, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION ALL
+        |  SELECT start_id, cur DIV 2, depth + 1 FROM walk WHERE cur > 0
+        |)
+        |SELECT tree_depth, COUNT(*) AS n_docs FROM (
+        |  SELECT start_id, MAX(depth) AS tree_depth FROM walk GROUP BY start_id
+        |) GROUP BY tree_depth ORDER BY tree_depth""".stripMargin)
+  }
+
+  val recursiveClosureSql: String =
+    """WITH RECURSIVE walk(start_id, cur, depth) AS (
+      |  SELECT doc_id, doc_id, 0 FROM documents
+      |  UNION ALL
+      |  SELECT start_id, cur // 2, depth + 1 FROM walk WHERE cur > 0
+      |)
+      |SELECT tree_depth, COUNT(*) AS n_docs FROM (
+      |  SELECT start_id, MAX(depth) AS tree_depth FROM walk GROUP BY start_id
+      |) GROUP BY tree_depth ORDER BY tree_depth NULLS FIRST""".stripMargin
+
+  /** Correlated LATERAL subquery with LIMIT: top-2 customers by account
+    * balance per nation, written the way an analyst writes it. */
+  def lateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "nation"); view(spark, dir, "customer")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
+  val lateralTopnSql: String =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name NULLS FIRST, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
+  /** Calendar-interval RANGE frame: trailing-7-day revenue per event
+    * type over the daily grid (a RANGE frame sees a window defined by
+    * VALUE distance, so date gaps shrink the frame — unlike the ROWS
+    * moving averages in Windows.scala). Daily revenue is decimal-exact
+    * at scale 5, so re-summing it in the frame stays exact. */
+  def rangeInterval(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,5))) AS DOUBLE) AS rev
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, d, n, rev,
+        |  CAST(SUM(CAST(rev AS DECIMAL(28,5))) OVER (
+        |    PARTITION BY event_type ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rev_7d
+        |FROM daily ORDER BY event_type, d""".stripMargin)
+  }
+
+  val rangeIntervalSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,5))) AS DOUBLE) AS rev
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, d, n, rev,
+      |  CAST(SUM(CAST(rev AS DECIMAL(28,5))) OVER (
+      |    PARTITION BY event_type ORDER BY d
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS rev_7d
+      |FROM daily ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_closure" -> recursiveClosure,
+    "sql_lateral_topn" -> lateralTopn,
+    "window_range_interval" -> rangeInterval)
+
+  val oracles: Map[String, String] = Map(
+    "sql_recursive_closure" -> recursiveClosureSql,
+    "sql_lateral_topn" -> lateralTopnSql,
+    "window_range_interval" -> rangeIntervalSql)
+}
