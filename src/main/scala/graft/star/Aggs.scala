@@ -237,7 +237,81 @@ object Aggs {
       .orderBy($"l_returnflag")
   }
 
+  /** CUBE with an explicit grouping_id: the bit vector that tells a
+    * report which dimensions a row aggregates over — the disambiguator
+    * between "NULL because the dimension is rolled up" and "NULL because
+    * the data is NULL". Spark's grouping_id(a,b) and DuckDB's
+    * GROUPING(a,b) define the same MSB-first bit order; the hash gate
+    * proves it. */
+  def groupingId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        Det.xsum($"o_totalprice").as("revenue"))
+      .select($"o_orderstatus", $"o_orderpriority", $"gid", $"n_orders",
+        $"revenue")
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val groupingIdSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |${sqlOrderBy(Seq("gid", "o_orderstatus", "o_orderpriority")).trim}""".stripMargin
+
+  /** Native SQL UNPIVOT (wide metrics → long form) — the inverse of
+    * [[pivotCarriers]]. Map-only (each input row emits one row per
+    * metric; no shuffle beyond the feeding aggregate). The DuckDB
+    * oracle uses its own UNPIVOT clause — two independent dialects,
+    * same relational semantics. */
+  def unpivotNative(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_up")
+    spark.sql(
+      s"""SELECT o_orderstatus, metric, v FROM (
+         |  SELECT o_orderstatus,
+         |    COUNT(*) AS n_orders,
+         |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+         |  FROM orders_up GROUP BY o_orderstatus
+         |) UNPIVOT (v FOR metric IN (n_orders, n_custs))
+         |ORDER BY o_orderstatus, metric""".stripMargin)
+  }
+
+  val unpivotNativeSql: String =
+    s"""SELECT o_orderstatus, metric, v FROM (
+       |  SELECT o_orderstatus,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+       |  FROM orders GROUP BY 1
+       |) UNPIVOT (v FOR metric IN (n_orders, n_custs))
+       |${sqlOrderBy(Seq("o_orderstatus", "metric")).trim}""".stripMargin
+
+  /** Persisted-sketch distinct counting: per-month DataSketches HLL
+    * sketches of the customer set, union-merged to quarters — the
+    * incremental-pipeline pattern at 100 TB (store a sketch per
+    * partition; re-aggregation is a cheap sketch union, never a rescan
+    * of raw keys). No DuckDB oracle — DataSketches estimates are
+    * engine-specific — so the registry records rows-only and
+    * `ApproxSpec` bounds the estimate against the exact count. */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_hll")
+    spark.sql(
+      s"""WITH s AS (
+         |  SELECT month(o_orderdate) AS m, hll_sketch_agg(o_custkey) AS sk
+         |  FROM orders_hll GROUP BY 1
+         |)
+         |SELECT CAST((m - 1) DIV 3 AS INT) AS quarter,
+         |  hll_sketch_estimate(hll_union_agg(sk)) AS est_custs
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_id" -> groupingId,
+    "agg_unpivot" -> unpivotNative,
+    "agg_hll_merge" -> hllMerge,
     "agg_percentile_disc" -> percentileDisc,
     "agg_approx_percentile" -> approxPercentile,
     "agg_pivot" -> pivotCarriers,
@@ -250,6 +324,8 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_id" -> groupingIdSql,
+    "agg_unpivot" -> unpivotNativeSql,
     "agg_percentile_disc" -> percentileDiscSql,
     "agg_pivot" -> pivotCarriersSql,
     "agg_rollup" -> rollupSql,

@@ -263,7 +263,42 @@ object Joins {
       .orderBy($"event_id")
   }
 
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — required when a nullable dimension ("unknown"
+    * bucket) must still pair up across two aggregates instead of
+    * silently dropping. Spark plans `<=>` as an ordinary hash join
+    * (EqualNullSafe is a valid equi-join key, hashed like any value),
+    * so the scale story is identical to [[innerAgg]] — no nested loop.
+    * The nullable key is derived (NULLIF of a low-cardinality status)
+    * because the harness tables are null-free. */
+  def nullSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+    val a = orders
+      .groupBy(expr("NULLIF(o_orderstatus, 'P')").as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val b = orders
+      .groupBy(expr("NULLIF(o_orderstatus, 'P')").as("k"))
+      .agg(countDistinct($"o_custkey").cast("long").as("n_custs"))
+      .select($"k".as("kb"), $"n_custs")
+    a.join(b, $"k" <=> $"kb")
+      .select($"k", $"n_orders", $"n_custs")
+      .orderBy($"k")
+  }
+
+  val nullSafeSql: String =
+    s"""SELECT a.k, a.n_orders, b.n_custs FROM
+       |  (SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n_orders
+       |   FROM orders GROUP BY 1) a
+       |JOIN
+       |  (SELECT NULLIF(o_orderstatus, 'P') AS k,
+       |     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+       |   FROM orders GROUP BY 1) b
+       |ON a.k IS NOT DISTINCT FROM b.k
+       |${sqlOrderBy(Seq("a.k")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> nullSafe,
     "join_asof_native" -> asofNative,
     "join_inner_agg" -> innerAgg,
     "join_broadcast_dim" -> broadcastDim,
@@ -276,6 +311,7 @@ object Joins {
     "join_asof" -> asof)
 
   val oracles: Map[String, String] = Map(
+    "join_null_safe" -> nullSafeSql,
     "join_asof_native" -> asofSql,
     "join_inner_agg" -> innerAggSql,
     "join_broadcast_dim" -> broadcastDimSql,

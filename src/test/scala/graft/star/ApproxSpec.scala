@@ -28,6 +28,26 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch merge: quarterly estimate within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark; import spark2.implicits._
+    // DataSketches HLL at default lgConfigK=12 has rsd ~1.04/sqrt(2^12)
+    // ~1.6%; 3 sigma ~5%. The union-merged estimate must bound the
+    // EXACT quarterly distinct count computed from raw keys.
+    val exact = graft.Tables(spark, sf0001, "orders")
+      .groupBy(expr("CAST((month(o_orderdate) - 1) DIV 3 AS INT)").as("quarter"))
+      .agg(countDistinct($"o_custkey").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val est = Aggs.hllMerge(spark, sf0001).collect()
+    assert(est.length == exact.size)
+    est.foreach { r =>
+      val (q, e) = (r.getInt(0), exact(r.getInt(0)))
+      val a = r.getLong(1)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"quarter $q: hll=$a exact=$e")
+    }
+  }
+
   test("approx_count_distinct within 15% of exact per group") {
     val exact = Aggs.countDistinct2(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
