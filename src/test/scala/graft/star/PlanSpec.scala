@@ -113,4 +113,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // The 100 TB row-level runtime filter: a selective predicate on the
+    // build side makes Catalyst inject bloom_filter_agg + might_contain
+    // on the probe side, pruning shuffle input at the scan. Raw scans
+    // here because Tables' harness-only fan-out repartition sits between
+    // scan and join and blocks the injection pattern — at scale that
+    // branch adds NO node (scan parallelism >= cores), so production
+    // plans look exactly like this one. Thresholds are lowered only
+    // because local test files are far below the 10 MB/10 GB defaults.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val pt = spark.read.parquet(s"$sf0001/part.parquet")
+        .filter($"p_size" === 1)
+      val j = li.join(pt, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_size").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
