@@ -20,6 +20,7 @@ object SparkEntry {
       pipeline.Views.queries ++
       pipeline.SilverJson.queries ++
       sources.AvroBronze.queries ++
+      sources.JsonLake.queries ++
       sources.OrcLake.queries ++
       sources.v2.Synth.queries ++
       star.Joins.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       pipeline.Views.oracles ++
       pipeline.SilverJson.oracles ++
       sources.AvroBronze.oracles ++
+      sources.JsonLake.oracles ++
       sources.OrcLake.oracles ++
       sources.v2.Synth.oracles ++
       star.Joins.oracles ++

@@ -207,4 +207,30 @@ class SourcesSpec extends SparkSpec {
       .select(col("l_returnflag")).distinct().collect().map(_.getString(0)).toSeq
     assert(flags == Seq("R"))
   }
+
+  test("PERMISSIVE JSONL ingest quarantines exactly the truncated lines") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.JsonLake
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val expectedCorrupt = docs.filter(expr("doc_id % 7 = 0")).count()
+    val audit = JsonLake.corruptAudit(spark, sf0001).collect()
+    val nullRow = audit.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "missing the quarantine (NULL-lang) row")
+    assert(nullRow.head.getLong(2) == expectedCorrupt)
+    assert(audit.map(_.getLong(1)).sum == docs.count())
+    // parsed rows carry no corrupt payload; quarantined rows carry raw text
+    val root = JsonLake.writeLake(spark, sf0001)
+    // corrupt-record-only projections over raw JSON are disallowed
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, per Spark docs
+    val raw = spark.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(root)
+      .cache()
+    try
+      assert(raw.filter(col("_corrupt_record").isNotNull)
+        .filter(!col("_corrupt_record").startsWith("{\"doc_id\":")).count() == 0)
+    finally raw.unpersist()
+  }
 }
