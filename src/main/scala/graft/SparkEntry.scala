@@ -33,6 +33,7 @@ object SparkEntry {
       star.Warehouse.queries ++
       star.Calendar.queries ++
       star.SqlFeatures.queries ++
+      star.ZOrder.queries ++
       llm.Dedup.queries ++
       llm.Curate.queries ++
       llm.Cluster.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       star.Warehouse.oracles ++
       star.Calendar.oracles ++
       star.SqlFeatures.oracles ++
+      star.ZOrder.oracles ++
       llm.Dedup.oracles ++
       llm.Curate.oracles ++
       llm.Cluster.oracles ++
