@@ -38,4 +38,18 @@ object StreamJoin {
         col("purchase_id"), col("click_ts"), col("purchase_ts"),
         col("purchase_value"))
   }
+
+  /** Stream-static dimension enrichment — the most common production
+    * streaming join: each micro-batch hash-joins against a BATCH
+    * dimension frame. Stateless by construction (the static side is
+    * re-planned per batch, so no stream state accumulates, and a small
+    * dimension broadcasts), which is why it needs no watermark — the
+    * scale contrast to [[clickToPurchase]]'s stateful two-sided join.
+    * Left join: an event whose dimension row is missing must flow
+    * through (with NULLs) rather than silently drop. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      broadcast(dim.select(col("user_id").as("d_user"), col("segment"))),
+      events("user_id") === col("d_user"), "left")
+      .drop("d_user")
 }

@@ -86,4 +86,31 @@ class StreamJoinSpec extends SparkSpec {
     val plan = joined.queryExecution.logical.toString
     assert("EventTimeWatermark".r.findAllIn(plan).length == 2, plan)
   }
+
+  test("stream-static enrichment joins each batch, keeps dim-less events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[ClickEvt]
+    val dim = Seq((1L, "gold"), (2L, "silver"))
+      .toDF("user_id", "segment")
+    val enriched = StreamJoin.enrichWithDim(events.toDF(), dim)
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_mem").outputMode("append").start()
+    try {
+      events.addData(
+        ClickEvt(1L, 300L, t("2024-01-01 00:00:00")),
+        ClickEvt(9L, 301L, t("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      events.addData(ClickEvt(2L, 302L, t("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_mem")
+        .select($"event_id", $"segment")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set(
+        (300L, Some("gold")), (301L, None), (302L, Some("silver"))))
+      // stateless: no streaming state operator in the executed plan
+      val lp = enriched.queryExecution.logical.toString
+      assert(!lp.contains("EventTimeWatermark"), lp)
+    } finally q.stop()
+  }
 }
