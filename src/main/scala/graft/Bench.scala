@@ -21,6 +21,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, default 100 generated classes: a 120+-query
+      // registry × several codegen stages each thrashes it completely,
+      // so pass 2 re-pays Janino for EVERY query and min-of-2 never
+      // sees steady state (measured: dedup_clusters 19.7s both passes
+      // vs 4.6s in-session steady). Size it to hold the whole registry.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

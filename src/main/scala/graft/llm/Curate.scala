@@ -179,14 +179,16 @@ object Curate {
     * ADVICE.md round 2 doesn't arise because of the size filter). */
   def spanCover(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.PosShingles.register(spark)
     val toks = Tables(spark, dir, "documents")
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8)
       .select($"doc_id", size($"t").as("n_tok"), $"t")
-    val sh = toks.select($"doc_id", $"n_tok", explode(expr(
-      "transform(sequence(0, size(t) - 8), i -> named_struct('i', i, 'sh', concat_ws(' ', slice(t, i + 1, 8))))"))
-      .as("s"))
-      .select($"doc_id", $"n_tok", $"s.i".as("i"), $"s.sh".as("sh"))
+    // native generator (functions/PosShingles): rows stream out lazily,
+    // no per-doc shingle array materialization — vs the explode(
+    // transform(sequence…)) chain; equality proven in PosShinglesSpec
+    val sh = toks.selectExpr("doc_id", "n_tok",
+      "pos_shingles(t, 8, ' ') AS (i, sh)")
     val dup = sh.groupBy($"sh")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)

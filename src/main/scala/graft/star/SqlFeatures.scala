@@ -111,13 +111,51 @@ object SqlFeatures {
       |    AS rev_7d
       |FROM daily ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    * quantity falls below 0.3× the average for their part — a per-row
+    * subquery in the WHERE clause. Catalyst decorrelates it into one
+    * aggregate-then-join (proved by the plan: a single Aggregate on
+    * l_partkey feeding a hash join — never a per-row re-scan), so the
+    * cost at 100 TB is one partial-aggregated shuffle, same as writing
+    * the join by hand. The quantity comparison is exact: avg is
+    * decimal-summed then divided once as doubles (Det discipline) in
+    * both engines. */
+  def correlatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(
+      """SELECT l_partkey, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE) AS small_qty
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.3 * (
+        |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE)
+        |         / COUNT(l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey
+        |HAVING COUNT(*) >= 3
+        |ORDER BY l_partkey""".stripMargin)
+  }
+
+  val correlatedScalarSql: String =
+    """SELECT l_partkey, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE) AS small_qty
+      |FROM lineitem l1
+      |WHERE l_quantity < 0.3 * (
+      |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE)
+      |         / COUNT(l_quantity)
+      |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY l_partkey
+      |HAVING COUNT(*) >= 3
+      |ORDER BY l_partkey NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_recursive_closure" -> recursiveClosure,
     "sql_lateral_topn" -> lateralTopn,
+    "sql_correlated_scalar" -> correlatedScalar,
     "window_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
     "sql_recursive_closure" -> recursiveClosureSql,
     "sql_lateral_topn" -> lateralTopnSql,
+    "sql_correlated_scalar" -> correlatedScalarSql,
     "window_range_interval" -> rangeIntervalSql)
 }

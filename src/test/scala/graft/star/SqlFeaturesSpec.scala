@@ -38,6 +38,16 @@ class SqlFeaturesSpec extends SparkSpec {
     assert(lateral.nonEmpty && lateral == ranked)
   }
 
+  test("correlated scalar subquery decorrelates to one aggregate + join") {
+    val p = SqlFeatures.correlatedScalar(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("subquery"), // no per-row re-execution
+      p.linesIterator.filter(_.toLowerCase.contains("subquery")).mkString("\n"))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
   test("interval frame: trailing sum dominates the day and resets on gaps") {
     val rows = SqlFeatures.rangeInterval(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
