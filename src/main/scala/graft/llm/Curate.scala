@@ -233,15 +233,83 @@ object Curate {
        |  COUNT(DISTINCT p) / CAST(ANY_VALUE(n_tok) AS DOUBLE) AS dup_fraction
        |FROM cov GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), unigram ratio
+    * form: score each document by how target-like its token
+    * distribution is, weight(doc) = mean over tokens of
+    * p_target(w) / p_source(w), with the English subset standing in as
+    * the target distribution. DSIR proper uses hashed n-gram features
+    * and log-ratios; the ratio mean keeps the SAME ordering signal
+    * while staying in Det's deterministic-double discipline (each
+    * probability is one exact-count IEEE division; no transcendental
+    * functions, which differ in the last ulp across engines — the same
+    * reason PMI and fluency are stated in ratio form).
+    *
+    * Scale posture: two vocab-bounded groupBys (map-side combined) for
+    * the source/target unigram models, corpus totals via a 1-row
+    * broadcast (the tfidf pattern, never a driver collect), then one
+    * |tokens|-row join against the broadcast-able vocab table and a
+    * per-doc aggregate. Tokens unseen in the target contribute ratio 0
+    * — at 100 TB add hashing (feature buckets) exactly like DSIR to cap
+    * vocab memory; the plumbing is identical. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+    val totals = toks.agg(
+      count(lit(1)).as("n_src"),
+      count(when($"lang" === "en", 1)).as("n_tgt"))
+    val src = toks.groupBy($"w").agg(count(lit(1)).as("c_s"))
+    val tgt = toks.filter($"lang" === "en")
+      .groupBy($"w").agg(count(lit(1)).as("c_t"))
+    val ratio = src.join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"w",
+        ((coalesce($"c_t", lit(0L)).cast("double") / $"n_tgt".cast("double")) /
+          ($"c_s".cast("double") / $"n_src".cast("double"))).as("r"))
+    toks.join(ratio, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        (graft.Det.xsum($"r") / count(lit(1)).cast("double"))
+          .as("dsir_weight"))
+      .orderBy($"doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |),
+       |totals AS (
+       |  SELECT COUNT(*) AS n_src,
+       |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_tgt
+       |  FROM toks
+       |),
+       |src AS (SELECT w, COUNT(*) AS c_s FROM toks GROUP BY w),
+       |tgt AS (SELECT w, COUNT(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY w),
+       |ratio AS (
+       |  SELECT w,
+       |    (CAST(COALESCE(c_t, 0) AS DOUBLE) / CAST(n_tgt AS DOUBLE))
+       |      / (CAST(c_s AS DOUBLE) / CAST(n_src AS DOUBLE)) AS r
+       |  FROM src LEFT JOIN tgt USING (w), totals
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tok,
+       |  ${graft.Det.sqlSum("r")} / CAST(COUNT(*) AS DOUBLE) AS dsir_weight
+       |FROM toks JOIN ratio USING (w)
+       |GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_source_cap" -> sourceCap,
     "corpus_quality_buckets" -> qualityBuckets,
     "text_bpe_pairs" -> bpePairs,
+    "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
     "corpus_source_cap" -> sourceCapSql,
     "corpus_quality_buckets" -> qualityBucketsSql,
     "text_bpe_pairs" -> bpePairsSql,
+    "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql)
 }

@@ -61,6 +61,22 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights: target-language docs score above the others") {
+    import spark.implicits._
+    val w = Curate.dsirWeights(spark, sf0001)
+      .join(graft.Tables(spark, sf0001, "documents").select($"doc_id", $"lang"),
+        "doc_id")
+      .collect().map(r => (r.getString(3), r.getDouble(2)))
+    val (en, rest) = w.partition(_._1 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enAvg = en.map(_._2).sum / en.length
+    val restAvg = rest.map(_._2).sum / rest.length
+    assert(enAvg > restAvg,
+      f"importance inverted: en=$enAvg%.3f rest=$restAvg%.3f")
+    // weights are non-negative and finite
+    assert(w.forall { case (_, x) => x >= 0 && !x.isNaN && !x.isInfinite })
+  }
+
   test("span cover: coverage bounded by spans and doc length") {
     val rows = Curate.spanCover(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
