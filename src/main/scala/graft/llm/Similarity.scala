@@ -629,7 +629,28 @@ object Similarity {
        |) WHERE rank <= 3
        |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
 
+  /** ANN quality eval as a first-class operator: recall@10 of the IVF
+    * probe against the brute-force exact top-10 — the number an ANN
+    * deployment monitors when retuning nprobe/K. Both rankings are
+    * deterministic (exact fixed-point cosines, id tiebreaks), so recall
+    * is a constant of the corpus and the DuckDB oracle recomputes it
+    * from first principles. At 100 TB this runs on a sampled query set;
+    * the join cost is |k|×|queries|. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = cosineTopk(spark, dir).select($"vec_id")
+    val ivf = ivfTopk(spark, dir).select($"vec_id".as("v_id"))
+    brute.join(ivf, $"vec_id" === $"v_id")
+      .agg((count(lit(1)) / lit(10).cast("double")).as("recall_at_10"))
+  }
+
+  val ivfRecallSql: String =
+    s"""SELECT COUNT(*) / CAST(10 AS DOUBLE) AS recall_at_10
+       |FROM ($cosineTopkSql) b
+       |JOIN ($ivfTopkSql) v ON b.vec_id = v.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_ivf_recall" -> ivfRecall,
     "embed_knn_graph" -> knnGraph,
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
@@ -641,6 +662,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_ivf_recall" -> ivfRecallSql,
     "embed_knn_graph" -> knnGraphSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
