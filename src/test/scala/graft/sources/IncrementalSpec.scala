@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialization contract: first run builds everything,
+  * an unchanged source rewrites nothing, a one-partition change
+  * recomputes exactly that partition (other partitions' files
+  * untouched on disk), and the incremental result always equals a
+  * from-scratch rebuild. */
+class IncrementalSpec extends SparkSpec {
+
+  private val partCol = "ym"
+
+  private def derive(src: DataFrame): DataFrame =
+    src.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.xsum(col("o_totalprice")).as("revenue"))
+
+  private def withFixture(f: (String, String) => Unit): Unit = {
+    val work = Files.createTempDirectory("inc_spec").toFile.getAbsolutePath
+    val srcPath = s"$work/source"
+    val outPath = s"$work/gold"
+    graft.Tables(spark, sf0001, "orders")
+      .withColumn(partCol, date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.parquet(srcPath)
+    f(srcPath, outPath)
+  }
+
+  private def readSrc(p: String) = spark.read.parquet(p)
+
+  test("build, no-op, targeted refresh, and rebuild equality") {
+    withFixture { (srcPath, outPath) =>
+      // 1. initial build touches every partition
+      val first = Incremental.refresh(spark, readSrc(srcPath), partCol,
+        derive, outPath)
+      val nParts = readSrc(srcPath).select(partCol).distinct().count()
+      assert(first.size == nParts && nParts > 10)
+
+      // 2. unchanged source: zero stale partitions, files untouched
+      def partFiles() = new java.io.File(outPath).listFiles()
+        .filter(_.getName.startsWith(s"$partCol="))
+        .map(d => d.getName -> d.listFiles().map(f =>
+          (f.getName, f.lastModified())).toSet).toMap
+      val before = partFiles()
+      assert(Incremental.refresh(spark, readSrc(srcPath), partCol,
+        derive, outPath).isEmpty)
+      assert(partFiles() == before)
+
+      // 3. append one row to ONE month (full schema: clone an existing
+      // row with a fresh key) — only that partition must refresh
+      val target = "1995-03"
+      readSrc(srcPath).filter(col(partCol) === target).limit(1)
+        .withColumn("o_orderkey", lit(99999L))
+        .write.mode("append").parquet(srcPath)
+      val third = Incremental.refresh(spark, readSrc(srcPath), partCol,
+        derive, outPath)
+      assert(third == Seq(target), s"stale set was $third")
+      val after = partFiles()
+      assert(after.keySet == before.keySet)
+      before.foreach { case (p, files) =>
+        if (p != s"$partCol=$target")
+          assert(after(p) == files, s"untouched partition $p rewritten")
+      }
+
+      // 4. incremental state equals a from-scratch rebuild
+      val rebuilt = derive(readSrc(srcPath))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val incremental = spark.read.parquet(outPath)
+        .select(col(partCol), col("n_orders"), col("revenue"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(incremental == rebuilt)
+    }
+  }
+}
