@@ -525,7 +525,50 @@ object Warehouse {
        |WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '5-LOW'
        |${sqlOrderBy(Seq("a.o_custkey", "urgent_key", "low_key")).trim}""".stripMargin
 
+  /** Point-in-time (temporal) join against the SCD2 dimension: each
+    * order picks the priority version in effect on its order date —
+    * `valid_from <= d < valid_to` with a NULL-open current version —
+    * then revenue rolls up by that point-in-time attribute. THE reason
+    * SCD2 tables exist; reports that join the current version instead
+    * silently rewrite history.
+    *
+    * Scale posture: the validity predicate composes with the customer
+    * equi key, so this plans as one co-partitioned join on o_custkey
+    * (per-customer version lists are tiny); never a global interval
+    * join. Versions partition [first order, ∞) per customer, so every
+    * order matches exactly once — asserted in WarehouseSpec, which
+    * makes the aggregate a lossless re-bucketing of total revenue. */
+  def scd2Pit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = scd2(spark, dir)
+      .select($"o_custkey".as("d_custkey"), $"priority",
+        $"valid_from", $"valid_to")
+    Tables(spark, dir, "orders")
+      .join(dim,
+        $"o_custkey" === $"d_custkey" &&
+          $"o_orderdate" >= $"valid_from" &&
+          ($"valid_to".isNull || $"o_orderdate" < $"valid_to"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.xsum($"o_totalprice").as("revenue"))
+      .orderBy($"priority")
+  }
+
+  val scd2PitSql: String =
+    s"""WITH dim AS (
+       |  SELECT o_custkey AS d_custkey, priority, valid_from, valid_to
+       |  FROM ($scd2Sql)
+       |)
+       |SELECT priority, COUNT(*) AS n_orders,
+       |  ${graft.Det.sqlSum("o_totalprice")} AS revenue
+       |FROM orders o JOIN dim
+       |  ON o.o_custkey = d_custkey
+       | AND o.o_orderdate >= valid_from
+       | AND (valid_to IS NULL OR o.o_orderdate < valid_to)
+       |GROUP BY priority${sqlOrderBy(Seq("priority"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_scd2_pit" -> scd2Pit,
     "events_retention" -> retention,
     "dim_scd2" -> scd2,
     "basket_brand_pairs" -> basketPairs,
@@ -539,6 +582,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "join_scd2_pit" -> scd2PitSql,
     "events_retention" -> retentionSql,
     "dim_scd2" -> scd2Sql,
     "basket_brand_pairs" -> basketPairsSql,

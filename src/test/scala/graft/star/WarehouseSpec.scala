@@ -156,4 +156,18 @@ class WarehouseSpec extends SparkSpec {
       "orders_bad_status" -> 1L, "orders_negative_price" -> 1L,
       "orders_orphan_customer" -> 1L, "lineitem_orphan_order" -> 1L), dirty)
   }
+
+  test("scd2 point-in-time join matches every order exactly once") {
+    // versions partition [first order, infinity) per customer, so the
+    // PIT rollup must re-bucket the COMPLETE order set: counts sum to
+    // |orders| and revenue sums to total revenue (decimal-exact)
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables(spark, sf0001, "orders")
+    val total = orders.agg(
+      count(lit(1)), graft.Det.xsum(col("o_totalprice"))).head()
+    val pit = Warehouse.scd2Pit(spark, sf0001)
+      .agg(sum(col("n_orders")), graft.Det.xsum(col("revenue"))).head()
+    assert(pit.getLong(0) == total.getLong(0))
+    assert(math.abs(pit.getDouble(1) - total.getDouble(1)) < 1e-6)
+  }
 }
