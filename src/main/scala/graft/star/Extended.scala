@@ -150,6 +150,62 @@ object Extended {
        |  p_type AS from_map
        |FROM part WHERE p_partkey % 20 = 0${sqlOrderBy(Seq("p_partkey"))}""".stripMargin
 
+  /** Array higher-order-function library (F9 complement to
+    * [[dateFunctions]]/[[stringFunctions]]): transform / filter /
+    * aggregate / zip-style / exists / sort / flatten over derived
+    * integer arrays, reduced to scalar outputs. Integer-only arithmetic
+    * so every lambda result is engine-exact (float-array HOFs would
+    * re-open the accumulation-order seam Det exists to close). HOFs run
+    * interpreted in Spark — fine here (bounded 10-element arrays, one
+    * projection); hot paths use codegen'd explode/native expressions
+    * instead (see Dedup/minhashSig formulation note). */
+  def arrayFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "part")
+      .filter($"p_partkey" % 20 === 0)
+      .selectExpr(
+        "p_partkey",
+        "1 + CAST(p_partkey % 10 AS INT) AS n")
+      .selectExpr(
+        "p_partkey",
+        "sequence(1, n) AS arr")
+      .selectExpr(
+        "p_partkey",
+        "size(arr) AS n_elems",
+        "array_max(arr) AS mx",
+        "size(filter(arr, x -> x % 2 = 0)) AS n_even",
+        "aggregate(transform(arr, x -> x * x), 0, (a, x) -> a + x) AS sum_sq",
+        "aggregate(transform(sequence(1, size(arr)), i -> arr[i-1] * arr[size(arr)-i]), 0, (a, x) -> a + x) AS dot_rev",
+        "CAST(exists(arr, x -> x % 7 = 0) AS INT) AS has_mult7",
+        "CAST(forall(arr, x -> x <= 10) AS INT) AS all_small",
+        "element_at(sort_array(arr, false), 1) AS sorted_first",
+        "size(flatten(array(arr, slice(arr, 1, 2)))) AS flat_len",
+        "CAST(coalesce(array_position(arr, 5), 0) AS INT) AS pos5")
+      .orderBy($"p_partkey")
+  }
+
+  val arrayFunctionsSql: String =
+    s"""WITH a AS (
+       |  SELECT p_partkey,
+       |    range(1, 2 + CAST(p_partkey % 10 AS INTEGER)) AS arr
+       |  FROM part WHERE p_partkey % 20 = 0
+       |)
+       |SELECT p_partkey,
+       |  CAST(len(arr) AS INTEGER) AS n_elems,
+       |  CAST(list_max(arr) AS INTEGER) AS mx,
+       |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INTEGER) AS n_even,
+       |  CAST(list_sum(list_transform(arr, x -> x * x)) AS INTEGER) AS sum_sq,
+       |  CAST(list_sum(list_transform(range(1, len(arr) + 1),
+       |    i -> arr[i] * arr[len(arr) - i + 1])) AS INTEGER) AS dot_rev,
+       |  CASE WHEN len(list_filter(arr, x -> x % 7 = 0)) > 0
+       |    THEN 1 ELSE 0 END AS has_mult7,
+       |  CASE WHEN len(list_filter(arr, x -> x > 10)) = 0
+       |    THEN 1 ELSE 0 END AS all_small,
+       |  CAST(list_reverse_sort(arr)[1] AS INTEGER) AS sorted_first,
+       |  CAST(len(flatten([arr, arr[1:2]])) AS INTEGER) AS flat_len,
+       |  CAST(COALESCE(list_position(arr, 5), 0) AS INTEGER) AS pos5
+       |FROM a${sqlOrderBy(Seq("p_partkey"))}""".stripMargin
+
   /** Schemaless JSON-path extraction (F-tier complement to the
     * schema'd `from_json` silver path): `get_json_object` pulls one
     * field out of a free-form JSON properties column — the "I just need
@@ -182,6 +238,7 @@ object Extended {
     "embed_value_histogram" -> embedHistogram,
     "func_dates" -> dateFunctions,
     "func_strings" -> stringFunctions,
+    "func_arrays" -> arrayFunctions,
     "func_json_path" -> jsonPath)
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +246,6 @@ object Extended {
     "embed_value_histogram" -> embedHistogramSql,
     "func_dates" -> dateFunctionsSql,
     "func_strings" -> stringFunctionsSql,
+    "func_arrays" -> arrayFunctionsSql,
     "func_json_path" -> jsonPathSql)
 }
