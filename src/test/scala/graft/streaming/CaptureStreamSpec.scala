@@ -56,4 +56,38 @@ class CaptureStreamSpec extends SparkSpec {
     // (produced_at is not unique in the synthetic lineitem — dedup is
     // proven by the exact total count, not by key distinctness)
   }
+
+  test("Trigger.AvailableNow drains the backlog then self-terminates") {
+    // the scheduled-incremental pattern: a cron'd batch job runs the
+    // STREAMING query with AvailableNow — it processes exactly the
+    // files present at start, commits the checkpoint, and stops on its
+    // own (no processAllAvailable/stop choreography); the next run
+    // picks up only what arrived in between
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("avnow_in").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("avnow_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("avnow_ck").toFile.getAbsolutePath
+    AvroBronze.writeCapture(spark, sf0001, root)
+    val expected = SilverJson
+      .silverFrom(spark, SilverJson.bronze(spark, sf0001)
+        .filter("SequenceNumber % 5 = 0"))
+      .count()
+
+    def runOnce(): Unit = {
+      val q = SilverStream
+        .silver(spark, SilverStream.captureEnvelopes(spark, root))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // no q.stop(): AvailableNow must terminate by itself
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() == expected)
+    runOnce() // nothing new arrived: second run is a committed no-op
+    assert(spark.read.parquet(out).count() == expected)
+  }
 }
