@@ -289,15 +289,84 @@ object Cluster {
        |QUALIFY neg_rank <= 2
        |${sqlOrderBy(Seq("doc_id", "neg_rank")).trim}""".stripMargin
 
+  /** Damped PageRank iterated 5 rounds over the near-dup graph — the
+    * full centrality computation [[pagerankStep]] is one round of,
+    * used to pick the canonical document of a duplicate cluster by
+    * connectivity rather than min-id. Each round is the same
+    * join+partial-agg (rank/deg inflow, 0.85 damping, ppb units), so
+    * the distributed cost is 5 × one step; the driver never sees data,
+    * only the loop counter. Numerics: every inflow sum passes through
+    * Det's scale-5 decimal quantization — the quantize-per-iteration
+    * schedule is part of the operator contract, stated identically in
+    * the oracle's 5 unrolled CTEs (built by the same Scala loop), so
+    * both engines round in lockstep and the hash gate holds after 5
+    * compounding rounds. */
+  def pagerankIter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(
+      Dedup.candidatePairs(spark, dir).select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint() // edges feed deg + 5 iteration joins
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("dg"))
+    val ed = edges.join(deg, "src")
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+      .localCheckpoint()
+    val nRow = nodes.agg(count(lit(1)).as("nn"))
+    var rank = nodes.crossJoin(broadcast(nRow))
+      .select($"doc_id", (lit(1e9) / $"nn").as("r"))
+    for (_ <- 1 to 5) {
+      val inflow = ed
+        .join(rank.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy($"dst")
+        .agg(graft.Det.xsum($"r" * lit(0.85) / $"dg").as("inflow"))
+        .withColumnRenamed("dst", "doc_id")
+      rank = nodes.crossJoin(broadcast(nRow))
+        .join(inflow, Seq("doc_id"), "left")
+        .select($"doc_id",
+          (lit(1.5e8) / $"nn" + coalesce($"inflow", lit(0.0))).as("r"))
+    }
+    rank.select($"doc_id", $"r".as("rank_ppb")).orderBy($"doc_id")
+  }
+
+  val pagerankIterSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""rank$k AS (
+         |  SELECT nodes.doc_id,
+         |    (1.5e8 / nn) + COALESCE(inf.inflow, 0.0) AS r
+         |  FROM nodes CROSS JOIN n LEFT JOIN (
+         |    SELECT dst AS doc_id,
+         |      ${graft.Det.sqlSum(s"r * 0.85 / dg")} AS inflow
+         |    FROM edges JOIN deg USING (src)
+         |    JOIN rank${k - 1} rk ON rk.doc_id = src
+         |    GROUP BY dst) inf ON inf.doc_id = nodes.doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |n AS (SELECT COUNT(*) AS nn FROM nodes),
+       |rank0 AS (SELECT doc_id, 1e9 / nn AS r FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT doc_id, r AS rank_ppb FROM rank5
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> clusters,
     "graph_pagerank_step" -> pagerankStep,
+    "graph_pagerank_iter5" -> pagerankIter,
     "graph_triangles" -> triangles,
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
     "graph_pagerank_step" -> pagerankStepSql,
+    "graph_pagerank_iter5" -> pagerankIterSql,
     "graph_triangles" -> trianglesSql,
     "corpus_negatives" -> negativesSql)
 }

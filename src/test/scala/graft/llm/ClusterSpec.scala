@@ -92,6 +92,21 @@ class ClusterSpec extends SparkSpec {
       s"rank mass must be ~1e9 ppb (got $total)")
   }
 
+  test("pagerank iter5 conserves mass and diverges from uniform") {
+    // bidirectional edges mean no dangling mass: every round keeps
+    // Σ rank = 1e9 ppb (up to 5 rounds of scale-5 quantization); and by
+    // round 5 connectivity must differentiate ranks (non-uniform)
+    val rows = Cluster.pagerankIter(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getDouble(1))
+    assert(math.abs(vals.sum - 1e9) < 10.0,
+      s"rank mass drifted (got ${vals.sum})")
+    // the sf0.001 pair graph is close to regular (components of equal
+    // degree), so the stationary point is near-uniform — assert only a
+    // measurable, deterministic spread, not a large one
+    assert(vals.max - vals.min > 1e-9, "ranks exactly uniform after 5 rounds")
+  }
+
   test("triangle census: K4 gives 3 per vertex, chains give none") {
     // K4 on {1,2,3,4}: 4 triangles, each vertex in C(3,2) = 3
     val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
