@@ -106,11 +106,101 @@ object Calendar {
        |  ON grid.m = monthly.m AND grid.o_orderpriority = monthly.o_orderpriority
        |${sqlOrderBy(Seq("grid.m", "grid.o_orderpriority")).trim}""".stripMargin
 
+  /** Linear interpolation across time-series gaps — the resample /
+    * imputation companion to [[gapFill]] (which zero-fills): missing
+    * months take the distance-weighted blend of the nearest known
+    * months on each side. The series is a sparse deterministic order
+    * subset (every 97th key) so interior gaps exist at EVERY scale
+    * factor — an interpolator that never fires proves nothing.
+    *
+    * Numerics: month index is exact integer arithmetic; the blend
+    * prev + (next-prev)·frac is three IEEE ops on decimal-exact inputs
+    * with frac an exact small-int division — identical in both
+    * engines. IGNORE NULLS running first/last over the bounded spine
+    * (≤ |months| rows — the documented benign unpartitioned-window
+    * class) finds the bracketing known points; spine endpoints are
+    * known by construction (min/max known month), so every gap is
+    * interior and the denominator is never zero. */
+  def gapInterp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sparse = Tables(spark, dir, "orders")
+      .filter($"o_orderkey" % 97 === 0)
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"), $"o_totalprice")
+    val monthly = sparse.groupBy($"m")
+      .agg(graft.Det.xsum($"o_totalprice").as("rev"))
+    val spine = sparse.agg(min($"m").as("lo"), max($"m").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("m"))
+    val grid = spine.join(monthly, Seq("m"), "left")
+      .withColumn("mi", year($"m") * 12 + month($"m"))
+    val wPrev = Window.orderBy($"mi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy($"mi")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("prev_rev", last($"rev", ignoreNulls = true).over(wPrev))
+      .withColumn("prev_mi",
+        last(when($"rev".isNotNull, $"mi"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_rev", first($"rev", ignoreNulls = true).over(wNext))
+      .withColumn("next_mi",
+        first(when($"rev".isNotNull, $"mi"), ignoreNulls = true).over(wNext))
+      .select($"m",
+        $"rev".isNotNull.cast("int").as("known"),
+        when($"rev".isNotNull, $"rev").otherwise(
+          $"prev_rev" + ($"next_rev" - $"prev_rev") *
+            (($"mi" - $"prev_mi").cast("double") /
+              ($"next_mi" - $"prev_mi").cast("double"))).as("revenue"))
+      .orderBy($"m")
+  }
+
+  val gapInterpSql: String =
+    s"""WITH sparse AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    o_totalprice
+       |  FROM orders WHERE o_orderkey % 97 = 0
+       |),
+       |monthly AS (
+       |  SELECT m, ${sqlSum("o_totalprice")} AS rev FROM sparse GROUP BY 1
+       |),
+       |b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM sparse),
+       |spine AS (
+       |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS m
+       |  FROM b
+       |),
+       |grid AS (
+       |  SELECT spine.m, rev,
+       |    year(spine.m) * 12 + month(spine.m) AS mi
+       |  FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+       |),
+       |halo AS (
+       |  SELECT m, rev, mi,
+       |    last_value(rev IGNORE NULLS) OVER (ORDER BY mi
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rev,
+       |    last_value(CASE WHEN rev IS NOT NULL THEN mi END IGNORE NULLS)
+       |      OVER (ORDER BY mi
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_mi,
+       |    first_value(rev IGNORE NULLS) OVER (ORDER BY mi
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rev,
+       |    first_value(CASE WHEN rev IS NOT NULL THEN mi END IGNORE NULLS)
+       |      OVER (ORDER BY mi
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_mi
+       |  FROM grid
+       |)
+       |SELECT m,
+       |  CAST(rev IS NOT NULL AS INTEGER) AS known,
+       |  CASE WHEN rev IS NOT NULL THEN rev
+       |       ELSE prev_rev + (next_rev - prev_rev) *
+       |         (CAST(mi - prev_mi AS DOUBLE) / CAST(next_mi - prev_mi AS DOUBLE))
+       |  END AS revenue
+       |FROM halo${sqlOrderBy(Seq("m"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dim_calendar" -> dimCalendar,
-    "orders_gap_fill" -> gapFill)
+    "orders_gap_fill" -> gapFill,
+    "orders_gap_interp" -> gapInterp)
 
   val oracles: Map[String, String] = Map(
     "dim_calendar" -> dimCalendarSql,
-    "orders_gap_fill" -> gapFillSql)
+    "orders_gap_fill" -> gapFillSql,
+    "orders_gap_interp" -> gapInterpSql)
 }
