@@ -308,7 +308,92 @@ object Aggs {
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** LISTAGG / string_agg — the report-friendly "collapse a dimension
+    * into one cell" aggregate. Collection aggregates are order-
+    * NONdeterministic by default (collect order = task completion
+    * order); the deterministic form sorts the collected set before
+    * joining, which is also the only form two engines can agree on.
+    * Map-side partial collect_set keeps the shuffle carrying distinct
+    * values only (bounded by the value domain, not row count). */
+  def listAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        array_join(array_sort(collect_set($"o_orderpriority")), ",")
+          .as("priorities"),
+        countDistinct($"o_orderpriority").cast("long").as("n_distinct"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val listAggSql: String =
+    s"""SELECT o_orderstatus,
+       |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+       |    AS priorities,
+       |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+       |FROM orders GROUP BY 1${sqlOrderBy(Seq("o_orderstatus"))}""".stripMargin
+
+  /** Sample stddev + Pearson correlation from exact decimal moments —
+    * the Det discipline extended to SECOND moments: built-in
+    * stddev/corr accumulate doubles in task order (non-deterministic
+    * across engines AND across partition counts), so both are restated
+    * from order-independent decimal sums (Σx, Σx², Σxy) followed by a
+    * fixed IEEE op sequence both engines execute identically.
+    * Scales chosen per column so every sum's unscaled value stays
+    * < 2^53 at sf1 where exactness matters (q, q² at scale 5; price at
+    * its native scale 2; price² at scale 0 — its 4-decimal fraction is
+    * provably never exactly .5, squares mod 16 can't hit 8, so both
+    * engines' double→decimal rounding agrees). Same one-exchange
+    * partial-agg shape as any sum. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"l_quantity".cast("decimal(28,5)")).cast("double").as("sq"),
+        sum(expr("cast(l_quantity * l_quantity as decimal(28,5))"))
+          .cast("double").as("sqq"),
+        sum($"l_extendedprice".cast("decimal(28,2)")).cast("double").as("sp"),
+        sum(expr("cast(l_extendedprice * l_extendedprice as decimal(28,0))"))
+          .cast("double").as("spp"),
+        sum(expr("cast(l_quantity * l_extendedprice as decimal(28,2))"))
+          .cast("double").as("sqp"))
+      .select($"l_returnflag",
+        $"n".cast("long").as("n_rows"),
+        ($"sq" / $"n").as("mean_qty"),
+        sqrt(($"n" * $"sqq" - $"sq" * $"sq") / ($"n" * ($"n" - 1)))
+          .as("stddev_qty"),
+        (($"n" * $"sqp" - $"sq" * $"sp") /
+          (sqrt($"n" * $"sqq" - $"sq" * $"sq") *
+            sqrt($"n" * $"spp" - $"sp" * $"sp")))
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val statsMomentsSql: String =
+    s"""WITH g AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE) AS sq,
+       |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,5))) AS DOUBLE) AS sqq,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sp,
+       |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,0))) AS DOUBLE) AS spp,
+       |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sqp
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT l_returnflag,
+       |  CAST(n AS BIGINT) AS n_rows,
+       |  sq / n AS mean_qty,
+       |  sqrt((n * sqq - sq * sq) / (n * (n - 1))) AS stddev_qty,
+       |  (n * sqp - sq * sp)
+       |    / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))
+       |    AS corr_qty_price
+       |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats_moments" -> statsMoments,
+    "agg_listagg" -> listAgg,
     "agg_grouping_id" -> groupingId,
     "agg_unpivot" -> unpivotNative,
     "agg_hll_merge" -> hllMerge,
@@ -324,6 +409,8 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "agg_stats_moments" -> statsMomentsSql,
+    "agg_listagg" -> listAggSql,
     "agg_grouping_id" -> groupingIdSql,
     "agg_unpivot" -> unpivotNativeSql,
     "agg_percentile_disc" -> percentileDiscSql,

@@ -28,6 +28,22 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("moment-form stddev/corr agree with Spark's built-ins to 1e-9") {
+    import org.apache.spark.sql.functions._
+    val builtin = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(stddev(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val moments = Aggs.statsMoments(spark, sf0001).collect()
+    assert(moments.nonEmpty)
+    moments.foreach { r =>
+      val (sd, cr) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(3) - sd) < 1e-9 * math.max(1, sd.abs))
+      assert(math.abs(r.getDouble(4) - cr) < 1e-9 * math.max(1, cr.abs))
+    }
+  }
+
   test("hll sketch merge: quarterly estimate within 5% of exact") {
     import org.apache.spark.sql.functions._
     val spark2 = spark; import spark2.implicits._
