@@ -34,9 +34,29 @@ object Synth {
        |WHERE id >= 50000
        |GROUP BY 1${sqlOrderBy(Seq("label"))}""".stripMargin
 
+  /** Ungrouped count/min/max through the connector: completely pushed
+    * (SupportsPushDownAggregates) and answered from range arithmetic —
+    * zero rows generated (plan-gated in SyntheticSourceSpec). */
+  def countPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft.sources.v2.SyntheticProvider")
+      .option("rows", 200000).option("parts", 8).load()
+      .filter($"id" >= 50000 && $"id" < 175000)
+      .agg(count(lit(1)).as("n_rows"),
+        min($"id").as("id_min"), max($"id").as("id_max"))
+  }
+
+  val countPushdownSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  MIN(id) AS id_min, MAX(id) AS id_max
+       |FROM range(200000) t(id)
+       |WHERE id >= 50000 AND id < 175000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "synth_source_agg" -> agg)
+    "synth_source_agg" -> agg,
+    "synth_source_count" -> countPushdown)
 
   val oracles: Map[String, String] = Map(
-    "synth_source_agg" -> aggSql)
+    "synth_source_agg" -> aggSql,
+    "synth_source_count" -> countPushdownSql)
 }

@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc,
+  Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -76,33 +79,103 @@ class SyntheticTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SyntheticScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = SyntheticTable.schema
+  private var aggs = Array.empty[AggregateFunc]
 
-  /** Accept id-range filters by shrinking [lo, hi); everything is also
-    * returned as residual so Spark re-evaluates (over-read-only
-    * contract). */
+  /** Consume id-range filters EXHAUSTIVELY by shrinking [lo, hi) — the
+    * shrink is provably exact (generation emits precisely [lo, hi)), so
+    * these filters need no re-application, which in turn lets Spark
+    * push aggregates below them (V2 pushes aggregates only when no
+    * post-scan filter remains). Anything else stays residual. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.collect {
-      case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); f
-      case f @ GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); f
-      case f @ LessThan("id", v: Long) => hi = math.min(hi, v); f
-      case f @ LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); f
-      case f @ EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); f
+    val residual = filters.filterNot {
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case LessThan("id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
     }
-    filters // non-exhaustive pushdown: Spark re-applies all of them
+    pushed = filters.diff(residual)
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SyntheticScan(lo, hi, parts, required)
+  /** Aggregate pushdown: ungrouped COUNT(*) / MIN(id) / MAX(id) are
+    * answered ANALYTICALLY from the (filter-shrunk) range — O(1), zero
+    * rows generated. Complete pushdown: the single returned row IS the
+    * final answer, no partial re-aggregation above the scan. */
+  private def idRef(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+  private def supportedAgg(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case m: Min => idRef(m.column)
+    case m: Max => idRef(m.column)
+    case _ => false
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.forall(supportedAgg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      aggs = agg.aggregateExpressions; true
+    }
+
+  override def build(): Scan =
+    if (aggs.nonEmpty) new SyntheticAggScan(lo, hi, aggs)
+    else new SyntheticScan(lo, hi, parts, required)
+}
+
+/** O(1) scan for completely-pushed ungrouped aggregates: one partition,
+  * one row, values computed from range arithmetic — no row generation
+  * at all. */
+class SyntheticAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticAggScan[range=[$lo,$hi), aggs=${aggs.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticRange(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = aggs.map {
+      case _: CountStar => math.max(0L, hi - lo)
+      case _: Min => if (hi > lo) lo else null
+      case _: Max => if (hi > lo) hi - 1 else null
+      case f => throw new IllegalStateException(s"unpushable agg $f")
+    }
+    new SyntheticAggReaderFactory(values)
+  }
+}
+
+class SyntheticAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
 }
 
 case class SyntheticRange(lo: Long, hi: Long) extends InputPartition

@@ -27,9 +27,28 @@ class SyntheticSourceSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("range=[190000,195000)"), s"plan:\n$plan")
     assert(q.count() == 5000)
-    // residual re-application: pushed filters stay in the plan above
-    // the scan, so an over-reading source could not corrupt results
-    assert(plan.contains("Filter"), s"plan:\n$plan")
+    // exhaustive pushdown: the exact range shrink consumes the id
+    // filters, so no redundant post-scan Filter remains (and aggregate
+    // pushdown below a filtered scan becomes legal)
+    // ("RuntimeFilters: []" in the scan line is not a Filter node)
+    val p2 = q.select($"id").queryExecution.executedPlan.toString
+    assert(!p2.linesIterator.exists(_.trim.matches("""[*(\d)+\- ]*Filter .*""")),
+      s"plan:\n$p2")
+  }
+
+  test("ungrouped count/min/max push into the source as O(1) arithmetic") {
+    val q = table(200000, 8).filter($"id" >= 50000)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SyntheticAggScan"), s"plan:\n$plan")
+    val r = q.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((150000L, 50000L, 199999L)))
+    // grouped aggregates must NOT push (the source refuses): label
+    // grouping falls back to the row scan + normal aggregation
+    val grouped = table(1000, 2).groupBy($"label").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("SyntheticAggScan"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
   }
 
   test("column pruning reaches the reader") {
