@@ -170,6 +170,36 @@ object Aggs {
          |FROM master GROUP BY year${sqlOrderBy(Seq("year"))}""".stripMargin)
   }
 
+  /** Multi-aggregate pivot: each pivot value produces a column PER
+    * aggregate (`{value}_{alias}` naming — proven against the oracle's
+    * hand-written conditional aggregation with identical aliases).
+    * Restricted to the two dense statuses so every (year, status) cell
+    * is populated at all SFs: Spark leaves an EMPTY pivot cell NULL
+    * where conditional COUNT yields 0 — a cross-engine seam this query
+    * intentionally avoids rather than papers over. Same Expand-free
+    * plan as the single-agg pivot: one partial-agg exchange carrying
+    * |years| × |statuses| × 2 states. */
+  def pivotMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .select(year($"o_orderdate").as("y"), $"o_orderstatus", $"o_totalprice")
+      .groupBy($"y")
+      .pivot("o_orderstatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"), Det.xsum($"o_totalprice").as("rev"))
+      .orderBy($"y")
+  }
+
+  val pivotMultiSql: String = {
+    val cols = Seq("F", "O").flatMap { s =>
+      Seq(
+        s"""COUNT(CASE WHEN o_orderstatus = '$s' THEN 1 END) AS "${s}_n"""",
+        s"""${sqlSum(s"CASE WHEN o_orderstatus = '$s' THEN o_totalprice END")} AS "${s}_rev"""")
+    }.mkString(",\n  ")
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       |  $cols
+       |FROM orders GROUP BY 1${sqlOrderBy(Seq("y"))}""".stripMargin
+  }
+
   /** Exact discrete percentiles (p50/p90/p99 of line price per return
     * flag): the k-th order statistic (k = ceil(p*n)) as the SMALLEST
     * value whose cumulative count reaches k — engine-independent even
@@ -394,6 +424,7 @@ object Aggs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_stats_moments" -> statsMoments,
     "agg_listagg" -> listAgg,
+    "agg_pivot_multi" -> pivotMulti,
     "agg_grouping_id" -> groupingId,
     "agg_unpivot" -> unpivotNative,
     "agg_hll_merge" -> hllMerge,
@@ -411,6 +442,7 @@ object Aggs {
   val oracles: Map[String, String] = Map(
     "agg_stats_moments" -> statsMomentsSql,
     "agg_listagg" -> listAggSql,
+    "agg_pivot_multi" -> pivotMultiSql,
     "agg_grouping_id" -> groupingIdSql,
     "agg_unpivot" -> unpivotNativeSql,
     "agg_percentile_disc" -> percentileDiscSql,
