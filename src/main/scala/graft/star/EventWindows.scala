@@ -158,12 +158,72 @@ object EventWindows {
        |  SUM(p) / CAST(NULLIF(SUM(c), 0) AS DOUBLE) AS click_to_purchase
        |FROM u""".stripMargin
 
+  /** Typed `cogroup` (the Dataset-API escape hatch for "merge two keyed
+    * groups with arbitrary logic"): per user, click and purchase
+    * histories meet in one function — here computing attribution
+    * counts, the kind of per-key merge (custom sessionizers, interval
+    * stitching, rule engines) that has no single relational operator.
+    * The relational twin IS the oracle: three aggregates + left joins
+    * produce the same table, proving the escape hatch wasn't needed
+    * for THIS logic — the point is the API surface, exercised and
+    * checked. Scale: cogroup = one co-partitioned shuffle of each side
+    * on user_id; per-user state is that user's events only. */
+  def cogroupAttrib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.time.LocalDateTime
+    val ev = Tables(spark, dir, "events")
+    def side(t: String) = ev.filter($"event_type" === t)
+      .select($"user_id", $"ts").as[(Long, LocalDateTime)]
+    val out = side("click").groupByKey(_._1)
+      .cogroup(side("purchase").groupByKey(_._1)) { (uid, cs, ps) =>
+        val clicks = cs.map(_._2).toArray
+        val purchases = ps.map(_._2).toArray
+        val after =
+          if (clicks.isEmpty) 0
+          else {
+            val fc = clicks.min(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
+            purchases.count(p => !p.isBefore(fc))
+          }
+        Iterator((uid, clicks.length, purchases.length, after))
+      }
+      .toDF("user_id", "n_clicks", "n_purchases", "n_after_first_click")
+    out.orderBy($"user_id")
+  }
+
+  val cogroupAttribSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(COUNT(*) AS INTEGER) AS nc, MIN(ts) AS fc
+       |  FROM events WHERE event_type = 'click' GROUP BY 1
+       |),
+       |p AS (
+       |  SELECT user_id, CAST(COUNT(*) AS INTEGER) AS np
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+       |),
+       |a AS (
+       |  SELECT e.user_id, CAST(COUNT(*) AS INTEGER) AS na
+       |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.fc
+       |  WHERE e.event_type = 'purchase' GROUP BY 1
+       |),
+       |u AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type IN ('click', 'purchase')
+       |)
+       |SELECT u.user_id,
+       |  COALESCE(nc, 0) AS n_clicks,
+       |  COALESCE(np, 0) AS n_purchases,
+       |  COALESCE(na, 0) AS n_after_first_click
+       |FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       |  LEFT JOIN a USING (user_id)
+       |${sqlOrderBy(Seq("u.user_id")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cogroup_attrib" -> cogroupAttrib,
     "events_sessionize" -> sessionize,
     "events_sliding" -> sliding,
     "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "events_cogroup_attrib" -> cogroupAttribSql,
     "events_sessionize" -> sessionizeSql,
     "events_sliding" -> slidingSql,
     "events_funnel" -> funnelSql)
