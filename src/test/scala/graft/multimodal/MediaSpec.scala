@@ -42,4 +42,31 @@ class MediaSpec extends SparkSpec {
     // single-row-group harness files; the decode stage itself must not
     assert(plan.split("Exchange").length - 1 <= 1, s"unexpected shuffle:\n$plan")
   }
+
+  test("binaryFile source ingests a media directory into binary rows") {
+    // the on-disk ingestion path for real media lakes: files → one row
+    // per file with (path, length, content BINARY) — the same columnar
+    // shape mediaTable derives from the documents fixture, so the whole
+    // decode pipeline runs unchanged on directory input
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("binfiles").toFile.getAbsolutePath
+    val payloads = Seq("m0" -> "frame-data-0", "m1" -> "fd1", "m2" -> "x" * 100)
+    payloads.foreach { case (n, c) =>
+      Files.write(Paths.get(s"$dir/$n.bin"), c.getBytes("UTF-8"))
+    }
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        element_at(split(input_file_name(), "/"), -1).as("f"),
+        col("length"), col("content"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("m0.bin", "m1.bin", "m2.bin"))
+    payloads.sortBy(_._1).zip(rows).foreach { case ((_, c), (_, len, got)) =>
+      assert(len == c.length && got == c)
+    }
+  }
 }
