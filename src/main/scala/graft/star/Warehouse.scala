@@ -67,6 +67,69 @@ object Warehouse {
        |FROM dy JOIN first ON dy.user_id = first.user_id
        |GROUP BY cohort_day, day_offset${sqlOrderBy(Seq("cohort_day", "day_offset"))}""".stripMargin
 
+  /** Cohort lifetime value — the revenue companion to [[retention]]:
+    * per signup cohort (first-purchase week), cumulative revenue per
+    * user as cohort age advances. THE metric behind "when does a
+    * cohort pay back". Shape: one pass derives (cohort, age) cells
+    * with decimal-exact revenue, then a running window over the
+    * bounded cohort×age grid — raw purchases never enter the window.
+    * ltv_per_user divides two exact quantities once (IEEE, both
+    * engines). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"),
+        $"value")
+    val first = p.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val cells = p.join(first, "user_id")
+      .groupBy($"cohort_wk",
+        floor(datediff($"wk", $"cohort_wk") / 7).cast("long").as("age_wk"))
+      .agg(graft.Det.xsum($"value").as("wk_revenue"))
+    val sizes = first.groupBy($"cohort_wk")
+      .agg(countDistinct($"user_id").as("cohort_users"))
+    val w = Window.partitionBy($"cohort_wk").orderBy($"age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, "cohort_wk")
+      .withColumn("cum_revenue",
+        sum($"wk_revenue".cast("decimal(28,5)")).over(w).cast("double"))
+      .select($"cohort_wk", $"age_wk", $"cohort_users", $"wk_revenue",
+        $"cum_revenue",
+        ($"cum_revenue" / $"cohort_users".cast("double")).as("ltv_per_user"))
+      .orderBy($"cohort_wk", $"age_wk")
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk, value
+       |  FROM events WHERE event_type = 'purchase'
+       |),
+       |first AS (
+       |  SELECT user_id, MIN(wk) AS cohort_wk FROM p GROUP BY user_id
+       |),
+       |cells AS (
+       |  SELECT cohort_wk,
+       |    CAST(floor(date_diff('day', cohort_wk, wk) / 7) AS BIGINT) AS age_wk,
+       |    ${graft.Det.sqlSum("value")} AS wk_revenue
+       |  FROM p JOIN first USING (user_id)
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (
+       |  SELECT cohort_wk, COUNT(DISTINCT user_id) AS cohort_users
+       |  FROM first GROUP BY 1
+       |)
+       |SELECT cells.cohort_wk, age_wk, cohort_users, wk_revenue,
+       |  CAST(SUM(CAST(wk_revenue AS DECIMAL(28,5))) OVER (
+       |    PARTITION BY cells.cohort_wk ORDER BY age_wk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS cum_revenue,
+       |  CAST(SUM(CAST(wk_revenue AS DECIMAL(28,5))) OVER (
+       |    PARTITION BY cells.cohort_wk ORDER BY age_wk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(cohort_users AS DOUBLE) AS ltv_per_user
+       |FROM cells JOIN sizes USING (cohort_wk)
+       |${sqlOrderBy(Seq("cells.cohort_wk", "age_wk")).trim}""".stripMargin
+
   /** SCD2 change capture: collapse each customer's order-priority
     * history into validity intervals [valid_from, valid_to) that open
     * whenever the tracked attribute changes, with NULL valid_to (and
@@ -570,6 +633,7 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_scd2_pit" -> scd2Pit,
     "events_retention" -> retention,
+    "events_cohort_ltv" -> cohortLtv,
     "dim_scd2" -> scd2,
     "basket_brand_pairs" -> basketPairs,
     "orders_outlier_z" -> outlierZ,
@@ -584,6 +648,7 @@ object Warehouse {
   val oracles: Map[String, String] = Map(
     "join_scd2_pit" -> scd2PitSql,
     "events_retention" -> retentionSql,
+    "events_cohort_ltv" -> cohortLtvSql,
     "dim_scd2" -> scd2Sql,
     "basket_brand_pairs" -> basketPairsSql,
     "orders_outlier_z" -> outlierZSql,
