@@ -649,7 +649,61 @@ object Similarity {
        |FROM ($cosineTopkSql) b
        |JOIN ($ivfTopkSql) v ON b.vec_id = v.vec_id""".stripMargin
 
+  /** Per-dimension embedding statistics (mean/std/min/max) — the
+    * diagnostic behind whitening, dead-dimension detection, and
+    * quantization range calibration (embed_quantize's scale comes from
+    * exactly this profile). Moment form on fixed-point-quantized values
+    * (floor(x·1e9+0.5) — full-entropy doubles must NOT go through a
+    * decimal CAST, see DecimalDot/embedHistogram): exact integer sums,
+    * then a fixed IEEE op sequence. One posexplode (codegen'd) and one
+    * partial-agg exchange carrying 64 rows of state. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "embeddings")
+      .select(posexplode($"embedding").as(Seq("dim", "xf")))
+      .select($"dim", $"xf".cast("double").as("x"))
+      .groupBy($"dim")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(floor($"x" * 1e9 + 0.5).cast("bigint")).as("sx"),
+        sum(floor($"x" * $"x" * 1e9 + 0.5).cast("bigint")).as("sxx"),
+        min($"x").as("x_min"),
+        max($"x").as("x_max"))
+      .select($"dim",
+        $"n".cast("long").as("n_values"),
+        ($"sx".cast("double") / 1e9 / $"n").as("mean"),
+        sqrt((($"sxx".cast("double") / 1e9) -
+          ($"sx".cast("double") / 1e9) * ($"sx".cast("double") / 1e9) / $"n")
+          / ($"n" - 1)).as("stddev"),
+        $"x_min", $"x_max")
+      .orderBy($"dim")
+  }
+
+  val dimStatsSql: String =
+    s"""WITH s AS (
+       |  SELECT unnest(list_transform(range(0, 64),
+       |    i -> struct_pack(dim := CAST(i AS INTEGER),
+       |                     x := embedding[i + 1]))) AS t
+       |  FROM embeddings
+       |),
+       |v AS (SELECT t.dim AS dim, CAST(t.x AS DOUBLE) AS x FROM s),
+       |g AS (
+       |  SELECT dim, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+       |    MIN(x) AS x_min, MAX(x) AS x_max
+       |  FROM v GROUP BY 1
+       |)
+       |SELECT dim, CAST(n AS BIGINT) AS n_values,
+       |  CAST(sx AS DOUBLE) / 1e9 / n AS mean,
+       |  sqrt(((CAST(sxx AS DOUBLE) / 1e9) -
+       |    (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) / n)
+       |    / (n - 1)) AS stddev,
+       |  x_min, x_max
+       |FROM g${sqlOrderBy(Seq("dim"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_dim_stats" -> dimStats,
     "embed_ivf_recall" -> ivfRecall,
     "embed_knn_graph" -> knnGraph,
     "embed_kmeans_assign" -> kmeansAssign,
@@ -662,6 +716,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_dim_stats" -> dimStatsSql,
     "embed_ivf_recall" -> ivfRecallSql,
     "embed_knn_graph" -> knnGraphSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
