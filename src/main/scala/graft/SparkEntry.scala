@@ -34,6 +34,7 @@ object SparkEntry {
       star.Calendar.queries ++
       star.SqlFeatures.queries ++
       star.ZOrder.queries ++
+      star.Tpch.queries ++
       llm.Dedup.queries ++
       llm.Curate.queries ++
       llm.Cluster.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       star.Calendar.oracles ++
       star.SqlFeatures.oracles ++
       star.ZOrder.oracles ++
+      star.Tpch.oracles ++
       llm.Dedup.oracles ++
       llm.Curate.oracles ++
       llm.Cluster.oracles ++

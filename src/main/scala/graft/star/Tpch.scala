@@ -1,0 +1,113 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import graft.Det.{sqlOrderBy, sqlSum}
+
+/** The two canonical TPC-H scan benchmarks, adapted to the harness
+  * star schema — the queries every engine comparison starts with:
+  *
+  *  - Q1 (pricing summary): the wide-aggregate scan stressor — one
+  *    pass, 8 aggregates, tiny group count.
+  *  - Q6 (forecast revenue change): the predicate-pushdown stressor —
+  *    3 selective filters then a single sum; the scan should do nearly
+  *    all the work.
+  *
+  * Cross-engine numerics: the classic Q1/Q6 expressions multiply
+  * decimals (`extendedprice·(1-discount)·(1+tax)`); here price,
+  * discount and tax are 2-decimal DOUBLEs, so each row is first
+  * re-quantized to exact integers (cents / basis points — the stored
+  * doubles sit within 1e-10 of the true 2-decimal values, so round()
+  * agrees in both engines), the per-row products and their sums are
+  * EXACT BIGINT arithmetic, and one final int64→double conversion +
+  * power-of-ten division (both IEEE-exact-rounded, engine-identical)
+  * produces the dollar figures. No decimal cast of a full-entropy
+  * double anywhere — the DecimalDot seam cannot arise.
+  *
+  * Scale posture: both are single-exchange partial aggregates; Q6's
+  * filters push to the parquet scan (PushedFilters asserted for this
+  * table family in SourcesSpec), so at 100 TB it reads row groups that
+  * min/max-match the predicate window and nothing else.
+  */
+object Tpch {
+
+  /** Q1: pricing summary report over lineitems shipped by 1998-09-02. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("date"))
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        $"l_extendedprice",
+        round($"l_extendedprice" * 100).cast("bigint").as("ec"),
+        round($"l_discount" * 100).cast("bigint").as("db"),
+        round($"l_tax" * 100).cast("bigint").as("tb"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Det.xsum($"l_quantity").as("sum_qty"),
+        Det.xsum($"l_extendedprice").as("sum_base_price"),
+        (sum($"ec" * (lit(100L) - $"db")).cast("double") / 1e4)
+          .as("sum_disc_price"),
+        (sum($"ec" * (lit(100L) - $"db") * (lit(100L) + $"tb")).cast("double")
+          / 1e6).as("sum_charge"),
+        Det.xavg($"l_quantity").as("avg_qty"),
+        Det.xavg($"l_extendedprice").as("avg_price"),
+        (sum($"db").cast("double") / 100 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    s"""WITH l AS (
+       |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS db,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS tb
+       |  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+       |)
+       |SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  CAST(CAST(SUM(ec * (100 - db)) AS BIGINT) AS DOUBLE) / 1e4
+       |    AS sum_disc_price,
+       |  CAST(CAST(SUM(ec * (100 - db) * (100 + tb)) AS BIGINT) AS DOUBLE) / 1e6
+       |    AS sum_charge,
+       |  (${sqlSum("l_quantity")} / COUNT(l_quantity)) AS avg_qty,
+       |  (${sqlSum("l_extendedprice")} / COUNT(l_extendedprice)) AS avg_price,
+       |  CAST(CAST(SUM(db) AS BIGINT) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM l GROUP BY 1, 2${sqlOrderBy(Seq("l_returnflag", "l_linestatus"))}""".stripMargin
+
+  /** Q6: revenue change from discount-band lineitems in one year. */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1994-01-01").cast("date") &&
+        $"l_shipdate" < lit("1995-01-01").cast("date") &&
+        $"l_discount".between(0.05, 0.07) &&
+        $"l_quantity" < 24)
+      .select(
+        round($"l_extendedprice" * 100).cast("bigint").as("ec"),
+        round($"l_discount" * 100).cast("bigint").as("db"))
+      .agg((sum($"ec" * $"db").cast("double") / 1e4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6Sql: String =
+    s"""SELECT
+       |  CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e4
+       |    AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> q1,
+    "tpch_q6" -> q6)
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" -> q1Sql,
+    "tpch_q6" -> q6Sql)
+}
