@@ -114,6 +114,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch q6 pushes all three predicates into the parquet scan") {
+    val p = plan("tpch_q6")
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scanLine.contains(c), s"$c not pushed: $scanLine")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("tpch q1 is one partial+final aggregate pair, no extra exchange") {
+    val p = plan("tpch_q1")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    // scan fan-out + aggregate exchange + output range sort only
+    assert(p.split("Exchange").length - 1 <= 3, s"too many exchanges:\n$p")
+  }
+
   test("runtime bloom filter injects on a selective shuffle join") {
     // The 100 TB row-level runtime filter: a selective predicate on the
     // build side makes Catalyst inject bloom_filter_agg + might_contain
