@@ -147,13 +147,49 @@ object SqlFeatures {
       |HAVING COUNT(*) >= 3
       |ORDER BY l_partkey NULLS FIRST""".stripMargin
 
+  /** Spark 4 VARIANT (the typed binary semi-structured encoding — the
+    * successor to string-path extraction for schemaless columns):
+    * `parse_json` once into a variant, then typed `variant_get` paths.
+    * Versus `func_json_path`'s `get_json_object`, the variant parses
+    * the document a single time per row regardless of how many fields
+    * are later read — the right shape for event analytics at 100 TB
+    * (at rest it shreds to columnar storage where the format allows).
+    * All extracted values are integers, so aggregation is exact; the
+    * DuckDB oracle reads the same fields through its native JSON
+    * extraction — two independent semi-structured engines, one answer. */
+  def variantProps(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "events")
+    spark.sql(
+      """WITH v AS (
+        |  SELECT event_type, parse_json(props) AS pv FROM events
+        |)
+        |SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(variant_get(pv, '$.k', 'bigint')) AS BIGINT) AS sum_k,
+        |  CAST(MAX(variant_get(pv, '$.k', 'bigint')) AS BIGINT) AS max_k,
+        |  CAST(COUNT(CASE WHEN variant_get(pv, '$.k', 'bigint') > 50
+        |    THEN 1 END) AS BIGINT) AS n_big
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val variantPropsSql: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+      |    THEN 1 END) AS BIGINT) AS n_big
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "func_variant" -> variantProps,
     "sql_recursive_closure" -> recursiveClosure,
     "sql_lateral_topn" -> lateralTopn,
     "sql_correlated_scalar" -> correlatedScalar,
     "window_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
+    "func_variant" -> variantPropsSql,
     "sql_recursive_closure" -> recursiveClosureSql,
     "sql_lateral_topn" -> lateralTopnSql,
     "sql_correlated_scalar" -> correlatedScalarSql,
