@@ -181,7 +181,44 @@ object SqlFeatures {
       |    THEN 1 END) AS BIGINT) AS n_big
       |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** SQL-defined scalar functions (Spark 4 `CREATE FUNCTION … RETURN`):
+    * the zero-JVM way to package reusable business logic — declared in
+    * SQL, inlined by Catalyst into the calling plan (no UDF node, full
+    * codegen — the opposite of a black-box Scala/Python UDF). The
+    * guarded-ratio function here is the reference's pervasive
+    * CASE/NULLIF KPI idiom (SURVEY §2.2 P4) as a named function; the
+    * oracle states the expansion literally, proving inlining preserved
+    * semantics. */
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION zero_ratio(n DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN CASE WHEN d = 0 THEN 0.0 ELSE n / d END
+        |""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE) AS qty,
+        |  zero_ratio(
+        |    CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity END
+        |      AS DECIMAL(28,5))) AS DOUBLE),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE))
+        |    AS discounted_share
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlUdfSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE) AS qty,
+      |  CASE WHEN CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE) = 0
+      |    THEN 0.0
+      |    ELSE CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity END
+      |      AS DECIMAL(28,5))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(28,5))) AS DOUBLE)
+      |  END AS discounted_share
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "func_sql_udf" -> sqlUdf,
     "func_variant" -> variantProps,
     "sql_recursive_closure" -> recursiveClosure,
     "sql_lateral_topn" -> lateralTopn,
@@ -189,6 +226,7 @@ object SqlFeatures {
     "window_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
+    "func_sql_udf" -> sqlUdfSql,
     "func_variant" -> variantPropsSql,
     "sql_recursive_closure" -> recursiveClosureSql,
     "sql_lateral_topn" -> lateralTopnSql,
