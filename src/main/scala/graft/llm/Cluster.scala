@@ -356,7 +356,50 @@ object Cluster {
        |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
   }
 
+  /** Quality-based canonical selection: within each multi-document
+    * duplicate cluster, keep the HIGHEST-quality member (type-token
+    * ratio, doc_id tiebreak) instead of [[clusters]]' min-id keeper —
+    * what a curation pipeline actually ships (the min-id rule keeps
+    * whichever copy crawled first; the quality rule keeps the cleanest
+    * one). One ranked window over cluster members only (|docs in
+    * multi-clusters| rows, not the corpus). */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = clusters(spark, dir)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+    val quality = Tables(spark, dir, "documents")
+      .select($"doc_id",
+        (expr("size(array_distinct(split(text, ' ')))") /
+          expr("size(split(text, ' '))").cast("double")).as("ttr"))
+    base.join(quality, "doc_id")
+      .filter($"cluster_size" >= 2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id").orderBy($"ttr".desc, $"doc_id")))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"cluster_size",
+        $"doc_id".as("keeper_doc"), $"ttr".as("keeper_ttr"))
+      .orderBy($"cluster_id")
+  }
+
+  val keepBestSql: String =
+    s"""SELECT cluster_id, cluster_size, doc_id AS keeper_doc, ttr AS keeper_ttr
+       |FROM (
+       |  SELECT b.cluster_id, b.cluster_size, b.doc_id, t.ttr,
+       |    row_number() OVER (PARTITION BY b.cluster_id
+       |      ORDER BY t.ttr DESC, b.doc_id) AS rk
+       |  FROM ($clustersSql) b
+       |  JOIN (
+       |    SELECT doc_id,
+       |      len(list_distinct(string_split(text, ' ')))
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+       |    FROM documents) t ON t.doc_id = b.doc_id
+       |  WHERE b.cluster_size >= 2
+       |) WHERE rk = 1
+       |${sqlOrderBy(Seq("cluster_id")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> keepBest,
     "dedup_clusters" -> clusters,
     "graph_pagerank_step" -> pagerankStep,
     "graph_pagerank_iter5" -> pagerankIter,
@@ -364,6 +407,7 @@ object Cluster {
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" -> keepBestSql,
     "dedup_clusters" -> clustersSql,
     "graph_pagerank_step" -> pagerankStepSql,
     "graph_pagerank_iter5" -> pagerankIterSql,

@@ -194,12 +194,54 @@ object Calendar {
        |  END AS revenue
        |FROM halo${sqlOrderBy(Seq("m"))}""".stripMargin
 
+  /** Month-of-year seasonal index: average revenue of each calendar
+    * month across years, divided by the grand monthly mean — the
+    * classical decomposition input ("is December big because of trend
+    * or season?"). All inputs are decimal-exact monthly sums (scale-5
+    * doubles re-sum exactly), the two averages and their ratio are a
+    * fixed IEEE sequence, and the 1-row grand mean rides a broadcast
+    * cross join — the tfidf pattern, no driver collect. */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables(spark, dir, "orders")
+      .groupBy(trunc(to_date($"o_orderdate"), "month").as("m"))
+      .agg(graft.Det.xsum($"o_totalprice").as("rev"))
+    val grand = monthly.agg(
+      (graft.Det.xsum($"rev") / count(lit(1))).as("grand_avg"))
+    monthly
+      .groupBy(month($"m").as("month"))
+      .agg(count(lit(1)).as("n_months"),
+        (graft.Det.xsum($"rev") / count(lit(1))).as("avg_revenue"))
+      .crossJoin(broadcast(grand))
+      .select($"month", $"n_months", $"avg_revenue",
+        ($"avg_revenue" / $"grand_avg").as("seasonal_index"))
+      .orderBy($"month")
+  }
+
+  val seasonalIndexSql: String =
+    s"""WITH monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    ${sqlSum("o_totalprice")} AS rev
+       |  FROM orders GROUP BY 1
+       |),
+       |grand AS (
+       |  SELECT (${sqlSum("rev")} / COUNT(*)) AS grand_avg FROM monthly
+       |)
+       |SELECT CAST(month(m) AS INTEGER) AS month,
+       |  COUNT(*) AS n_months,
+       |  (${sqlSum("rev")} / COUNT(*)) AS avg_revenue,
+       |  (${sqlSum("rev")} / COUNT(*)) / grand_avg AS seasonal_index
+       |FROM monthly CROSS JOIN grand
+       |GROUP BY month(m), grand_avg${sqlOrderBy(Seq("month"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_seasonal_index" -> seasonalIndex,
     "dim_calendar" -> dimCalendar,
     "orders_gap_fill" -> gapFill,
     "orders_gap_interp" -> gapInterp)
 
   val oracles: Map[String, String] = Map(
+    "orders_seasonal_index" -> seasonalIndexSql,
     "dim_calendar" -> dimCalendarSql,
     "orders_gap_fill" -> gapFillSql,
     "orders_gap_interp" -> gapInterpSql)
