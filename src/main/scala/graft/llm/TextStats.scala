@@ -119,6 +119,34 @@ object TextStats {
        |FROM s${sqlOrderBy(Seq("doc_id"))}""".stripMargin
   }
 
+  /** Language-ID quality eval: confusion cells (label × prediction)
+    * with per-label recall — the monitoring table behind any classifier
+    * gate in a curation pipeline ([[langId]] carries the label along
+    * for exactly this). Recall = exact-count ratio, one IEEE division;
+    * cells bound the output at |langs|², tiny at any corpus scale. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    langId(spark, dir)
+      .groupBy($"lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_label", sum($"n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .select($"lang", $"predicted_lang", $"n_docs",
+        ($"n_docs" / $"n_label".cast("double")).as("label_share"))
+      .orderBy($"lang", $"predicted_lang")
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pred AS ($langIdSql),
+       |cells AS (
+       |  SELECT lang, predicted_lang, COUNT(*) AS n_docs
+       |  FROM pred GROUP BY 1, 2
+       |)
+       |SELECT lang, predicted_lang, n_docs,
+       |  n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+       |    AS label_share
+       |FROM cells${sqlOrderBy(Seq("lang", "predicted_lang"))}""".stripMargin
+
   /** Token counting: whitespace tokens, regex word tokens, and the
     * chars/4 BPE-ish estimate used for budget planning. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
@@ -758,6 +786,7 @@ object TextStats {
     "text_normalize" -> normalize,
     "text_stats" -> stats,
     "text_lang_id" -> langId,
+    "text_lang_confusion" -> langConfusion,
     "text_token_count" -> tokenCount,
     "text_word_topk" -> wordTopk,
     "text_heavy_hitters" -> heavyHitters,
@@ -776,6 +805,7 @@ object TextStats {
     "text_normalize" -> normalizeSql,
     "text_stats" -> statsSql,
     "text_lang_id" -> langIdSql,
+    "text_lang_confusion" -> langConfusionSql,
     "text_token_count" -> tokenCountSql,
     "text_word_topk" -> wordTopkSql,
     "text_fingerprint" -> fingerprintSql,
