@@ -216,13 +216,68 @@ object EventWindows {
        |  LEFT JOIN a USING (user_id)
        |${sqlOrderBy(Seq("u.user_id")).trim}""".stripMargin
 
+  /** Per-user event-cadence profile — the behavioral bot signal: a
+    * human's inter-event gaps are irregular, a scripted client's are
+    * clockwork (stddev ≈ 0). Gaps are EXACT microsecond integers
+    * (epoch-µs differences), so mean/stddev use the same exact-moment
+    * form as agg_stats_moments — sums are exact BIGINTs (µs gaps ~1e9,
+    * squares ~1e18 / 1e6-scaled to stay in range), and the flag is an
+    * integer-threshold comparison. One user_id shuffle for the lag
+    * window, then a per-user aggregate — same partitioning reused. */
+  def cadenceProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = Tables(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("gap_s",
+        (($"us" - lag($"us", 1).over(w)) / 1000000L).cast("bigint"))
+      .filter($"gap_s".isNotNull)
+    gaps.groupBy($"user_id")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"gap_s").as("sg"),
+        sum($"gap_s" * $"gap_s").as("sgg"))
+      .filter($"n" >= 5)
+      .select($"user_id",
+        $"n".cast("long").as("n_gaps"),
+        ($"sg".cast("double") / $"n").as("mean_gap_s"),
+        sqrt(($"sgg".cast("double") -
+          $"sg".cast("double") * $"sg".cast("double") / $"n") / ($"n" - 1))
+          .as("stddev_gap_s"))
+      .orderBy($"user_id")
+  }
+
+  val cadenceProfileSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |    CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+       |      AS BIGINT) AS gap_s
+       |  FROM events
+       |),
+       |a AS (
+       |  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(gap_s) AS BIGINT) AS sg,
+       |    CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+       |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+       |)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       |  CAST(sg AS DOUBLE) / n AS mean_gap_s,
+       |  sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n)
+       |    / (n - 1)) AS stddev_gap_s
+       |FROM a WHERE n >= 5${sqlOrderBy(Seq("user_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cadence_profile" -> cadenceProfile,
     "events_cogroup_attrib" -> cogroupAttrib,
     "events_sessionize" -> sessionize,
     "events_sliding" -> sliding,
     "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "events_cadence_profile" -> cadenceProfileSql,
     "events_cogroup_attrib" -> cogroupAttribSql,
     "events_sessionize" -> sessionizeSql,
     "events_sliding" -> slidingSql,
