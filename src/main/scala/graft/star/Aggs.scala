@@ -421,7 +421,40 @@ object Aggs {
        |    AS corr_qty_price
        |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** SQL-standard FILTER clause on aggregates — the readable form of
+    * conditional aggregation (vs CASE-WHEN-inside-SUM): one scan, many
+    * differently-filtered aggregates, the workhorse of KPI sheets.
+    * Catalyst compiles both forms to the same conditional partial agg;
+    * the oracle uses DuckDB's FILTER clause — feature parity, not just
+    * result parity. */
+  def filterClause(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_fc")
+    spark.sql(
+      s"""SELECT o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,5)))
+         |    FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE) AS rev_1995,
+         |  CAST(COUNT(DISTINCT o_custkey)
+         |    FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS big_spenders
+         |FROM orders_fc GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val filterClauseSql: String =
+    s"""SELECT o_orderstatus,
+       |  COUNT(*) AS n_orders,
+       |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,5)))
+       |    FILTER (WHERE CAST(year(o_orderdate) AS INTEGER) = 1995) AS DOUBLE)
+       |    AS rev_1995,
+       |  CAST(COUNT(DISTINCT o_custkey)
+       |    FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS big_spenders
+       |FROM orders GROUP BY o_orderstatus
+       |${sqlOrderBy(Seq("o_orderstatus")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_filter_clause" -> filterClause,
     "agg_stats_moments" -> statsMoments,
     "agg_listagg" -> listAgg,
     "agg_pivot_multi" -> pivotMulti,
@@ -440,6 +473,7 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,
     "agg_listagg" -> listAggSql,
     "agg_pivot_multi" -> pivotMultiSql,
