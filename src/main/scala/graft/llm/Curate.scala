@@ -299,7 +299,58 @@ object Curate {
        |FROM toks JOIN ratio USING (w)
        |GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Vocabulary growth curve (Heaps' law): cumulative distinct-word
+    * count as the corpus grows in doc_id order — the estimator behind
+    * "how much bigger must the tokenizer vocab be at 10× data".
+    * Exact cumulative distinct is a running set union (stateful, not
+    * distributable); the equivalent distributed form assigns each word
+    * to the FIRST document that introduces it (a min aggregate), buckets
+    * first-occurrences by corpus position, and prefix-sums the bounded
+    * bucket series — two partial-agg exchanges plus one |buckets|-row
+    * window, no stateful scan. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bigram vocabulary: the synthetic unigram vocab saturates in the
+    // first handful of documents (31 words), so the growth unit is the
+    // word BIGRAM — same unit the fluency corpus-LM models, with a
+    // genuine Heaps-style long tail on this corpus
+    val firstSeen = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("w"))
+      .groupBy($"w").agg(min($"doc_id").as("fd"))
+    firstSeen
+      .groupBy(expr("fd div 50").as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+      .withColumn("vocab_size", sum($"new_words").over(
+        Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"bucket")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH fs AS (
+       |  SELECT w, MIN(doc_id) AS fd FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 1),
+       |        i -> t[i+1] || ' ' || t[i+2])) AS w
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |    WHERE len(t) >= 2
+       |  ) GROUP BY w
+       |),
+       |b AS (
+       |  SELECT fd // 50 AS bucket, COUNT(*) AS new_words FROM fs GROUP BY 1
+       |)
+       |SELECT bucket, new_words,
+       |  CAST(SUM(new_words) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS vocab_size
+       |FROM b${sqlOrderBy(Seq("bucket"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_vocab_growth" -> vocabGrowth,
     "corpus_source_cap" -> sourceCap,
     "corpus_quality_buckets" -> qualityBuckets,
     "text_bpe_pairs" -> bpePairs,
@@ -307,6 +358,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_vocab_growth" -> vocabGrowthSql,
     "corpus_source_cap" -> sourceCapSql,
     "corpus_quality_buckets" -> qualityBucketsSql,
     "text_bpe_pairs" -> bpePairsSql,

@@ -453,7 +453,35 @@ object Aggs {
        |FROM orders GROUP BY o_orderstatus
        |${sqlOrderBy(Seq("o_orderstatus")).trim}""".stripMargin
 
+  /** Distribution-of-group-sizes histogram (lineitems per order) — the
+    * two-level aggregate every capacity model starts from. Both levels
+    * are partial-agg'd; level 2's input is |orders| rows, its output
+    * |distinct sizes|. The share is one exact-count IEEE division
+    * against a broadcast 1-row total. */
+  def orderSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = Tables(spark, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_items"))
+    val hist = sizes.groupBy($"n_items").agg(count(lit(1)).as("n_orders"))
+    val total = sizes.agg(count(lit(1)).as("n_total"))
+    hist.crossJoin(broadcast(total))
+      .select($"n_items", $"n_orders",
+        ($"n_orders" / $"n_total".cast("double")).as("share"))
+      .orderBy($"n_items")
+  }
+
+  val orderSizeHistogramSql: String =
+    s"""WITH s AS (
+       |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+       |),
+       |h AS (SELECT n_items, COUNT(*) AS n_orders FROM s GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_total FROM s)
+       |SELECT n_items, n_orders,
+       |  n_orders / CAST(n_total AS DOUBLE) AS share
+       |FROM h CROSS JOIN t${sqlOrderBy(Seq("n_items"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
     "agg_stats_moments" -> statsMoments,
     "agg_listagg" -> listAgg,
@@ -473,6 +501,7 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,
     "agg_listagg" -> listAggSql,
