@@ -217,12 +217,52 @@ object SqlFeatures {
       |  END AS discounted_share
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  /** NOT IN vs NOT EXISTS under NULLs — the SQL-standard trap every
+    * warehouse migration trips on once: `x NOT IN (subquery)` is
+    * three-valued, so ONE null in the subquery empties the whole
+    * result, while the NOT EXISTS form ignores null keys and keeps
+    * matching rows. Both forms are stated over the same null-bearing
+    * key stream (`nullif(o_custkey, 42)`), side by side, so the output
+    * documents the divergence (0 vs the real count) rather than hiding
+    * it. Spark plans the NOT IN as a null-aware anti join (broadcast
+    * NAAJ) — the only correct hash-join form — which is exactly what a
+    * naive anti-join rewrite would get wrong.
+    *
+    * Scale posture: both branches are one anti-join each; the NOT IN
+    * build side must broadcast (null-aware anti join is broadcast-only
+    * in Spark), which is the honest constraint of its semantics — the
+    * scalable rewrite IS the NOT EXISTS form next to it. */
+  def notInNull(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "customer")
+    view(spark, dir, "orders")
+    spark.sql(
+      """SELECT 'not_in' AS form, COUNT(*) AS n_customers FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, 42) FROM orders)
+        |UNION ALL
+        |SELECT 'not_exists', COUNT(*) FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE nullif(o_custkey, 42) = c_custkey)
+        |ORDER BY form""".stripMargin)
+  }
+
+  val notInNullSql: String =
+    """SELECT 'not_in' AS form, COUNT(*) AS n_customers FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT nullif(o_custkey, 42) FROM orders)
+      |UNION ALL
+      |SELECT 'not_exists', COUNT(*) FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE nullif(o_custkey, 42) = c_custkey)
+      |ORDER BY form NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "func_sql_udf" -> sqlUdf,
     "func_variant" -> variantProps,
     "sql_recursive_closure" -> recursiveClosure,
     "sql_lateral_topn" -> lateralTopn,
     "sql_correlated_scalar" -> correlatedScalar,
+    "sql_not_in_null" -> notInNull,
     "window_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +271,6 @@ object SqlFeatures {
     "sql_recursive_closure" -> recursiveClosureSql,
     "sql_lateral_topn" -> lateralTopnSql,
     "sql_correlated_scalar" -> correlatedScalarSql,
+    "sql_not_in_null" -> notInNullSql,
     "window_range_interval" -> rangeIntervalSql)
 }

@@ -103,11 +103,99 @@ object Tpch {
        |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  /** Q3 (shipping priority): the classic join-then-top-k — segment-
+    * filtered customers, not-yet-shipped orders, revenue per order,
+    * top 10. The harness orders table has `o_orderpriority` where TPC-H
+    * has `o_shippriority`. Revenue is summed in exact cents x basis
+    * points (see class doc), so the DESC ordering ties only where the
+    * true values tie, and `l_orderkey` breaks those deterministically.
+    *
+    * Scale posture: customers filter to 1/5 then broadcast into orders
+    * (AQE measures the filtered side); lineitem joins orders on the key
+    * both sides shuffle once; final top-10 is TakeOrderedAndProject —
+    * never a global sort of per-order revenues. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-06-30").cast("date")
+    Tables(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .join(Tables(spark, dir, "orders"),
+        $"c_custkey" === $"o_custkey" && $"o_orderdate" < cutoff)
+      .join(Tables(spark, dir, "lineitem"),
+        $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > cutoff)
+      .select($"l_orderkey",
+        $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority",
+        round($"l_extendedprice" * 100).cast("bigint").as("ec"),
+        round($"l_discount" * 100).cast("bigint").as("db"))
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg((sum($"ec" * (lit(100L) - $"db")).cast("double") / 1e4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       |  o_orderpriority,
+       |  CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |    AS DOUBLE) / 1e4 AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |  AND o_orderdate < DATE '1998-06-30'
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |  AND l_shipdate > DATE '1998-06-30'
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC NULLS LAST, l_orderkey NULLS FIRST
+       |LIMIT 10""".stripMargin
+
+  /** Q18 (large-volume customer): orders whose total lineitem quantity
+    * exceeds 300, with their customer — the classic "aggregate feeds a
+    * join" shape. Quantities are small integers stored as doubles, so
+    * their sums are exact in IEEE and identical cross-engine.
+    *
+    * Scale posture: the lineitem groupBy partial-aggregates map-side
+    * and its >300 survivor set is tiny (46 orders at sf0.01), so AQE
+    * broadcasts it into the orders join; customer joins on the orders
+    * result, not raw lineitem. Top-100 via TakeOrderedAndProject. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(Det.xsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 300)
+    Tables(spark, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").as("o_orderdate"),
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${sqlSum("l_quantity")} AS total_qty
+       |  FROM lineitem GROUP BY 1 HAVING ${sqlSum("l_quantity")} > 300
+       |)
+       |SELECT c_name, c_custkey, o_orderkey,
+       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
+       |FROM orders
+       |JOIN big ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
-    "tpch_q6" -> q6)
+    "tpch_q3" -> q3,
+    "tpch_q6" -> q6,
+    "tpch_q18" -> q18)
 
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Sql,
-    "tpch_q6" -> q6Sql)
+    "tpch_q3" -> q3Sql,
+    "tpch_q6" -> q6Sql,
+    "tpch_q18" -> q18Sql)
 }
