@@ -702,7 +702,99 @@ object Similarity {
        |  x_min, x_max
        |FROM g${sqlOrderBy(Seq("dim"))}""".stripMargin
 
+  /** Matryoshka truncation audit: how much nearest-neighbour quality a
+    * 16-dim PREFIX of the 64-dim embedding loses — the eval that decides
+    * whether truncated (MRL-style) vectors can serve first-stage
+    * retrieval. Within each label bucket every vector gets its top-1
+    * neighbour twice — once by full 64-dim cosine, once by prefix-16
+    * cosine — and the per-label output reports how often the two picks
+    * agree plus the total full-cosine regret of the truncated pick
+    * (summed in floor-scaled fixed point, so cross-engine exact).
+    *
+    * Scale posture: same Σ|bucket|² pair shape as [[knnGraph]] (bucket =
+    * IVF cell at scale); norms hoisted per vector; the two argmax
+    * windows partition by v1 — millions of bucket-sized windows, never a
+    * global sort. */
+  def mrlRegret(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        "slice(embedding, 1, 16) AS e16",
+        s"${dotSpark("embedding", "embedding")} AS n64",
+        s"${dotSpark("slice(embedding, 1, 16)", "slice(embedding, 1, 16)")} AS n16")
+    val a = emb.select($"vec_id".as("v1"), $"label", $"embedding".as("ea"),
+      $"e16".as("e16a"), $"n64".as("n64a"), $"n16".as("n16a"))
+    val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
+      $"embedding".as("eb"), $"e16".as("e16b"), $"n64".as("n64b"),
+      $"n16".as("n16b"))
+    val pairs = a.join(b, $"label" === $"label_b" && $"v1" =!= $"v2")
+      .selectExpr("v1", "v2", "label",
+        s"(${dotSpark("ea", "eb")} / sqrt(n64a * n64b)) AS full_cos",
+        s"(${dotSpark("e16a", "e16b")} / sqrt(n16a * n16b)) AS trunc_cos")
+    val wF = Window.partitionBy($"v1").orderBy($"full_cos".desc, $"v2")
+    val wT = Window.partitionBy($"v1").orderBy($"trunc_cos".desc, $"v2")
+    pairs
+      .withColumn("rnf", row_number().over(wF))
+      .withColumn("rnt", row_number().over(wT))
+      .filter($"rnf" === 1 || $"rnt" === 1)
+      .groupBy($"v1", $"label")
+      .agg(
+        max(when($"rnf" === 1, $"v2")).as("nn_full"),
+        max(when($"rnf" === 1, $"full_cos")).as("cos_full"),
+        max(when($"rnt" === 1, $"v2")).as("nn_trunc"),
+        max(when($"rnt" === 1, $"full_cos")).as("cos_trunc"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vec"),
+        sum(($"nn_full" === $"nn_trunc").cast("int")).as("n_agree"),
+        ((sum(floor($"cos_full" * 1e14 + 0.5).cast("bigint"))
+          - sum(floor($"cos_trunc" * 1e14 + 0.5).cast("bigint")))
+          .cast("double") / 1e14).as("regret"))
+      .orderBy($"label")
+  }
+
+  val mrlRegretSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS n64,
+       |    ${dotDuck16("embedding", "embedding")} AS n16
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+       |    (${dotDuck("a.embedding", "b.embedding")}
+       |      / sqrt(a.n64 * b.n64)) AS full_cos,
+       |    (${dotDuck16("a.embedding", "b.embedding")}
+       |      / sqrt(a.n16 * b.n16)) AS trunc_cos
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY v1 ORDER BY full_cos DESC, v2)
+       |      AS rnf,
+       |    row_number() OVER (PARTITION BY v1 ORDER BY trunc_cos DESC, v2)
+       |      AS rnt
+       |  FROM p
+       |),
+       |best AS (
+       |  SELECT v1, label,
+       |    MAX(CASE WHEN rnf = 1 THEN v2 END) AS nn_full,
+       |    MAX(CASE WHEN rnf = 1 THEN full_cos END) AS cos_full,
+       |    MAX(CASE WHEN rnt = 1 THEN v2 END) AS nn_trunc,
+       |    MAX(CASE WHEN rnt = 1 THEN full_cos END) AS cos_trunc
+       |  FROM r WHERE rnf = 1 OR rnt = 1 GROUP BY v1, label
+       |)
+       |SELECT label, COUNT(*) AS n_vec,
+       |  CAST(SUM(CASE WHEN nn_full = nn_trunc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(CAST(SUM(CAST(floor(cos_full * 1e14 + 0.5) AS BIGINT))
+       |    - SUM(CAST(floor(cos_trunc * 1e14 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS DOUBLE) / 1e14 AS regret
+       |FROM best GROUP BY label${sqlOrderBy(Seq("label"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_mrl_regret" -> mrlRegret,
     "embed_dim_stats" -> dimStats,
     "embed_ivf_recall" -> ivfRecall,
     "embed_knn_graph" -> knnGraph,
@@ -716,6 +808,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_mrl_regret" -> mrlRegretSql,
     "embed_dim_stats" -> dimStatsSql,
     "embed_ivf_recall" -> ivfRecallSql,
     "embed_knn_graph" -> knnGraphSql,

@@ -297,7 +297,48 @@ object Joins {
        |ON a.k IS NOT DISTINCT FROM b.k
        |${sqlOrderBy(Seq("a.k")).trim}""".stripMargin
 
+  /** J1 full outer: the daily activity ledger — per-(user, day) click
+    * counts FULL OUTER JOIN purchase counts, so a day with only one
+    * kind of activity appears null-padded on the other side (~40% of
+    * user-days each way in the test corpus). The reconciliation shape:
+    * neither side may drop rows, which no composition of left/right
+    * joins over the same two aggregates expresses in one pass.
+    *
+    * Scale posture: both aggregates and the join share the (user_id,
+    * day) hash partitioning, so the whole ledger is ONE exchange per
+    * side; full outer forces a shuffle join (no side can broadcast —
+    * both must retain unmatched rows), which is the honest cost of the
+    * semantics. */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    def daily(kind: String, out: String) = ev
+      .filter($"event_type" === kind)
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as(out))
+    daily("click", "n_clicks")
+      .join(daily("purchase", "n_purchases"), Seq("user_id", "day"),
+        "full_outer")
+      .orderBy($"user_id", $"day")
+  }
+
+  val fullOuterSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+       |),
+       |p AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+       |)
+       |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       |  COALESCE(c.day, p.day) AS day, n_clicks, n_purchases
+       |FROM c FULL OUTER JOIN p
+       |  ON c.user_id = p.user_id AND c.day = p.day
+       |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_full_outer" -> fullOuter,
     "join_null_safe" -> nullSafe,
     "join_asof_native" -> asofNative,
     "join_inner_agg" -> innerAgg,
@@ -311,6 +352,7 @@ object Joins {
     "join_asof" -> asof)
 
   val oracles: Map[String, String] = Map(
+    "join_full_outer" -> fullOuterSql,
     "join_null_safe" -> nullSafeSql,
     "join_asof_native" -> asofSql,
     "join_inner_agg" -> innerAggSql,

@@ -630,7 +630,89 @@ object Warehouse {
        | AND (valid_to IS NULL OR o.o_orderdate < valid_to)
        |GROUP BY priority${sqlOrderBy(Seq("priority"))}""".stripMargin
 
+  /** Robust (median/MAD) outlier fence per event type — the
+    * heavy-tail-safe companion to [[outlierZ]]'s moment fence: a single
+    * extreme value shifts mean and σ but not the median, so the MAD
+    * fence keeps flagging while the z-fence silently widens. Both
+    * medians are DISCRETE order statistics (smallest value whose
+    * cumulative count reaches ceil(n/2) — the [[Aggs.percentileDisc]]
+    * formulation), so every intermediate is an actual data value and
+    * the whole derivation is engine-exact: no interpolation, no
+    * float-accumulated variance; the only arithmetic is |v−med| and one
+    * 3×MAD product, each a single IEEE op.
+    *
+    * Scale posture: value-level counts collapse each distribution
+    * map-side before the two cumulative windows (distinct values, not
+    * rows, cross the wire); the per-type med/MAD table is |types| rows
+    * and broadcasts back over the scan. At 100 TB the same derivation
+    * swaps the exact windows for a mergeable quantile sketch
+    * (`agg_approx_percentile` machinery). */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select($"event_type", $"value".cast("double").as("v"))
+    def discMedian(df: DataFrame, in: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(col(in))
+      val wn = Window.partitionBy($"event_type")
+      df.groupBy($"event_type", col(in))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("n", sum($"c").over(wn))
+        .groupBy($"event_type")
+        .agg(min(when($"cum" >= ceil($"n" * 0.5), col(in))).as(out))
+    }
+    val med = discMedian(ev, "v", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", abs($"v" - $"med").as("dev"))
+    val mad = discMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"dev" > $"mad" * 3).cast("int")).as("n_outliers"))
+      .join(med, "event_type").join(mad, "event_type")
+      .select($"event_type", $"n_events", $"n_outliers", $"med", $"mad")
+      .orderBy($"event_type")
+  }
+
+  val outlierMadSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+       |),
+       |med AS (
+       |  SELECT event_type,
+       |    MIN(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS med
+       |  FROM (
+       |    SELECT event_type, v,
+       |      SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+       |      SUM(c) OVER (PARTITION BY event_type) AS n
+       |    FROM (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2)
+       |  ) GROUP BY event_type
+       |),
+       |dev AS (
+       |  SELECT ev.event_type, abs(v - med) AS dev
+       |  FROM ev JOIN med ON ev.event_type = med.event_type
+       |),
+       |mad AS (
+       |  SELECT event_type,
+       |    MIN(CASE WHEN cum >= ceil(n * 0.5) THEN dev END) AS mad
+       |  FROM (
+       |    SELECT event_type, dev,
+       |      SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+       |      SUM(c) OVER (PARTITION BY event_type) AS n
+       |    FROM (SELECT event_type, dev, COUNT(*) AS c FROM dev GROUP BY 1, 2)
+       |  ) GROUP BY event_type
+       |)
+       |SELECT dev.event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  MIN(med) AS med, MIN(mad) AS mad
+       |FROM dev
+       |JOIN med ON dev.event_type = med.event_type
+       |JOIN mad ON dev.event_type = mad.event_type
+       |GROUP BY dev.event_type${sqlOrderBy(Seq("dev.event_type"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_outlier_mad" -> outlierMad,
     "join_scd2_pit" -> scd2Pit,
     "events_retention" -> retention,
     "events_cohort_ltv" -> cohortLtv,
@@ -646,6 +728,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "events_outlier_mad" -> outlierMadSql,
     "join_scd2_pit" -> scd2PitSql,
     "events_retention" -> retentionSql,
     "events_cohort_ltv" -> cohortLtvSql,

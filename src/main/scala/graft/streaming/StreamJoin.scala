@@ -39,6 +39,36 @@ object StreamJoin {
         col("purchase_value"))
   }
 
+  /** Left-outer variant of [[clickToPurchase]]: every click flows
+    * through, attributed where a purchase exists and with NULLs once the
+    * join state for it expires. The semantic subtlety that makes this a
+    * distinct operator (not a join-type flag): an unmatched click CANNOT
+    * be emitted when first seen — a matching purchase may still arrive —
+    * so Spark holds it and emits the null-padded row only after the
+    * watermark passes `click_ts + 5 min`, i.e. when a match has become
+    * impossible. Same two-sided state eviction as the inner form; output
+    * latency (one watermark horizon) is the price of the outer
+    * guarantee. */
+  def clickToPurchaseOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + interval 5 minutes""".stripMargin),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** Stream-static dimension enrichment — the most common production
     * streaming join: each micro-batch hash-joins against a BATCH
     * dimension frame. Stateless by construction (the static side is

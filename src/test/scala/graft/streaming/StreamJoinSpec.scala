@@ -87,6 +87,41 @@ class StreamJoinSpec extends SparkSpec {
     assert("EventTimeWatermark".r.findAllIn(plan).length == 2, plan)
   }
 
+  test("left-outer interval join emits null-padded clicks only after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[ClickEvt]
+    val purchases = MemoryStream[PurchaseEvt]
+    val joined = StreamJoin.clickToPurchaseOuter(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_outer_mem").outputMode("append").start()
+    try {
+      // user 1's click matches; user 5's click never will
+      clicks.addData(
+        ClickEvt(1L, 100L, t("2024-01-01 00:00:00")),
+        ClickEvt(5L, 105L, t("2024-01-01 00:00:00")))
+      purchases.addData(PurchaseEvt(1L, 200L, t("2024-01-01 00:03:00"), 9.99))
+      q.processAllAvailable()
+      def rows() = spark.table("ssjoin_outer_mem")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      // the match emits immediately; the unmatched click must NOT —
+      // a matching purchase could still arrive
+      assert(rows() == Set((100L, Some(200L))))
+      // advance both watermarks past click_ts + 5 min (delay 10 min),
+      // twice, so the eviction batch runs after the watermark updates
+      clicks.addData(ClickEvt(6L, 106L, t("2024-01-01 00:20:00")))
+      purchases.addData(PurchaseEvt(6L, 206L, t("2024-01-01 00:20:00"), 1.0))
+      q.processAllAvailable()
+      clicks.addData(ClickEvt(7L, 107L, t("2024-01-01 00:21:00")))
+      purchases.addData(PurchaseEvt(7L, 207L, t("2024-01-01 00:21:00"), 1.0))
+      q.processAllAvailable()
+      // user 5's click now emits with NULL purchase columns
+      assert(rows().contains((105L, None)), rows())
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch, keeps dim-less events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
