@@ -129,6 +129,28 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 3, s"too many exchanges:\n$p")
   }
 
+  test("tpch q3/q18 end in TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("tpch_q3", "tpch_q18")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.toLowerCase.contains("rangepartitioning"), s"$q global-sorts")
+    }
+  }
+
+  test("NOT IN plans as a null-aware anti join (the only correct hash form)") {
+    // both branches are anti joins; the NOT IN one must be the
+    // null-aware broadcast variant — a plain anti join would silently
+    // return the wrong (non-empty) answer under the subquery's NULL
+    val p = plan("sql_not_in_null")
+    assert("LeftAnti".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("full outer ledger join keeps FullOuter (no side dropped)") {
+    val p = plan("join_full_outer")
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("runtime bloom filter injects on a selective shuffle join") {
     // The 100 TB row-level runtime filter: a selective predicate on the
     // build side makes Catalyst inject bloom_filter_agg + might_contain
