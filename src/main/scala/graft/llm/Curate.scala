@@ -349,7 +349,49 @@ object Curate {
        |    AS vocab_size
        |FROM b${sqlOrderBy(Seq("bucket"))}""".stripMargin
 
+  /** Temperature-scaled language mixing (the mT5/DoReMi re-balancing
+    * step): raw per-language document counts are re-weighted as
+    * count^T with T = 0.5, flattening the head language's dominance
+    * while keeping relative order, and a 1M-document budget is
+    * allocated proportionally. T = 0.5 makes the power a single `sqrt`
+    * — correctly-rounded IEEE, so engine-identical — and the weight
+    * normalization runs in floor-scaled fixed point (scale 6 — the
+    * scaled weight times the 1M budget stays exact-BIGINT even at
+    * trillion-document counts) with the final ppm allocation in pure
+    * BIGINT arithmetic: no float sum ever crosses an engine boundary.
+    *
+    * Scale posture: one map-side-combined count per language, a
+    * |langs|-row broadcast total, and the allocation math on |langs|
+    * rows — corpus volume only touches the first aggregate. */
+  def langTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables(spark, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt($"n_docs".cast("double")) * 1e6 + 0.5)
+        .cast("bigint"))
+    val tot = cnt.agg(sum($"w").as("w_tot"))
+    cnt.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs",
+        ($"w".cast("double") / $"w_tot".cast("double")).as("share"),
+        expr("(w * 1000000) div w_tot").as("alloc_ppm"))
+      .orderBy($"lang")
+  }
+
+  val langTemperatureSql: String =
+    s"""WITH cnt AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS w
+       |  FROM documents GROUP BY lang
+       |),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM cnt)
+       |SELECT lang, n_docs,
+       |  CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE) AS share,
+       |  (w * 1000000) // w_tot AS alloc_ppm
+       |FROM cnt, tot${sqlOrderBy(Seq("lang"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_lang_temperature" -> langTemperature,
     "corpus_vocab_growth" -> vocabGrowth,
     "corpus_source_cap" -> sourceCap,
     "corpus_quality_buckets" -> qualityBuckets,
@@ -358,6 +400,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_lang_temperature" -> langTemperatureSql,
     "corpus_vocab_growth" -> vocabGrowthSql,
     "corpus_source_cap" -> sourceCapSql,
     "corpus_quality_buckets" -> qualityBucketsSql,
