@@ -187,15 +187,101 @@ object Tpch {
        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
        |LIMIT 100""".stripMargin
 
+  /** Q14 (promotion effect): the conditional-aggregate-over-a-join
+    * shape — what share of one year's discounted revenue came from
+    * PROMO parts. Both sums are exact cents×basis-points BIGINTs; the
+    * percentage is ONE IEEE division of their double conversions, so
+    * the figure is engine-identical.
+    *
+    * Scale posture: part is the small side and broadcasts; the
+    * lineitem date filter pushes to the scan; one partial+final
+    * aggregate pair with two states. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("date") &&
+        $"l_shipdate" < lit("1997-01-01").cast("date"))
+      .join(broadcast(Tables(spark, dir, "part")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_type",
+        (round($"l_extendedprice" * 100).cast("bigint")
+          * (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+          .as("disc"))
+      .agg(
+        (sum(when($"p_type" === "PROMO", $"disc").otherwise(0L))
+          .cast("double") * 100.0
+          / sum($"disc").cast("double")).as("promo_pct"),
+        (sum($"disc").cast("double") / 1e4).as("total_revenue"))
+  }
+
+  val q14Sql: String =
+    s"""WITH l AS (
+       |  SELECT p_type,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= DATE '1996-01-01'
+       |    AND l_shipdate < DATE '1997-01-01'
+       |)
+       |SELECT
+       |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END)
+       |    AS BIGINT) AS DOUBLE) * 100.0
+       |    / CAST(CAST(SUM(disc) AS BIGINT) AS DOUBLE) AS promo_pct,
+       |  CAST(CAST(SUM(disc) AS BIGINT) AS DOUBLE) / 1e4 AS total_revenue
+       |FROM l""".stripMargin
+
+  /** Q19 (discounted revenue, disjunctive predicate): three ORed
+    * brand/size/quantity clauses over the join — the CNF-conversion
+    * stressor: the common `p_partkey = l_partkey` stays an equi key,
+    * the shared `p_size >= 1` conjunct is extractable from the OR, and
+    * the disjunction itself evaluates post-join rather than forcing a
+    * nested loop. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")),
+        $"l_partkey" === $"p_partkey" && (
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(20, 30))))
+      .select(
+        (round($"l_extendedprice" * 100).cast("bigint")
+          * (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+          .as("disc"))
+      .agg((sum($"disc").cast("double") / 1e4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT
+       |  CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |    AS DOUBLE) / 1e4 AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
     "tpch_q6" -> q6,
-    "tpch_q18" -> q18)
+    "tpch_q14" -> q14,
+    "tpch_q18" -> q18,
+    "tpch_q19" -> q19)
 
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Sql,
     "tpch_q3" -> q3Sql,
     "tpch_q6" -> q6Sql,
-    "tpch_q18" -> q18Sql)
+    "tpch_q14" -> q14Sql,
+    "tpch_q18" -> q18Sql,
+    "tpch_q19" -> q19Sql)
 }

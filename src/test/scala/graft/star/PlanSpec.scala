@@ -151,6 +151,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("per-group top-N inserts WindowGroupLimit (partial per-partition heaps)") {
+    // Spark's rank-filter pushdown: rn <= k over a window becomes a
+    // WindowGroupLimit below the exchange, so each map task forwards at
+    // most k rows per group instead of sorting whole partitions — the
+    // grouped analogue of TakeOrderedAndProject, and the reason the
+    // window top-N form scales to 100 TB
+    val p = plan("window_topn_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("runtime bloom filter injects on a selective shuffle join") {
     // The 100 TB row-level runtime filter: a selective predicate on the
     // build side makes Catalyst inject bloom_filter_agg + might_contain
