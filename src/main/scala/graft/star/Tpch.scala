@@ -187,6 +187,44 @@ object Tpch {
        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
        |LIMIT 100""".stripMargin
 
+  /** Q4 (order priority checking): orders of one quarter having at
+    * least ONE slow lineitem (shipped >90 days after ordering — the
+    * harness twin of TPC-H's commit/receipt lag), counted by priority.
+    * The EXISTS shape: Catalyst plans the correlated EXISTS as a LEFT
+    * SEMI join, so each order contributes once no matter how many slow
+    * lines it has — a COUNT over a plain join would multiply-count.
+    *
+    * Scale posture: both sides filter before the semi join; only order
+    * keys cross the wire; the aggregate carries |priorities| states. */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL '90' DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q4Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= DATE '1996-01-01'
+       |  AND o_orderdate < DATE '1996-04-01'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem
+       |    WHERE l_orderkey = o_orderkey
+       |      AND l_shipdate > o_orderdate + INTERVAL '90' DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   /** Q14 (promotion effect): the conditional-aggregate-over-a-join
     * shape — what share of one year's discounted revenue came from
     * PROMO parts. Both sums are exact cents×basis-points BIGINTs; the
@@ -272,6 +310,7 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
+    "tpch_q4" -> q4,
     "tpch_q6" -> q6,
     "tpch_q14" -> q14,
     "tpch_q18" -> q18,
@@ -280,6 +319,7 @@ object Tpch {
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Sql,
     "tpch_q3" -> q3Sql,
+    "tpch_q4" -> q4Sql,
     "tpch_q6" -> q6Sql,
     "tpch_q14" -> q14Sql,
     "tpch_q18" -> q18Sql,
