@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => functions.DoubleDot(children.head, children(1))))
     // auto-rewrite symmetric band range joins (nested loop -> hash join)
     ext.injectOptimizerRule(_ => plans.BandedRangeJoinRule)
+    // plan the custom AsOfJoin logical operator (call sites also
+    // self-register via experimental.extraStrategies for unconfigured
+    // sessions; injection here makes a configured session complete)
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }

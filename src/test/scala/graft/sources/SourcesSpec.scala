@@ -123,6 +123,10 @@ class SourcesSpec extends SparkSpec {
         """SELECT decode_trim_json(cast('{"a":"1"}<<<junk' as binary)) AS r""")
         .head.getString(0)
       assert(out == """{"a":"1"}""")
+      // the custom planner strategy is installed without any per-call
+      // self-registration
+      assert(s2.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark0)
       org.apache.spark.sql.SparkSession.setActiveSession(spark0)
