@@ -307,7 +307,54 @@ object Tpch {
        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** Q15 (top supplier): revenue per supplier for one quarter, keeping
+    * the supplier(s) whose revenue EQUALS the maximum — the
+    * view-then-scalar-subquery shape (TPC-H defines it with a CREATE
+    * VIEW; here the aggregate is a CTE consumed twice). Revenue is the
+    * exact cents×basis-points BIGINT, so "equals max" cannot be split
+    * by float noise and the answer is engine-identical. Ties all
+    * surface (no LIMIT 1), making the query deterministic by value.
+    *
+    * Scale posture: one partial+final aggregate to |suppliers| rows;
+    * the MAX is a 1-row broadcast back over that aggregate (Catalyst
+    * plans the scalar subquery as a subquery reuse, not a rescan);
+    * supplier joins the one-or-few winners. */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val revenue = Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("date") &&
+        $"l_shipdate" < lit("1996-04-01").cast("date"))
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("bigint")
+        * (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+        .as("rev_i"))
+    val top = revenue.agg(max($"rev_i").as("rev_max"))
+    Tables(spark, dir, "supplier")
+      .join(revenue, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(top), $"rev_i" === $"rev_max")
+      .select($"s_suppkey", $"s_name",
+        ($"rev_i".cast("double") / 1e4).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |      AS rev_i
+       |  FROM lineitem
+       |  WHERE l_shipdate >= DATE '1996-01-01'
+       |    AND l_shipdate < DATE '1996-04-01'
+       |  GROUP BY l_suppkey
+       |)
+       |SELECT s_suppkey, s_name, CAST(rev_i AS DOUBLE) / 1e4 AS total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+       |WHERE rev_i = (SELECT MAX(rev_i) FROM revenue)
+       |ORDER BY s_suppkey NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q15" -> q15,
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
     "tpch_q4" -> q4,
@@ -317,6 +364,7 @@ object Tpch {
     "tpch_q19" -> q19)
 
   val oracles: Map[String, String] = Map(
+    "tpch_q15" -> q15Sql,
     "tpch_q1" -> q1Sql,
     "tpch_q3" -> q3Sql,
     "tpch_q4" -> q4Sql,
