@@ -480,7 +480,54 @@ object Aggs {
        |  n_orders / CAST(n_total AS DOUBLE) AS share
        |FROM h CROSS JOIN t${sqlOrderBy(Seq("n_items"))}""".stripMargin
 
+  /** Audience-overlap estimation from KMV (theta-style) sketches — the
+    * set-EXPRESSION cardinality HLL cannot answer: per-segment sketches
+    * of distinct user hashes compose into union/intersection estimates
+    * with plain array built-ins, never re-scanning the events. Each
+    * segment keeps the k=256 smallest xxhash64 values
+    * (`functions/KmvSketchAggregator` — constant memory, mergeable,
+    * bit-stable at any partitioning); a pair's union sketch is the k
+    * smallest of the merged arrays, theta its largest member, and the
+    * intersection estimate counts union-sample members present in both
+    * sides, scaled by 1/theta. Unsaturated sketches short-circuit to
+    * EXACT set arithmetic (sketch = complete distinct hash set).
+    *
+    * No oracle (xxhash64 is engine-specific): rows-only in
+    * CORRECTNESS; the estimator's acceptance bound vs exact distinct
+    * overlap is asserted in KmvSpec, exactness in the unsaturated
+    * regime included.
+    *
+    * Scale posture: one partial-agg shuffle carrying k longs per
+    * segment per partition; pair composition is |segments|² rows of
+    * array math. */
+  def segmentOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 256
+    val agg = new graft.functions.KmvSketchAggregator(k).toColumn
+    val sk = Tables(spark, dir, "events")
+      .select($"event_type", expr("xxhash64(user_id)").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sketch"))
+      .toDF("event_type", "sketch")
+    val a = sk.select($"event_type".as("seg_a"), $"sketch".as("sa"))
+    val b = sk.select($"event_type".as("seg_b"), $"sketch".as("sb"))
+    a.join(b, $"seg_a" < $"seg_b")
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("theta_h", expr("element_at(u, size(u))"))
+      .withColumn("both", expr("array_intersect(sa, sb)"))
+      .select($"seg_a", $"seg_b",
+        when(size($"u") < k, size($"both").cast("double"))
+          .otherwise(
+            // sample = union members strictly below theta (the k-th)
+            expr("size(array_intersect(slice(u, 1, size(u) - 1), both))")
+              .cast("double")
+              / ($"theta_h".cast("double") / Long.MaxValue.toDouble))
+          .as("est_overlap"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
     "agg_stats_moments" -> statsMoments,

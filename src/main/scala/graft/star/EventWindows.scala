@@ -269,7 +269,61 @@ object EventWindows {
        |    / (n - 1)) AS stddev_gap_s
        |FROM a WHERE n >= 5${sqlOrderBy(Seq("user_id"))}""".stripMargin
 
+  /** Typed secondary sort (`flatMapSortedGroups`, Spark 3.4+): longest
+    * strictly-increasing run of event values per user in time order.
+    * The shuffle itself delivers each group's iterator ALREADY sorted
+    * by (ts, value) — the classic MapReduce secondary-sort contract —
+    * so the per-group logic is a one-pass O(1)-memory fold, unlike
+    * [[cogroupAttrib]]'s toArray (bounded there by a per-user cap, not
+    * bounded here: a power user's history can exceed memory as an
+    * array but never as a sorted stream). The run-length fold needs
+    * strict ordering, which is exactly what groupByKey + mapGroups
+    * CANNOT guarantee without this operator.
+    *
+    * Scale posture: one co-partitioned shuffle with in-shuffle sort (the
+    * sort-merge-join machinery, not a per-group array sort); state is
+    * three scalars per group. The relational twin (oracle) is the
+    * gaps-and-islands window form — same answer, proven. */
+  def longestRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.time.LocalDateTime
+    val ev = Tables(spark, dir, "events")
+      .select($"user_id", $"ts", $"value")
+      .as[(Long, LocalDateTime, Double)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("ts"), col("value")) { (uid, it) =>
+        var best = 0; var cur = 0; var prev = Double.NaN
+        for ((_, _, v) <- it) {
+          cur = if (prev.isNaN || v > prev) cur + 1 else 1
+          if (cur > best) best = cur
+          prev = v
+        }
+        Iterator((uid, best))
+      }
+      .toDF("user_id", "longest_run")
+      .orderBy($"user_id")
+  }
+
+  val longestRunSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN value > lag(value)
+       |      OVER (PARTITION BY user_id ORDER BY ts, value)
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM events
+       |),
+       |g AS (
+       |  SELECT user_id,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM s
+       |),
+       |runs AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+       |SELECT user_id, CAST(MAX(len) AS INTEGER) AS longest_run
+       |FROM runs GROUP BY user_id${sqlOrderBy(Seq("user_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_longest_run" -> longestRun,
     "events_cadence_profile" -> cadenceProfile,
     "events_cogroup_attrib" -> cogroupAttrib,
     "events_sessionize" -> sessionize,
@@ -277,6 +331,7 @@ object EventWindows {
     "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "events_longest_run" -> longestRunSql,
     "events_cadence_profile" -> cadenceProfileSql,
     "events_cogroup_attrib" -> cogroupAttribSql,
     "events_sessionize" -> sessionizeSql,
