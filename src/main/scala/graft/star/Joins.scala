@@ -246,6 +246,86 @@ object Joins {
        |  ON c.user_id = p.user_id AND c.ts >= p.ts
        |ORDER BY c.event_id NULLS FIRST""".stripMargin
 
+  /** J5 with a staleness tolerance (pandas merge_asof's `tolerance`):
+    * the nearest preceding purchase matches ONLY if it is at most 7
+    * days old — an older one is nulled, not replaced by nothing newer
+    * (tolerance filters the picked match; it never falls back to an
+    * even older row). The attribution-window semantics every marketing
+    * pipeline actually wants: a click shouldn't inherit a purchase
+    * from months ago. Same one-shuffle union+window shape as [[asof]];
+    * the tolerance is a post-pick CASE, so the plan cost is identical. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts",
+        lit(null).cast("timestamp_ntz").as("p_ts"),
+        lit(null).cast("double").as("p_value"),
+        lit(1).as("is_click"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        $"ts".as("p_ts"), $"value".as("p_value"), lit(0).as("is_click"))
+    // at an exact ts tie the purchase sorts first (is_click asc), so a
+    // same-instant purchase is visible to the click — the >= contract
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_click")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = $"asof_ts" >= $"ts" - expr("INTERVAL 7 DAYS")
+    clicks.unionByName(purchases)
+      .withColumn("asof_ts", last($"p_ts", ignoreNulls = true).over(w))
+      .withColumn("asof_value", last($"p_value", ignoreNulls = true).over(w))
+      .filter($"is_click" === 1)
+      .select($"event_id", $"user_id", $"ts",
+        when(fresh, $"asof_ts").as("asof_ts"),
+        when(fresh, $"asof_value").as("asof_value"))
+      .orderBy($"event_id")
+  }
+
+  val asofToleranceSql: String =
+    s"""SELECT c.event_id, c.user_id, c.ts,
+       |  CASE WHEN p.ts >= c.ts - INTERVAL 7 DAY THEN p.ts END AS asof_ts,
+       |  CASE WHEN p.ts >= c.ts - INTERVAL 7 DAY THEN p.value END
+       |    AS asof_value
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.user_id AND c.ts >= p.ts
+       |ORDER BY c.event_id NULLS FIRST""".stripMargin
+
+  /** J5 in the FORWARD direction (pandas merge_asof
+    * `direction='forward'`): the nearest purchase AT or AFTER each
+    * click — "what did this click lead to", the attribution mirror of
+    * the backward form. Window flips to currentRow..unboundedFollowing
+    * with `first(ignoreNulls)`; at an exact ts tie the click sorts
+    * first so the same-instant purchase stays visible (the <=
+    * contract, matching DuckDB's `ON c.ts <= p.ts`). */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts",
+        lit(null).cast("timestamp_ntz").as("p_ts"),
+        lit(null).cast("double").as("p_value"),
+        lit(1).as("is_click"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        $"ts".as("p_ts"), $"value".as("p_value"), lit(0).as("is_click"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_click".desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_ts", first($"p_ts", ignoreNulls = true).over(w))
+      .withColumn("next_value", first($"p_value", ignoreNulls = true).over(w))
+      .filter($"is_click" === 1)
+      .select($"event_id", $"user_id", $"ts", $"next_ts", $"next_value")
+      .orderBy($"event_id")
+  }
+
+  val asofForwardSql: String =
+    s"""SELECT c.event_id, c.user_id, c.ts,
+       |  p.ts AS next_ts, p.value AS next_value
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.user_id AND c.ts <= p.ts
+       |ORDER BY c.event_id NULLS FIRST""".stripMargin
+
   /** J5 again via the custom whole-operator implementation
     * (graft.plans.AsOfJoinExec): same semantics, one co-partitioning +
     * single-pass merge instead of union+window. Checked by the SAME
@@ -349,7 +429,9 @@ object Joins {
     "join_anti" -> anti,
     "join_range" -> rangeJoin,
     "join_range_banded" -> rangeJoinBanded,
-    "join_asof" -> asof)
+    "join_asof" -> asof,
+    "join_asof_tolerance" -> asofTolerance,
+    "join_asof_forward" -> asofForward)
 
   val oracles: Map[String, String] = Map(
     "join_full_outer" -> fullOuterSql,
@@ -363,5 +445,7 @@ object Joins {
     "join_anti" -> antiSql,
     "join_range" -> rangeJoinSql,
     "join_range_banded" -> rangeJoinSql,
-    "join_asof" -> asofSql)
+    "join_asof" -> asofSql,
+    "join_asof_tolerance" -> asofToleranceSql,
+    "join_asof_forward" -> asofForwardSql)
 }
