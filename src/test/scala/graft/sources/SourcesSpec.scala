@@ -133,6 +133,48 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("corrupt parquet: default read fails, ignoreCorruptFiles skips it") {
+    // bit rot / truncated uploads are routine across 100 TB of files;
+    // the engine must offer both postures: fail loudly (default) and
+    // degrade explicitly (ignoreCorruptFiles), never silently drop
+    import spark.implicits._
+    val dir = tmp("rot")
+    Seq(1, 2, 3).toDF("v").repartition(1).write.parquet(s"$dir/a")
+    Seq(4, 5).toDF("v").repartition(1).write.parquet(s"$dir/b")
+    val victim = new java.io.File(s"$dir/b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // truncate mid-file: footer gone -> unreadable
+    val ch = java.nio.file.Files.newByteChannel(victim.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(8) finally ch.close()
+    val paths = Seq(s"$dir/a", s"$dir/b")
+    intercept[Exception] {
+      spark.read.parquet(paths: _*).count()
+    }
+    val survivors = spark.read
+      .option("ignoreCorruptFiles", "true")
+      .parquet(paths: _*)
+      .as[Int].collect().sorted
+    assert(survivors.sameElements(Array(1, 2, 3)))
+  }
+
+  test("join strategy hints are honored (BROADCAST vs SHUFFLE_MERGE)") {
+    // the escape hatch when stats mislead the planner at scale: the
+    // same query text planned both ways purely via hints
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sf0001/part.parquet")
+    li.createOrReplaceTempView("li_h")
+    pt.createOrReplaceTempView("pt_h")
+    def planOf(hint: String) = spark.sql(
+      s"""SELECT /*+ $hint(pt_h) */ p_brand, COUNT(*) AS n
+         |FROM li_h JOIN pt_h ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(planOf("BROADCAST").contains("BroadcastHashJoin"))
+    val merged = planOf("SHUFFLE_MERGE")
+    assert(merged.contains("SortMergeJoin"), merged)
+  }
+
   test("schema evolution: mergeSchema read + unionByName across drift") {
     // bronze schema drift is routine at 100 TB: a later capture window
     // gains a column. mergeSchema widens the scan schema (absent values
