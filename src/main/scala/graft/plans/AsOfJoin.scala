@@ -29,7 +29,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -40,7 +42,9 @@ case class AsOfJoinPlan(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -67,32 +71,67 @@ case class AsOfJoinExec(
     val rightWidth = right.output.size
     val outAttrs = output
 
+    val fwd = forward
+    val tol = toleranceMicros
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      // tolerance: the PICKED match must lie within tol of the left ts
+      // (filter-the-pick, pandas merge_asof semantics); ts values are
+      // long-backed (timestamp micros / bigint), enforced by AsOf.join
+      def withinTol(rt: Any, lt: Any): Boolean = tol.forall { t =>
+        val d = lt.asInstanceOf[Long] - rt.asInstanceOf[Long]
+        if (fwd) -d <= t else d <= t
+      }
       var candidate: InternalRow = null
       var candidateKey: Any = null
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head)
-          val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
-          if (c < 0) {
-            rBuf.next() // right key already passed by the sorted left side
-          } else if (c == 0 && tsOrd.compare(
-              rTsB.eval(head).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef]) <= 0) {
-            candidate = rBuf.next().copy() // latest right at ts <= left ts
-            candidateKey = rk
-          } else advancing = false
+        if (fwd) {
+          // consume rights strictly BEHIND the probe (key passed, or
+          // same key with ts < lt); the head is then the first right at
+          // ts >= lt — peeked, not consumed: a later left row at the
+          // same or a later ts may need the same right
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
+            if (c < 0 || (c == 0 && tsOrd.compare(
+                rTsB.eval(head).asInstanceOf[AnyRef],
+                lt.asInstanceOf[AnyRef]) < 0)) rBuf.next()
+            else advancing = false
+          }
+          val matched = rBuf.hasNext && {
+            val head = rBuf.head
+            keyOrd.compare(rKeyB.eval(head).asInstanceOf[AnyRef],
+              lk.asInstanceOf[AnyRef]) == 0 &&
+              withinTol(rTsB.eval(head), lt)
+          }
+          toUnsafe(joiner(lRow, if (matched) rBuf.head else nullRight))
+        } else {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            val c = keyOrd.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
+            if (c < 0) {
+              rBuf.next() // right key already passed by the sorted left side
+            } else if (c == 0 && tsOrd.compare(
+                rTsB.eval(head).asInstanceOf[AnyRef], lt.asInstanceOf[AnyRef]) <= 0) {
+              candidate = rBuf.next().copy() // latest right at ts <= left ts
+              candidateKey = rk
+            } else advancing = false
+          }
+          val matched = candidate != null && keyOrd.compare(
+            candidateKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0 &&
+            withinTol(rTsB.eval(candidate), lt)
+          toUnsafe(joiner(lRow, if (matched) candidate else nullRight))
         }
-        val matched = candidate != null && keyOrd.compare(
-          candidateKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
-        toUnsafe(joiner(lRow, if (matched) candidate else nullRight))
       }
     }
   }
@@ -105,19 +144,27 @@ case class AsOfJoinExec(
 /** Planner strategy mapping the logical node to the physical merge. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
 /** User-facing API. */
 object AsOf {
-  /** Left as-of join: every left row + the latest right row with the
-    * same key at right ts <= left ts. Right columns are suffixed to
-    * keep outputs unambiguous (also what makes self-joins safe). */
+  /** Left as-of join: every left row + the nearest right row with the
+    * same key — the latest at right ts <= left ts (backward, default)
+    * or the earliest at right ts >= left ts (`forward = true`). An
+    * optional `toleranceMicros` nulls out a picked match farther than
+    * the tolerance from the left ts (pandas merge_asof semantics: the
+    * pick is filtered, never replaced by a farther row). Right columns
+    * are suffixed to keep outputs unambiguous (also what makes
+    * self-joins safe). Tolerance requires a long-backed ts (timestamp
+    * micros or bigint). */
   def join(left: DataFrame, right: DataFrame,
-      key: String, ts: String, rightSuffix: String = "_r"): DataFrame = {
+      key: String, ts: String, rightSuffix: String = "_r",
+      forward: Boolean = false,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -128,9 +175,20 @@ object AsOf {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name"))
+    val lTs = attr(lPlan, ts)
+    if (toleranceMicros.isDefined) {
+      val ok = lTs.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok, s"tolerance needs a long-backed ts, got ${lTs.dataType}")
+    }
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key + rightSuffix),
-      attr(lPlan, ts), attr(rPlan, ts + rightSuffix))
+      lTs, attr(rPlan, ts + rightSuffix),
+      forward, toleranceMicros)
     org.apache.spark.sql.GraftShim.ofRows(spark, plan)
   }
 }

@@ -343,6 +343,41 @@ object Joins {
       .orderBy($"event_id")
   }
 
+  /** [[asofNative]] with the operator's 7-day tolerance: the physical
+    * merge nulls a picked match older than the tolerance — same
+    * filter-the-pick contract as [[asofTolerance]], proven by the SAME
+    * oracle. */
+  def asofNativeTol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    graft.plans.AsOf.join(clicks, purchases, key = "user_id", ts = "ts",
+      toleranceMicros = Some(7L * 86400 * 1000000))
+      .select($"event_id", $"user_id", $"ts",
+        $"ts_r".as("asof_ts"), $"value_r".as("asof_value"))
+      .orderBy($"event_id")
+  }
+
+  /** [[asofNative]] in the forward direction: the merge peeks (never
+    * consumes) the first right row at ts >= left ts — proven by the
+    * same oracle as [[asofForward]]. */
+  def asofNativeFwd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    graft.plans.AsOf.join(clicks, purchases, key = "user_id", ts = "ts",
+      forward = true)
+      .select($"event_id", $"user_id", $"ts",
+        $"ts_r".as("next_ts"), $"value_r".as("next_value"))
+      .orderBy($"event_id")
+  }
+
   /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other — required when a nullable dimension ("unknown"
     * bucket) must still pair up across two aggregates instead of
@@ -431,7 +466,9 @@ object Joins {
     "join_range_banded" -> rangeJoinBanded,
     "join_asof" -> asof,
     "join_asof_tolerance" -> asofTolerance,
-    "join_asof_forward" -> asofForward)
+    "join_asof_forward" -> asofForward,
+    "join_asof_native_tol" -> asofNativeTol,
+    "join_asof_native_fwd" -> asofNativeFwd)
 
   val oracles: Map[String, String] = Map(
     "join_full_outer" -> fullOuterSql,
@@ -447,5 +484,7 @@ object Joins {
     "join_range_banded" -> rangeJoinSql,
     "join_asof" -> asofSql,
     "join_asof_tolerance" -> asofToleranceSql,
-    "join_asof_forward" -> asofForwardSql)
+    "join_asof_forward" -> asofForwardSql,
+    "join_asof_native_tol" -> asofToleranceSql,
+    "join_asof_native_fwd" -> asofForwardSql)
 }

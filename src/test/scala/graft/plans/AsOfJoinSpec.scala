@@ -48,6 +48,44 @@ class AsOfJoinSpec extends SparkSpec {
       1L -> Some(1.0), 2L -> None, 3L -> Some(2.0), 4L -> None))
   }
 
+  test("forward direction: earliest at-or-after wins, inclusive at ties") {
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, 10L, t("2024-01-01 00:10:00")),  // exact-ts purchase -> match it
+      (2L, 10L, t("2024-01-01 00:15:00")),  // between purchases -> next one
+      (3L, 10L, t("2024-01-01 00:25:00")),  // after the last -> null
+      (4L, 99L, t("2024-01-01 00:01:00")))  // user w/o purchases -> null
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, t("2024-01-01 00:10:00"), 1.0),
+      (10L, t("2024-01-01 00:20:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsOf.join(clicks, purchases, "user_id", "ts", forward = true)
+      .select($"event_id", $"value_r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+  }
+
+  test("tolerance filters the pick, never falls back to a farther row") {
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, 10L, t("2024-01-01 00:10:00")),  // pick at 00:09 -> within 5 min
+      (2L, 10L, t("2024-01-01 00:20:00")))  // pick at 00:09, 11 min -> null
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, t("2024-01-01 00:05:00"), 1.0), // even though THIS one is older
+      (10L, t("2024-01-01 00:09:00"), 2.0)) // the pick is always the latest
+      .toDF("user_id", "ts", "value")
+    val out = AsOf.join(clicks, purchases, "user_id", "ts",
+      toleranceMicros = Some(5L * 60 * 1000000))
+      .select($"event_id", $"value_r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(2.0), 2L -> None))
+  }
+
   test("as-of is a left join: row counts preserved") {
     import spark.implicits._
     val ev = graft.Tables(spark, sf0001, "events")
