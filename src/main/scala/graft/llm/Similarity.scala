@@ -702,6 +702,55 @@ object Similarity {
        |  x_min, x_max
        |FROM g${sqlOrderBy(Seq("dim"))}""".stripMargin
 
+  /** Batched ANN serving shape: exact cosine top-3 for EACH of a batch
+    * of query vectors (vec_id < 5) in one plan — what an embedding
+    * service actually executes per request batch, vs [[cosineTopk]]'s
+    * single probe. The query batch broadcasts; scoring is a map-only
+    * |batch|x|corpus| scan; per-query ranking partitions the window by
+    * query id — thousands of small heaps, never a global sort.
+    *
+    * Scale posture: cost is linear in |batch|x|corpus| for the brute
+    * form; swap the corpus side for the IVF probe ([[ivfTopk]]) and the
+    * same batched plan reads nprobe/K of the data per query. */
+  def batchTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val queriesB = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+    val scored = emb.join(broadcast(queriesB), $"vec_id" =!= $"q_id")
+      .selectExpr("q_id", "vec_id",
+        s"(${dotSpark("embedding", "qv")} / sqrt(nrm * qn)) AS cosine")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"cosine")
+      .orderBy($"q_id", $"rk")
+  }
+
+  val batchTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn
+       |      FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, e.vec_id,
+       |    (${dotDuck("e.embedding", "q.qv")} / sqrt(e.nrm * q.qn)) AS cosine
+       |  FROM e JOIN q ON e.vec_id <> q.q_id
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 3
+       |ORDER BY q_id NULLS FIRST, rk NULLS FIRST""".stripMargin
+
   /** Matryoshka truncation audit: how much nearest-neighbour quality a
     * 16-dim PREFIX of the 64-dim embedding loses — the eval that decides
     * whether truncated (MRL-style) vectors can serve first-stage
@@ -794,6 +843,7 @@ object Similarity {
        |FROM best GROUP BY label${sqlOrderBy(Seq("label"))}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_batch_topk" -> batchTopk,
     "embed_mrl_regret" -> mrlRegret,
     "embed_dim_stats" -> dimStats,
     "embed_ivf_recall" -> ivfRecall,
@@ -808,6 +858,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_batch_topk" -> batchTopkSql,
     "embed_mrl_regret" -> mrlRegretSql,
     "embed_dim_stats" -> dimStatsSql,
     "embed_ivf_recall" -> ivfRecallSql,

@@ -229,7 +229,10 @@ object Joins {
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts",
         $"ts".as("p_ts"), $"value".as("p_value"), lit(0).as("is_click"))
-    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    // purchases sort before clicks at an exact ts tie (is_click asc),
+    // keeping a same-instant purchase visible — the >= contract; the
+    // test corpus has ns-unique timestamps, so this is future-proofing
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_click")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("asof_ts", last($"p_ts", ignoreNulls = true).over(w))
