@@ -41,6 +41,35 @@ object Wire {
       .option("topic", topic)
       .save()
 
+  /** T3 consume side: decode the Kafka wire (key/value binary +
+    * broker timestamp — the columns `format("kafka")` yields) back
+    * into typed body columns. Pure projection, so the SAME function
+    * serves the real broker stream ([[fromKafkaStream]]) and any
+    * replayed capture of it — and lets the produce->consume round trip
+    * be proven broker-less: `fromWire(kafkaShape(df)) == df`
+    * (WireAndBulkLoadSpec). */
+  def fromWire(df: DataFrame,
+      bodySchema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(
+      from_json(col("value").cast("string"), bodySchema).as("body"),
+      col("key").cast("string").as("wire_key"))
+      .select(col("wire_key"), col("body.*"))
+
+  /** T3, the actual broker source: `readStream.format("kafka")` feeding
+    * [[fromWire]]. Runs verbatim where the connector jar is present;
+    * this harness ships no broker, so resolution is where execution
+    * stops here — the tested decode path is identical either way. */
+  def fromKafkaStream(spark: org.apache.spark.sql.SparkSession,
+      bootstrapServers: String, topic: String,
+      bodySchema: org.apache.spark.sql.types.StructType): DataFrame =
+    fromWire(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load(),
+      bodySchema)
+
   /** S3/S5 streaming twin: paced production is the trigger cadence. */
   def toKafkaStream(envelopes: DataFrame, bootstrapServers: String,
       topic: String, checkpoint: String,

@@ -35,6 +35,34 @@ class WireAndBulkLoadSpec extends SparkSpec {
     * ON_ERROR=CONTINUE` (nb:188-193): regex file filtering, by-name
     * column resolution across files with different column order/subsets,
     * and tolerance of missing columns. */
+  test("wire round trip: fromWire(kafkaShape(df)) restores the body (T3)") {
+    import spark.implicits._
+    val df = Seq((2024, "YV", 10.5), (2025, "AA", 3.25))
+      .toDF("year", "carrier", "arr_delay")
+    // what format("kafka") yields on the consume side: binary key/value
+    val onWire = Wire.kafkaShape(df, Some("carrier"))
+      .select($"key".cast("binary").as("key"), $"value".cast("binary").as("value"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "year INT, carrier STRING, arr_delay DOUBLE, produced_at BIGINT")
+    val back = Wire.fromWire(onWire, schema)
+    assert(back.columns.toSeq ==
+      Seq("wire_key", "year", "carrier", "arr_delay", "produced_at"))
+    val rows = back.select($"wire_key", $"year", $"carrier", $"arr_delay")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(rows == Set(("YV", 2024, "YV", 10.5), ("AA", 2025, "AA", 3.25)))
+  }
+
+  test("kafka source path wires to the kafka datasource (T3, no broker here)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("year INT")
+    val e = intercept[Exception] {
+      Wire.fromKafkaStream(spark, "broker:9092", "flights", schema)
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+    val msg = e.toString.toLowerCase
+    assert(msg.contains("kafka"), msg)
+  }
+
   test("bulk load: regex file filter + by-name resolution + missing-column tolerance (S9)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stage").toFile.getAbsolutePath
