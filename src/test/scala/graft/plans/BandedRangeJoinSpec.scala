@@ -66,6 +66,25 @@ class BandedRangeJoinSpec extends SparkSpec {
     assert(j.count() == 1) // the pair the rounded rewrite would drop
   }
 
+  test("random band widths: rewrite matches the nested loop on int and double data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val as = Seq.fill(300)(rng.nextInt(2000) - 1000).toDF("a")
+    val bs = Seq.fill(40)(rng.nextInt(2000) - 1000).toDF("b")
+    val asD = Seq.fill(300)((rng.nextDouble() - 0.5) * 100).toDF("a")
+    val bsD = Seq.fill(40)((rng.nextDouble() - 0.5) * 100).toDF("b")
+    val widths = Seq((1.0, 1.0), (3.0, 7.0), (0.5, 0.25), (12.0, 0.0))
+    for (((l, r), (c1, c2)) <- Seq((as, bs), (asD, bsD)).flatMap(p =>
+        widths.map(w => (p, w))) if c1 + c2 > 0) {
+      val naiveJ = l.join(r, $"a" >= $"b" - c1 && $"a" <= $"b" + c2)
+      val rewrittenJ = org.apache.spark.sql.GraftShim.ofRows(spark,
+        BandedRangeJoinRule(naiveJ.queryExecution.analyzed))
+      val exp = naiveJ.count()
+      assert(exp > 0, s"degenerate case c1=$c1 c2=$c2")
+      assert(rewrittenJ.count() == exp, s"mismatch at c1=$c1 c2=$c2")
+    }
+  }
+
   test("bucket misalignment at the rounding edge is absorbed by padding") {
     import spark.implicits._
     // int values adjacent to bucket boundaries of W=2: every boundary
