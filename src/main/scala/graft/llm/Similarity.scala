@@ -205,6 +205,71 @@ object Similarity {
        |SELECT * FROM p WHERE cosine > 0.35
        |${sqlOrderBy(Seq("v1", "v2")).trim}""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic duplicate
+    * CLUSTERS from the embedding near-dup pair graph — pairs alone
+    * can't drive removal (A~B, B~C must drop two of three, not two
+    * independent pairs), so the pair graph contracts to connected
+    * components (the same large-star/small-star machinery as the
+    * MinHash funnel, [[graft.llm.Cluster.components]]) and one keeper
+    * survives per component. Output: every vector with its cluster id,
+    * cluster size, and keeper flag.
+    *
+    * Oracle independence: DuckDB recomputes the clustering as a
+    * recursive-CTE transitive closure over the same cosine>0.35 pair
+    * predicate — closure vs star-contraction check each other's
+    * CLUSTERING, not just arithmetic.
+    *
+    * Scale posture: pair discovery is the bucketed [[neardupPairs]]
+    * join (never |corpus|²); contraction is O(log n) rounds of
+    * hash-partitioned min-agg + join; the final labeling is one left
+    * join against the vector universe. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = neardupPairs(spark, dir).select($"v1", $"v2")
+    val stars = graft.llm.Cluster.components(pairs)
+    val assign = stars.select($"src".as("vec_id"), $"dst".as("cid"))
+    val labeled = Tables(spark, dir, "embeddings").select($"vec_id")
+      .join(assign, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"cid", $"vec_id").as("cluster_id"))
+    val sizes = labeled.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select($"vec_id", $"cluster_id", $"cluster_size",
+        ($"vec_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"vec_id")
+  }
+
+  val semDedupSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE (${dotDuck("a.embedding", "b.embedding")}
+       |         / sqrt(a.nrm * b.nrm)) > 0.35
+       |),
+       |edges AS (SELECT v1 AS a, v2 AS b FROM p UNION SELECT v2, v1 FROM p),
+       |reach(node, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT ed.b, reach.r FROM reach JOIN edges ed ON ed.a = reach.node
+       |),
+       |comp AS (
+       |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+       |),
+       |sz AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY cluster_id
+       |)
+       |SELECT c.vec_id, c.cluster_id, sz.cluster_size,
+       |  c.vec_id = c.cluster_id AS is_keeper
+       |FROM comp c JOIN sz USING (cluster_id)
+       |${sqlOrderBy(Seq("c.vec_id")).trim}""".stripMargin
+
   /** Int8 scalar quantization — the storage-side scale path for ANN: a
     * 64-d float vector becomes 64 bytes (4x smaller than float32, 8x
     * than float64), and the IVF probe scans quantized codes first.
@@ -843,6 +908,7 @@ object Similarity {
        |FROM best GROUP BY label${sqlOrderBy(Seq("label"))}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_semdedup" -> semDedup,
     "embed_batch_topk" -> batchTopk,
     "embed_mrl_regret" -> mrlRegret,
     "embed_dim_stats" -> dimStats,
@@ -858,6 +924,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_semdedup" -> semDedupSql,
     "embed_batch_topk" -> batchTopkSql,
     "embed_mrl_regret" -> mrlRegretSql,
     "embed_dim_stats" -> dimStatsSql,
