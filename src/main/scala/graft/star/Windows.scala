@@ -197,7 +197,43 @@ object Windows {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        |) WHERE o_orderkey % 250 = 0${sqlOrderBy(Seq("c_mktsegment", "o_orderkey"))}""".stripMargin
 
+  /** Numeric (value-based) RANGE frame — the frame mode [[movingAvg]]'s
+    * ROWS frame cannot express: for each supplier, how many same-nation
+    * peers sit within 1000 account-balance units BELOW it, and their
+    * decimal-exact balance sum. RANGE frames are peer-inclusive (the
+    * frame is defined by VALUE distance, not row position), so ties in
+    * the ordering column cannot make the answer depend on sort
+    * stability — deterministic by construction, unlike a ROWS frame
+    * over a non-unique ordering.
+    *
+    * Scale posture: one nation-key shuffle + per-partition sort over
+    * \|suppliers\| rows; the frame scan is the standard sliding-window
+    * accumulation, linear per partition. */
+  def rangeNumeric(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal")
+      .rangeBetween(-1000L, 0L)
+    Tables(spark, dir, "supplier")
+      .withColumn("peers_below", count(lit(1)).over(w))
+      .withColumn("bal_sum",
+        sum($"s_acctbal".cast(graft.Det.SumDec)).over(w).cast("double"))
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal",
+        $"peers_below", $"bal_sum")
+      .orderBy($"s_suppkey")
+  }
+
+  val rangeNumericSql: String =
+    s"""SELECT s_suppkey, s_nationkey, s_acctbal,
+       |  COUNT(*) OVER w AS peers_below,
+       |  CAST(SUM(CAST(s_acctbal AS DECIMAL(28,5))) OVER w AS DOUBLE)
+       |    AS bal_sum
+       |FROM supplier
+       |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal
+       |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+       |${sqlOrderBy(Seq("s_suppkey")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_range_numeric" -> rangeNumeric,
     "window_topn_rank" -> topnRank,
     "window_lag_mom" -> lagMom,
     "window_moving_avg" -> movingAvg,
@@ -206,6 +242,7 @@ object Windows {
     "window_first_last" -> firstLast)
 
   val oracles: Map[String, String] = Map(
+    "window_range_numeric" -> rangeNumericSql,
     "window_topn_rank" -> topnRankSql,
     "window_lag_mom" -> lagMomSql,
     "window_moving_avg" -> movingAvgSql,

@@ -57,6 +57,32 @@ class CaptureStreamSpec extends SparkSpec {
     // proven by the exact total count, not by key distinctness)
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch (backlog backpressure)") {
+    // the knob that keeps a restart-after-downtime from loading the
+    // whole backlog into ONE giant micro-batch: with maxFilesPerTrigger
+    // = 1, a 3-file backlog must drain as >= 3 bounded batches
+    import spark.implicits._
+    val dir = Files.createTempDirectory("throttle_in").toFile.getAbsolutePath
+    for (i <- 1 to 3)
+      Seq(i * 10, i * 10 + 1).toDF("v").coalesce(1)
+        .write.json(s"$dir/f$i")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("v INT"))
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$dir/*")
+    val q = src.writeStream.format("memory")
+      .queryName("throttle_mem").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("throttle_mem").count() == 6)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected >=3 bounded batches, got $dataBatches")
+      val maxBatch = q.recentProgress.map(_.numInputRows).max
+      assert(maxBatch <= 2, s"a batch exceeded one file's rows: $maxBatch")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then self-terminates") {
     // the scheduled-incremental pattern: a cron'd batch job runs the
     // STREAMING query with AvailableNow — it processes exactly the
