@@ -225,6 +225,51 @@ object Tpch {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Q10 (returned-item reporting): top-20 customers by revenue lost
+    * to returns in one quarter — the 4-table join + aggregate + top-k
+    * composite. Revenue in exact cents×basis-points; the DESC
+    * ordering ties only where true values tie, broken by c_custkey.
+    *
+    * Scale posture: nation broadcasts; orders' date filter and
+    * lineitem's returnflag filter both push to their scans; customer
+    * and the filtered join co-shuffle on the customer key; top-20 is
+    * TakeOrderedAndProject over the |customers|-bounded aggregate. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"),
+        $"c_custkey" === $"o_custkey" &&
+          $"o_orderdate" >= lit("1996-10-01").cast("date") &&
+          $"o_orderdate" < lit("1997-01-01").cast("date"))
+      .join(Tables(spark, dir, "lineitem"),
+        $"o_orderkey" === $"l_orderkey" && $"l_returnflag" === "R")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name",
+        (round($"l_extendedprice" * 100).cast("bigint")
+          * (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+          .as("disc"))
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg((sum($"disc").cast("double") / 1e4).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |    AS DOUBLE) / 1e4 AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |  AND o_orderdate >= DATE '1996-10-01'
+       |  AND o_orderdate < DATE '1997-01-01'
+       |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
+       |LIMIT 20""".stripMargin
+
   /** Q14 (promotion effect): the conditional-aggregate-over-a-join
     * shape — what share of one year's discounted revenue came from
     * PROMO parts. Both sums are exact cents×basis-points BIGINTs; the
@@ -359,6 +404,7 @@ object Tpch {
     "tpch_q3" -> q3,
     "tpch_q4" -> q4,
     "tpch_q6" -> q6,
+    "tpch_q10" -> q10,
     "tpch_q14" -> q14,
     "tpch_q18" -> q18,
     "tpch_q19" -> q19)
@@ -369,6 +415,7 @@ object Tpch {
     "tpch_q3" -> q3Sql,
     "tpch_q4" -> q4Sql,
     "tpch_q6" -> q6Sql,
+    "tpch_q10" -> q10Sql,
     "tpch_q14" -> q14Sql,
     "tpch_q18" -> q18Sql,
     "tpch_q19" -> q19Sql)
