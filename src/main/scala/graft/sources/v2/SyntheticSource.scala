@@ -11,8 +11,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc,
   Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -80,7 +80,8 @@ class SyntheticTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 class SyntheticScanBuilder(rows: Long, parts: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = rows
@@ -133,6 +134,28 @@ class SyntheticScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushAggregation(agg: Aggregation): Boolean =
     supportCompletePushDown(agg) && {
       aggs = agg.aggregateExpressions; true
+    }
+
+  /** Limit pushdown: generation is the ordered range [lo, hi), so a
+    * LIMIT after exhaustively-consumed filters shrinks the range
+    * EXACTLY — n rows generated instead of n scanned-and-dropped. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit); true
+  }
+  override def isPartiallyPushed: Boolean = false
+
+  /** Top-N pushdown for `ORDER BY id ASC LIMIT n`: the reader already
+    * emits ids ascending, so the shrunk prefix IS the answer in order —
+    * full pushdown, Spark drops its sort entirely. Any other ordering
+    * declines (a descending emission would need a reversed reader;
+    * correctness first). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean =
+    orders.length == 1 && idRef(orders.head.expression()) &&
+      orders.head.direction() ==
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING && {
+      hi = math.min(hi, lo + limit); true
     }
 
   override def build(): Scan =

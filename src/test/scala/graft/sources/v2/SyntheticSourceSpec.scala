@@ -51,6 +51,26 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
   }
 
+  test("LIMIT pushes into the source: only n rows are generated") {
+    val q = table(200000, 8).filter($"id" >= 1000).limit(7)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[1000,1007)"), s"plan:\n$plan")
+    assert(q.count() == 7)
+  }
+
+  test("ORDER BY id LIMIT n fully pushes as top-N (sort dropped)") {
+    val q = table(200000, 8).orderBy($"id").limit(5).select($"id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[0,5)"), s"plan:\n$plan")
+    assert(q.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // a DESCENDING top-N must NOT push (the reader emits ascending):
+    // the range stays full and Spark's own TakeOrdered does the work
+    val d = table(200000, 8).orderBy($"id".desc).limit(3).select($"id")
+    val dPlan = d.queryExecution.executedPlan.toString
+    assert(dPlan.contains("range=[0,200000)"), s"plan:\n$dPlan")
+    assert(d.as[Long].collect().toSeq == Seq(199999L, 199998L, 199997L))
+  }
+
   test("column pruning reaches the reader") {
     val q = table(1000, 2).select($"label")
     val plan = q.queryExecution.executedPlan.toString
