@@ -52,11 +52,34 @@ object Synth {
        |FROM range(200000) t(id)
        |WHERE id >= 50000 AND id < 175000""".stripMargin
 
+  /** Top-N through the connector: `ORDER BY id LIMIT 12` after an
+    * id-range filter fully pushes (SupportsPushDownTopN, asserted in
+    * SyntheticSourceSpec) — the source generates exactly 12 rows and
+    * Spark drops its sort. The oracle regenerates the same prefix. */
+  def topnPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft.sources.v2.SyntheticProvider")
+      .option("rows", 200000).option("parts", 8).load()
+      .filter($"id" >= 123450)
+      .orderBy($"id")
+      .limit(12)
+  }
+
+  val topnPushdownSql: String =
+    s"""SELECT id,
+       |  (id * 37 % 1000) / 100.0 AS val,
+       |  'L' || CAST(id % 7 AS VARCHAR) AS label
+       |FROM range(200000) t(id)
+       |WHERE id >= 123450
+       |ORDER BY id NULLS FIRST LIMIT 12""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "synth_source_agg" -> agg,
-    "synth_source_count" -> countPushdown)
+    "synth_source_count" -> countPushdown,
+    "synth_source_topn" -> topnPushdown)
 
   val oracles: Map[String, String] = Map(
     "synth_source_agg" -> aggSql,
-    "synth_source_count" -> countPushdownSql)
+    "synth_source_count" -> countPushdownSql,
+    "synth_source_topn" -> topnPushdownSql)
 }
