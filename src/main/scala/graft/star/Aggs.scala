@@ -526,7 +526,31 @@ object Aggs {
       .orderBy($"seg_a", $"seg_b")
   }
 
+  /** `DataFrameStatFunctions.crosstab` — the contingency-table one-liner
+    * (lang x source document counts): every (row, column) pair cell,
+    * zero-filled, without hand-writing the 20-way conditional
+    * aggregation the oracle spells out. Same plan class as
+    * [[pivotCarriers]]: one partial-aggregated exchange, cells bounded
+    * by \|langs\| x \|sources\|. */
+  def statCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .stat.crosstab("lang", "source")
+      .orderBy($"lang_source")
+  }
+
+  val statCrosstabSql: String = {
+    val cols = (0 until 20).map(i =>
+      s"""  CAST(COUNT(*) FILTER (source = 'src$i') AS BIGINT) AS "src$i"""")
+      .mkString(",\n")
+    s"""SELECT lang AS lang_source,
+       |$cols
+       |FROM documents GROUP BY lang
+       |ORDER BY lang_source NULLS FIRST""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_crosstab" -> statCrosstab,
     "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
@@ -548,6 +572,7 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "stat_crosstab" -> statCrosstabSql,
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,
