@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned table snapshots with time travel (SURVEY.md §2.1 S7
+  * extension) — the smallest useful slice of what Delta/Iceberg table
+  * formats provide over a plain parquet sink:
+  *
+  *  - every write is a NEW immutable snapshot directory (`v=N/`),
+  *    committed by atomically moving a `_VERSION_N` manifest marker
+  *    into place LAST — readers either see a complete version or not
+  *    at all (the same commit discipline as `Merge`'s staged swap);
+  *  - `read(root)` resolves the latest committed version at plan time;
+  *    `read(root, Some(n))` time-travels to any retained snapshot;
+  *  - `rollback(n)` is a METADATA operation: it commits a new version
+  *    whose manifest points at version n's data — no data rewrite, and
+  *    the botched version stays readable for forensics.
+  *
+  * Scale posture: snapshots are directory pointers, so time travel
+  * costs nothing at read time (the scan is an ordinary pruned parquet
+  * read of one directory); what a real table format adds on top is
+  * file-level manifests (partial-commit granularity) and compaction of
+  * the version history — the read/commit semantics are the same.
+  */
+object Versioned {
+
+  private def manifest(root: String) = Paths.get(root, "_LATEST")
+
+  /** Highest committed version, or None for an empty root. */
+  def latestVersion(root: String): Option[Long] = {
+    val m = manifest(root)
+    if (Files.exists(m))
+      Some(new String(Files.readAllBytes(m), "UTF-8").trim.toLong)
+    else None
+  }
+
+  /** Directory that holds `version`'s data — following rollback
+    * pointers one level (a rollback manifest stores the target dir). */
+  private def dataDir(root: String, version: Long): String = {
+    val ptr = Paths.get(root, s"v=$version", "_POINTS_AT")
+    if (Files.exists(ptr))
+      new String(Files.readAllBytes(ptr), "UTF-8").trim
+    else s"$root/v=$version"
+  }
+
+  /** Commit `df` as the next version; returns the new version number. */
+  def write(df: DataFrame, root: String): Long = {
+    val next = latestVersion(root).map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    commit(root, next)
+    next
+  }
+
+  /** Roll back to `version` as a new commit (metadata-only). */
+  def rollback(root: String, version: Long): Long = {
+    val next = latestVersion(root)
+      .getOrElse(throw new IllegalStateException("empty table")) + 1
+    val dir = Paths.get(root, s"v=$next")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("_POINTS_AT"),
+      dataDir(root, version).getBytes("UTF-8"))
+    commit(root, next)
+    next
+  }
+
+  /** Read the latest committed version, or time-travel to `asOf`. */
+  def read(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    spark.read.parquet(dataDir(root, v))
+  }
+
+  /** Atomic publish: write the manifest beside its target, then MOVE it
+    * into place (same-directory move = atomic on POSIX). */
+  private def commit(root: String, version: Long): Unit = {
+    val tmp = Paths.get(root, s"_LATEST.tmp.$version")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, manifest(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
