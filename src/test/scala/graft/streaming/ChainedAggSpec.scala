@@ -46,6 +46,34 @@ class ChainedAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update mode emits only the groups each batch changed") {
+    // the third output mode (append/complete covered elsewhere): a
+    // running per-user count where batch 2 touches ONE user must
+    // re-emit that user's row only — the low-latency dashboard contract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[ClickEvt]
+    val counts = events.toDF().groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = counts.writeStream.format("memory")
+      .queryName("update_mem").outputMode("update").start()
+    try {
+      events.addData(
+        ClickEvt(1L, 1L, t("2024-01-01 00:00:00")),
+        ClickEvt(2L, 2L, t("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      events.addData(ClickEvt(1L, 3L, t("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val rows = spark.table("update_mem")
+        .select($"user_id", $"n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // batch 1 emitted (1,1) and (2,1); batch 2 re-emitted ONLY (1,2)
+      assert(rows.sorted == Seq((1L, 1L), (1L, 2L), (2L, 1L)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("plan carries two stateful aggregate operators") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
