@@ -390,7 +390,43 @@ object Curate {
        |  (w * 1000000) // w_tot AS alloc_ppm
        |FROM cnt, tot${sqlOrderBy(Seq("lang"))}""".stripMargin
 
+  /** Reproducible epoch shuffles: each training epoch's global document
+    * order is rank-by-salted-hash — a pure function of (epoch, doc_id),
+    * so any worker, rerun, or resumed job recomputes the identical
+    * permutation with no shuffle-file state to persist, and different
+    * epochs get decorrelated orders by construction (different salt =
+    * independent hash). The standard alternative — materializing a
+    * shuffled copy per epoch — rewrites the corpus E times; this writes
+    * nothing.
+    *
+    * Scale posture: the rank is one global sort per epoch over (hash,
+    * id) — at 100 TB the sort is range-partitioned and each worker
+    * reads only its rank range; more commonly the hash itself serves
+    * as the SORT KEY of a bucketed layout and no runtime sort happens
+    * at all. */
+  def epochOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def rank(epoch: Int) = row_number().over(
+      Window.orderBy(
+        expr(s"md5(cast(concat('e$epoch:', cast(doc_id as string)) as binary))"),
+        $"doc_id"))
+    Tables(spark, dir, "documents")
+      .select($"doc_id")
+      .withColumn("rank_e0", rank(0))
+      .withColumn("rank_e1", rank(1))
+      .orderBy($"doc_id")
+  }
+
+  val epochOrderSql: String =
+    s"""SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY md5('e0:' || CAST(doc_id AS VARCHAR)),
+       |    doc_id) AS INTEGER) AS rank_e0,
+       |  CAST(row_number() OVER (ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)),
+       |    doc_id) AS INTEGER) AS rank_e1
+       |FROM documents${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_epoch_order" -> epochOrder,
     "corpus_lang_temperature" -> langTemperature,
     "corpus_vocab_growth" -> vocabGrowth,
     "corpus_source_cap" -> sourceCap,
@@ -400,6 +436,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_epoch_order" -> epochOrderSql,
     "corpus_lang_temperature" -> langTemperatureSql,
     "corpus_vocab_growth" -> vocabGrowthSql,
     "corpus_source_cap" -> sourceCapSql,
