@@ -169,7 +169,7 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    val r = right.toDF(right.columns.map(_ + rightSuffix): _*)
+    val r = right.toDF(right.columns.toIndexedSeq.map(_ + rightSuffix): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =

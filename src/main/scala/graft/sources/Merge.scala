@@ -40,7 +40,7 @@ object Merge {
         val cond = keys.map(k => target(k) === u(s"__u_$k")).reduce(_ && _)
         val matched = u(s"__u_${keys.head}").isNotNull
         target.join(u, cond, "full_outer")
-          .select(target.columns.map { c =>
+          .select(target.columns.toIndexedSeq.map { c =>
             when(matched, u(s"__u_$c")).otherwise(target(c)).as(c)
           }: _*)
       }

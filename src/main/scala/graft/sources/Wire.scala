@@ -21,7 +21,7 @@ object Wire {
   def kafkaShape(df: DataFrame, keyField: Option[String]): DataFrame = {
     val stamped = df.withColumn("produced_at",
       unix_timestamp(current_timestamp()))
-    val value = to_json(struct(stamped.columns.map(col): _*)).as("value")
+    val value = to_json(struct(stamped.columns.toIndexedSeq.map(col): _*)).as("value")
     keyField match {
       case Some(k) => stamped.select(col(k).cast("string").as("key"), value)
       case None => stamped.select(lit(null).cast("string").as("key"), value)
