@@ -549,7 +549,89 @@ object Aggs {
        |ORDER BY lang_source NULLS FIRST""".stripMargin
   }
 
+  /** Deterministic MODE: the most frequent l_quantity per return flag,
+    * smallest value on frequency ties — stated as count+rank rather
+    * than the engines' built-in `mode()` because neither engine
+    * DEFINES its tie winner (Spark and DuckDB may legally disagree);
+    * the rank formulation pins the contract and stays one exchange:
+    * value-level counts partial-aggregate map-side, the rank window
+    * runs over |distinct values| rows per group. */
+  def modeQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"c".desc, $"v")
+    Tables(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("double").as("v"))
+      .groupBy($"l_returnflag", $"v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"v".as("mode_qty"), $"c".as("mode_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val modeQuantitySql: String =
+    s"""WITH counts AS (
+       |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+       |    ORDER BY c DESC, v) AS rn
+       |  FROM counts
+       |)
+       |SELECT l_returnflag, v AS mode_qty, c AS mode_count
+       |FROM r WHERE rn = 1${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
+
+  /** DAU / WAU engagement (the stickiness ratio): per day, distinct
+    * active users that day and across the trailing 7-day window. The
+    * windowed distinct cannot ride an ordinary window frame (no
+    * DISTINCT over windows), so the scalable form is: collapse to
+    * distinct (day, user) FIRST — the only corpus-sized shuffle — then
+    * a bounded interval join against the day grid (each activity row
+    * lands in <= 7 day-buckets) feeds an exact distinct per day.
+    *
+    * Ratio is one IEEE division of exact counts — engine-identical. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = Tables(spark, dir, "events")
+      .select($"ts".cast("date").as("day"), $"user_id").distinct()
+    val days = du.select($"day").distinct()
+    val dau = du.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val wau = days.as("g")
+      .join(du.as("a"),
+        $"a.day" >= date_sub($"g.day", 6) && $"a.day" <= $"g.day")
+      .groupBy($"g.day".as("day"))
+      .agg(countDistinct($"a.user_id").as("wau"))
+    dau.join(wau, "day")
+      .select($"day", $"dau", $"wau",
+        ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  val dauWauSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |),
+       |days AS (SELECT DISTINCT day FROM du),
+       |dau AS (
+       |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+       |),
+       |wau AS (
+       |  SELECT g.day, COUNT(DISTINCT a.user_id) AS wau
+       |  FROM days g JOIN du a
+       |    ON a.day >= g.day - INTERVAL 6 DAY AND a.day <= g.day
+       |  GROUP BY g.day
+       |)
+       |SELECT dau.day, dau, wau,
+       |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+       |FROM dau JOIN wau ON dau.day = wau.day
+       |ORDER BY dau.day NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> modeQuantity,
+    "events_dau_wau" -> dauWau,
     "stat_crosstab" -> statCrosstab,
     "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
@@ -572,6 +654,8 @@ object Aggs {
     "events_daily" -> eventsDaily)
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" -> modeQuantitySql,
+    "events_dau_wau" -> dauWauSql,
     "stat_crosstab" -> statCrosstabSql,
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
