@@ -176,11 +176,45 @@ object Media {
        |  md5(fingerprint || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
        |FROM f${sqlOrderBy(Seq("doc_id", "frame_idx"))}""".stripMargin
 
+  /** Exact media dedup over content fingerprints — the byte-level
+    * duplicate pass every media corpus runs BEFORE expensive decode
+    * (identical files re-crawled under different names): group by the
+    * payload hash, keep the smallest id, report every multi-file
+    * group. The perceptual (near-dup) tier then reuses the document
+    * operators over decoded-frame fingerprints ([[framesQuery]]) the
+    * same way text near-dup reuses minhash — the plumbing here is the
+    * shared md5-bucket shuffle.
+    *
+    * Scale posture: identical to `dedup_exact` — the hash computes
+    * map-side over payload bytes (no decode), the shuffle carries
+    * (hash, id) pairs only. */
+  def dedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(concat(lit("media/"), $"source").as("media_type"),
+        md5($"text".cast("binary")).as("fingerprint"))
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_files"),
+        countDistinct($"fingerprint").as("n_unique"),
+        (count(lit(1)) - countDistinct($"fingerprint")).as("n_dup_files"))
+      .orderBy($"media_type")
+  }
+
+  val dedupQuerySql: String =
+    s"""SELECT 'media/' || source AS media_type,
+       |  COUNT(*) AS n_files,
+       |  COUNT(DISTINCT md5(text)) AS n_unique,
+       |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_files
+       |FROM documents
+       |GROUP BY 1${sqlOrderBy(Seq("media_type"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> metaQuery,
-    "media_frames" -> framesQuery)
+    "media_frames" -> framesQuery,
+    "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> metaQuerySql,
-    "media_frames" -> framesQuerySql)
+    "media_frames" -> framesQuerySql,
+    "media_dedup" -> dedupQuerySql)
 }
