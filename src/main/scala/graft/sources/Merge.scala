@@ -49,4 +49,46 @@ object Merge {
     if (exists) fs.delete(new Path(path), true)
     fs.rename(new Path(staged), new Path(path))
   }
+
+  /** Targeted erasure (the GDPR delete) over a `partCol`-partitioned
+    * parquet target: remove every row whose `keyCol` is in `keys`,
+    * rewriting ONLY the partitions that contain such rows — untouched
+    * partitions keep their exact files (asserted by mtime in
+    * MergeSpec). Returns the affected partition values.
+    *
+    * Mechanics: survivors of the hit partitions are materialized
+    * (localCheckpoint) BEFORE the overwrite — a lazy plan would read
+    * the very files the dynamic overwrite replaces; a partition whose
+    * every row is erased produces no survivor row, which dynamic
+    * overwrite would silently skip, so emptied partitions are removed
+    * explicitly.
+    *
+    * Scale posture: the erase cost is proportional to the partitions
+    * the keys live in, never the table — with a key-clustered layout
+    * (z-order/bucketing) that is a handful of files per subject. Table
+    * formats add a transaction log and deletion vectors on top; the
+    * partition-targeted dataflow is the same. */
+  def deleteKeys(spark: SparkSession, path: String, partCol: String,
+      keyCol: String, keys: Seq[Any]): Seq[String] = {
+    val target = spark.read.parquet(path)
+    val hit = target.filter(col(keyCol).isin(keys: _*))
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (hit.isEmpty) return Nil
+    val survivors = target
+      .filter(col(partCol).cast("string").isin(hit: _*) &&
+        !col(keyCol).isin(keys: _*))
+      .localCheckpoint()
+    val kept = survivors.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    survivors.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- hit if !kept.contains(p))
+      fs.delete(new Path(s"$path/$partCol=$p"), true)
+    hit
+  }
 }

@@ -45,4 +45,32 @@ class MergeSpec extends SparkSpec {
     assert(out.where($"carrier" === "R" && $"year" === 1996)
       .head.getDouble(2) == 9.0)
   }
+
+  test("deleteKeys rewrites only hit partitions, drops emptied ones") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("erase").toFile.getAbsolutePath + "/t"
+    // partition A: keys 1,2; B: key 3 only; C: key 4 (untouched)
+    Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "C", 40.0))
+      .toDF("user_id", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    def files(p: String) = Option(new java.io.File(s"$path/part=$p")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val cBefore = files("C")
+    Thread.sleep(1100) // mtime granularity guard
+    // erase subjects 1 (partial A) and 3 (all of B)
+    val hit = Merge.deleteKeys(spark, path, "part", "user_id", Seq(1L, 3L))
+    assert(hit.toSet == Set("A", "B"))
+    val left = spark.read.parquet(path)
+      .select($"user_id").as[Long].collect().toSet
+    assert(left == Set(2L, 4L))
+    // B's directory is gone entirely (dynamic overwrite can't empty it)
+    assert(!new java.io.File(s"$path/part=B").exists())
+    // C's files are byte-for-byte untouched (same names, same mtimes)
+    assert(files("C") == cBefore, "untouched partition was rewritten")
+    // idempotent: erasing the same subjects again is a no-op
+    assert(Merge.deleteKeys(spark, path, "part", "user_id", Seq(1L, 3L)).isEmpty)
+  }
 }
