@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Two stateful window aggregations chained in ONE streaming query:
@@ -71,6 +72,74 @@ class ChainedAggSpec extends SparkSpec {
       // batch 1 emitted (1,1) and (2,1); batch 2 re-emitted ONLY (1,2)
       assert(rows.sorted == Seq((1L, 1L), (1L, 2L), (2L, 1L)),
         rows.toString)
+    } finally q.stop()
+  }
+
+  test("watermarked dedup chains into a windowed aggregate in one query") {
+    // the production ingest shape: at-least-once replays are dropped by
+    // dropDuplicatesWithinWatermark BEFORE the tumbling count — two
+    // different stateful operators, one checkpoint, exactly-once totals
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[ClickEvt]
+    val agg = events.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("dedup_agg_mem").outputMode("append").start()
+    try {
+      events.addData(
+        ClickEvt(1L, 100L, t("2024-01-01 00:01:00")),
+        ClickEvt(1L, 100L, t("2024-01-01 00:01:00")), // replay, same id
+        ClickEvt(2L, 101L, t("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // replay again in a LATER batch — state must still drop it
+      events.addData(ClickEvt(1L, 100L, t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      events.addData(ClickEvt(9L, 200L, t("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      events.addData(ClickEvt(9L, 201L, t("2024-01-01 00:31:00")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_agg_mem")
+        .select($"win_start", $"n").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      // 3 raw rows in [00:00,00:05) but only 2 distinct event ids
+      assert(rows(t("2024-01-01 00:00:00")) == 2L, rows.toString)
+      assert(q.lastProgress.stateOperators.length == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch commits each micro-batch as a time-travelable version") {
+    // streaming + Versioned: every batch lands as an immutable snapshot,
+    // so a bad deploy rolls back to the last good version with no
+    // stream replay — and history stays queryable
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("vstream").toFile.getAbsolutePath
+    val events = MemoryStream[ClickEvt]
+    val q = events.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val prev = graft.sources.Versioned.latestVersion(root)
+            .map(v => graft.sources.Versioned.read(spark, root, Some(v)))
+          val next = prev.map(_.unionByName(batch)).getOrElse(batch)
+          graft.sources.Versioned.write(next.localCheckpoint(), root)
+          ()
+        }
+      }
+      .start()
+    try {
+      events.addData(ClickEvt(1L, 1L, t("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      events.addData(ClickEvt(2L, 2L, t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(graft.sources.Versioned.read(spark, root).count() == 2)
+      // time travel to the first committed batch
+      assert(graft.sources.Versioned.read(spark, root, Some(0L)).count() == 1)
     } finally q.stop()
   }
 
