@@ -425,7 +425,55 @@ object Curate {
        |    doc_id) AS INTEGER) AS rank_e1
        |FROM documents${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Language-mix drift between two corpus cohorts (here: even vs odd
+    * doc ids — in production: yesterday's crawl vs today's): per-lang
+    * counts in each cohort, their shares, and the share delta — the
+    * distribution-shift monitor a training-data pipeline alerts on
+    * before a drifted mix silently changes model behavior. Shares are
+    * single exactly-rounded IEEE divisions of exact counts and the
+    * delta one subtraction — engine-identical throughout.
+    *
+    * Scale posture: one conditional-count aggregate (both cohorts in
+    * one scan) to |langs| rows + a 1-row broadcast of the totals. */
+  def langDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        sum(($"doc_id" % 2 === 0).cast("long")).as("n_a"),
+        sum(($"doc_id" % 2 =!= 0).cast("long")).as("n_b"))
+    val tot = base.agg(sum($"n_a").as("tot_a"), sum($"n_b").as("tot_b"))
+    base.crossJoin(broadcast(tot))
+      .select($"lang", $"n_a", $"n_b",
+        ($"n_a".cast("double") / $"tot_a".cast("double")).as("share_a"),
+        ($"n_b".cast("double") / $"tot_b".cast("double")).as("share_b"),
+        (($"n_b".cast("double") / $"tot_b".cast("double"))
+          - ($"n_a".cast("double") / $"tot_a".cast("double"))).as("drift"))
+      .orderBy($"lang")
+  }
+
+  val langDriftSql: String =
+    s"""WITH base AS (
+       |  SELECT lang,
+       |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM documents GROUP BY lang
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+       |    CAST(SUM(n_b) AS BIGINT) AS tot_b FROM base
+       |)
+       |SELECT lang, n_a, n_b,
+       |  CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_a,
+       |  CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS share_b,
+       |  (CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+       |    - (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)) AS drift
+       |FROM base, tot${sqlOrderBy(Seq("lang"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_lang_drift" -> langDrift,
     "corpus_epoch_order" -> epochOrder,
     "corpus_lang_temperature" -> langTemperature,
     "corpus_vocab_growth" -> vocabGrowth,
@@ -436,6 +484,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_lang_drift" -> langDriftSql,
     "corpus_epoch_order" -> epochOrderSql,
     "corpus_lang_temperature" -> langTemperatureSql,
     "corpus_vocab_growth" -> vocabGrowthSql,

@@ -907,7 +907,43 @@ object Similarity {
        |    AS DOUBLE) / 1e14 AS regret
        |FROM best GROUP BY label${sqlOrderBy(Seq("label"))}""".stripMargin
 
+  /** Vector-norm audit — the diagnostic that decides whether dot and
+    * cosine retrieval differ for a corpus (and catches broken rows
+    * before they poison ANN): norms bucketed into 0.25-wide bins with
+    * counts and decimal-exact norm sums per bin, plus the degenerate
+    * near-zero-norm count surfaced in its own bin. Every step — the
+    * fixed-point self-dot, one correctly-rounded sqrt, a *4/floor bin —
+    * is IEEE-identical cross-engine.
+    *
+    * Scale posture: map-only per vector + one |bins|-row aggregate. */
+  def normAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        s"sqrt(${dotSpark("embedding", "embedding")}) AS nrm")
+      .selectExpr("nrm", "cast(floor(nrm * 4) as bigint) AS bin")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_vec"),
+        (sum(floor($"nrm" * 1e12 + 0.5).cast("bigint")).cast("double") / 1e12)
+          .as("norm_sum"))
+      .orderBy($"bin")
+  }
+
+  val normAuditSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id,
+       |    sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT CAST(floor(nrm * 4) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_vec,
+       |  CAST(CAST(SUM(CAST(floor(nrm * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS DOUBLE) / 1e12 AS norm_sum
+       |FROM n GROUP BY 1${sqlOrderBy(Seq("bin"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_norm_audit" -> normAudit,
     "embed_semdedup" -> semDedup,
     "embed_batch_topk" -> batchTopk,
     "embed_mrl_regret" -> mrlRegret,
@@ -924,6 +960,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_norm_audit" -> normAuditSql,
     "embed_semdedup" -> semDedupSql,
     "embed_batch_topk" -> batchTopkSql,
     "embed_mrl_regret" -> mrlRegretSql,
