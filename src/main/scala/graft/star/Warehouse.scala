@@ -711,7 +711,56 @@ object Warehouse {
        |JOIN mad ON dev.event_type = mad.event_type
        |GROUP BY dev.event_type${sqlOrderBy(Seq("dev.event_type"))}""".stripMargin
 
+  /** Gini coefficient of customer spend — the revenue-concentration
+    * scalar next to [[abcParts]]' Pareto classes: 0 = spend spread
+    * evenly, →1 = a few whales carry the book. Exact-arithmetic form of
+    * the sorted identity G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n: spends in
+    * integer cents, ranks by (spend, custkey) so every product and both
+    * sums are exact BIGINTs, then two exactly-rounded IEEE divisions
+    * and one subtraction — engine-identical.
+    *
+    * Scale posture: the per-customer aggregate is the only corpus-sized
+    * shuffle; the rank runs over |customers| aggregate rows. At 100 TB
+    * the global rank becomes the bucketed prefix-sum used by
+    * `corpus_pack` (machinery present) — the identity itself is
+    * rank-based, not order-of-summation-based. */
+  def spendGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("bigint")).as("cents"))
+    val ranked = spend.withColumn("i",
+      row_number().over(Window.orderBy($"cents", $"o_custkey")))
+    ranked.agg(
+      count(lit(1)).as("n_customers"),
+      (sum($"cents").cast("double") / 100).as("total_spend"),
+      ((lit(2.0) * sum($"i" * $"cents").cast("double")
+        / (count(lit(1)) * sum($"cents")).cast("double"))
+        - (count(lit(1)) + lit(1)).cast("double") / count(lit(1)).cast("double"))
+        .as("gini"))
+  }
+
+  val spendGiniSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |ranked AS (
+       |  SELECT cents,
+       |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+       |  FROM spend
+       |)
+       |SELECT COUNT(*) AS n_customers,
+       |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100 AS total_spend,
+       |  2.0 * CAST(CAST(SUM(i * cents) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) * CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+       |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini
+       |FROM ranked""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_spend_gini" -> spendGini,
     "events_outlier_mad" -> outlierMad,
     "join_scd2_pit" -> scd2Pit,
     "events_retention" -> retention,
@@ -728,6 +777,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "customer_spend_gini" -> spendGiniSql,
     "events_outlier_mad" -> outlierMadSql,
     "join_scd2_pit" -> scd2PitSql,
     "events_retention" -> retentionSql,
