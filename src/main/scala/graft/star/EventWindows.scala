@@ -1,6 +1,7 @@
 package graft.star
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 import graft.Det.{sqlSum, sqlOrderBy}
@@ -322,7 +323,69 @@ object EventWindows {
        |SELECT user_id, CAST(MAX(len) AS INTEGER) AS longest_run
        |FROM runs GROUP BY user_id${sqlOrderBy(Seq("user_id"))}""".stripMargin
 
+  /** Click→purchase conversion latency distribution — the funnel-speed
+    * metric built by COMPOSING two registered operators: the forward
+    * as-of join ([[Joins.asofForward]]) attributes each click to its
+    * next purchase, latencies land as exact microsecond integers, and
+    * the discrete-percentile formulation ([[Aggs.percentileDisc]])
+    * reads p50/p90 off the cumulative counts — every intermediate an
+    * actual data value, no interpolation. One final /1e6 per output is
+    * the only floating-point step.
+    *
+    * Scale posture: the as-of shuffle dominates; the percentile runs
+    * over value-level counts of |converted clicks| rows. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Joins.asofForward(spark, dir)
+    val nClicks = pairs.agg(count(lit(1)).as("n_clicks"))
+    val conv = pairs.filter($"next_ts".isNotNull)
+      .select((unix_micros($"next_ts".cast("timestamp")) -
+        unix_micros($"ts".cast("timestamp"))).as("lat_us"))
+    val wCum = Window.orderBy($"lat_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    conv.groupBy($"lat_us").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("tot", sum($"c").over(wAll))
+      .agg(
+        max($"tot").as("n_converted"),
+        (min(when($"cum" >= ceil($"tot" * 0.5), $"lat_us"))
+          .cast("double") / 1e6).as("p50_s"),
+        (min(when($"cum" >= ceil($"tot" * 0.9), $"lat_us"))
+          .cast("double") / 1e6).as("p90_s"))
+      .crossJoin(broadcast(nClicks))
+      .select($"n_clicks", $"n_converted", $"p50_s", $"p90_s")
+  }
+
+  val conversionLatencySql: String =
+    s"""WITH pairs AS (
+       |  SELECT c.ts, p.ts AS next_ts
+       |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |    ON c.user_id = p.user_id AND c.ts <= p.ts
+       |),
+       |lat AS (
+       |  SELECT epoch_us(next_ts) - epoch_us(ts) AS lat_us
+       |  FROM pairs WHERE next_ts IS NOT NULL
+       |),
+       |counts AS (SELECT lat_us, COUNT(*) AS c FROM lat GROUP BY 1),
+       |r AS (
+       |  SELECT lat_us,
+       |    SUM(c) OVER (ORDER BY lat_us) AS cum,
+       |    SUM(c) OVER () AS n
+       |  FROM counts
+       |)
+       |SELECT (SELECT COUNT(*) FROM pairs) AS n_clicks,
+       |  CAST(MAX(cum) AS BIGINT) AS n_converted,
+       |  CAST(MIN(CASE WHEN cum >= ceil(n * 0.5) THEN lat_us END) AS DOUBLE)
+       |    / 1e6 AS p50_s,
+       |  CAST(MIN(CASE WHEN cum >= ceil(n * 0.9) THEN lat_us END) AS DOUBLE)
+       |    / 1e6 AS p90_s
+       |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_conversion_latency" -> conversionLatency,
     "events_longest_run" -> longestRun,
     "events_cadence_profile" -> cadenceProfile,
     "events_cogroup_attrib" -> cogroupAttrib,
@@ -331,6 +394,7 @@ object EventWindows {
     "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "events_conversion_latency" -> conversionLatencySql,
     "events_longest_run" -> longestRunSql,
     "events_cadence_profile" -> cadenceProfileSql,
     "events_cogroup_attrib" -> cogroupAttribSql,
