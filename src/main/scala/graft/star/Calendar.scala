@@ -234,13 +234,78 @@ object Calendar {
        |FROM monthly CROSS JOIN grand
        |GROUP BY month(m), grand_avg${sqlOrderBy(Seq("month"))}""".stripMargin
 
+  /** Exponentially-weighted moving average of monthly revenue with
+    * DYADIC weights (1/2, 1/4, …, 1/64 over the trailing 7 observed
+    * months) — the trend smoother next to [[seasonalIndex]], chosen so
+    * the whole computation is exact integer arithmetic: revenue is
+    * summed in cents (BIGINT), each lag is scaled by a power of two,
+    * and the normalizer is the sum of the weights actually present at
+    * the series head. Both engines then perform the identical single
+    * IEEE division num/den — no pow(), no compounding float recurrence,
+    * so the hash gate holds. The recursive form ewma_t = a·x_t +
+    * (1-a)·ewma_{t-1} with a=1/2 truncated after 7 terms is exactly
+    * this weighted sum.
+    *
+    * Scale posture: the fact scan aggregates to |months| rows before
+    * the unpartitioned window (the documented benign bounded-window
+    * class) — smoother cost is independent of fact-table volume. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables(spark, dir, "orders")
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m").agg(sum($"cents").as("rev_c"))
+    val w = Window.orderBy($"m")
+    val terms = (0 to 6).map { k =>
+      val weight = 1L << (6 - k)
+      val lagged = if (k == 0) $"rev_c" else lag($"rev_c", k).over(w)
+      (coalesce(lagged, lit(0L)) * lit(weight),
+        when(lagged.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    monthly
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select($"m",
+        ($"rev_c".cast("double") / 100.0).as("revenue"),
+        ($"num".cast("double") / ($"den" * 100L).cast("double"))
+          .as("ewma_revenue"))
+      .orderBy($"m")
+  }
+
+  val ewmaSql: String = {
+    val lags = (1 to 6).map(k =>
+      s"lag(rev_c, $k) OVER (ORDER BY m) AS l$k").mkString(",\n       |    ")
+    val num = "rev_c * 64 + " + (1 to 6).map(k =>
+      s"COALESCE(l$k, 0) * ${1L << (6 - k)}").mkString(" + ")
+    val den = "64 + " + (1 to 6).map(k =>
+      s"CASE WHEN l$k IS NULL THEN 0 ELSE ${1L << (6 - k)} END").mkString(" + ")
+    s"""WITH monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1
+       |),
+       |lagged AS (
+       |  SELECT m, rev_c,
+       |    $lags
+       |  FROM monthly
+       |)
+       |SELECT m,
+       |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       |  CAST($num AS DOUBLE) / CAST(($den) * 100 AS DOUBLE) AS ewma_revenue
+       |FROM lagged${sqlOrderBy(Seq("m"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_ewma" -> ewma,
     "orders_seasonal_index" -> seasonalIndex,
     "dim_calendar" -> dimCalendar,
     "orders_gap_fill" -> gapFill,
     "orders_gap_interp" -> gapInterp)
 
   val oracles: Map[String, String] = Map(
+    "orders_ewma" -> ewmaSql,
     "orders_seasonal_index" -> seasonalIndexSql,
     "dim_calendar" -> dimCalendarSql,
     "orders_gap_fill" -> gapFillSql,
