@@ -942,7 +942,77 @@ object Similarity {
        |    AS DOUBLE) / 1e12 AS norm_sum
        |FROM n GROUP BY 1${sqlOrderBy(Seq("bin"))}""".stripMargin
 
+  /** Dedup-signal agreement audit — the pipeline-QA question "do my
+    * two near-dup detectors agree?", answered by FULL-OUTER joining
+    * the text-side LSH candidate pairs ([[Dedup.neardupPairs]], doc_id
+    * keyed) against the embedding-cosine pairs ([[neardupPairs]],
+    * vec_id keyed; the fixture embeds document i as vector i) and
+    * counting the three regions of the Venn diagram. Agreement is the
+    * pair-set Jaccard n_both / n_union — exact integers, one guarded
+    * IEEE division. Low agreement on a real corpus means the two
+    * signals capture different duplication (lexical vs semantic) and
+    * BOTH filters belong in the funnel; here the random fixture makes
+    * overlap near-zero, which is itself the honest reading.
+    *
+    * Scale posture: both pair sets are bucket-bounded (LSH bands /
+    * label buckets — never all-pairs); the audit join is pair-keyed
+    * and its output is one row. */
+  def methodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = graft.llm.Dedup.neardupPairs(spark, dir)
+      .select($"d1", $"d2", lit(1).as("in_text"))
+    val e = neardupPairs(spark, dir)
+      .select($"v1".as("d1"), $"v2".as("d2"), lit(1).as("in_emb"))
+    t.join(e, Seq("d1", "d2"), "full_outer")
+      .agg(
+        count(when($"in_text" === 1 && $"in_emb" === 1, 1)).as("n_both"),
+        count(when($"in_text" === 1 && $"in_emb".isNull, 1)).as("n_text_only"),
+        count(when($"in_text".isNull && $"in_emb" === 1, 1)).as("n_emb_only"),
+        count(lit(1)).as("n_union"))
+      .select($"n_both", $"n_text_only", $"n_emb_only", $"n_union",
+        graft.Det.nullRatio($"n_both".cast("double"),
+          $"n_union".cast("double")).as("agreement"))
+  }
+
+  val methodAgreementSql: String =
+    s"""WITH ${graft.llm.Dedup.sigSqlCte},
+       |tp AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sig a JOIN sig b ON a.band_a = b.band_a AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sig a JOIN sig b ON a.band_b = b.band_b AND a.doc_id < b.doc_id
+       |),
+       |ev AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |ep AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE (${dotDuck("a.embedding", "b.embedding")}
+       |         / sqrt(a.nrm * b.nrm)) > 0.35
+       |),
+       |u AS (
+       |  SELECT tp.d1 IS NOT NULL AS in_text, ep.d1 IS NOT NULL AS in_emb
+       |  FROM tp FULL OUTER JOIN ep ON tp.d1 = ep.d1 AND tp.d2 = ep.d2
+       |)
+       |SELECT
+       |  CAST(SUM(CASE WHEN in_text AND in_emb THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_both,
+       |  CAST(SUM(CASE WHEN in_text AND NOT in_emb THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_text_only,
+       |  CAST(SUM(CASE WHEN NOT in_text AND in_emb THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_emb_only,
+       |  COUNT(*) AS n_union,
+       |  ${graft.Det.sqlNullRatio(
+            "CAST(SUM(CASE WHEN in_text AND in_emb THEN 1 ELSE 0 END) AS DOUBLE)",
+            "CAST(COUNT(*) AS DOUBLE)")} AS agreement
+       |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_method_agreement" -> methodAgreement,
     "embed_norm_audit" -> normAudit,
     "embed_semdedup" -> semDedup,
     "embed_batch_topk" -> batchTopk,
@@ -960,6 +1030,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "dedup_method_agreement" -> methodAgreementSql,
     "embed_norm_audit" -> normAuditSql,
     "embed_semdedup" -> semDedupSql,
     "embed_batch_topk" -> batchTopkSql,
