@@ -549,6 +549,73 @@ object Aggs {
        |ORDER BY lang_source NULLS FIRST""".stripMargin
   }
 
+  /** Chi-square independence test over the [[statCrosstab]] contingency
+    * (is a document's language independent of its source?) — the
+    * inferential companion to the crosstab, and the data-balance audit
+    * a corpus mix needs before per-source sampling. Observed counts are
+    * exact BIGINT; expected counts rᵢ·cⱼ/N are computed as
+    * double·double/double (each factor an exact <2^53 int→double
+    * conversion, so the IEEE sequence is engine-identical and can never
+    * overflow, unlike a BIGINT product at cluster scale). MISSING cells
+    * participate: the full |langs|×|sources| grid is materialized and
+    * zero-filled before scoring, since an absent cell still contributes
+    * E to the statistic. The bounded per-cell contributions are
+    * quantized to 1e-9 fixed point (the norm-audit trick) so their SUM
+    * is exact BIGINT arithmetic — summation order cannot flip the hash.
+    * At 100 TB the quantized sum is a harness-determinism choice;
+    * production would sum plain doubles (|cells| is bounded, the
+    * statistic is inferential, and 1-ulp noise is irrelevant).
+    *
+    * Scale posture: one partial-agg exchange to |langs×sources| cells;
+    * everything after runs on the bounded grid (broadcast joins). */
+  def statChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "documents")
+      .groupBy($"lang".as("f"), $"source".as("m"))
+      .agg(count(lit(1)).as("o"))
+    val rowt = cells.groupBy($"f").agg(sum($"o").as("rt"))
+    val colt = cells.groupBy($"m").agg(sum($"o").as("ct"))
+    val grid = rowt.crossJoin(colt)
+      .join(cells, Seq("f", "m"), "left").na.fill(0L, Seq("o"))
+    val tot = cells.agg(sum($"o").as("n"))
+    val e = $"rt".cast("double") * $"ct".cast("double") / $"n".cast("double")
+    grid.crossJoin(broadcast(tot))
+      .select($"f", $"m", $"o", e.as("e"))
+      .withColumn("q", expr(
+        "CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e"
+          + " * 1e9 + 0.5) AS BIGINT)"))
+      .agg(
+        (sum($"q").cast("double") / 1e9).as("chi2"),
+        ((countDistinct($"f") - 1) * (countDistinct($"m") - 1)).as("dof"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  val statChi2Sql: String =
+    s"""WITH cells AS (
+       |  SELECT lang AS f, source AS m, COUNT(*) AS o
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |rowt AS (SELECT f, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY f),
+       |colt AS (SELECT m, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY m),
+       |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+       |grid AS (
+       |  SELECT rowt.f, colt.m, rt, ct,
+       |    COALESCE(cells.o, 0) AS o
+       |  FROM rowt CROSS JOIN colt
+       |  LEFT JOIN cells ON cells.f = rowt.f AND cells.m = colt.m
+       |),
+       |scored AS (
+       |  SELECT f, m, o,
+       |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+       |  FROM grid CROSS JOIN tot
+       |)
+       |SELECT
+       |  CAST(CAST(SUM(CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+       |    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS chi2,
+       |  (COUNT(DISTINCT f) - 1) * (COUNT(DISTINCT m) - 1) AS dof,
+       |  COUNT(*) AS n_cells
+       |FROM scored""".stripMargin
+
   /** Deterministic MODE: the most frequent l_quantity per return flag,
     * smallest value on frequency ties — stated as count+rank rather
     * than the engines' built-in `mode()` because neither engine
@@ -633,6 +700,7 @@ object Aggs {
     "agg_mode" -> modeQuantity,
     "events_dau_wau" -> dauWau,
     "stat_crosstab" -> statCrosstab,
+    "stat_chi2" -> statChi2,
     "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
@@ -657,6 +725,7 @@ object Aggs {
     "agg_mode" -> modeQuantitySql,
     "events_dau_wau" -> dauWauSql,
     "stat_crosstab" -> statCrosstabSql,
+    "stat_chi2" -> statChi2Sql,
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,
