@@ -190,4 +190,29 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("EWMA smoother collapses facts before its single bounded window") {
+    // one partial+final aggregate pair to |months| rows, then the lag
+    // window; a second exchange before the aggregate would mean the
+    // window ran over raw facts
+    val p = plan("orders_ewma")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("rangepartitioning") ||
+      p.indexOf("Window") < p.toLowerCase.indexOf("rangepartitioning"), p)
+  }
+
+  test("chi-square runs on the bounded contingency grid, not the corpus") {
+    // the corpus-sized input must collapse via partial aggregation; the
+    // grid joins afterwards are broadcast (no corpus-keyed exchange)
+    val p = plan("stat_chi2")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup-signal agreement joins pair sets with a real FULL OUTER") {
+    val p = plan("dedup_method_agreement")
+    assert(p.contains("FullOuter"), p)
+  }
 }
