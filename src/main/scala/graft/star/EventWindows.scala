@@ -384,7 +384,78 @@ object EventWindows {
        |    / 1e6 AS p90_s
        |FROM r""".stripMargin
 
+  /** Interval-island coverage — the gaps-and-islands MERGE: each event
+    * opens a 60-second activity window; overlapping (or touching)
+    * windows per user coalesce into maximal islands, and the per-user
+    * answer is how many islands and how much wall-clock they cover.
+    * This is the time-coverage dedup every usage-metering and
+    * session-audit layer needs, and it is NOT expressible as a plain
+    * aggregate: island boundaries depend on the running maximum of
+    * prior interval ends (an event wholly inside an earlier long
+    * window must not split the island), so the chain is running-max →
+    * boundary flag → running-sum island id → two-level aggregate.
+    * All arithmetic is exact epoch microseconds; the only division is
+    * the final /1e6 per output row.
+    *
+    * Scale posture: one user-keyed shuffle; the three windows and both
+    * aggregates reuse that single partitioning (per-user in-partition
+    * sort, no second exchange until the tiny final agg). */
+  def coverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables(spark, dir, "events")
+      .select($"user_id",
+        unix_micros($"ts".cast("timestamp")).as("s"))
+      .withColumn("e", $"s" + lit(60000000L))
+    val w = Window.partitionBy($"user_id").orderBy($"s", $"e")
+    val flagged = iv
+      .withColumn("prev_max_e",
+        max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_max_e".isNull || $"s" > $"prev_max_e", 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("n_ev"), min($"s").as("is"), max($"e").as("ie"))
+      .groupBy($"user_id")
+      .agg(sum($"n_ev").as("n_events"),
+        count(lit(1)).as("n_islands"),
+        (sum($"ie" - $"is").cast("double") / 1e6).as("covered_s"))
+      .orderBy($"user_id")
+  }
+
+  val coverageSql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 60000000 AS e
+       |  FROM events
+       |),
+       |flagged AS (
+       |  SELECT user_id, s, e,
+       |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+       |  FROM iv
+       |),
+       |islands AS (
+       |  SELECT user_id, s, e,
+       |    SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flagged
+       |),
+       |per_island AS (
+       |  SELECT user_id, island, COUNT(*) AS n_ev,
+       |    MIN(s) AS i_s, MAX(e) AS i_e
+       |  FROM islands GROUP BY 1, 2
+       |)
+       |SELECT user_id,
+       |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       |  COUNT(*) AS n_islands,
+       |  CAST(CAST(SUM(i_e - i_s) AS BIGINT) AS DOUBLE) / 1e6 AS covered_s
+       |FROM per_island GROUP BY user_id${sqlOrderBy(Seq("user_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_coverage" -> coverage,
     "events_conversion_latency" -> conversionLatency,
     "events_longest_run" -> longestRun,
     "events_cadence_profile" -> cadenceProfile,
@@ -394,6 +465,7 @@ object EventWindows {
     "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "events_coverage" -> coverageSql,
     "events_conversion_latency" -> conversionLatencySql,
     "events_longest_run" -> longestRunSql,
     "events_cadence_profile" -> cadenceProfileSql,
