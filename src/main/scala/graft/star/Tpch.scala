@@ -398,7 +398,72 @@ object Tpch {
        |WHERE rev_i = (SELECT MAX(rev_i) FROM revenue)
        |ORDER BY s_suppkey NULLS FIRST""".stripMargin
 
+  /** Q21 shape (suppliers who kept orders waiting): the hardest
+    * correlation composite in TPC-H — the same fact table referenced
+    * three times with OPPOSITE correlated quantifiers: an EXISTS
+    * (another supplier participated in the order) and a NOT EXISTS
+    * (no OTHER supplier was late), both correlated on the outer row's
+    * order key AND inequality-correlated on its supplier key. Spark
+    * must plan the pair as a left-semi plus a left-anti against the
+    * shared scan (gated in PlanSpec). The synthetic schema has no
+    * receipt/commit dates, so "late" is stood in by `l_returnflag =
+    * 'R'` — the correlation structure, which is what Q21 exercises,
+    * is unchanged (cf. TPC-H spec Q21; reference has no joins at all,
+    * this is `[EXT]` tier).
+    *
+    * Scale posture: both subqueries shuffle lineitem by order key once
+    * each alongside the outer fact join — three order-keyed exchanges
+    * of key columns only; nation broadcasts; top-20 is TakeOrdered.
+    * Count and ordering are exact integers; s_name is unique, so the
+    * DESC order tie-breaks deterministically. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation")
+      .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(
+      """SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
+  val q21Sql: String =
+    s"""SELECT s_name, n_name, COUNT(*) AS numwait
+       |FROM supplier
+       |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE o_orderstatus = 'F'
+       |  AND l1.l_returnflag = 'R'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_returnflag = 'R')
+       |GROUP BY s_name, n_name
+       |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q21" -> q21,
     "tpch_q15" -> q15,
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
@@ -410,6 +475,7 @@ object Tpch {
     "tpch_q19" -> q19)
 
   val oracles: Map[String, String] = Map(
+    "tpch_q21" -> q21Sql,
     "tpch_q15" -> q15Sql,
     "tpch_q1" -> q1Sql,
     "tpch_q3" -> q3Sql,

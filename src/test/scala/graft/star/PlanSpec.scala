@@ -215,4 +215,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_method_agreement")
     assert(p.contains("FullOuter"), p)
   }
+
+  test("Q21's opposing quantifiers plan as semi + anti, top-20 as TakeOrdered") {
+    val p = plan("tpch_q21").toLowerCase
+    assert(p.contains("leftsemi"), p)
+    assert(p.contains("leftanti"), p)
+    assert(p.contains("takeorderedandproject"), p)
+  }
 }
