@@ -454,7 +454,67 @@ object EventWindows {
        |  CAST(CAST(SUM(i_e - i_s) AS BIGINT) AS DOUBLE) / 1e6 AS covered_s
        |FROM per_island GROUP BY user_id${sqlOrderBy(Seq("user_id"))}""".stripMargin
 
+  /** M4 time-series downsampling (Jugel et al., "M4: A
+    * Visualization-Oriented Time Series Data Aggregation", VLDB 2014):
+    * per fixed time bucket emit the FIRST, LAST, MIN and MAX points —
+    * the four values that make a line chart rendered from the reduced
+    * series pixel-identical to one rendered from the full series. The
+    * canonical dashboard-serving reducer: |buckets|×4 rows out
+    * regardless of input volume. First/last are argmin/argmax by
+    * event time with the unique event_id as tiebreaker (row_number
+    * over (us, event_id) — deterministic under timestamp ties, where
+    * bare min_by/arg_min in either engine is not); min/max of value
+    * are plain extremes. Bucketing is exact integer microsecond
+    * arithmetic on 6-hour windows.
+    *
+    * Scale posture: one bucket-keyed shuffle; the two rank windows
+    * and the aggregate reuse it (millions of small per-bucket
+    * windows, never a global sort). */
+  def m4Downsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 6L * 3600 * 1000000 // 6h in µs
+    val pts = Tables(spark, dir, "events")
+      .select($"event_id", $"value",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("bucket", floor($"us" / lit(width)) * lit(width))
+    val wAsc = Window.partitionBy($"bucket").orderBy($"us", $"event_id")
+    val wDesc = Window.partitionBy($"bucket")
+      .orderBy($"us".desc, $"event_id".desc)
+    pts
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_points"),
+        max(when($"rn_a" === 1, $"value")).as("first_value"),
+        max(when($"rn_d" === 1, $"value")).as("last_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .orderBy($"bucket")
+  }
+
+  val m4DownsampleSql: String =
+    s"""WITH pts AS (
+       |  SELECT event_id, value, epoch_us(ts) AS us,
+       |    (epoch_us(ts) // 21600000000) * 21600000000 AS bucket
+       |  FROM events
+       |),
+       |ranked AS (
+       |  SELECT bucket, value,
+       |    row_number() OVER (PARTITION BY bucket
+       |      ORDER BY us, event_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY bucket
+       |      ORDER BY us DESC, event_id DESC) AS rn_d
+       |  FROM pts
+       |)
+       |SELECT bucket, COUNT(*) AS n_points,
+       |  MAX(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+       |  MAX(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+       |  MIN(value) AS min_value,
+       |  MAX(value) AS max_value
+       |FROM ranked GROUP BY bucket${sqlOrderBy(Seq("bucket"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_m4_downsample" -> m4Downsample,
     "events_coverage" -> coverage,
     "events_conversion_latency" -> conversionLatency,
     "events_longest_run" -> longestRun,
@@ -465,6 +525,7 @@ object EventWindows {
     "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "events_m4_downsample" -> m4DownsampleSql,
     "events_coverage" -> coverageSql,
     "events_conversion_latency" -> conversionLatencySql,
     "events_longest_run" -> longestRunSql,
