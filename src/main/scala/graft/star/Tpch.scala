@@ -462,7 +462,62 @@ object Tpch {
        |ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
        |LIMIT 20""".stripMargin
 
+  /** Q7 (volume shipping): revenue flowing between two specific
+    * nations, split by direction and year — the SAME dimension table
+    * joined twice under different roles (supplier's nation vs
+    * customer's nation) with a symmetric pair predicate. Exercises
+    * dual-role broadcast of one dim, the disjunctive cross-role
+    * filter, and a 5-table chain the reference never needed. Revenue
+    * in exact cents×basis-points.
+    *
+    * Scale posture: nation broadcasts twice (two roles, both tiny);
+    * lineitem→orders→customer chain shuffles each fact once on its
+    * key; the pair predicate prunes at the broadcast joins, so only
+    * matching-direction rows reach the final |2×years| aggregate. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = broadcast(Tables(spark, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(Tables(spark, dir, "nation")
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(Tables(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(n1, $"s_nationkey" === $"s_nk")
+      .join(n2, $"c_nationkey" === $"c_nk")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_8") ||
+        ($"supp_nation" === "NATION_8" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg((sum(round($"l_extendedprice" * 100).cast("bigint")
+        * (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+        .cast("double") / 1e4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |  CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |    AS DOUBLE) / 1e4 AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
+       |  l_year NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q7" -> q7,
     "tpch_q21" -> q21,
     "tpch_q15" -> q15,
     "tpch_q1" -> q1,
@@ -475,6 +530,7 @@ object Tpch {
     "tpch_q19" -> q19)
 
   val oracles: Map[String, String] = Map(
+    "tpch_q7" -> q7Sql,
     "tpch_q21" -> q21Sql,
     "tpch_q15" -> q15Sql,
     "tpch_q1" -> q1Sql,
