@@ -759,7 +759,78 @@ object Warehouse {
        |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini
        |FROM ranked""".stripMargin
 
+  /** Join-key skew report — the diagnostic that DECIDES the salting /
+    * AQE-skew-join question before a big join ships: per-key frequency
+    * distribution of a join key (here lineitem's part key), reduced to
+    * the numbers a planner acts on — hottest key and its count, exact
+    * p50/p99 of the frequency distribution (discrete order statistics
+    * over value-level counts, the percentile_disc formulation), and
+    * the skew ratio max/avg stated as (max·n_keys)/n_rows so the only
+    * float op is one IEEE division of exact BIGINTs. A ratio near 1
+    * means uniform keys (safe to shuffle); tens+ means salt or let AQE
+    * split.
+    *
+    * Scale posture: one partial-agg exchange to |keys| rows, then the
+    * frequency histogram collapses to |distinct counts| rows before
+    * the bounded percentile windows — the corpus is touched once. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val hot = counts
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"c".desc, $"l_partkey")))
+      .filter($"rn" === 1)
+      .select($"l_partkey".as("hot_key"), $"c".as("max_freq"))
+    val freqHist = counts.groupBy($"c").agg(count(lit(1)).as("k"))
+    val wCum = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pct = freqHist
+      .withColumn("cum", sum($"k").over(wCum))
+      .withColumn("tot", sum($"k").over(wAll))
+      .agg(max($"tot").as("n_keys"),
+        min(when($"cum" >= ceil($"tot" * 0.5), $"c")).as("p50_freq"),
+        min(when($"cum" >= ceil($"tot" * 0.99), $"c")).as("p99_freq"))
+    val total = counts.agg(sum($"c").as("n_rows"))
+    pct.crossJoin(broadcast(hot)).crossJoin(broadcast(total))
+      .select($"n_rows", $"n_keys", $"hot_key", $"max_freq",
+        $"p50_freq", $"p99_freq",
+        ($"max_freq" * $"n_keys").cast("double")./($"n_rows".cast("double"))
+          .as("skew_ratio"))
+  }
+
+  val skewReportSql: String =
+    s"""WITH counts AS (
+       |  SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+       |),
+       |hot AS (
+       |  SELECT l_partkey AS hot_key, c AS max_freq
+       |  FROM counts ORDER BY c DESC, l_partkey LIMIT 1
+       |),
+       |hist AS (SELECT c, COUNT(*) AS k FROM counts GROUP BY 1),
+       |cum AS (
+       |  SELECT c,
+       |    SUM(k) OVER (ORDER BY c) AS cum,
+       |    SUM(k) OVER () AS tot
+       |  FROM hist
+       |),
+       |pct AS (
+       |  SELECT CAST(MAX(tot) AS BIGINT) AS n_keys,
+       |    MIN(CASE WHEN cum >= ceil(tot * 0.5) THEN c END) AS p50_freq,
+       |    MIN(CASE WHEN cum >= ceil(tot * 0.99) THEN c END) AS p99_freq
+       |  FROM cum
+       |),
+       |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows FROM counts)
+       |SELECT n_rows, n_keys, hot_key, max_freq, p50_freq, p99_freq,
+       |  CAST(max_freq * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+       |    AS skew_ratio
+       |FROM pct CROSS JOIN hot CROSS JOIN total""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_skew_report" -> skewReport,
     "customer_spend_gini" -> spendGini,
     "events_outlier_mad" -> outlierMad,
     "join_scd2_pit" -> scd2Pit,
@@ -777,6 +848,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "dq_skew_report" -> skewReportSql,
     "customer_spend_gini" -> spendGiniSql,
     "events_outlier_mad" -> outlierMadSql,
     "join_scd2_pit" -> scd2PitSql,
