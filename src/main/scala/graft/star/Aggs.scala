@@ -252,6 +252,85 @@ object Aggs {
        |  MIN(CASE WHEN cum >= ceil(n * 0.99) THEN v END) AS p99
        |FROM r GROUP BY l_returnflag${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** ANSI `percentile_cont` in engine-portable form — the INTERPOLATED
+    * percentile completing the family ([[percentileDisc]] exact
+    * discrete / [[approxPercentile]] sketch): at 0-based fractional
+    * rank h = p·(n−1), blend the values at ranks ⌊h⌋ and ⌈h⌉ by the
+    * fraction h−⌊h⌋. Built-in percentile_cont is NOT used on either
+    * side: the two engines' builtins need not share tie/rounding
+    * behavior, so both run THIS formulation — rank lookups as
+    * cumulative-count threshold scans over value-level counts (never
+    * a per-row row_number), and the blend a fixed IEEE sequence on
+    * identical inputs. Interpolation is well-defined under ties
+    * because rank positions in the sorted multiset have unique
+    * values at each threshold.
+    *
+    * Scale posture: same as percentileDisc — one partial-agg to
+    * value-level counts, windows over |distinct values| per group. */
+  def percentileCont(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val wn = Window.partitionBy($"l_returnflag")
+    def h(p: Double) = ($"n" - 1) * lit(p)
+    def lo(p: Double) = min(when($"cum" >= floor(h(p)) + 1, $"v"))
+    def hi(p: Double) = min(when($"cum" >= ceil(h(p)) + 1, $"v"))
+    def blend(p: Double, l: org.apache.spark.sql.Column,
+        hc: org.apache.spark.sql.Column) = {
+      val hh = ($"n" - 1) * lit(p)
+      l + (hh - floor(hh)) * (hc - l)
+    }
+    Tables(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".cast("double").as("v"))
+      .groupBy($"l_returnflag", $"v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wn))
+      .groupBy($"l_returnflag")
+      .agg(max($"n").as("n"),
+        lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+        lo(0.9).as("lo90"), hi(0.9).as("hi90"))
+      .select($"l_returnflag", $"n",
+        blend(0.5, $"lo50", $"hi50").as("p50_cont"),
+        blend(0.9, $"lo90", $"hi90").as("p90_cont"))
+      .orderBy($"l_returnflag")
+  }
+
+  val percentileContSql: String =
+    s"""WITH counts AS (
+       |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v, COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT l_returnflag, v,
+       |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+       |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM counts
+       |),
+       |g AS (
+       |  -- h = p*(n-1) must be DOUBLE arithmetic: a bare 0.9 literal is
+       |  -- DECIMAL in DuckDB (exact 0.9), which would diverge from
+       |  -- Spark's double h by ~1e-13 in the blend fraction
+       |  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       |    MIN(CASE WHEN cum >= floor((n - 1) * CAST(0.5 AS DOUBLE)) + 1
+       |        THEN v END) AS lo50,
+       |    MIN(CASE WHEN cum >= ceil((n - 1) * CAST(0.5 AS DOUBLE)) + 1
+       |        THEN v END) AS hi50,
+       |    MIN(CASE WHEN cum >= floor((n - 1) * CAST(0.9 AS DOUBLE)) + 1
+       |        THEN v END) AS lo90,
+       |    MIN(CASE WHEN cum >= ceil((n - 1) * CAST(0.9 AS DOUBLE)) + 1
+       |        THEN v END) AS hi90
+       |  FROM r GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n,
+       |  lo50 + ((n - 1) * CAST(0.5 AS DOUBLE)
+       |    - floor((n - 1) * CAST(0.5 AS DOUBLE))) * (hi50 - lo50)
+       |    AS p50_cont,
+       |  lo90 + ((n - 1) * CAST(0.9 AS DOUBLE)
+       |    - floor((n - 1) * CAST(0.9 AS DOUBLE))) * (hi90 - lo90)
+       |    AS p90_cont
+       |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
+
   /** Sketch percentiles (no oracle — engine-specific estimator; driver
     * records rows-only; the deterministic acceptance bound vs
     * [[percentileDisc]] is asserted in ApproxSpec). */
@@ -711,6 +790,7 @@ object Aggs {
     "agg_unpivot" -> unpivotNative,
     "agg_hll_merge" -> hllMerge,
     "agg_percentile_disc" -> percentileDisc,
+    "agg_percentile_cont" -> percentileCont,
     "agg_approx_percentile" -> approxPercentile,
     "agg_pivot" -> pivotCarriers,
     "agg_rollup" -> rollup,
@@ -734,6 +814,7 @@ object Aggs {
     "agg_grouping_id" -> groupingIdSql,
     "agg_unpivot" -> unpivotNativeSql,
     "agg_percentile_disc" -> percentileDiscSql,
+    "agg_percentile_cont" -> percentileContSql,
     "agg_pivot" -> pivotCarriersSql,
     "agg_rollup" -> rollupSql,
     "agg_cube" -> cube2Sql,
