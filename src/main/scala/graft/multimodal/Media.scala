@@ -208,12 +208,60 @@ object Media {
        |FROM documents
        |GROUP BY 1${sqlOrderBy(Seq("media_type"))}""".stripMargin
 
+  /** Deterministic per-type QA sample — the labeling-queue feeder:
+    * every media curation loop sends a small uniform sample of each
+    * media type to human review, and at 100 TB that sample must be (a)
+    * uniform, (b) reproducible across reruns and cluster resizes, and
+    * (c) computable without a global sort. Hash-order bottom-k
+    * delivers all three: ordering by md5(payload) is uniform over
+    * content (independent of ingest order), a pure function of the
+    * data (rerun-stable — unlike rand()-sampling, which no oracle
+    * could check), and top-k per group, not a sort. Ties (identical
+    * payloads) break by doc_id.
+    *
+    * Scale posture: hashes compute map-side; the per-type rank is the
+    * standard two-stage top-N (per-partition heaps under the window);
+    * output is |types|×k rows. */
+  def sampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"media_type")
+      .orderBy($"fingerprint", $"doc_id")
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        concat(lit("media/"), $"source").as("media_type"),
+        octet_length($"text".cast("binary")).as("byte_len"),
+        md5($"text".cast("binary")).as("fingerprint"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"media_type", $"rn", $"doc_id", $"byte_len", $"fingerprint")
+      .orderBy($"media_type", $"rn")
+  }
+
+  val sampleQuerySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, 'media/' || source AS media_type,
+       |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       |    md5(text) AS fingerprint
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY media_type
+       |    ORDER BY fingerprint, doc_id) AS rn
+       |  FROM m
+       |)
+       |SELECT media_type, CAST(rn AS INTEGER) AS rn, doc_id, byte_len,
+       |  fingerprint
+       |FROM r WHERE rn <= 5${sqlOrderBy(Seq("media_type", "rn"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_sample" -> sampleQuery,
     "media_meta" -> metaQuery,
     "media_frames" -> framesQuery,
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
+    "media_sample" -> sampleQuerySql,
     "media_meta" -> metaQuerySql,
     "media_frames" -> framesQuerySql,
     "media_dedup" -> dedupQuerySql)
