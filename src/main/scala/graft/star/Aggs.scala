@@ -500,6 +500,84 @@ object Aggs {
        |    AS corr_qty_price
        |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** Pairwise Pearson correlation MATRIX of the five delay causes —
+    * the multivariate extension of [[statsMoments]]: one scan computes
+    * every moment (5 sums, 5 squares, 10 cross-products) in exact
+    * decimal, then all 10 pairwise correlations derive from that
+    * single 1-row aggregate as fixed IEEE sequences (sqrt is correctly
+    * rounded in both engines). Long-form output (cause_x, cause_y,
+    * corr) via a generator over the aggregate row — the matrix never
+    * re-scans. Decimal(28,8) keeps every product exact (cause values
+    * are ≤4dp, bounded ≤ ~81, so sums stay below 2^53 unscaled through
+    * sf0.1; a 100 TB run would raise precision or switch to the
+    * co-moment streaming form).
+    *
+    * Scale posture: ONE partial-agg pass over the corpus for the whole
+    * matrix — 21 mergeable decimal states; everything after is a 1-row
+    * computation. The naive per-pair corr() would scan 10 times. */
+  def causeCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val causes = Seq("carrier" -> "carrier_ct", "weather" -> "weather_ct",
+      "nas" -> "nas_ct", "security" -> "security_ct",
+      "late_aircraft" -> "late_aircraft_ct")
+    val aggExprs = Seq(count(lit(1)).cast("double").as("n")) ++
+      causes.map { case (k, c) =>
+        sum(col(c).cast("decimal(28,8)")).cast("double").as(s"s_$k") } ++
+      (for { i <- causes.indices; j <- i until causes.length } yield {
+        val (ki, ci) = causes(i); val (kj, cj) = causes(j)
+        sum(expr(s"cast($ci * $cj as decimal(28,8))")).cast("double")
+          .as(s"s_${ki}_${kj}")
+      })
+    def corr(ki: String, kj: String) =
+      (($"n" * col(s"s_${ki}_${kj}") - col(s"s_$ki") * col(s"s_$kj")) /
+        (sqrt($"n" * col(s"s_${ki}_${ki}") - col(s"s_$ki") * col(s"s_$ki")) *
+          sqrt($"n" * col(s"s_${kj}_${kj}") - col(s"s_$kj") * col(s"s_$kj"))))
+    val pairs = for {
+      i <- causes.indices; j <- (i + 1) until causes.length
+    } yield struct(lit(causes(i)._1).as("cause_x"),
+      lit(causes(j)._1).as("cause_y"),
+      corr(causes(i)._1, causes(j)._1).as("corr"))
+    graft.pipeline.FlightPipeline.silver(spark, dir)
+      .agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*)
+      .select(explode(array(pairs.toIndexedSeq: _*)).as("p"))
+      .select($"p.cause_x", $"p.cause_y", $"p.corr".as("corr"))
+      .orderBy($"cause_x", $"cause_y")
+  }
+
+  val causeCorrSql: String = {
+    val causes = Seq("carrier" -> "carrier_ct", "weather" -> "weather_ct",
+      "nas" -> "nas_ct", "security" -> "security_ct",
+      "late_aircraft" -> "late_aircraft_ct")
+    val moments = (Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+      causes.map { case (k, c) =>
+        s"CAST(SUM(CAST($c AS DECIMAL(28,8))) AS DOUBLE) AS s_$k" } ++
+      (for { i <- causes.indices; j <- i until causes.length } yield {
+        val (ki, ci) = causes(i); val (kj, cj) = causes(j)
+        s"CAST(SUM(CAST($ci * $cj AS DECIMAL(28,8))) AS DOUBLE) AS s_${ki}_${kj}"
+      })).mkString(",\n    ")
+    val rows = (for {
+      i <- causes.indices; j <- (i + 1) until causes.length
+    } yield {
+      val ki = causes(i)._1; val kj = causes(j)._1
+      s"""SELECT '$ki' AS cause_x, '$kj' AS cause_y,
+         |  (n * s_${ki}_${kj} - s_$ki * s_$kj)
+         |    / (sqrt(n * s_${ki}_${ki} - s_$ki * s_$ki)
+         |       * sqrt(n * s_${kj}_${kj} - s_$kj * s_$kj)) AS corr
+         |FROM g""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    // NOT withCtes: the master CTE is unused here and withCtes leaves no
+    // slot for a further CTE — compose silver + g directly
+    s"""WITH ${graft.pipeline.FlightPipeline.silverSql},
+       |g AS (
+       |  SELECT
+       |    $moments
+       |  FROM silver
+       |)
+       |SELECT * FROM (
+       |$rows
+       |)${sqlOrderBy(Seq("cause_x", "cause_y"))}""".stripMargin
+  }
+
   /** SQL-standard FILTER clause on aggregates — the readable form of
     * conditional aggregation (vs CASE-WHEN-inside-SUM): one scan, many
     * differently-filtered aggregates, the workhorse of KPI sheets.
@@ -784,6 +862,7 @@ object Aggs {
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
     "agg_stats_moments" -> statsMoments,
+    "gold_cause_corr" -> causeCorr,
     "agg_listagg" -> listAgg,
     "agg_pivot_multi" -> pivotMulti,
     "agg_grouping_id" -> groupingId,
@@ -809,6 +888,7 @@ object Aggs {
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,
+    "gold_cause_corr" -> causeCorrSql,
     "agg_listagg" -> listAggSql,
     "agg_pivot_multi" -> pivotMultiSql,
     "agg_grouping_id" -> groupingIdSql,
