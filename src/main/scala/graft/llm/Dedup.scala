@@ -406,7 +406,69 @@ object Dedup {
        |JOIN norm a ON a.doc_id = d1
        |JOIN norm b ON b.doc_id = d2${sqlOrderBy(Seq("d1", "d2"))}""".stripMargin
 
+  /** Per-source n-gram NOVELTY — which source actually contributes new
+    * content vs re-serving what an earlier document already said: each
+    * distinct 3-gram shingle is credited to its FIRST owner (minimum
+    * doc_id — the ingest-order proxy), and a source's novelty ratio is
+    * first-owned shingle slots over total distinct shingle slots. The
+    * dedup-adjacent curation metric that ranks sources for acquisition:
+    * a low ratio means the source mostly duplicates the existing
+    * corpus even when no whole document is a near-dup. Exact BIGINT
+    * counts; one IEEE division per source.
+    *
+    * Scale posture: shingles explode map-side (same narrow shape as
+    * [[minhashSig]]); the first-owner reduction is one shingle-keyed
+    * partial-min; the credit join is shingle-keyed; per-source rollup
+    * is |sources| rows. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 3) // see minhashSig: no shingles under 3 tokens
+      .select($"doc_id", $"source", explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+    val firstOwner = docs.groupBy($"shingle")
+      .agg(min($"doc_id").as("first_doc"))
+    docs.join(firstOwner, Seq("shingle"))
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_shingle_slots"),
+        sum(($"doc_id" === $"first_doc").cast("long")).as("n_first_owned"))
+      .select($"source", $"n_docs", $"n_shingle_slots", $"n_first_owned",
+        ($"n_first_owned".cast("double") / $"n_shingle_slots".cast("double"))
+          .as("novelty_ratio"))
+      .orderBy($"source")
+  }
+
+  val noveltySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS tokens
+       |  FROM documents
+       |),
+       |docsh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    unnest(list_transform(range(0, len(tokens) - 2),
+       |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]))
+       |      AS shingle
+       |  FROM tok WHERE len(tokens) >= 3
+       |),
+       |fo AS (SELECT shingle, MIN(doc_id) AS first_doc FROM docsh GROUP BY 1)
+       |SELECT source,
+       |  COUNT(DISTINCT d.doc_id) AS n_docs,
+       |  COUNT(*) AS n_shingle_slots,
+       |  CAST(SUM(CASE WHEN d.doc_id = fo.first_doc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_first_owned,
+       |  CAST(SUM(CASE WHEN d.doc_id = fo.first_doc THEN 1 ELSE 0 END)
+       |      AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+       |FROM docsh d JOIN fo ON d.shingle = fo.shingle
+       |GROUP BY source${graft.Det.sqlOrderBy(Seq("source"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> novelty,
     "dedup_editdist" -> editDistance,
     "text_contamination" -> contamination,
     "dedup_exact" -> exact,
@@ -417,6 +479,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" -> noveltySql,
     "dedup_editdist" -> editDistanceSql,
     "text_contamination" -> contaminationSql,
     "dedup_exact" -> exactSql,
