@@ -467,7 +467,120 @@ object Dedup {
        |FROM docsh d JOIN fo ON d.shingle = fo.shingle
        |GROUP BY source${graft.Det.sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** Prefix-filtering set-similarity join (the PPJoin family — Xiao et
+    * al., "Efficient Similarity Joins for Near Duplicate Detection",
+    * WWW 2008): the EXACT-result alternative to the MinHash funnel.
+    * For token-set Jaccard ≥ t, any two qualifying sets MUST share at
+    * least one token among their first p = n − ⌈t·n⌉ + 1 tokens in a
+    * global rare-first ordering — so the candidate join runs on those
+    * short prefixes only, and (unlike LSH banding) NO true pair can be
+    * missed: completeness is a theorem, not a recall knob. Candidates
+    * then verify with exact intersection counts.
+    *
+    * Every threshold comparison is INTEGER arithmetic: with t = 0.9,
+    * ⌈9n/10⌉ is (9n+9) div 10 (a double 0.9·n would round differently
+    * than DuckDB's decimal 0.9), and the Jaccard test is 10·inter ≥
+    * 9·union. The only float is the reported jaccard itself. t is
+    * high because the fixture's docs share a small vocabulary — at
+    * t = 0.6 over half of ALL pairs qualify and the prefix filter
+    * selects nothing; 0.9 isolates true near-identical sets (and is
+    * the production regime for near-dup removal anyway).
+    *
+    * Scale posture: the prefix length shrinks as t grows (hot tokens
+    * sort LAST, so prefixes hold the rarest tokens and bucket small);
+    * candidate volume ∝ Σ|prefix-bucket|², bounded far below the
+    * all-pairs join; verification touches candidates only — the same
+    * funnel discipline as LSH with exactness instead of recall. */
+  def ppjoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the set universe is 3-gram shingles, not bare tokens: the
+    // fixture's small vocabulary makes token SETS of long docs converge
+    // (at t=0.9 a token-set formulation passes ~1M pairs at sf0.1);
+    // shingle sets are discriminative, as everywhere else in the funnel
+    val toks = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 3) // see minhashSig
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+        .as("tok"))
+      .distinct()
+    val n = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // global rare-first total order: (document frequency, token)
+    val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(df, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
+      .join(n, "doc_id")
+      // p = n - ceil(0.9*n) + 1, in exact integer arithmetic
+      .filter($"pos" <= $"n" - expr("(9 * n + 9) div 10") + 1)
+      .select($"doc_id", $"tok")
+    val cands = ranked.as("a")
+      .join(ranked.as("b"),
+        $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val tA = toks.select($"doc_id".as("d1"), $"tok")
+    val tB = toks.select($"doc_id".as("d2b"), $"tok".as("tok_b"))
+    val inter = cands
+      .join(tA, "d1")
+      .join(tB, $"d2" === $"d2b" && $"tok" === $"tok_b")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(n.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .withColumn("uni", $"n1" + $"n2" - $"inter")
+      .filter($"inter" * 10 >= $"uni" * 9) // jaccard >= 0.9, exact
+      .select($"d1", $"d2", $"inter", $"uni",
+        ($"inter".cast("double") / $"uni".cast("double")).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val ppjoinSql: String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, len(tokens) - 2),
+       |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]))
+       |      AS tok
+       |  FROM tok0 WHERE len(tokens) >= 3
+       |),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+       |df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+       |pfx AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT t.doc_id, t.tok, n.n,
+       |      row_number() OVER (PARTITION BY t.doc_id
+       |        ORDER BY df.df, t.tok) AS pos
+       |    FROM toks t JOIN df ON t.tok = df.tok JOIN n ON t.doc_id = n.doc_id
+       |  ) WHERE pos <= n - ((9 * n + 9) // 10) + 1
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS inter
+       |  FROM cands c
+       |  JOIN toks a ON a.doc_id = c.d1
+       |  JOIN toks b ON b.doc_id = c.d2 AND b.tok = a.tok
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.d1, i.d2, i.inter,
+       |  n1.n + n2.n - i.inter AS uni,
+       |  CAST(i.inter AS DOUBLE) / CAST(n1.n + n2.n - i.inter AS DOUBLE)
+       |    AS jaccard
+       |FROM inter i
+       |JOIN n n1 ON n1.doc_id = i.d1
+       |JOIN n n2 ON n2.doc_id = i.d2
+       |WHERE i.inter * 10 >= (n1.n + n2.n - i.inter) * 9
+       |${graft.Det.sqlOrderBy(Seq("d1", "d2")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ppjoin" -> ppjoin,
     "text_novelty" -> novelty,
     "dedup_editdist" -> editDistance,
     "text_contamination" -> contamination,
@@ -479,6 +592,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_ppjoin" -> ppjoinSql,
     "text_novelty" -> noveltySql,
     "dedup_editdist" -> editDistanceSql,
     "text_contamination" -> contaminationSql,
