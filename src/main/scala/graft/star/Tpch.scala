@@ -516,7 +516,66 @@ object Tpch {
        |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
        |  l_year NULLS FIRST""".stripMargin
 
+  /** Q22 (global sales opportunity): customers with above-average
+    * account balance with no order in the
+    * final half-year of the data (dormant accounts), grouped by nation — the
+    * scalar-subquery + NOT-EXISTS composite: the average is computed
+    * over a FILTERED population (positive balances), compared per-row,
+    * and the anti-join removes customers with any order. The harness
+    * schema has no phone column, so TPC-H's country-code prefix is
+    * stood in by the nation key — the plan shape (scalar subquery
+    * broadcast + left-anti + aggregate) is unchanged.
+    *
+    * Balance sums in exact cents; the average and the per-row
+    * comparison run on the SAME single-conversion double in both
+    * engines, so the cut line is bit-identical.
+    *
+    * Scale posture: the scalar average is a 1-row broadcast; the
+    * anti-join shuffles only order customer keys; output is |nations|
+    * rows of exact-cent sums. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("bigint").as("bal_c"))
+    val avgPos = cust.filter($"bal_c" > 0)
+      .agg((sum($"bal_c").cast("double") / count(lit(1)).cast("double"))
+        .as("avg_bal_c"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter($"bal_c".cast("double") > $"avg_bal_c")
+      .join(Tables(spark, dir, "orders")
+        .filter($"o_orderdate" >= lit("1998-06-01").cast("date"))
+        .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        (sum($"bal_c").cast("double") / 100.0).as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q22Sql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+       |  FROM customer
+       |),
+       |avg_pos AS (
+       |  SELECT CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_bal_c
+       |  FROM cust WHERE bal_c > 0
+       |)
+       |SELECT c_nationkey, COUNT(*) AS numcust,
+       |  CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+       |FROM cust, avg_pos
+       |WHERE CAST(bal_c AS DOUBLE) > avg_bal_c
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= DATE '1998-06-01')
+       |GROUP BY c_nationkey${sqlOrderBy(Seq("c_nationkey"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q22" -> q22,
     "tpch_q7" -> q7,
     "tpch_q21" -> q21,
     "tpch_q15" -> q15,
@@ -530,6 +589,7 @@ object Tpch {
     "tpch_q19" -> q19)
 
   val oracles: Map[String, String] = Map(
+    "tpch_q22" -> q22Sql,
     "tpch_q7" -> q7Sql,
     "tpch_q21" -> q21Sql,
     "tpch_q15" -> q15Sql,
