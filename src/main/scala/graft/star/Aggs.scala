@@ -500,6 +500,69 @@ object Aggs {
        |    AS corr_qty_price
        |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** Winsorized mean — the robust average that CLAMPS tails instead of
+    * dropping them (the companion to the MAD fence, which rejects, and
+    * the trimmed mean, which deletes): order values are capped at the
+    * group's exact discrete p05/p95 before a decimal-exact mean. Rank
+    * thresholds are pure integer arithmetic — ⌈n/20⌉ = (n+19) div 20 —
+    * because a double n·0.05 can round across the rank boundary where
+    * DuckDB's decimal 0.05 does not (the percentile_cont lesson,
+    * applied at the source this time). Clamped values stay on the 2dp
+    * money grid, so the mean is decimal-exact in both engines.
+    *
+    * Scale posture: threshold discovery is the percentileDisc plan
+    * (value-level counts, bounded windows); the clamp pass re-scans
+    * with the |groups|-row threshold table broadcast — two scans
+    * total, no per-row sort anywhere. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables(spark, dir, "orders")
+      .select($"o_orderpriority".as("g"), $"o_totalprice".as("v"))
+    val w = Window.partitionBy($"g").orderBy($"v")
+    val wn = Window.partitionBy($"g")
+    val th = vals.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wn))
+      .groupBy($"g")
+      .agg(
+        min(when($"cum" >= expr("(n + 19) div 20"), $"v")).as("lo"),
+        min(when($"cum" >= expr("(19 * n + 19) div 20"), $"v")).as("hi"))
+    vals.join(broadcast(th), "g")
+      .select($"g", least(greatest($"v", $"lo"), $"hi").as("cv"),
+        $"v", $"lo", $"hi")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_orders"),
+        max($"lo").as("p05"), max($"hi").as("p95"),
+        graft.Det.xavg($"cv").as("winsorized_mean"),
+        graft.Det.xavg($"v").as("plain_mean"))
+      .orderBy($"g")
+  }
+
+  val winsorizedMeanSql: String =
+    s"""WITH vals AS (
+       |  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+       |),
+       |counts AS (SELECT g, v, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+       |r AS (
+       |  SELECT g, v,
+       |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+       |    SUM(c) OVER (PARTITION BY g) AS n
+       |  FROM counts
+       |),
+       |th AS (
+       |  SELECT g,
+       |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN v END) AS lo,
+       |    MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS hi
+       |  FROM r GROUP BY g
+       |)
+       |SELECT vals.g, COUNT(*) AS n_orders,
+       |  MAX(lo) AS p05, MAX(hi) AS p95,
+       |  ${graft.Det.sqlAvg("LEAST(GREATEST(v, lo), hi)")} AS winsorized_mean,
+       |  ${graft.Det.sqlAvg("v")} AS plain_mean
+       |FROM vals JOIN th ON vals.g = th.g
+       |GROUP BY vals.g${sqlOrderBy(Seq("vals.g"))}""".stripMargin
+
   /** Pairwise Pearson correlation MATRIX of the five delay causes —
     * the multivariate extension of [[statsMoments]]: one scan computes
     * every moment (5 sums, 5 squares, 10 cross-products) in exact
@@ -863,6 +926,7 @@ object Aggs {
     "agg_filter_clause" -> filterClause,
     "agg_stats_moments" -> statsMoments,
     "gold_cause_corr" -> causeCorr,
+    "agg_winsorized_mean" -> winsorizedMean,
     "agg_listagg" -> listAgg,
     "agg_pivot_multi" -> pivotMulti,
     "agg_grouping_id" -> groupingId,
@@ -889,6 +953,7 @@ object Aggs {
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,
     "gold_cause_corr" -> causeCorrSql,
+    "agg_winsorized_mean" -> winsorizedMeanSql,
     "agg_listagg" -> listAggSql,
     "agg_pivot_multi" -> pivotMultiSql,
     "agg_grouping_id" -> groupingIdSql,
