@@ -297,7 +297,69 @@ object Calendar {
        |FROM lagged${sqlOrderBy(Seq("m"))}""".stripMargin
   }
 
+  /** CUSUM upward-shift detector over daily revenue — sequential
+    * change detection (Page 1954) in one window pass: the textbook
+    * recursion C_t = max(0, C_{t−1} + (x_t − k)) cannot run as a
+    * plain window aggregate, but it EQUALS P_t − min(0, min_{i≤t} P_i)
+    * where P is the prefix sum of deviations — so two stock windows
+    * (running sum, running min) compute the exact recursion with no
+    * recursive CTE and no UDF on either engine. The reference level k
+    * is the integer-division daily mean (exact BIGINT — a fractional
+    * mean would leak float into every prefix). All CUSUM values are
+    * exact cents; the alarm flag (cusum > 20%% of k) is an integer
+    * comparison.
+    *
+    * Scale posture: facts collapse to |days| rows before the bounded
+    * windows (the benign unpartitioned-window class); at 100 TB the
+    * same identity runs per segment under partitionBy. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date($"o_orderdate").as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev_c"))
+    val k = daily.agg(expr("sum(rev_c) div count(1)").as("k"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(k))
+      .withColumn("prefix", sum($"rev_c" - $"k").over(w))
+      .withColumn("runmin", least(min($"prefix").over(w), lit(0L)))
+      .select($"day",
+        ($"rev_c".cast("double") / 100.0).as("revenue"),
+        (($"prefix" - $"runmin").cast("double") / 100.0).as("cusum"),
+        (($"prefix" - $"runmin") * 5L > $"k").cast("int").as("alarm"))
+      .orderBy($"day")
+  }
+
+  val cusumSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_c
+       |  FROM orders GROUP BY 1
+       |),
+       |kk AS (SELECT CAST(SUM(rev_c) // COUNT(*) AS BIGINT) AS k FROM daily),
+       |p AS (
+       |  SELECT day, rev_c, k,
+       |    SUM(rev_c - k) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+       |  FROM daily CROSS JOIN kk
+       |),
+       |m AS (
+       |  SELECT day, rev_c, k, prefix,
+       |    LEAST(MIN(prefix) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS runmin
+       |  FROM p
+       |)
+       |SELECT day,
+       |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(prefix - runmin AS DOUBLE) / 100.0 AS cusum,
+       |  CAST((prefix - runmin) * 5 > k AS INTEGER) AS alarm
+       |FROM m${sqlOrderBy(Seq("day"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_cusum" -> cusum,
     "orders_ewma" -> ewma,
     "orders_seasonal_index" -> seasonalIndex,
     "dim_calendar" -> dimCalendar,
@@ -305,6 +367,7 @@ object Calendar {
     "orders_gap_interp" -> gapInterp)
 
   val oracles: Map[String, String] = Map(
+    "orders_cusum" -> cusumSql,
     "orders_ewma" -> ewmaSql,
     "orders_seasonal_index" -> seasonalIndexSql,
     "dim_calendar" -> dimCalendarSql,
