@@ -775,7 +775,86 @@ object TextStats {
        |FROM bg LEFT JOIN probs USING (bg)
        |GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Count-Min sketch, ORACLE-CHECKED — the frequency sketch is usually
+    * consigned to rows-only checks, but CMS counters are purely
+    * ADDITIVE (each token increments one cell per row of the d×w
+    * matrix), so the whole sketch is a GROUP BY: partition order can
+    * never change a counter, and the d=4, w=64 matrix plus every
+    * point estimate (min over the token's 4 cells) is expressible in
+    * portable SQL on both engines. The query builds the sketch, takes
+    * the exact top-10 tokens, and reports exact vs CMS estimate with
+    * the overestimate gap — the CMS guarantee (est ≥ exact, error ≤
+    * εN with probability 1−δ) surfaced as data. Salted md5 cells
+    * match the MinHash hashing discipline (cross-engine identical).
+    *
+    * Scale posture: the sketch state is 256 counters regardless of
+    * corpus size — the partial agg collapses everything map-side; the
+    * top-10 exact pass is the standard word-count plan. In production
+    * the same cells live in a mergeable Aggregator buffer; here the
+    * GROUP BY formulation is chosen BECAUSE it is oracle-checkable. */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def cell(j: Int, tok: String) =
+      s"cast(conv(substr(md5(cast(concat('$j:', $tok) as binary)), 1, 8)," +
+        s" 16, 10) as bigint) % 64"
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+    val cms = toks
+      .select(explode(expr(
+        s"array(${(0 until 4).map(j => s"struct($j AS r, ${cell(j, "tok")} AS b)").mkString(", ")})"))
+        .as("cell"))
+      .groupBy($"cell.r".as("r"), $"cell.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"exact".desc, $"tok")))
+      .filter($"rn" <= 10)
+    val probes = top.select($"tok", $"exact", explode(expr(
+      s"array(${(0 until 4).map(j => s"struct($j AS r, ${cell(j, "tok")} AS b)").mkString(", ")})"))
+      .as("cell"))
+      .select($"tok", $"exact", $"cell.r".as("pr"), $"cell.b".as("pb"))
+    probes
+      .join(cms, $"pr" === $"r" && $"pb" === $"b")
+      .groupBy($"tok", $"exact")
+      .agg(min($"c").as("cms_est"))
+      .select($"tok", $"exact", $"cms_est",
+        ($"cms_est" - $"exact").as("overcount"))
+      .orderBy($"exact".desc, $"tok")
+  }
+
+  val cmsEstimateSql: String = {
+    def cell(j: Int, tok: String) =
+      s"CAST('0x' || substr(md5('$j:' || $tok), 1, 8) AS BIGINT) % 64"
+    val cellRows = (0 until 4).map(j =>
+      s"SELECT $j AS r, ${cell(j, "tok")} AS b, tok FROM toks").mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |),
+       |cells AS (
+       |  $cellRows
+       |),
+       |cms AS (SELECT r, b, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, COUNT(*) AS exact,
+       |    row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+       |  FROM toks GROUP BY tok
+       |  ORDER BY exact DESC, tok LIMIT 10
+       |),
+       |probes AS (
+       |  ${(0 until 4).map(j =>
+            s"SELECT tok, exact, rn, $j AS r, ${cell(j, "tok")} AS b FROM top")
+            .mkString("\n  UNION ALL\n  ")}
+       |)
+       |SELECT p.tok, p.exact, CAST(MIN(c.c) AS BIGINT) AS cms_est,
+       |  CAST(MIN(c.c) - p.exact AS BIGINT) AS overcount
+       |FROM probes p JOIN cms c ON p.r = c.r AND p.b = c.b
+       |GROUP BY p.tok, p.exact
+       |ORDER BY p.exact DESC NULLS LAST, p.tok NULLS FIRST""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_estimate" -> cmsEstimate,
     "text_fluency" -> fluency,
     "corpus_chunk" -> chunk,
     "corpus_split" -> corpusSplit,
@@ -795,6 +874,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "text_cms_estimate" -> cmsEstimateSql,
     "text_fluency" -> fluencySql,
     "corpus_chunk" -> chunkSql,
     "corpus_split" -> corpusSplitSql,
