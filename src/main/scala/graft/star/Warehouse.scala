@@ -829,7 +829,63 @@ object Warehouse {
        |    AS skew_ratio
        |FROM pct CROSS JOIN hot CROSS JOIN total""".stripMargin
 
+  /** Order→ship latency distribution per priority class — the
+    * fulfillment SLA readout: every lineitem's shipping delay in whole
+    * days (exact integer date arithmetic) against its order date,
+    * reduced to count / p50 / p90 / max per priority with the
+    * value-level-count discrete-percentile pattern. Answers "does
+    * 1-URGENT actually ship faster?" with order statistics rather
+    * than tail-blind means.
+    *
+    * Scale posture: one order-keyed join shuffle (both sides project
+    * to key + date first); latencies collapse to value-level counts
+    * per priority (≤ a few hundred distinct day values) before the
+    * bounded percentile windows. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lat = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        to_date($"o_orderdate").as("od"))
+      .join(Tables(spark, dir, "lineitem")
+        .select($"l_orderkey", to_date($"l_shipdate").as("sd")),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority".as("g"), datediff($"sd", $"od").as("lat"))
+    val w = Window.partitionBy($"g").orderBy($"lat")
+    val wn = Window.partitionBy($"g")
+    lat.groupBy($"g", $"lat").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wn))
+      .groupBy($"g")
+      .agg(max($"n").as("n_lines"),
+        min(when($"cum" >= ceil($"n" * 0.5), $"lat")).as("p50_days"),
+        min(when($"cum" >= ceil($"n" * 0.9), $"lat")).as("p90_days"),
+        max($"lat").as("max_days"))
+      .orderBy($"g")
+  }
+
+  val shipLatencySql: String =
+    s"""WITH lat AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) AS INTEGER) AS lat
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |counts AS (SELECT g, lat, COUNT(*) AS c FROM lat GROUP BY 1, 2),
+       |r AS (
+       |  SELECT g, lat,
+       |    SUM(c) OVER (PARTITION BY g ORDER BY lat) AS cum,
+       |    SUM(c) OVER (PARTITION BY g) AS n
+       |  FROM counts
+       |)
+       |SELECT g, CAST(MAX(n) AS BIGINT) AS n_lines,
+       |  MIN(CASE WHEN cum >= ceil(n * 0.5) THEN lat END) AS p50_days,
+       |  MIN(CASE WHEN cum >= ceil(n * 0.9) THEN lat END) AS p90_days,
+       |  MAX(lat) AS max_days
+       |FROM r GROUP BY g${sqlOrderBy(Seq("g"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_ship_latency" -> shipLatency,
     "dq_skew_report" -> skewReport,
     "customer_spend_gini" -> spendGini,
     "events_outlier_mad" -> outlierMad,
@@ -848,6 +904,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "orders_ship_latency" -> shipLatencySql,
     "dq_skew_report" -> skewReportSql,
     "customer_spend_gini" -> spendGiniSql,
     "events_outlier_mad" -> outlierMadSql,
