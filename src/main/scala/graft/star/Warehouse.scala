@@ -884,7 +884,64 @@ object Warehouse {
        |  MAX(lat) AS max_days
        |FROM r GROUP BY g${sqlOrderBy(Seq("g"))}""".stripMargin
 
+  /** A/B conversion readout with Wilson 95% score intervals — the
+    * experimentation-analytics staple done deterministically: users
+    * split by key parity (the reproducible hash-bucket assignment; a
+    * rand() split could never be oracle-checked), conversion = share
+    * of active users with a purchase, and the Wilson interval — the
+    * score interval that behaves at small n and extreme p, unlike the
+    * naive normal approximation — computed as a fixed IEEE sequence on
+    * exact counts (z = 1.96 pinned to DOUBLE on both sides; sqrt is
+    * correctly rounded in both engines). Overlapping intervals read
+    * directly off the two rows.
+    *
+    * Scale posture: two distinct-user aggregates (user-keyed
+    * exchange); everything after runs on 2 rows. */
+  def abWilson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select(($"user_id" % 2).cast("int").as("variant"), $"user_id",
+        ($"event_type" === "purchase").cast("int").as("is_p"))
+    val agg = ev.groupBy($"variant")
+      .agg(countDistinct($"user_id").as("n_users"),
+        countDistinct(when($"is_p" === 1, $"user_id")).as("n_converted"))
+    val z = lit(1.96)
+    val n = $"n_users".cast("double")
+    val p = $"n_converted".cast("double") / n
+    val half = z * sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z * z / n
+    agg.select($"variant", $"n_users", $"n_converted",
+        p.as("conv_rate"),
+        ((p + z * z / (lit(2.0) * n) - half) / denom).as("wilson_low"),
+        ((p + z * z / (lit(2.0) * n) + half) / denom).as("wilson_high"))
+      .orderBy($"variant")
+  }
+
+  val abWilsonSql: String = {
+    val z = "CAST(1.96 AS DOUBLE)"
+    val n = "CAST(n_users AS DOUBLE)"
+    val p = s"(CAST(n_converted AS DOUBLE) / $n)"
+    val half = s"$z * sqrt($p * (CAST(1.0 AS DOUBLE) - $p) / $n" +
+      s" + $z * $z / (CAST(4.0 AS DOUBLE) * $n * $n))"
+    val denom = s"(CAST(1.0 AS DOUBLE) + $z * $z / $n)"
+    s"""WITH agg AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+       |    COUNT(DISTINCT user_id) AS n_users,
+       |    COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+       |      THEN user_id END) AS n_converted
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT variant, n_users, n_converted,
+       |  $p AS conv_rate,
+       |  (($p + $z * $z / (CAST(2.0 AS DOUBLE) * $n) - $half) / $denom)
+       |    AS wilson_low,
+       |  (($p + $z * $z / (CAST(2.0 AS DOUBLE) * $n) + $half) / $denom)
+       |    AS wilson_high
+       |FROM agg${sqlOrderBy(Seq("variant"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_wilson" -> abWilson,
     "orders_ship_latency" -> shipLatency,
     "dq_skew_report" -> skewReport,
     "customer_spend_gini" -> spendGini,
@@ -904,6 +961,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "events_ab_wilson" -> abWilsonSql,
     "orders_ship_latency" -> shipLatencySql,
     "dq_skew_report" -> skewReportSql,
     "customer_spend_gini" -> spendGiniSql,

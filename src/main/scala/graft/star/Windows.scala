@@ -50,6 +50,38 @@ object Windows {
        |               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
        |) WHERE rn <= 3${sqlOrderBy(Seq("c_mktsegment", "rn"))}""".stripMargin
 
+  /** Top-k WITH TIES — the `FETCH FIRST k ROWS WITH TIES` semantic
+    * that row_number-top-N silently breaks: ranking on the VALUE
+    * (o_totalprice per segment, no tiebreaker in the rank) and keeping
+    * rank() ≤ 3 admits every order tied at the boundary value, so two
+    * orders with identical third-highest price BOTH survive. The
+    * output order still needs the unique key — determinism of
+    * presentation, not of membership. Where [[topnRank]] contrasts the
+    * three rank functions under a tiebroken order, this query pins the
+    * tie-ADMITTING contract (rows out can exceed 3 per group).
+    *
+    * Scale posture: same single segment-keyed window exchange as
+    * topnRank; Spark's WindowGroupLimit pushes the rank()≤k filter
+    * below the full window where supported. */
+  def topkTies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc)
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", rank().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"c_mktsegment", $"rk", $"o_orderkey")
+  }
+
+  val topkTiesSql: String =
+    s"""SELECT * FROM (
+       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+       |    CAST(rank() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY o_totalprice DESC NULLS LAST) AS INTEGER) AS rk
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |) WHERE rk <= 3${sqlOrderBy(Seq("c_mktsegment", "rk", "o_orderkey"))}""".stripMargin
+
   /** Monthly order revenue (pre-aggregated) as the base for the trend
     * windows below.
     *
@@ -235,6 +267,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_range_numeric" -> rangeNumeric,
     "window_topn_rank" -> topnRank,
+    "window_topk_ties" -> topkTies,
     "window_lag_mom" -> lagMom,
     "window_moving_avg" -> movingAvg,
     "window_running_total" -> runningTotal,
@@ -244,6 +277,7 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "window_range_numeric" -> rangeNumericSql,
     "window_topn_rank" -> topnRankSql,
+    "window_topk_ties" -> topkTiesSql,
     "window_lag_mom" -> lagMomSql,
     "window_moving_avg" -> movingAvgSql,
     "window_running_total" -> runningTotalSql,
