@@ -579,7 +579,68 @@ object Dedup {
        |WHERE i.inter * 10 >= (n1.n + n2.n - i.inter) * 9
        |${graft.Det.sqlOrderBy(Seq("d1", "d2")).trim}""".stripMargin
 
+  /** LSH recall report card — the number that justifies (or indicts)
+    * the MinHash funnel: with [[ppjoin]] providing EXACT ≥0.9 Jaccard
+    * ground truth, recall = how many true near-dup pairs the LSH band
+    * join actually surfaced as candidates. This turns the usual
+    * hand-wavy "LSH recall is tunable" into a measured, regression-
+    * gated quantity. The DuckDB oracle recomputes ground truth by
+    * BRUTE-FORCE all-pairs Jaccard (no prefix filter), so the eval
+    * also re-proves ppjoin's completeness theorem on every run.
+    *
+    * Scale posture: both inputs are the bounded candidate machines;
+    * the scoring join is pair-keyed; output is one row. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = ppjoin(spark, dir).select($"d1", $"d2")
+    val cand = candidatePairs(spark, dir).select($"d1", $"d2")
+      .withColumn("hit", lit(1))
+    exact.join(cand, Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count($"hit").as("n_recalled"))
+      .select($"n_true_pairs", $"n_recalled",
+        graft.Det.nullRatio($"n_recalled".cast("double"),
+          $"n_true_pairs".cast("double")).as("lsh_recall"))
+  }
+
+  val lshRecallSql: String =
+    s"""WITH $sigSqlCte,
+       |$candSqlCte,
+       |tok0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |docsh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, len(tokens) - 2),
+       |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]))
+       |      AS shingle
+       |  FROM tok0 WHERE len(tokens) >= 3
+       |),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM docsh a JOIN docsh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |exact AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i
+       |  JOIN cnt c1 ON c1.doc_id = i.d1
+       |  JOIN cnt c2 ON c2.doc_id = i.d2
+       |  WHERE i.i * 10 >= (c1.n + c2.n - i.i) * 9
+       |)
+       |SELECT COUNT(*) AS n_true_pairs,
+       |  CAST(SUM(CASE WHEN cand.d1 IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_recalled,
+       |  ${graft.Det.sqlNullRatio(
+            "CAST(SUM(CASE WHEN cand.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)",
+            "CAST(COUNT(*) AS DOUBLE)")} AS lsh_recall
+       |FROM exact
+       |LEFT JOIN cand ON exact.d1 = cand.d1 AND exact.d2 = cand.d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_recall" -> lshRecall,
     "dedup_ppjoin" -> ppjoin,
     "text_novelty" -> novelty,
     "dedup_editdist" -> editDistance,
@@ -592,6 +653,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_lsh_recall" -> lshRecallSql,
     "dedup_ppjoin" -> ppjoinSql,
     "text_novelty" -> noveltySql,
     "dedup_editdist" -> editDistanceSql,
