@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("double_dot"),
       new ExpressionInfo(classOf[functions.DoubleDot].getName, "double_dot"),
       (children: Seq[Expression]) => functions.DoubleDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[functions.JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => functions.JaroWinkler(children.head, children(1))))
     // auto-rewrite symmetric band range joins (nested loop -> hash join)
     ext.injectOptimizerRule(_ => plans.BandedRangeJoinRule)
     // plan the custom AsOfJoin logical operator (call sites also

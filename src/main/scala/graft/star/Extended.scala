@@ -233,7 +233,52 @@ object Extended {
        |FROM events
        |GROUP BY event_type${sqlOrderBy(Seq("event_type"))}""".stripMargin
 
+  /** Fuzzy part-name matching via the native [[graft.functions.JaroWinkler]]
+    * expression — the entity-resolution scorer Spark lacks, proven
+    * against DuckDB's BUILT-IN `jaro_winkler_similarity` (a custom
+    * Catalyst Expression graded by an independent native
+    * implementation, the strongest oracle a custom function can get).
+    * Within-brand name pairs keep the candidate set bounded; the
+    * similarity is quantized to 1e-6 (exact integer micro-units) so
+    * the hash gate compares integers — a last-ulp divergence in some
+    * future engine build cannot flip a cell.
+    *
+    * Scale posture: one brand-keyed self-join (never all-pairs across
+    * brands — the blocking-key discipline of entity resolution); the
+    * scorer is a map-only codegen'd scalar. */
+  def jaroPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.JaroWinkler.register(spark)
+    // deterministic 1/20 key sample bounds the within-brand pair set
+    // (the full blocking join at sf0.1 emits >1M rows of fixture-vocab
+    // lookalikes — right plan shape, pointless volume for the gate)
+    val p = Tables(spark, dir, "part")
+      .filter($"p_partkey" % 20 === 0)
+      .select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.select($"p_brand", $"p_partkey".as("k1"), $"p_name".as("n1"))
+    val b = p.select($"p_brand".as("brand_b"), $"p_partkey".as("k2"),
+      $"p_name".as("n2"))
+    a.join(b, $"p_brand" === $"brand_b" && $"k1" < $"k2")
+      .selectExpr("p_brand", "k1", "k2", "n1", "n2",
+        "cast(round(jaro_winkler(n1, n2) * 1e6) as bigint) AS jw6")
+      .filter($"jw6" >= 800000L)
+      .orderBy($"p_brand", $"k1", $"k2")
+  }
+
+  val jaroPairsSql: String =
+    s"""SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+       |  a.p_name AS n1, b.p_name AS n2,
+       |  CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6)
+       |    AS BIGINT) AS jw6
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |  AND a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+       |WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6)
+       |    AS BIGINT) >= 800000
+       |${sqlOrderBy(Seq("a.p_brand", "k1", "k2")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "func_jaro_pairs" -> jaroPairs,
     "agg_udaf_weighted_rate" -> udafWeightedRate,
     "embed_value_histogram" -> embedHistogram,
     "func_dates" -> dateFunctions,
@@ -242,6 +287,7 @@ object Extended {
     "func_json_path" -> jsonPath)
 
   val oracles: Map[String, String] = Map(
+    "func_jaro_pairs" -> jaroPairsSql,
     "agg_udaf_weighted_rate" -> udafWeightedRateSql,
     "embed_value_histogram" -> embedHistogramSql,
     "func_dates" -> dateFunctionsSql,
