@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[functions.JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => functions.JaroWinkler(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[functions.DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (children: Seq[Expression]) =>
+        functions.DamerauLevenshtein(children.head, children(1))))
     // auto-rewrite symmetric band range joins (nested loop -> hash join)
     ext.injectOptimizerRule(_ => plans.BandedRangeJoinRule)
     // plan the custom AsOfJoin logical operator (call sites also

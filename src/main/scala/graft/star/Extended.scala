@@ -277,7 +277,50 @@ object Extended {
        |    AS BIGINT) >= 800000
        |${sqlOrderBy(Seq("a.p_brand", "k1", "k2")).trim}""".stripMargin
 
+  /** Damerau vs plain Levenshtein over the same brand-blocked sample
+    * as [[jaroPairs]]: both distances per pair (Spark's built-in
+    * levenshtein + the native [[graft.functions.DamerauLevenshtein]]
+    * expression), kept where the Damerau distance is ≤ 4. The delta
+    * column counts the adjacent-transposition credit — integer output
+    * end to end, so the custom expression is graded by DuckDB's
+    * built-in `damerau_levenshtein` with no numeric seam of any kind.
+    *
+    * Scale posture: identical to jaroPairs — blocking-key self-join,
+    * map-only codegen'd scalars. */
+  def damerauPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DamerauLevenshtein.register(spark)
+    val p = Tables(spark, dir, "part")
+      .filter($"p_partkey" % 20 === 0)
+      .select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.select($"p_brand", $"p_partkey".as("k1"), $"p_name".as("n1"))
+    val b = p.select($"p_brand".as("brand_b"), $"p_partkey".as("k2"),
+      $"p_name".as("n2"))
+    a.join(b, $"p_brand" === $"brand_b" && $"k1" < $"k2")
+      .selectExpr("p_brand", "k1", "k2", "n1", "n2",
+        "levenshtein(n1, n2) AS lev",
+        "damerau_levenshtein(n1, n2) AS dl")
+      .filter($"dl" <= 4)
+      .withColumn("transposition_credit", $"lev" - $"dl")
+      .orderBy($"p_brand", $"k1", $"k2")
+  }
+
+  val damerauPairsSql: String =
+    s"""SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+       |  a.p_name AS n1, b.p_name AS n2,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev,
+       |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER) AS dl,
+       |  CAST(levenshtein(a.p_name, b.p_name)
+       |    - damerau_levenshtein(a.p_name, b.p_name) AS INTEGER)
+       |    AS transposition_credit
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |  AND a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+       |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
+       |${sqlOrderBy(Seq("a.p_brand", "k1", "k2")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "func_damerau_pairs" -> damerauPairs,
     "func_jaro_pairs" -> jaroPairs,
     "agg_udaf_weighted_rate" -> udafWeightedRate,
     "embed_value_histogram" -> embedHistogram,
@@ -287,6 +330,7 @@ object Extended {
     "func_json_path" -> jsonPath)
 
   val oracles: Map[String, String] = Map(
+    "func_damerau_pairs" -> damerauPairsSql,
     "func_jaro_pairs" -> jaroPairsSql,
     "agg_udaf_weighted_rate" -> udafWeightedRateSql,
     "embed_value_histogram" -> embedHistogramSql,
