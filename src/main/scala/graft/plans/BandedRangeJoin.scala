@@ -95,9 +95,12 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
           case _ => None
         }
         (b2, c2) <- strip(hi) match {
-          case Add(b, c, _) => litDouble(c).map(v => (b, v))
-          case Add(c, b, _) if litDouble(c).isDefined && litDouble(b).isEmpty =>
-            litDouble(c).map(v => (b, v))
+          // accept the literal on either side of the +; a first
+          // `case Add(b, c, _)` alone would swallow Add(lit, expr)
+          // shapes and never rewrite them (it matches every Add)
+          case Add(x, y, _) =>
+            if (litDouble(y).isDefined) litDouble(y).map(v => (x, v))
+            else litDouble(x).map(v => (y, v))
           case _ => None
         }
         if b1.semanticEquals(b2) && c1 + c2 > 0
