@@ -55,6 +55,24 @@ class BandedRangeJoinSpec extends SparkSpec {
     assert(BandedRangeJoinRule(plan).toString == plan.toString)
   }
 
+  test("literal on the LEFT of the + still rewrites (Add(lit, expr) arm)") {
+    import spark.implicits._
+    val sizes = graft.Tables(spark, sf0001, "part").select($"p_size").distinct()
+    val j = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_quantity")
+      .join(sizes,
+        $"l_quantity" >= $"p_size" - 1 && $"l_quantity" <= lit(1) + $"p_size")
+    val before = j.queryExecution.analyzed
+    val after = BandedRangeJoinRule(before)
+    assert(after.toString != before.toString, "Add(lit, expr) did not rewrite")
+    val exp = j.groupBy("p_size").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = org.apache.spark.sql.GraftShim.ofRows(spark, after)
+      .groupBy("p_size").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(exp.nonEmpty && got == exp)
+  }
+
   test("bigint band columns are NOT rewritten (double rounding unsafe)") {
     import spark.implicits._
     // nanosecond-epoch magnitudes: > 2^53, not exactly double-representable
