@@ -73,6 +73,35 @@ object Versioned {
     spark.read.parquet(dataDir(root, v))
   }
 
+  /** Expire history: physically delete snapshot directories older than
+    * the last `keepLast` versions — the retention/VACUUM maintenance a
+    * real table format schedules. REFERENCE-AWARE: a retained rollback
+    * commit is only a pointer at an older version's data, so the
+    * pointed-at directory survives expiration even when its own
+    * version number is out of the retention window (deleting it would
+    * corrupt the CURRENT table). Returns the versions whose data was
+    * deleted; time travel to them now fails, reads of every retained
+    * version are untouched (asserted in VersionedSpec).
+    *
+    * Scale posture: pure manifest/directory metadata work — cost ∝
+    * |expired versions|, independent of data volume. */
+  def expire(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(root).getOrElse(return Seq.empty)
+    val oldestKept = math.max(0L, latest - keepLast + 1)
+    val referenced = (oldestKept to latest).map(v => dataDir(root, v)).toSet
+    val deleted = (0L until oldestKept).filter { v =>
+      val dir = Paths.get(root, s"v=$v")
+      Files.exists(dir) && !referenced.contains(s"$root/v=$v")
+    }
+    deleted.foreach { v =>
+      val dir = Paths.get(root, s"v=$v")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    deleted
+  }
+
   /** Atomic publish: write the manifest beside its target, then MOVE it
     * into place (same-directory move = atomic on POSIX). */
   private def commit(root: String, version: Long): Unit = {

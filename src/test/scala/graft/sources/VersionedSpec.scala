@@ -37,4 +37,31 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.write(snap(7), root) == 4L)
     assert(Versioned.read(spark, root).count() == 7)
   }
+
+  test("expire deletes old snapshots but never data a rollback points at") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned_exp").toFile.getAbsolutePath
+    def snap(n: Int) = (1 to n).map(i => (i.toLong, s"gen$n")).toDF("id", "tag")
+
+    Versioned.write(snap(2), root) // v0
+    Versioned.write(snap(3), root) // v1
+    Versioned.write(snap(5), root) // v2
+    Versioned.rollback(root, 0L)   // v3 -> points at v0's data
+
+    // keep the last 2 commits (v2, v3). v3 references v0's data, so
+    // v0 must SURVIVE; only v1 is deletable.
+    val deleted = Versioned.expire(root, keepLast = 2)
+    assert(deleted == Seq(1L), deleted.toString)
+
+    // current table (the rollback) still reads v0's data
+    assert(Versioned.read(spark, root).count() == 2)
+    assert(Versioned.read(spark, root, Some(2L)).count() == 5)
+    // the expired version is gone
+    intercept[Exception](Versioned.read(spark, root, Some(1L)).count())
+    // expiring again is a no-op (idempotent maintenance)
+    assert(Versioned.expire(root, keepLast = 2).isEmpty)
+    // the chain stays writable after maintenance
+    assert(Versioned.write(snap(9), root) == 4L)
+    assert(Versioned.read(spark, root).count() == 9)
+  }
 }
