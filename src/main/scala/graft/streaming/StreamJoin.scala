@@ -69,6 +69,36 @@ object StreamJoin {
         col("purchase_value"))
   }
 
+  /** FULL-outer variant — the reconciliation join that completes the
+    * stream-stream matrix (inner / left-outer / full-outer): every
+    * click AND every purchase flows through, matched where the 5-min
+    * attribution window holds, null-padded on ITS side once the
+    * watermark proves a match impossible. The two unmatched classes
+    * expire on different horizons (a click at `click_ts + 5 min`, a
+    * purchase as soon as the watermark passes `purchase_ts` — no
+    * earlier click can arrive), which is exactly the two-ledger audit
+    * semantics: purchases with no attributable click surface as
+    * anomalies rather than vanishing. */
+  def clickToPurchaseFull(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + interval 5 minutes""".stripMargin),
+      "fullOuter")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Stream-static dimension enrichment — the most common production
     * streaming join: each micro-batch hash-joins against a BATCH
     * dimension frame. Stateless by construction (the static side is

@@ -122,6 +122,44 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join pads BOTH unmatched sides after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[ClickEvt]
+    val purchases = MemoryStream[PurchaseEvt]
+    val joined = StreamJoin.clickToPurchaseFull(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_full_mem").outputMode("append").start()
+    try {
+      // user 1 matches; user 5's click and user 9's purchase never will
+      clicks.addData(
+        ClickEvt(1L, 100L, t("2024-01-01 00:00:00")),
+        ClickEvt(5L, 105L, t("2024-01-01 00:00:00")))
+      purchases.addData(
+        PurchaseEvt(1L, 200L, t("2024-01-01 00:03:00"), 9.99),
+        PurchaseEvt(9L, 209L, t("2024-01-01 00:00:30"), 5.0))
+      q.processAllAvailable()
+      def rows() = spark.table("ssjoin_full_mem")
+        .select($"click_id", $"purchase_id").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      // only the match emits before the watermark proves non-matches
+      assert(rows() == Set((Some(100L), Some(200L))))
+      // advance both watermarks, twice (eviction after the update)
+      clicks.addData(ClickEvt(6L, 106L, t("2024-01-01 00:20:00")))
+      purchases.addData(PurchaseEvt(6L, 206L, t("2024-01-01 00:20:00"), 1.0))
+      q.processAllAvailable()
+      clicks.addData(ClickEvt(7L, 107L, t("2024-01-01 00:21:00")))
+      purchases.addData(PurchaseEvt(7L, 207L, t("2024-01-01 00:21:00"), 1.0))
+      q.processAllAvailable()
+      // the unmatched CLICK pads its purchase side, and the unmatched
+      // PURCHASE pads its click side — the two-ledger reconciliation
+      assert(rows().contains((Some(105L), None)), rows())
+      assert(rows().contains((None, Some(209L))), rows())
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch, keeps dim-less events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
