@@ -853,7 +853,99 @@ object TextStats {
        |ORDER BY p.exact DESC NULLS LAST, p.tok NULLS FIRST""".stripMargin
   }
 
+  /** Bloom-filter membership audit, ORACLE-CHECKED — the fifth classic
+    * sketch (after HLL, KMV, space-saving, CMS), and like CMS its
+    * state is relational: a Bloom bit array IS the distinct set of
+    * (salt, bucket) pairs hit by the keyed inserts — order-independent
+    * by construction — so the filter, every probe, and every
+    * false-positive verdict are expressible as portable SQL on both
+    * engines. Build: k=3 salted md5 hashes into m=256 bits over the
+    * distinct tokens of source 'src0'. Probe: the corpus-wide top-20
+    * tokens; a probe is a member iff all 3 of its bits are set, and
+    * the join against src0's exact token set labels each hit TRUE or
+    * FALSE POSITIVE — the sketch's defining error mode surfaced as
+    * data instead of asserted in prose.
+    *
+    * Scale posture: the filter state is |set bits| ≤ 256 rows after a
+    * map-side distinct; probes are 3-row lookups against that tiny
+    * set. At 100 TB this is the shuffle-free pre-join existence
+    * filter (the runtime bloom Spark injects — gated in PlanSpec —
+    * is this same structure built automatically). */
+  def bloomAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def cell(j: Int, tok: String) =
+      s"cast(conv(substr(md5(cast(concat('$j:', $tok) as binary)), 1, 8)," +
+        s" 16, 10) as bigint) % 256"
+    val toks = Tables(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val bits = toks.filter($"source" === "src0")
+      .select(explode(expr(
+        s"array(${(0 until 3).map(j => s"struct($j AS r, ${cell(j, "tok")} AS b)").mkString(", ")})"))
+        .as("c"))
+      .select($"c.r".as("r"), $"c.b".as("b")).distinct()
+    val src0 = toks.filter($"source" === "src0")
+      .select($"tok".as("s0_tok")).distinct()
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.orderBy($"n".desc, $"tok")))
+      .filter($"rn" <= 20)
+    val probes = top.select($"tok", $"n", $"rn", explode(expr(
+      s"array(${(0 until 3).map(j => s"struct($j AS r, ${cell(j, "tok")} AS b)").mkString(", ")})"))
+      .as("c"))
+      .select($"tok", $"n", $"rn", $"c.r".as("pr"), $"c.b".as("pb"))
+    val hits = probes
+      .join(bits, $"pr" === $"r" && $"pb" === $"b", "left")
+      .groupBy($"tok", $"n", $"rn")
+      .agg(count($"r").as("bits_set"))
+    hits
+      .join(src0, $"tok" === $"s0_tok", "left")
+      .select($"tok", $"n".as("corpus_count"),
+        ($"bits_set" === 3).cast("int").as("bloom_member"),
+        $"s0_tok".isNotNull.cast("int").as("exact_in_src0"),
+        (($"bits_set" === 3) && $"s0_tok".isNull).cast("int")
+          .as("false_positive"))
+      .orderBy($"corpus_count".desc, $"tok")
+  }
+
+  val bloomAuditSql: String = {
+    def cell(j: Int, tok: String) =
+      s"CAST('0x' || substr(md5('$j:' || $tok), 1, 8) AS BIGINT) % 256"
+    val bitRows = (0 until 3).map(j =>
+      s"SELECT DISTINCT $j AS r, ${cell(j, "tok")} AS b FROM s0toks")
+      .mkString("\n  UNION\n  ")
+    val probeRows = (0 until 3).map(j =>
+      s"SELECT tok, n, $j AS pr, ${cell(j, "tok")} AS pb FROM top")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+       |),
+       |s0toks AS (SELECT DISTINCT tok FROM toks WHERE source = 'src0'),
+       |bits AS (
+       |  $bitRows
+       |),
+       |top AS (
+       |  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+       |  ORDER BY n DESC, tok LIMIT 20
+       |),
+       |probes AS (
+       |  $probeRows
+       |),
+       |hits AS (
+       |  SELECT p.tok, p.n, COUNT(bits.r) AS bits_set
+       |  FROM probes p
+       |  LEFT JOIN bits ON p.pr = bits.r AND p.pb = bits.b
+       |  GROUP BY p.tok, p.n
+       |)
+       |SELECT h.tok, h.n AS corpus_count,
+       |  CAST(h.bits_set = 3 AS INTEGER) AS bloom_member,
+       |  CAST(s.tok IS NOT NULL AS INTEGER) AS exact_in_src0,
+       |  CAST(h.bits_set = 3 AND s.tok IS NULL AS INTEGER) AS false_positive
+       |FROM hits h LEFT JOIN s0toks s ON h.tok = s.tok
+       |ORDER BY corpus_count DESC NULLS LAST, h.tok NULLS FIRST""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bloom_audit" -> bloomAudit,
     "text_cms_estimate" -> cmsEstimate,
     "text_fluency" -> fluency,
     "corpus_chunk" -> chunk,
@@ -874,6 +966,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "text_bloom_audit" -> bloomAuditSql,
     "text_cms_estimate" -> cmsEstimateSql,
     "text_fluency" -> fluencySql,
     "corpus_chunk" -> chunkSql,
