@@ -135,6 +135,70 @@ object Cluster {
        |FROM comp c JOIN sz USING (cluster_id)
        |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
 
+  /** Duplication rate BY SOURCE — the acquisition scorecard composed
+    * from [[clusters]]: per source, how many documents sit in a
+    * multi-document near-dup cluster and how many survive min-id
+    * keeper selection. The number a data-buying decision actually
+    * turns on ("this feed is 40%% redundant against what we have"),
+    * where [[graft.llm.Dedup.novelty]] scores marginal n-grams and
+    * this scores whole-document redundancy. Exact counts, one IEEE
+    * division per source; the DuckDB oracle re-derives the clustering
+    * through its own recursive closure, so the composition is checked
+    * end to end.
+    *
+    * Scale posture: the cluster labeling is the star-contraction
+    * machinery (bounded rounds of hash-partitioned joins); this adds
+    * one source join + a |sources|-row rollup. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusters(spark, dir)
+      .join(Tables(spark, dir, "documents").select($"doc_id", $"source"),
+        "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"cluster_size" > 1).cast("long")).as("n_in_dup_cluster"),
+        sum($"is_keeper".cast("long")).as("n_keepers"))
+      .select($"source", $"n_docs", $"n_in_dup_cluster", $"n_keepers",
+        (($"n_docs" - $"n_keepers").cast("double") /
+          $"n_docs".cast("double")).as("removal_rate"))
+      .orderBy($"source")
+  }
+
+  // same recursive-closure CTE chain as clustersSql, rolled up by source
+  val dupRateBySourceSql: String = {
+    s"""WITH RECURSIVE ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+       |),
+       |comp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+       |),
+       |sz AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY cluster_id
+       |)
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN sz.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_in_dup_cluster,
+       |  CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_keepers,
+       |  CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS removal_rate
+       |FROM comp c
+       |JOIN sz USING (cluster_id)
+       |JOIN documents d ON d.doc_id = c.doc_id
+       |GROUP BY d.source${sqlOrderBy(Seq("d.source"))}""".stripMargin
+  }
+
   /** One damped PageRank power-iteration step (d = 0.85) from the
     * uniform vector over the undirected candidate-pair graph — the
     * centrality primitive for picking the CANONICAL document of a
@@ -401,6 +465,7 @@ object Cluster {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_keep_best" -> keepBest,
     "dedup_clusters" -> clusters,
+    "corpus_dup_rate_by_source" -> dupRateBySource,
     "graph_pagerank_step" -> pagerankStep,
     "graph_pagerank_iter5" -> pagerankIter,
     "graph_triangles" -> triangles,
@@ -409,6 +474,7 @@ object Cluster {
   val oracles: Map[String, String] = Map(
     "dedup_keep_best" -> keepBestSql,
     "dedup_clusters" -> clustersSql,
+    "corpus_dup_rate_by_source" -> dupRateBySourceSql,
     "graph_pagerank_step" -> pagerankStepSql,
     "graph_pagerank_iter5" -> pagerankIterSql,
     "graph_triangles" -> trianglesSql,
