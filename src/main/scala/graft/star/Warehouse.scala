@@ -940,7 +940,65 @@ object Warehouse {
        |FROM agg${sqlOrderBy(Seq("variant"))}""".stripMargin
   }
 
+  /** Supplier-concentration HHI per brand market — the antitrust
+    * screen (Herfindahl-Hirschman index, Σ shareᵢ²) over who supplies
+    * each part brand: n suppliers, the index, and the top supplier's
+    * share. Each share is one IEEE division of exact cents totals;
+    * its square is quantized to 1e-12 fixed point so the per-brand SUM
+    * is exact integer arithmetic (the norm-audit trick) — a plain
+    * double Σ share² would be partition-order dependent. HHI reads on
+    * the usual scale: 1/n for perfect competition up to 1.0 for a
+    * monopoly brand.
+    *
+    * Scale posture: one partial-agg to |brand×supplier| cells, a
+    * broadcastable |brands|-row totals join, then a |brands|-row
+    * rollup — the fact table is scanned once. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part"), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_suppkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"p_brand", $"l_suppkey")
+      .agg(sum($"cents").as("rev"))
+    val tot = cells.groupBy($"p_brand").agg(sum($"rev").as("tot"))
+    cells.join(broadcast(tot), "p_brand")
+      .withColumn("share", $"rev".cast("double") / $"tot".cast("double"))
+      .withColumn("q",
+        expr("CAST(floor(share * share * 1e12 + 0.5) AS BIGINT)"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        (sum($"q").cast("double") / 1e12).as("hhi"),
+        (max($"rev").cast("double") / max($"tot").cast("double"))
+          .as("top_share"))
+      .orderBy($"p_brand")
+  }
+
+  val supplierHhiSql: String =
+    s"""WITH cells AS (
+       |  SELECT p_brand, l_suppkey,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT p_brand, CAST(SUM(rev) AS BIGINT) AS tot
+       |  FROM cells GROUP BY 1
+       |),
+       |s AS (
+       |  SELECT cells.p_brand, rev, tot,
+       |    CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+       |  FROM cells JOIN tot USING (p_brand)
+       |)
+       |SELECT p_brand, COUNT(*) AS n_suppliers,
+       |  CAST(CAST(SUM(CAST(floor(share * share * 1e12 + 0.5) AS BIGINT))
+       |    AS BIGINT) AS DOUBLE) / 1e12 AS hhi,
+       |  CAST(MAX(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS top_share
+       |FROM s GROUP BY p_brand${sqlOrderBy(Seq("p_brand"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_supplier_hhi" -> supplierHhi,
     "events_ab_wilson" -> abWilson,
     "orders_ship_latency" -> shipLatency,
     "dq_skew_report" -> skewReport,
@@ -961,6 +1019,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "parts_supplier_hhi" -> supplierHhiSql,
     "events_ab_wilson" -> abWilsonSql,
     "orders_ship_latency" -> shipLatencySql,
     "dq_skew_report" -> skewReportSql,
