@@ -997,7 +997,68 @@ object Warehouse {
        |  CAST(MAX(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS top_share
        |FROM s GROUP BY p_brand${sqlOrderBy(Seq("p_brand"))}""".stripMargin
 
+  /** Laspeyres price index 1996→1997 — "how much more would LAST
+    * year's basket cost at THIS year's prices": per part, unit prices
+    * from each year's (cents, quantity) totals, the index weighting
+    * 1997 prices by 1996 quantities over parts traded in BOTH years.
+    * The denominator Σ p96·q96 IS the exact base-year spend (integer
+    * cents); each numerator cross-term p97·q96 is one IEEE sequence on
+    * exact integers, quantized to whole cents so the Σ is exact BIGINT
+    * — partition order cannot move the index. The companion volume
+    * ratio (same-basket quantity change) separates price from volume,
+    * the decomposition a revenue delta always needs.
+    *
+    * Scale posture: two year-filtered partial-aggs to |parts| cells,
+    * one part-keyed join of the two (co-partitioned), one-row output. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def yearCells(y: Int) = Tables(spark, dir, "lineitem")
+      .filter(year($"l_shipdate") === y)
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as(s"c$y"),
+        sum($"l_quantity".cast("long")).as(s"q$y"))
+    yearCells(1996).join(yearCells(1997), "l_partkey")
+      .select($"l_partkey", $"c1996", $"q1996", $"c1997", $"q1997",
+        // p97·q96 in cents, quantized per part: (c97/q97)·q96
+        expr("CAST(floor(CAST(c1997 AS DOUBLE) / CAST(q1997 AS DOUBLE)" +
+          " * CAST(q1996 AS DOUBLE) + 0.5) AS BIGINT)").as("cross_c"))
+      .agg(count(lit(1)).as("n_common_parts"),
+        (sum($"cross_c").cast("double") / sum($"c1996").cast("double"))
+          .as("laspeyres_index"),
+        (sum($"q1997").cast("double") / sum($"q1996").cast("double"))
+          .as("volume_ratio"))
+  }
+
+  val priceIndexSql: String =
+    s"""WITH y96 AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS c1996,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1996
+       |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1
+       |),
+       |y97 AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS c1997,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1997
+       |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1
+       |),
+       |j AS (
+       |  SELECT y96.*, c1997, q1997,
+       |    CAST(floor(CAST(c1997 AS DOUBLE) / CAST(q1997 AS DOUBLE)
+       |      * CAST(q1996 AS DOUBLE) + 0.5) AS BIGINT) AS cross_c
+       |  FROM y96 JOIN y97 USING (l_partkey)
+       |)
+       |SELECT COUNT(*) AS n_common_parts,
+       |  CAST(CAST(SUM(cross_c) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(c1996) AS BIGINT) AS DOUBLE) AS laspeyres_index,
+       |  CAST(CAST(SUM(q1997) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(q1996) AS BIGINT) AS DOUBLE) AS volume_ratio
+       |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_price_index" -> priceIndex,
     "parts_supplier_hhi" -> supplierHhi,
     "events_ab_wilson" -> abWilson,
     "orders_ship_latency" -> shipLatency,
@@ -1019,6 +1080,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "parts_price_index" -> priceIndexSql,
     "parts_supplier_hhi" -> supplierHhiSql,
     "events_ab_wilson" -> abWilsonSql,
     "orders_ship_latency" -> shipLatencySql,
