@@ -254,13 +254,71 @@ object Media {
        |  fingerprint
        |FROM r WHERE rn <= 5${sqlOrderBy(Seq("media_type", "rn"))}""".stripMargin
 
+  /** Frame-level duplication across media — the video-dedup layer the
+    * byte-level [[dedupQuery]] cannot see: two media files that share
+    * frames (re-encodes, clips, intros) have DIFFERENT payload hashes
+    * but identical frame fingerprints, so the sampled-frame stream from
+    * [[framesQuery]] is grouped by frame fingerprint and each frame is
+    * credited to its first-owner media file (min doc_id — the same
+    * discipline as text novelty). Per media type: sampled frames, how
+    * many re-occur from an earlier file, and the redundancy ratio.
+    *
+    * Scale posture: frames explode map-only (bounded by stride); the
+    * first-owner reduction is one fingerprint-keyed partial-min; the
+    * rollup is |media types| rows. */
+  def frameDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = framesQuery(spark, dir)
+      .select($"doc_id", $"frame_fp")
+    val firstOwner = frames.groupBy($"frame_fp")
+      .agg(min($"doc_id").as("first_doc"))
+    frames.join(firstOwner, "frame_fp")
+      .join(Tables(spark, dir, "documents")
+        .select($"doc_id", concat(lit("media/"), $"source").as("media_type")),
+        "doc_id")
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(($"doc_id" > $"first_doc").cast("long")).as("n_dup_frames"))
+      .select($"media_type", $"n_frames", $"n_dup_frames",
+        ($"n_dup_frames".cast("double") / $"n_frames".cast("double"))
+          .as("dup_frame_ratio"))
+      .orderBy($"media_type")
+  }
+
+  val frameDedupQuerySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, 'media/' || source AS media_type,
+       |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       |    md5(text) AS fingerprint
+       |  FROM documents
+       |),
+       |frames AS (
+       |  SELECT doc_id, media_type,
+       |    md5(fingerprint || ':' ||
+       |      CAST(unnest(range(0, 1 + byte_len % 24, 4)) AS VARCHAR))
+       |      AS frame_fp
+       |  FROM m
+       |),
+       |fo AS (
+       |  SELECT frame_fp, MIN(doc_id) AS first_doc FROM frames GROUP BY 1
+       |)
+       |SELECT media_type, COUNT(*) AS n_frames,
+       |  CAST(SUM(CASE WHEN f.doc_id > fo.first_doc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_frames,
+       |  CAST(SUM(CASE WHEN f.doc_id > fo.first_doc THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frame_ratio
+       |FROM frames f JOIN fo USING (frame_fp)
+       |GROUP BY media_type${sqlOrderBy(Seq("media_type"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_frame_dedup" -> frameDedupQuery,
     "media_sample" -> sampleQuery,
     "media_meta" -> metaQuery,
     "media_frames" -> framesQuery,
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
+    "media_frame_dedup" -> frameDedupQuerySql,
     "media_sample" -> sampleQuerySql,
     "media_meta" -> metaQuerySql,
     "media_frames" -> framesQuerySql,
