@@ -202,6 +202,45 @@ object Views {
 
   /** Dashboard KPI cards with the BI year-range filter (nb:550-571,
     * `WHERE year BETWEEN :from AND :to` — P5). */
+  /** Hour-of-day × weekday activity heatmap — the traffic-pattern grid
+    * behind every ops dashboard ("when do users actually show up"),
+    * over the events table: exact counts and distinct users per
+    * (weekday, hour) cell, plus each cell's share of total events as
+    * one IEEE division against a broadcast 1-row total. ISO weekday
+    * arithmetic keeps both engines on the same day numbering (the
+    * dim_calendar convention).
+    *
+    * Scale posture: one partial-agg exchange to the fixed 7×24 grid;
+    * the total is a 1-row broadcast — dashboard refresh cost is
+    * independent of event volume. */
+  def dashActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cells = graft.Tables(spark, dir, "events")
+      .groupBy(weekday($"ts").as("dow"), hour($"ts").as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+    val tot = cells.agg(sum($"n_events").as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .select($"dow", $"hod", $"n_events", $"n_users",
+        ($"n_events".cast("double") / $"tot".cast("double")).as("share"))
+      .orderBy($"dow", $"hod")
+  }
+
+  val dashActivityHeatmapSql: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+       |    CAST(hour(ts) AS INTEGER) AS hod,
+       |    COUNT(*) AS n_events,
+       |    COUNT(DISTINCT user_id) AS n_users
+       |  FROM events GROUP BY 1, 2
+       |),
+       |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM cells)
+       |SELECT dow, hod, n_events, n_users,
+       |  CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+       |FROM cells CROSS JOIN tot
+       |${Det.sqlOrderBy(Seq("dow", "hod")).trim}""".stripMargin
+
   def dashKpiWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     FlightPipeline.master(spark, dir)
@@ -321,6 +360,7 @@ object Views {
     "view_causes_pct" -> causesPct,
     "view_master_clean" -> masterClean,
     "dash_kpi_window" -> dashKpiWindow,
+    "dash_activity_heatmap" -> dashActivityHeatmap,
     "dash_top_airports" -> dashTopAirports,
     "dash_causes_breakdown" -> dashCausesBreakdown,
     "dash_drilldown" -> dashDrilldown)
@@ -332,6 +372,7 @@ object Views {
     "view_causes_pct" -> causesPctSql,
     "view_master_clean" -> masterCleanSql,
     "dash_kpi_window" -> dashKpiWindowSql,
+    "dash_activity_heatmap" -> dashActivityHeatmapSql,
     "dash_top_airports" -> dashTopAirportsSql,
     "dash_causes_breakdown" -> dashCausesBreakdownSql,
     "dash_drilldown" -> dashDrilldownSql)

@@ -2,6 +2,7 @@ package graft.star
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
+import graft.Det.sqlSum
 
 /** Advanced SQL surface (round 3): features a reference user migrating
   * real warehouse SQL would reach for next — recursive CTEs (Spark 4's
@@ -256,7 +257,34 @@ object SqlFeatures {
       |                  WHERE nullif(o_custkey, 42) = c_custkey)
       |ORDER BY form NULLS FIRST""".stripMargin
 
+  /** `GROUP BY ALL` / `ORDER BY ALL` — the analyst-ergonomics syntax
+    * both engines adopted (Spark 4 and DuckDB): every non-aggregate
+    * select item becomes a grouping key, and ALL orders by the full
+    * select list left-to-right. Feature parity checked literally —
+    * BOTH sides run the ALL syntax, so a divergence in what "ALL"
+    * binds to would hash-mismatch, not just a result check of
+    * hand-expanded columns. */
+  def groupByAll(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  COUNT(*) AS n_lines,
+         |  ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem_gba
+         |GROUP BY ALL
+         |ORDER BY ALL""".stripMargin)
+  }
+
+  val groupByAllSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  COUNT(*) AS n_lines,
+       |  ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ALL
+       |ORDER BY ALL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_group_by_all" -> groupByAll,
     "func_sql_udf" -> sqlUdf,
     "func_variant" -> variantProps,
     "sql_recursive_closure" -> recursiveClosure,
@@ -266,6 +294,7 @@ object SqlFeatures {
     "window_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
+    "sql_group_by_all" -> groupByAllSql,
     "func_sql_udf" -> sqlUdfSql,
     "func_variant" -> variantPropsSql,
     "sql_recursive_closure" -> recursiveClosureSql,
