@@ -455,7 +455,82 @@ object Joins {
        |  ON c.user_id = p.user_id AND c.day = p.day
        |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** NEAREST as-of — the sensor-alignment variant completing the
+    * direction family (backward / forward / tolerance / nearest): each
+    * click matches whichever purchase is closer in time, looking BOTH
+    * ways, with the backward candidate winning exact-distance ties
+    * (pandas merge_asof `direction='nearest'` convention). One
+    * union-tagged frame feeds BOTH direction windows over the same
+    * user partitioning — still a single shuffle — and the nearer pick
+    * is exact microsecond integer arithmetic. The DuckDB oracle runs
+    * two native ASOF joins (one per direction) and restates the
+    * nearer-pick CASE — an independent formulation of the same
+    * contract. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts",
+        lit(null).cast("timestamp_ntz").as("p_ts"),
+        lit(null).cast("double").as("p_value"),
+        lit(1).as("is_click"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        $"ts".as("p_ts"), $"value".as("p_value"), lit(0).as("is_click"))
+    val wB = Window.partitionBy($"user_id").orderBy($"ts", $"is_click")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"user_id").orderBy($"ts", $"is_click".desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros($"ts".cast("timestamp"))
+    def dus(c: org.apache.spark.sql.Column) =
+      abs(unix_micros(c.cast("timestamp")) - us)
+    clicks.unionByName(purchases)
+      .withColumn("b_ts", last($"p_ts", ignoreNulls = true).over(wB))
+      .withColumn("b_value", last($"p_value", ignoreNulls = true).over(wB))
+      .withColumn("f_ts", first($"p_ts", ignoreNulls = true).over(wF))
+      .withColumn("f_value", first($"p_value", ignoreNulls = true).over(wF))
+      .filter($"is_click" === 1)
+      .withColumn("pick_fwd",
+        $"b_ts".isNull || ($"f_ts".isNotNull && dus($"f_ts") < dus($"b_ts")))
+      .select($"event_id", $"user_id", $"ts",
+        when($"pick_fwd", $"f_ts").otherwise($"b_ts").as("nearest_ts"),
+        when($"pick_fwd", $"f_value").otherwise($"b_value")
+          .as("nearest_value"),
+        when($"b_ts".isNull && $"f_ts".isNull, lit(null).cast("string"))
+          .otherwise(when($"pick_fwd", lit("forward"))
+            .otherwise(lit("backward"))).as("direction"))
+      .orderBy($"event_id")
+  }
+
+  val asofNearestSql: String =
+    s"""WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+       |purch AS (SELECT * FROM events WHERE event_type = 'purchase'),
+       |b AS (
+       |  SELECT c.event_id, c.user_id, c.ts, p.ts AS b_ts, p.value AS b_value
+       |  FROM clicks c ASOF LEFT JOIN purch p
+       |    ON c.user_id = p.user_id AND c.ts >= p.ts
+       |),
+       |f AS (
+       |  SELECT c.event_id, p.ts AS f_ts, p.value AS f_value
+       |  FROM clicks c ASOF LEFT JOIN purch p
+       |    ON c.user_id = p.user_id AND c.ts <= p.ts
+       |),
+       |j AS (
+       |  SELECT b.event_id, b.user_id, b.ts, b_ts, b_value, f_ts, f_value,
+       |    (b_ts IS NULL OR (f_ts IS NOT NULL AND
+       |      abs(epoch_us(f_ts) - epoch_us(b.ts))
+       |        < abs(epoch_us(b_ts) - epoch_us(b.ts)))) AS pick_fwd
+       |  FROM b JOIN f USING (event_id)
+       |)
+       |SELECT event_id, user_id, ts,
+       |  CASE WHEN pick_fwd THEN f_ts ELSE b_ts END AS nearest_ts,
+       |  CASE WHEN pick_fwd THEN f_value ELSE b_value END AS nearest_value,
+       |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN CAST(NULL AS VARCHAR)
+       |       WHEN pick_fwd THEN 'forward' ELSE 'backward' END AS direction
+       |FROM j${graft.Det.sqlOrderBy(Seq("event_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_nearest" -> asofNearest,
     "join_full_outer" -> fullOuter,
     "join_null_safe" -> nullSafe,
     "join_asof_native" -> asofNative,
@@ -474,6 +549,7 @@ object Joins {
     "join_asof_native_fwd" -> asofNativeFwd)
 
   val oracles: Map[String, String] = Map(
+    "join_asof_nearest" -> asofNearestSql,
     "join_full_outer" -> fullOuterSql,
     "join_null_safe" -> nullSafeSql,
     "join_asof_native" -> asofSql,
