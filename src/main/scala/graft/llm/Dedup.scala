@@ -639,7 +639,43 @@ object Dedup {
        |FROM exact
        |LEFT JOIN cand ON exact.d1 = cand.d1 AND exact.d2 = cand.d2""".stripMargin
 
+  /** Threshold-tuning curve — the artifact that answers "WHERE do I
+    * set the near-dup cut": the exact-Jaccard distribution over the
+    * LSH candidate pairs in 0.05 buckets, with the survivors-at-or-
+    * above running total (read the removal volume straight off any
+    * proposed threshold). Buckets are exact — the Jaccard is a single
+    * division of exact integers, identical in both engines, so
+    * floor(j·20) can never straddle differently.
+    *
+    * Scale posture: rides the candidate-driven [[ngramJaccard]]
+    * machinery; the curve itself is ≤ 21 bucket rows and one bounded
+    * descending running sum. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ngramJaccard(spark, dir)
+      .select((floor($"exact_jaccard" * 20) / 20.0).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum($"n_pairs").over(w))
+      .orderBy($"bucket")
+  }
+
+  val thresholdCurveSql: String =
+    s"""WITH jac AS ($ngramJaccardSql),
+       |b AS (
+       |  SELECT floor(exact_jaccard * 20) / 20.0 AS bucket, COUNT(*) AS n_pairs
+       |  FROM jac GROUP BY 1
+       |)
+       |SELECT bucket, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_at_or_above
+       |FROM b${sqlOrderBy(Seq("bucket"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_curve" -> thresholdCurve,
     "dedup_lsh_recall" -> lshRecall,
     "dedup_ppjoin" -> ppjoin,
     "text_novelty" -> novelty,
@@ -653,6 +689,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_lsh_recall" -> lshRecallSql,
     "dedup_ppjoin" -> ppjoinSql,
     "text_novelty" -> noveltySql,
