@@ -500,6 +500,39 @@ object Aggs {
        |    AS corr_qty_price
        |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** Boolean-aggregate parity — `count_if` / `bool_and` / `bool_or`,
+    * the predicate-reduction trio both engines ship natively: per
+    * priority class, how many orders are large, whether EVERY order
+    * is above the floor, and whether ANY is pending. Feature-binding
+    * parity like GROUP BY ALL: both sides run the same named
+    * aggregates, so a semantic difference in the builtins themselves
+    * (not just in our arithmetic) would hash-mismatch. Exact integer
+    * and boolean outputs — no numeric seam.
+    *
+    * Scale posture: one partial-agg exchange; boolean aggregates are
+    * trivially mergeable (AND/OR/count are associative+commutative). */
+  def boolAggs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_ba")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  count_if(o_totalprice > 300000) AS n_large,
+        |  bool_and(o_totalprice > 1000) AS all_above_floor,
+        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |FROM orders_ba
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val boolAggsSql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n_orders,
+       |  count_if(o_totalprice > 300000) AS n_large,
+       |  bool_and(o_totalprice > 1000) AS all_above_floor,
+       |  bool_or(o_orderstatus = 'P') AS any_pending
+       |FROM orders
+       |GROUP BY o_orderpriority${sqlOrderBy(Seq("o_orderpriority"))}""".stripMargin
+
   /** Winsorized mean — the robust average that CLAMPS tails instead of
     * dropping them (the companion to the MAD fence, which rejects, and
     * the trimmed mean, which deletes): order values are capped at the
@@ -927,6 +960,7 @@ object Aggs {
     "agg_stats_moments" -> statsMoments,
     "gold_cause_corr" -> causeCorr,
     "agg_winsorized_mean" -> winsorizedMean,
+    "agg_bool_logic" -> boolAggs,
     "agg_listagg" -> listAgg,
     "agg_pivot_multi" -> pivotMulti,
     "agg_grouping_id" -> groupingId,
@@ -954,6 +988,7 @@ object Aggs {
     "agg_stats_moments" -> statsMomentsSql,
     "gold_cause_corr" -> causeCorrSql,
     "agg_winsorized_mean" -> winsorizedMeanSql,
+    "agg_bool_logic" -> boolAggsSql,
     "agg_listagg" -> listAggSql,
     "agg_pivot_multi" -> pivotMultiSql,
     "agg_grouping_id" -> groupingIdSql,
