@@ -319,7 +319,49 @@ object Extended {
        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
        |${sqlOrderBy(Seq("a.p_brand", "k1", "k2")).trim}""".stripMargin
 
+  /** URL parsing (F9 completion): Spark's NATIVE `parse_url`
+    * (HOST / PATH / QUERY / per-key query param) over deterministic
+    * synthetic URLs built from document fields, graded by DuckDB
+    * re-deriving every component with independent regex extraction —
+    * the parser-vs-regex cross-check that pins what `parse_url`
+    * actually returns (including the key-missing NULL contract).
+    *
+    * Scale posture: map-only scalar functions; at 100 TB this is the
+    * first stage of any web-corpus pipeline (host for domain-level
+    * dedup/caps, path/query for boilerplate heuristics). */
+  def urlParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter($"doc_id" % 7 === 0)
+      .selectExpr("doc_id",
+        "concat('https://', source, '.example.com/docs/', " +
+          "CAST(doc_id AS STRING), '?lang=', lang, '&v=2') AS url")
+      .selectExpr("doc_id", "url",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY') AS query",
+        "parse_url(url, 'QUERY', 'lang') AS lang_param",
+        "parse_url(url, 'QUERY', 'missing') AS absent_param")
+      .orderBy($"doc_id")
+  }
+
+  val urlParseSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://' || source || '.example.com/docs/' ||
+       |      CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+       |  FROM documents WHERE doc_id % 7 = 0
+       |)
+       |SELECT doc_id, url,
+       |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       |  regexp_extract(url, '[?](.*)$$', 1) AS query,
+       |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       |  CAST(NULL AS VARCHAR) AS absent_param
+       |FROM u${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "func_url_parse" -> urlParse,
     "func_damerau_pairs" -> damerauPairs,
     "func_jaro_pairs" -> jaroPairs,
     "agg_udaf_weighted_rate" -> udafWeightedRate,
@@ -330,6 +372,7 @@ object Extended {
     "func_json_path" -> jsonPath)
 
   val oracles: Map[String, String] = Map(
+    "func_url_parse" -> urlParseSql,
     "func_damerau_pairs" -> damerauPairsSql,
     "func_jaro_pairs" -> jaroPairsSql,
     "agg_udaf_weighted_rate" -> udafWeightedRateSql,
