@@ -293,6 +293,59 @@ object Cluster {
        |SELECT doc_id, COUNT(*) AS n_triangles
        |FROM m GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Link prediction by common neighbors — the graph-completion
+    * primitive over the near-dup graph: count shared LSH neighbors per
+    * wedge-connected pair; a high count on a pair that is NOT itself a
+    * candidate (`already_candidate = 0`) is evidence of a missed
+    * near-dup the bands happened to split, feeding a second-pass
+    * verification queue. The classic common-neighbors link-prediction
+    * score doing real dedup work — the flag separates confirmations
+    * from discoveries (LSH buckets are near-cliques, so confirmations
+    * dominate; the discoveries are the payload).
+    *
+    * Scale posture: the wedge join is Σ deg² over the pair graph
+    * (bounded because LSH buckets bound degrees), never |corpus|²; the
+    * existing-edge anti-join and top-20 TakeOrdered are standard. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(Dedup.candidatePairs(spark, dir)
+      .select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint() // 3 consumers; cut the LSH lineage
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), $"e1.dst" === $"e2.src")
+      .select($"e1.src".as("a"), $"e2.dst".as("b"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common_neighbors"))
+    wedges
+      .join(edges.select($"src".as("a"), $"dst".as("b"),
+        lit(1).as("already_candidate")), Seq("a", "b"), "left")
+      .na.fill(0, Seq("already_candidate"))
+      .orderBy($"common_neighbors".desc, $"a", $"b")
+      .limit(20)
+  }
+
+  val linkPredictSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION ALL
+       |  SELECT d2, d1 FROM cand
+       |),
+       |wedges AS (
+       |  SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS common_neighbors
+       |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |  WHERE e1.src < e2.dst
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, common_neighbors,
+       |  CAST(EXISTS (SELECT 1 FROM edges e
+       |               WHERE e.src = w.a AND e.dst = w.b) AS INTEGER)
+       |    AS already_candidate
+       |FROM wedges w
+       |ORDER BY common_neighbors DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST
+       |LIMIT 20""".stripMargin
+
   /** Dedup-aware negative sampling for contrastive training: each
     * anchor doc draws k=2 pseudo-random negatives by salted hash
     * (deterministic — re-runs, retries, and cluster resizes sample the
@@ -469,6 +522,7 @@ object Cluster {
     "graph_pagerank_step" -> pagerankStep,
     "graph_pagerank_iter5" -> pagerankIter,
     "graph_triangles" -> triangles,
+    "graph_link_predict" -> linkPredict,
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +532,6 @@ object Cluster {
     "graph_pagerank_step" -> pagerankStepSql,
     "graph_pagerank_iter5" -> pagerankIterSql,
     "graph_triangles" -> trianglesSql,
+    "graph_link_predict" -> linkPredictSql,
     "corpus_negatives" -> negativesSql)
 }
