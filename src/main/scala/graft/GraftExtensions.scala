@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => functions.JaroWinkler(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[functions.DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => functions.DeflateLen(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("damerau_levenshtein"),
       new ExpressionInfo(classOf[functions.DamerauLevenshtein].getName,
         "damerau_levenshtein"),

@@ -944,7 +944,37 @@ object TextStats {
        |ORDER BY corpus_count DESC NULLS LAST, h.tok NULLS FIRST""".stripMargin
   }
 
+  /** Compression-ratio quality signal via the native
+    * [[graft.functions.DeflateLen]] expression — the curation
+    * heuristic the Gopher-class repetition rules approximate: per
+    * language, the distribution (min/p50-as-mean proxy/max via exact
+    * min/max and decimal mean) of deflate_bytes/raw_bytes. Boilerplate
+    * compresses far below the corpus norm; noise barely compresses.
+    * NO DuckDB oracle exists (SQL has no zlib), so this entry is
+    * rows-only by design like the sketch estimators; the expression's
+    * semantics (determinism, monotonicity under repetition,
+    * null-safety) are pinned in DeflateLenSpec.
+    *
+    * Scale posture: map-only scalar over each doc + one partial-agg
+    * to |langs| rows. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DeflateLen.register(spark)
+    Tables(spark, dir, "documents")
+      .selectExpr("lang", "length(text) AS raw_len",
+        "deflate_len(text) AS comp_len")
+      .withColumn("ratio", $"comp_len".cast("double") / $"raw_len".cast("double"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"ratio").as("min_ratio"),
+        (sum(expr("CAST(floor(ratio * 1e9 + 0.5) AS BIGINT)")).cast("double")
+          / 1e9 / count(lit(1))).as("mean_ratio"),
+        max($"ratio").as("max_ratio"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compression_ratio" -> compressionRatio,
     "text_bloom_audit" -> bloomAudit,
     "text_cms_estimate" -> cmsEstimate,
     "text_fluency" -> fluency,
