@@ -216,6 +216,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("PPJoin stays equi-join only — no nested loop, no cartesian") {
+    val p = plan("dedup_ppjoin")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("string-metric queries run native expressions, not UDFs") {
+    for (q <- Seq("func_jaro_pairs", "func_damerau_pairs",
+      "text_compression_ratio")) {
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q has a UDF node")
+    }
+  }
+
   test("Q21's opposing quantifiers plan as semi + anti, top-20 as TakeOrdered") {
     val p = plan("tpch_q21").toLowerCase
     assert(p.contains("leftsemi"), p)
