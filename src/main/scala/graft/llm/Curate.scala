@@ -472,7 +472,85 @@ object Curate {
        |    - (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)) AS drift
        |FROM base, tot${sqlOrderBy(Seq("lang"))}""".stripMargin
 
+  /** Neyman allocation of a labeling budget — survey sampling's
+    * minimum-variance answer to "how many docs should each source
+    * contribute to a 10,000-doc human-review sample": n_h ∝ N_h·S_h
+    * (stratum size × stratum std-dev of the doc-length signal), the
+    * variance-weighted dual of [[langTemperature]]'s count^0.5 ppm
+    * split. Every step is exact: lengths are integers so the moment
+    * sums are BIGINT; S_h is one sqrt of an exact ratio; the weight
+    * N_h·S_h quantizes to 1e-6 fixed point; and the 10,000 slots
+    * apportion by floor shares plus LARGEST-REMAINDER top-up — rank
+    * on the exact integer remainder B·w mod Σw — so the allocations
+    * are integers that provably sum to the budget at any partitioning.
+    *
+    * Scale posture: one partial-agg to |sources| moment rows; the
+    * apportionment runs entirely on that bounded set (broadcast total,
+    * bounded rank window). */
+  def neymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 10000L
+    val strata = Tables(spark, dir, "documents")
+      .select($"source", length($"text").cast("long").as("len"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"len").as("s1"), sum($"len" * $"len").as("s2"))
+      .withColumn("sd", sqrt(
+        ($"n_docs" * $"s2" - $"s1" * $"s1").cast("double") /
+          ($"n_docs" * $"n_docs").cast("double")))
+      .withColumn("wq",
+        expr("CAST(floor(n_docs * sd * 1e6 + 0.5) AS BIGINT)"))
+    val tot = strata.agg(sum($"wq").as("wtot"))
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * wq) div wtot"))
+      .withColumn("rem", expr(s"($budget * wq) % wtot"))
+    val wRem = Window.orderBy($"rem".desc, $"source")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    based
+      .withColumn("short", lit(budget) - sum($"base").over(wAll))
+      .withColumn("rk", row_number().over(wRem))
+      .select($"source", $"n_docs", $"sd",
+        ($"base" + ($"rk" <= $"short").cast("long")).as("alloc"))
+      .orderBy($"source")
+  }
+
+  val neymanAllocSql: String =
+    s"""WITH strata AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS s1,
+       |    CAST(SUM(CAST(length(text) AS BIGINT)
+       |      * CAST(length(text) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM documents GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT source, n_docs,
+       |    sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
+       |      / CAST(n_docs * n_docs AS DOUBLE)) AS sd,
+       |    CAST(floor(n_docs * sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
+       |      / CAST(n_docs * n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wq
+       |  FROM strata
+       |),
+       |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM w),
+       |b AS (
+       |  SELECT source, n_docs, sd,
+       |    (10000 * wq) // wtot AS base,
+       |    (10000 * wq) % wtot AS rem
+       |  FROM w CROSS JOIN t
+       |),
+       |r AS (
+       |  SELECT b.*,
+       |    10000 - SUM(base) OVER () AS short,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM b
+       |)
+       |SELECT source, n_docs, sd,
+       |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r${sqlOrderBy(Seq("source"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_neyman_alloc" -> neymanAlloc,
     "corpus_lang_drift" -> langDrift,
     "corpus_epoch_order" -> epochOrder,
     "corpus_lang_temperature" -> langTemperature,
@@ -484,6 +562,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_neyman_alloc" -> neymanAllocSql,
     "corpus_lang_drift" -> langDriftSql,
     "corpus_epoch_order" -> epochOrderSql,
     "corpus_lang_temperature" -> langTemperatureSql,
