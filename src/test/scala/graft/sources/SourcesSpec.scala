@@ -123,6 +123,17 @@ class SourcesSpec extends SparkSpec {
         """SELECT decode_trim_json(cast('{"a":"1"}<<<junk' as binary)) AS r""")
         .head.getString(0)
       assert(out == """{"a":"1"}""")
+      // EVERY injected function resolves in a configured session — the
+      // deployment path needs no per-call self-registration
+      val probes = s2.sql(
+        """SELECT decimal_dot(array(1.0d), array(2.0d)) AS dd,
+          |  double_dot(array(1.0d), array(2.0d)) AS d2,
+          |  jaro_winkler('martha', 'marhta') AS jw,
+          |  damerau_levenshtein('CA', 'ABC') AS dl,
+          |  deflate_len('aaaaaaaa') AS zl""".stripMargin).head
+      assert(probes.getDouble(0) == 2.0 && probes.getDouble(1) == 2.0)
+      assert(math.abs(probes.getDouble(2) - 0.9611111111111111) < 1e-12)
+      assert(probes.getInt(3) == 2 && probes.getInt(4) > 0)
       // the custom planner strategy is installed without any per-call
       // self-registration
       assert(s2.sessionState.planner.strategies
