@@ -1057,7 +1057,88 @@ object Warehouse {
        |    / CAST(CAST(SUM(q1996) AS BIGINT) AS DOUBLE) AS volume_ratio
        |FROM j""".stripMargin
 
+  /** Stationary distribution of the clickstream Markov chain — where
+    * user behavior settles: 5 power-iteration rounds of r·P over the
+    * [[pathMarkov]] transition matrix from the exact uniform start
+    * (parts-per-billion integers; the 1e9 mod K remainder goes to the
+    * lexicographically first states, so even initialization is exact).
+    * Each round quantizes every term floor(r·p + 0.5) back to ppb —
+    * the identical schedule the unrolled oracle states round by round
+    * (the graph_pagerank_iter5 discipline), so five compounded rounds
+    * stay hash-exact. The matrix is |event types|² — the iteration
+    * costs nothing; the EXPENSIVE part (building P from the event
+    * stream) happens once.
+    *
+    * Scale posture: one user-keyed shuffle builds P; the five rounds
+    * run on the bounded K×K matrix via broadcastable joins. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trans = pathMarkov(spark, dir)
+      .select($"prev_type", $"next_type", $"p")
+    val types = trans.select($"prev_type".as("t")).distinct()
+    val kRow = types.agg(count(lit(1)).as("k"))
+    var r = types.crossJoin(broadcast(kRow))
+      .withColumn("rn", row_number().over(Window.orderBy($"t")))
+      .select($"t", (expr("1000000000 div k") +
+        ($"rn" <= expr("1000000000 % k")).cast("long")).as("r_ppb"))
+    for (_ <- 1 to 5) {
+      r = trans.join(r, $"prev_type" === $"t")
+        .select($"next_type",
+          expr("CAST(floor(r_ppb * p + 0.5) AS BIGINT)").as("term"))
+        .groupBy($"next_type").agg(sum($"term").as("r_ppb"))
+        .select($"next_type".as("t"), $"r_ppb")
+    }
+    r.select($"t".as("event_type"), $"r_ppb",
+      ($"r_ppb".cast("double") / 1e9).as("stationary_p"))
+      .orderBy($"t")
+  }
+
+  val markovStationarySql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT next_type AS t,
+         |    CAST(SUM(CAST(floor(r_ppb * p + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS r_ppb
+         |  FROM trans JOIN r${i - 1} ON prev_type = t
+         |  GROUP BY next_type
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |),
+       |tcnt AS (
+       |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+       |  FROM tcnt GROUP BY 1
+       |),
+       |trans AS (
+       |  SELECT tcnt.prev_type, next_type,
+       |    CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+       |  FROM tcnt JOIN tot USING (prev_type)
+       |),
+       |types AS (SELECT DISTINCT prev_type AS t FROM trans),
+       |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+       |r0 AS (
+       |  SELECT t,
+       |    (1000000000 // k) + CASE WHEN
+       |      row_number() OVER (ORDER BY t) <= 1000000000 % k
+       |      THEN 1 ELSE 0 END AS r_ppb
+       |  FROM types CROSS JOIN kk
+       |),
+       |$rounds
+       |SELECT t AS event_type, CAST(r_ppb AS BIGINT) AS r_ppb,
+       |  CAST(r_ppb AS DOUBLE) / 1e9 AS stationary_p
+       |FROM r5${sqlOrderBy(Seq("t"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov_stationary" -> markovStationary,
     "parts_price_index" -> priceIndex,
     "parts_supplier_hhi" -> supplierHhi,
     "events_ab_wilson" -> abWilson,
@@ -1080,6 +1161,7 @@ object Warehouse {
     "parts_abc_pareto" -> abcParts)
 
   val oracles: Map[String, String] = Map(
+    "events_markov_stationary" -> markovStationarySql,
     "parts_price_index" -> priceIndexSql,
     "parts_supplier_hhi" -> supplierHhiSql,
     "events_ab_wilson" -> abWilsonSql,
