@@ -500,6 +500,62 @@ object Aggs {
        |    AS corr_qty_price
        |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** Exact WEIGHTED median — the order statistic where half the
+    * REVENUE sits below, not half the rows (the distinction between
+    * "typical line" and "typical dollar"): per return flag, the
+    * quantity at which cumulative price-weight first reaches half the
+    * total, weights in exact BIGINT cents and the crossing test stated
+    * as 2·cum ≥ tot so no halving ever leaves the integers. The
+    * unweighted median computed in the same pass shows the gap the
+    * weighting creates. Same value-level-count plan as
+    * [[percentileDisc]] — weights just replace counts.
+    *
+    * Scale posture: one partial-agg to value-level (flag, qty) cells
+    * with summed weights; bounded cumulative windows per flag. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"g").orderBy($"v")
+    val wn = Window.partitionBy($"g")
+    Tables(spark, dir, "lineitem")
+      .select($"l_returnflag".as("g"),
+        $"l_quantity".cast("double").as("v"),
+        round($"l_extendedprice" * 100).cast("long").as("wt"))
+      .groupBy($"g", $"v")
+      .agg(sum($"wt").as("ws"), count(lit(1)).as("c"))
+      .withColumn("cum_w", sum($"ws").over(w))
+      .withColumn("tot_w", sum($"ws").over(wn))
+      .withColumn("cum_c", sum($"c").over(w))
+      .withColumn("tot_c", sum($"c").over(wn))
+      .groupBy($"g")
+      .agg((max($"tot_w").cast("double") / 100.0).as("total_revenue"),
+        min(when($"cum_w" * 2 >= $"tot_w", $"v")).as("weighted_median_qty"),
+        min(when($"cum_c" * 2 >= $"tot_c", $"v")).as("median_qty"))
+      .orderBy($"g")
+  }
+
+  val weightedMedianSql: String =
+    s"""WITH cells AS (
+       |  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS ws,
+       |    COUNT(*) AS c
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT g, v,
+       |    SUM(ws) OVER (PARTITION BY g ORDER BY v) AS cum_w,
+       |    SUM(ws) OVER (PARTITION BY g) AS tot_w,
+       |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum_c,
+       |    SUM(c) OVER (PARTITION BY g) AS tot_c
+       |  FROM cells
+       |)
+       |SELECT g,
+       |  CAST(MAX(tot_w) AS DOUBLE) / 100.0 AS total_revenue,
+       |  MIN(CASE WHEN cum_w * 2 >= tot_w THEN v END) AS weighted_median_qty,
+       |  MIN(CASE WHEN cum_c * 2 >= tot_c THEN v END) AS median_qty
+       |FROM r GROUP BY g${sqlOrderBy(Seq("g"))}""".stripMargin
+
   /** Boolean-aggregate parity — `count_if` / `bool_and` / `bool_or`,
     * the predicate-reduction trio both engines ship natively: per
     * priority class, how many orders are large, whether EVERY order
@@ -961,6 +1017,7 @@ object Aggs {
     "gold_cause_corr" -> causeCorr,
     "agg_winsorized_mean" -> winsorizedMean,
     "agg_bool_logic" -> boolAggs,
+    "agg_weighted_median" -> weightedMedian,
     "agg_listagg" -> listAgg,
     "agg_pivot_multi" -> pivotMulti,
     "agg_grouping_id" -> groupingId,
@@ -989,6 +1046,7 @@ object Aggs {
     "gold_cause_corr" -> causeCorrSql,
     "agg_winsorized_mean" -> winsorizedMeanSql,
     "agg_bool_logic" -> boolAggsSql,
+    "agg_weighted_median" -> weightedMedianSql,
     "agg_listagg" -> listAggSql,
     "agg_pivot_multi" -> pivotMultiSql,
     "agg_grouping_id" -> groupingIdSql,
