@@ -500,6 +500,38 @@ object Aggs {
        |    AS corr_qty_price
        |FROM g${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** Deterministic ARRAY aggregation — collect_set is UNORDERED by
+    * contract in both engines, so the only hash-gatable form is
+    * sort_array(collect_set(...)): per market segment, the sorted
+    * distinct order-priority array, its size, and the first element.
+    * Exercises a NESTED output column through the oracle gate (the
+    * driver compares array cells by value), and pins the discipline
+    * every deterministic pipeline needs: never persist a bare
+    * collect_list/collect_set — order is an accident of partitioning.
+    *
+    * Scale posture: distinct (segment, priority) pairs collapse
+    * map-side; the arrays are bounded at |priorities| elements. */
+  def arrayCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"))
+      .select($"c_mktsegment", $"priorities",
+        size($"priorities").as("n_priorities"),
+        element_at($"priorities", 1).as("first_priority"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val arrayCollectSql: String =
+    s"""SELECT c_mktsegment,
+       |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       |  CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER)
+       |    AS n_priorities,
+       |  list_sort(list(DISTINCT o_orderpriority))[1] AS first_priority
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment${sqlOrderBy(Seq("c_mktsegment"))}""".stripMargin
+
   /** Exact WEIGHTED median — the order statistic where half the
     * REVENUE sits below, not half the rows (the distinction between
     * "typical line" and "typical dollar"): per return flag, the
@@ -1018,6 +1050,7 @@ object Aggs {
     "agg_winsorized_mean" -> winsorizedMean,
     "agg_bool_logic" -> boolAggs,
     "agg_weighted_median" -> weightedMedian,
+    "agg_array_collect" -> arrayCollect,
     "agg_listagg" -> listAgg,
     "agg_pivot_multi" -> pivotMulti,
     "agg_grouping_id" -> groupingId,
@@ -1047,6 +1080,7 @@ object Aggs {
     "agg_winsorized_mean" -> winsorizedMeanSql,
     "agg_bool_logic" -> boolAggsSql,
     "agg_weighted_median" -> weightedMedianSql,
+    "agg_array_collect" -> arrayCollectSql,
     "agg_listagg" -> listAggSql,
     "agg_pivot_multi" -> pivotMultiSql,
     "agg_grouping_id" -> groupingIdSql,
