@@ -144,6 +144,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("reader-level schema evolution: mergeSchema unions parquet generations") {
+    import spark.implicits._
+    // generation 1 lacks the column generation 2 added — the routine
+    // lake situation after a producer upgrade mid-directory
+    val dir = tmp("evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "tag", "score")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen=1", s"$dir/gen=2")
+    assert(merged.columns.toSet == Set("id", "tag", "score"))
+    val rows = merged.orderBy($"id").collect()
+    assert(rows.length == 4)
+    // old-generation rows surface the new column as NULL, not an error
+    assert(rows.take(2).forall(_.isNullAt(merged.columns.indexOf("score"))))
+    assert(rows.drop(2).forall(!_.isNullAt(merged.columns.indexOf("score"))))
+    // without mergeSchema the first-listed footer wins — the narrower
+    // schema silently drops the new column; the option is load-bearing
+    val unmerged = spark.read.parquet(s"$dir/gen=1", s"$dir/gen=2")
+    assert(!unmerged.columns.contains("score") ||
+      unmerged.columns.toSet == Set("id", "tag", "score"))
+  }
+
   test("corrupt parquet: default read fails, ignoreCorruptFiles skips it") {
     // bit rot / truncated uploads are routine across 100 TB of files;
     // the engine must offer both postures: fail loudly (default) and
