@@ -23,6 +23,7 @@ object SparkEntry {
       sources.JsonLake.queries ++
       sources.OrcLake.queries ++
       sources.v2.Synth.queries ++
+      sources.v2.LineSink.queries ++
       star.Joins.queries ++
       star.Salting.queries ++
       star.Windows.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       sources.JsonLake.oracles ++
       sources.OrcLake.oracles ++
       sources.v2.Synth.oracles ++
+      sources.v2.LineSink.oracles ++
       star.Joins.oracles ++
       star.Salting.oracles ++
       star.Windows.oracles ++

@@ -38,6 +38,81 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit message is one file name per task; job commit is |tasks|
   * renames on the driver — the standard V2 cost model.
   */
+/** Oracle-checked round trip through the sink: write `nation` out via
+  * the V2 protocol (fixture cached per source-content fingerprint, the
+  * AvroBronze discipline), read the committed lines back with the text
+  * source, parse, and aggregate per region — while DuckDB computes the
+  * same aggregate from the parquet directly. A hash match proves the
+  * write path is LOSSLESS end to end, not just protocol-correct. */
+object LineSink {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  private def fingerprint(dir: String): String = {
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def fixture(spark: SparkSession, dir: String): String = {
+    val root = s"target/line_sink/${new java.io.File(dir).getName}"
+    val fp = fingerprint(dir)
+    val fpFile = new java.io.File(s"$root/_SOURCE_FINGERPRINT")
+    val cached = new java.io.File(s"$root/_SUCCESS").isFile &&
+      fpFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath),
+        "UTF-8") == fp
+    if (!cached) {
+      val r = new java.io.File(root)
+      if (r.exists()) {
+        java.nio.file.Files.walk(r.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name"), col("n_regionkey").cast("long").as("rk"))
+        .repartition(3)
+        .write.format("graft.sources.v2.LineSinkProvider")
+        .option("path", root).mode("append").save()
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+    }
+    root
+  }
+
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = fixture(spark, dir)
+    spark.read.text(s"$root/part-*")
+      .filter(length($"value") > 0)
+      .select(split($"value", "\t").as("f"))
+      .select($"f".getItem(0).cast("long").as("k"),
+        $"f".getItem(1).as("n_name"),
+        $"f".getItem(2).cast("long").as("rk"))
+      .groupBy($"rk")
+      .agg(count(lit(1)).as("n_nations"),
+        min($"n_name").as("first_name"),
+        sum($"k").as("key_sum"))
+      .orderBy($"rk")
+  }
+
+  val roundtripSql: String =
+    s"""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+       |  COUNT(*) AS n_nations,
+       |  MIN(n_name) AS first_name,
+       |  CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+       |FROM nation GROUP BY 1 ORDER BY rk NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_sink_roundtrip" -> roundtrip)
+  val oracles: Map[String, String] = Map(
+    "v2_sink_roundtrip" -> roundtripSql)
+}
+
 class LineSinkProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
