@@ -46,6 +46,32 @@ class DetSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("whole queries are bit-identical across parallelism (cluster-resize proof)") {
+    // the end-to-end claim behind every Det decision: re-running a
+    // representative slice of the registry at a different shuffle
+    // partition count must produce byte-identical results — the same
+    // property a 32->1000 executor resize needs. Queries chosen to
+    // cover the seams: decimal aggregation, window frames, fixed-point
+    // quantization, and the as-of union+window.
+    val names = Seq("gold_carrier", "window_running_total",
+      "gold_cause_corr", "join_asof", "customer_spend_gini")
+    def run(parts: String): Map[String, Seq[String]] = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try names.map { n =>
+        n -> graft.SparkEntry.queries(n)(spark, sf0001)
+          .collect().map(_.toString).toSeq
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+    val a = run("2")
+    val b = run("13")
+    names.foreach { n =>
+      assert(a(n) == b(n), s"$n differs across partition counts")
+      assert(a(n).nonEmpty, s"$n returned no rows")
+    }
+  }
+
   test("zeroRatio / nullRatio guard semantics") {
     import spark.implicits._
     val df = Seq((1.0, 0.0), (3.0, 2.0), (5.0, 0.0)).toDF("n", "d")
