@@ -34,15 +34,24 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert to
-    * a microsecond TIMESTAMP_NTZ (truncation — identical to DuckDB's
-    * ns->us read), keeping the session-TZ-independent semantics. */
+  /** `events.ts` arrives in two physical encodings depending on the
+    * producer: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as long — or a plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads
+    * natively as TIMESTAMP_NTZ. Normalize BOTH to microsecond
+    * TIMESTAMP_NTZ here so every downstream operator sees one
+    * session-TZ-independent type (nanos path truncates — identical to
+    * DuckDB's ns->us read). */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fanOut(spark, spark.read.parquet(s"$dir/events.parquet"))
-      .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case TimestampNTZType => col("ts")
+      case _ => expr("cast(ts as timestamp_ntz)")
+    }
+    fanOut(spark, raw.withColumn("ts", ts))
   }
 }

@@ -503,11 +503,17 @@ object Aggs {
   /** Deterministic ARRAY aggregation — collect_set is UNORDERED by
     * contract in both engines, so the only hash-gatable form is
     * sort_array(collect_set(...)): per market segment, the sorted
-    * distinct order-priority array, its size, and the first element.
-    * Exercises a NESTED output column through the oracle gate (the
-    * driver compares array cells by value), and pins the discipline
-    * every deterministic pipeline needs: never persist a bare
-    * collect_list/collect_set — order is an accident of partitioning.
+    * distinct order-priority set, its size, and the first element.
+    * The set is surfaced through the gate as a concat_ws(',') STRING
+    * twin rather than a raw ARRAY cell: the comparator runtime cannot
+    * sort rows whose ordering touches an ARRAY column (r4: the pandas
+    * lexsort crashed on it), and a canonical joined string carries the
+    * identical information with exact cross-engine hashing. The
+    * nested ARRAY form itself stays covered by the Spark-side spec
+    * (AggsSpec), which asserts element order and content. Pins the
+    * discipline every deterministic pipeline needs: never persist a
+    * bare collect_list/collect_set — order is an accident of
+    * partitioning.
     *
     * Scale posture: distinct (segment, priority) pairs collapse
     * map-side; the arrays are bounded at |priorities| elements. */
@@ -516,16 +522,31 @@ object Aggs {
     Tables(spark, dir, "orders")
       .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
+      .agg(sort_array(collect_set($"o_orderpriority")).as("pr_set"))
+      .select($"c_mktsegment",
+        concat_ws(",", $"pr_set").as("priorities_csv"),
+        size($"pr_set").as("n_priorities"),
+        element_at($"pr_set", 1).as("first_priority"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** The ARRAY column lives on for typed consumers — same plan as
+    * [[arrayCollect]] but keeping the nested `priorities` column.
+    * Spec-gated only (AggsSpec): the oracle comparator cannot order
+    * rows on ARRAY cells. */
+  def arrayCollectNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
       .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"))
-      .select($"c_mktsegment", $"priorities",
-        size($"priorities").as("n_priorities"),
-        element_at($"priorities", 1).as("first_priority"))
       .orderBy($"c_mktsegment")
   }
 
   val arrayCollectSql: String =
     s"""SELECT c_mktsegment,
-       |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+       |    AS priorities_csv,
        |  CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER)
        |    AS n_priorities,
        |  list_sort(list(DISTINCT o_orderpriority))[1] AS first_priority
@@ -594,8 +615,11 @@ object Aggs {
     * is above the floor, and whether ANY is pending. Feature-binding
     * parity like GROUP BY ALL: both sides run the same named
     * aggregates, so a semantic difference in the builtins themselves
-    * (not just in our arithmetic) would hash-mismatch. Exact integer
-    * and boolean outputs — no numeric seam.
+    * (not just in our arithmetic) would hash-mismatch. The boolean
+    * reductions are surfaced as INT (0/1): exact integers hash
+    * identically across engines and comparator runtimes, where raw
+    * BOOLEAN cells do not (r4: rows/schema green, hash red purely on
+    * the comparator's boolean encoding).
     *
     * Scale posture: one partial-agg exchange; boolean aggregates are
     * trivially mergeable (AND/OR/count are associative+commutative). */
@@ -605,8 +629,8 @@ object Aggs {
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_orders,
         |  count_if(o_totalprice > 300000) AS n_large,
-        |  bool_and(o_totalprice > 1000) AS all_above_floor,
-        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |  CAST(bool_and(o_totalprice > 1000) AS INT) AS all_above_floor,
+        |  CAST(bool_or(o_orderstatus = 'P') AS INT) AS any_pending
         |FROM orders_ba
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
@@ -616,8 +640,8 @@ object Aggs {
     s"""SELECT o_orderpriority,
        |  COUNT(*) AS n_orders,
        |  count_if(o_totalprice > 300000) AS n_large,
-       |  bool_and(o_totalprice > 1000) AS all_above_floor,
-       |  bool_or(o_orderstatus = 'P') AS any_pending
+       |  CAST(bool_and(o_totalprice > 1000) AS INT) AS all_above_floor,
+       |  CAST(bool_or(o_orderstatus = 'P') AS INT) AS any_pending
        |FROM orders
        |GROUP BY o_orderpriority${sqlOrderBy(Seq("o_orderpriority"))}""".stripMargin
 
