@@ -20,6 +20,7 @@ object SparkEntry {
       pipeline.Views.queries ++
       pipeline.SilverJson.queries ++
       sources.AvroBronze.queries ++
+      sources.CsvBronze.queries ++
       sources.JsonLake.queries ++
       sources.OrcLake.queries ++
       sources.v2.Synth.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       pipeline.Views.oracles ++
       pipeline.SilverJson.oracles ++
       sources.AvroBronze.oracles ++
+      sources.CsvBronze.oracles ++
       sources.JsonLake.oracles ++
       sources.OrcLake.oracles ++
       sources.v2.Synth.oracles ++
