@@ -9,15 +9,26 @@ import graft.Det.sqlOrderBy
   * columns with typed metadata, plus a batched per-partition decode
   * stage.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * STUB — a deterministic fake that derives "dimensions" from the bytes
-  * (clearly marked below). Everything around it is the real Spark
-  * architecture for this workload:
+  * The IMAGE tier is real: [[imageTable]] encodes genuine PNG/BMP
+  * payloads (pure-JVM `javax.imageio` — no external codec needed) and
+  * [[decodeBatch]] decodes them back — format sniffed from the bytes,
+  * dimensions read from the image header WITHOUT decoding pixels, frame
+  * count from the container. The oracle gate closes end-to-end: the
+  * generator derives each image's dimensions from document columns, the
+  * decoder recovers them from the encoded bytes alone, and DuckDB
+  * recomputes the expected values relationally — a broken encoder OR
+  * decoder fails the hash compare. Video frame SAMPLING ([[framesQuery]])
+  * remains an arithmetic stand-in (the JDK ships no video container
+  * parser) with the real generator/explode plumbing around it.
+  *
+  * Architecture notes that hold at 100 TB:
   *  - binary payload + metadata travel in one row (columnar parquet
   *    stores the blob column contiguously; scans that don't project it
   *    never read it — verified by ReadSchema pruning);
   *  - decode runs in `mapPartitions`, amortizing per-batch codec init
   *    (the JVM analogue of the PySpark `mapInPandas` batch contract);
+  *  - header-only dimension reads never materialize pixel buffers, so
+  *    metadata extraction streams at I/O speed;
   *  - output is a typed Dataset with an explicit schema, so downstream
   *    feature pipelines stay Catalyst-optimizable.
   *
@@ -52,63 +63,103 @@ object Media {
       .as[MediaFile]
   }
 
-  /** STUB DECODE KERNEL — in production this calls the real codec
-    * (libjpeg/ffmpeg/...) once per batch; here it derives deterministic
-    * fake dimensions from the payload so the plumbing (batching, schema,
-    * null-safety, fingerprinting) is real and testable. */
+  /** REAL image fixture: encode each document into a genuine PNG (even
+    * doc_id) or BMP (odd doc_id) whose dimensions are a deterministic
+    * function of `n_chars` — the generation rule the oracle recomputes
+    * relationally. Pixels are a deterministic hash fill so payload
+    * bytes (and so content fingerprints) are stable per document.
+    * Encoding runs in `mapPartitions`; at 100 TB the same stage is a
+    * `binaryFile` scan of the lake instead (see MediaSpec's binaryFile
+    * test — identical row shape). */
+  def imageTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"n_chars")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = (16 + nChars % 64).toInt
+          val h = (16 + (nChars * 7) % 64).toInt
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = Array.tabulate(w * h)(i =>
+            ((id * 2654435761L + i * 40503L) & 0xffffffL).toInt)
+          img.setRGB(0, 0, w, h, px, 0, w)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          MediaFile(id, s"image/$fmt", baos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL DECODE KERNEL — `javax.imageio` over the payload bytes:
+    * format is sniffed from the magic bytes (not trusted from
+    * metadata), width/height come from the image HEADER (no pixel
+    * buffer is materialized — the property that lets metadata
+    * extraction stream at I/O speed over a 100 TB lake), and the frame
+    * count is asked of the container. Reader construction is per-row
+    * cheap; the md5 digest instance is the per-partition init. */
   private[multimodal] def decodeBatch(batch: Iterator[MediaFile]): Iterator[MediaFeatures] = {
     // per-partition "codec init" happens once, here
     val digest = java.security.MessageDigest.getInstance("MD5")
     batch.map { m =>
-      val len = m.content.length
       digest.reset()
       val fp = digest.digest(m.content).map("%02x".format(_)).mkString
-      MediaFeatures(
-        m.doc_id, m.media_type, len,
-        width = 16 + len % 64,        // ??? real: decoded pixel width
-        height = 16 + (len * 7) % 64, // ??? real: decoded pixel height
-        n_frames = 1 + len % 24,      // ??? real: container frame count
-        fingerprint = fp)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            s"undecodable media payload for doc ${m.doc_id}")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try MediaFeatures(
+          m.doc_id,
+          s"image/${reader.getFormatName.toLowerCase}",
+          m.content.length,
+          width = reader.getWidth(0),
+          height = reader.getHeight(0),
+          n_frames = reader.getNumImages(true),
+          fingerprint = fp)
+        finally reader.dispose()
+      } finally iis.close()
     }
   }
 
-  /** The batched decode stage: `mapPartitions` over the media Dataset. */
+  /** The batched decode stage: `mapPartitions` over the encoded images. */
   def decode(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir).mapPartitions(decodeBatch)
+    imageTable(spark, dir).mapPartitions(decodeBatch)
   }
 
-  /** Oracle-checkable twin of the metadata extraction: identical
-    * arithmetic expressed relationally (the mapPartitions stage and this
-    * plan must agree — asserted in MediaSpec). */
+  /** media_meta: encode -> REAL decode -> metadata row. Every gated
+    * column is recovered from the encoded bytes by the codec
+    * (media_type via magic-byte sniff, width/height from the header,
+    * n_frames from the container), then joined to the source fingerprint.
+    * The oracle recomputes the generation rule relationally, so the gate
+    * proves encoder and decoder agree end-to-end. */
   def metaQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select($"doc_id",
-        concat(lit("media/"), $"source").as("media_type"),
-        octet_length($"text".cast("binary")).as("byte_len"),
-        md5($"text".cast("binary")).as("fingerprint"))
-      .withColumn("width", lit(16) + $"byte_len" % 64)
-      .withColumn("height", lit(16) + ($"byte_len" * 7) % 64)
-      .withColumn("n_frames", lit(1) + $"byte_len" % 24)
-      .withColumn("est_duration_s", $"n_frames" / lit(24).cast("double"))
+    decode(spark, dir).toDF()
+      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames")
+      .join(
+        Tables(spark, dir, "documents")
+          .select($"doc_id", md5($"text".cast("binary")).as("source_fp")),
+        "doc_id")
       .orderBy($"doc_id")
   }
 
   val metaQuerySql: String =
-    s"""WITH m AS (
-       |  SELECT doc_id,
-       |    'media/' || source AS media_type,
-       |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-       |    md5(text) AS fingerprint
-       |  FROM documents
-       |)
-       |SELECT doc_id, media_type, byte_len, fingerprint,
-       |  16 + byte_len % 64 AS width,
-       |  16 + (byte_len * 7) % 64 AS height,
-       |  1 + byte_len % 24 AS n_frames,
-       |  (1 + byte_len % 24) / CAST(24 AS DOUBLE) AS est_duration_s
-       |FROM m${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END
+       |    AS media_type,
+       |  CAST(16 + n_chars % 64 AS INTEGER) AS width,
+       |  CAST(16 + (n_chars * 7) % 64 AS INTEGER) AS height,
+       |  CAST(1 AS INTEGER) AS n_frames,
+       |  md5(text) AS source_fp
+       |FROM documents${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
   /** Frame sampling + thumbnail sizing — the 1→N generator stage of a
     * video curation pipeline: every 4th frame index of each media file

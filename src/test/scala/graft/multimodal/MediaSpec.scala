@@ -3,20 +3,39 @@ package graft.multimodal
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** The decode stub's plumbing contract: typed output schema, agreement
-  * with the relational metadata twin, and blob-column pruning. */
+/** The media decode contract: a REAL codec round trip (encode PNG/BMP,
+  * decode dimensions/format/frames from the bytes alone), typed output
+  * schema, and blob-column pruning. */
 class MediaSpec extends SparkSpec {
 
-  test("mapPartitions decode agrees with the relational metadata twin") {
+  test("real codec round trip: decoded dims/format/frames match the generation rule") {
     import spark.implicits._
     val decoded = Media.decode(spark, sf0001)
-      .select($"doc_id", $"byte_len", $"width", $"height", $"n_frames",
-        $"fingerprint")
-    val twin = Media.metaQuery(spark, sf0001)
-      .select($"doc_id", $"byte_len", $"width", $"height", $"n_frames",
-        $"fingerprint")
-    assert(decoded.exceptAll(twin).count() == 0)
-    assert(twin.exceptAll(decoded).count() == 0)
+      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames")
+    val expected = graft.Tables(spark, sf0001, "documents")
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0, "image/png").otherwise("image/bmp")
+          .as("media_type"),
+        (lit(16) + $"n_chars" % 64).cast("int").as("width"),
+        (lit(16) + ($"n_chars" * 7) % 64).cast("int").as("height"),
+        lit(1).as("n_frames"))
+    assert(decoded.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(decoded).count() == 0)
+    // both codecs actually exercised
+    val types = decoded.select($"media_type").distinct().as[String]
+      .collect().sorted.toSeq
+    assert(types == Seq("image/bmp", "image/png"))
+  }
+
+  test("decoder sniffs format from magic bytes, not metadata") {
+    import spark.implicits._
+    // hand the decoder a payload whose claimed media_type lies: the
+    // sniffed format must win
+    val png = Media.imageTable(spark, sf0001).filter($"doc_id" % 2 === 0)
+      .head()
+    val lied = Media.MediaFile(png.doc_id, "image/jpeg", png.content)
+    val out = Media.decodeBatch(Iterator(lied)).toSeq
+    assert(out.head.media_type == "image/png")
   }
 
   test("decode output is a typed Dataset with the declared schema") {
