@@ -17,13 +17,44 @@ import org.apache.spark.sql.functions._
   *
   * Fingerprints are order-independent (bit_xor of per-row xxhash64 +
   * row count), so partitioning/parallelism can never fake a change.
-  * The stale-partition list is collected to the driver — that is
-  * partition METADATA (bounded by |partition values|), not data, the
-  * same cardinality any metastore operation handles. The manifest
-  * commit is a staged swap like [[Merge]] — same documented
-  * non-atomicity gap that transactional table formats close.
+  *
+  * Driver discipline: the DATA path never sees a driver-side value
+  * list — stale partitions select their source rows via a broadcast
+  * LEFT SEMI join (an `isin` of collected literals would both haul the
+  * set through the driver and build an expression tree proportional to
+  * |stale|). Only the returned METADATA (the stale partition names —
+  * the same cardinality any metastore op handles) is collected, and
+  * that collect is bounded: `limit(maxParts+1)` + a hard failure if
+  * exceeded, so a mis-partitioned source (partCol accidentally a
+  * near-unique column) fails fast instead of flooding driver memory at
+  * 100 TB. The manifest commit is a staged swap like [[Merge]] — same
+  * documented non-atomicity gap that transactional table formats close.
   */
 object Incremental {
+
+  /** Driver-side partition-name bound: metadata collects above this
+    * fail fast. 100k partition values (~MBs) is metastore-scale; a
+    * partition column that exceeds it is a modeling bug, not a load. */
+  val MaxDriverParts: Int = 100000
+
+  /** Bounded metadata collect of a single string column: never pulls
+    * more than `max`+1 values regardless of the frame's cardinality. */
+  private[sources] def collectParts(df: DataFrame, max: Int): Seq[String] = {
+    val vals = df.limit(max + 1).collect().map(_.getString(0)).toSeq
+    require(vals.size <= max,
+      s"partition metadata exceeds driver bound ($max): is the " +
+        "partition column actually partition-grained?")
+    vals
+  }
+
+  /** Broadcast LEFT SEMI restriction of `df` to rows whose `keyExpr`
+    * appears in single-column frame `parts` — the distributed stand-in
+    * for `isin(collectedValues)`. */
+  private[sources] def semiRestrict(df: DataFrame,
+      keyExpr: org.apache.spark.sql.Column, parts: DataFrame): DataFrame = {
+    val p = parts.toDF("__part_key")
+    df.join(broadcast(p), keyExpr === col("__part_key"), "left_semi")
+  }
 
   private def fingerprints(source: DataFrame, partCol: String): DataFrame = {
     val h = source.columns.sorted.map(c => s"`$c`").mkString(", ")
@@ -35,26 +66,31 @@ object Incremental {
 
   /** Refresh `path` (parquet partitioned by `partCol`) from `source`
     * via `derive` (which must emit `partCol`). Returns the partition
-    * values recomputed this run (empty = everything was fresh). */
+    * values recomputed this run (empty = everything was fresh).
+    * `maxParts` bounds the driver-side partition metadata (see
+    * [[MaxDriverParts]]). */
   def refresh(spark: SparkSession, source: DataFrame, partCol: String,
-      derive: DataFrame => DataFrame, path: String): Seq[String] = {
+      derive: DataFrame => DataFrame, path: String,
+      maxParts: Int = MaxDriverParts): Seq[String] = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = s"$path.__manifest"
     val cur = fingerprints(source, partCol)
-    val stale: Seq[String] =
-      if (!fs.exists(new Path(manifest)))
-        cur.select("part").collect().map(_.getString(0)).toSeq
+    // the stale set stays a DataFrame: the data path consumes it via
+    // broadcast semi-join, only the returned names are collected (bounded)
+    val staleDf: DataFrame =
+      if (!fs.exists(new Path(manifest))) cur.select("part")
       else {
         val prev = spark.read.parquet(manifest)
           .select(col("part"), col("fp").as("p_fp"), col("n").as("p_n"))
         cur.join(prev, Seq("part"), "left")
           .filter(col("p_fp").isNull ||
             col("fp") =!= col("p_fp") || col("n") =!= col("p_n"))
-          .select("part").collect().map(_.getString(0)).toSeq
+          .select("part")
       }
+    val stale = collectParts(staleDf, maxParts)
     if (stale.nonEmpty) {
-      derive(source.filter(col(partCol).cast("string").isin(stale: _*)))
+      derive(semiRestrict(source, col(partCol).cast("string"), staleDf))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")

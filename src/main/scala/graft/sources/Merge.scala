@@ -69,25 +69,35 @@ object Merge {
     * formats add a transaction log and deletion vectors on top; the
     * partition-targeted dataflow is the same. */
   def deleteKeys(spark: SparkSession, path: String, partCol: String,
-      keyCol: String, keys: Seq[Any]): Seq[String] = {
+      keyCol: String, keys: Seq[Any],
+      maxParts: Int = Incremental.MaxDriverParts): Seq[String] = {
     val target = spark.read.parquet(path)
-    val hit = target.filter(col(keyCol).isin(keys: _*))
+    // hit partitions stay a DataFrame for the data path (broadcast
+    // semi-join); driver only ever sees the bounded NAME list it needs
+    // for the filesystem deletes below. `keys` itself is caller-provided
+    // (a GDPR request batch), inherently driver-sized.
+    val hitDf = target.filter(col(keyCol).isin(keys: _*))
       .select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val hit = Incremental.collectParts(hitDf, maxParts)
     if (hit.isEmpty) return Nil
-    val survivors = target
-      .filter(col(partCol).cast("string").isin(hit: _*) &&
-        !col(keyCol).isin(keys: _*))
+    val survivors = Incremental
+      .semiRestrict(target, col(partCol).cast("string"), hitDf)
+      .filter(!col(keyCol).isin(keys: _*))
       .localCheckpoint()
-    val kept = survivors.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // emptied = hit partitions with no survivor row; dynamic overwrite
+    // silently skips them, so they are removed explicitly. Computed
+    // distributed, collected bounded (⊆ hit) — and BEFORE the overwrite,
+    // while hitDf's lazy plan still reads the pre-delete files.
+    val emptied = Incremental.collectParts(
+      hitDf.toDF("p").except(
+        survivors.select(col(partCol).cast("string").as("p"))), maxParts)
     survivors.write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy(partCol)
       .parquet(path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (p <- hit if !kept.contains(p))
+    for (p <- emptied)
       fs.delete(new Path(s"$path/$partCol=$p"), true)
     hit
   }

@@ -75,4 +75,35 @@ class IncrementalSpec extends SparkSpec {
       assert(incremental == rebuilt)
     }
   }
+
+  test("cardinality guard: a near-unique partition column fails fast") {
+    withFixture { (srcPath, outPath) =>
+      // partition by the order KEY — partition-grained it is not; the
+      // driver-metadata bound must refuse before collecting the world
+      val keyed = readSrc(srcPath)
+        .withColumn("badpart", col("o_orderkey").cast("string"))
+      val e = intercept[IllegalArgumentException] {
+        Incremental.refresh(spark, keyed, "badpart",
+          src => src.groupBy(col("badpart")).agg(count(lit(1)).as("n")),
+          s"$outPath/bad", maxParts = 50)
+      }
+      assert(e.getMessage.contains("driver bound"))
+      // nothing was materialized on the refused path
+      assert(!new java.io.File(s"$outPath/bad").exists())
+    }
+  }
+
+  test("data path restricts via broadcast semi-join, not isin literals") {
+    withFixture { (srcPath, outPath) =>
+      Incremental.refresh(spark, readSrc(srcPath), partCol, derive, outPath)
+      // dirty one partition, then inspect the plan the data path builds
+      val restricted = Incremental.semiRestrict(
+        readSrc(srcPath), col(partCol).cast("string"),
+        spark.createDataFrame(Seq(Tuple1("1995-03"))).toDF("part"))
+      val plan = restricted.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"expected broadcast left-semi data path:\n$plan")
+      assert(restricted.count() > 0)
+    }
+  }
 }
