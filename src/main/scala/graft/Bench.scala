@@ -63,7 +63,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // auditable artifact: the one-line stdout JSON can be truncated by
+    // log capture, so also persist the full per-query map in-repo
+    val outFile = java.nio.file.Paths.get(
+      "out", s"bench_${new java.io.File(sfDir).getName}.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

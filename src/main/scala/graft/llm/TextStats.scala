@@ -208,6 +208,48 @@ object TextStats {
       .limit(30)
   }
 
+  /** Oracle-checkable companion of [[heavyHitters]] — the classic
+    * TWO-PASS heavy hitters: pass 1 is the space-saving sketch, whose
+    * guarantee (every item with true count > n/capacity is tracked) makes
+    * its ≤capacity tracked words a SUPERSET of the heavy set; pass 2
+    * re-counts exactly, but only words in that broadcast candidate set,
+    * then keeps those above n/capacity. The result equals the exact
+    * GROUP BY + HAVING answer — so DuckDB can gate it — while the
+    * sketch stays load-bearing: a dropped heavy word would make the
+    * hash compare fail.
+    *
+    * Scale posture: pass 1 is constant-memory per partition with a
+    * merge tree (no full-vocabulary shuffle); pass 2 shuffles only the
+    * ≤capacity candidate words' counts. Two corpus scans, bounded
+    * state — the standard trade against [[wordTopk]]'s full-key
+    * shuffle. */
+  def heavyGuaranteed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def words = graft.Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+    val sketch = udaf(new graft.functions.HeavyHittersAggregator(256))
+    val cand = words.agg(sketch($"word").as("ranked"))
+      .select(explode($"ranked").as("word"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    words.join(broadcast(cand), "word")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter($"n_occurrences" * 256 > $"n_total")
+      .select($"word", $"n_occurrences")
+      .orderBy($"word")
+  }
+
+  val heavyGuaranteedSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |),
+       |t AS (SELECT COUNT(*) AS n_total FROM w)
+       |SELECT word, COUNT(*) AS n_occurrences
+       |FROM w, t
+       |GROUP BY word, n_total
+       |HAVING COUNT(*) * 256 > n_total${sqlOrderBy(Seq("word"))}""".stripMargin
+
   /** Document fingerprinting via rolling windows (Rabin/winnowing
     * shape): slide an 8-char window over the text at stride 4, hash
     * each window, keep the minimum — a content fingerprint stable
@@ -991,6 +1033,7 @@ object TextStats {
     "text_token_count" -> tokenCount,
     "text_word_topk" -> wordTopk,
     "text_heavy_hitters" -> heavyHitters,
+    "text_heavy_guaranteed" -> heavyGuaranteed,
     "text_fingerprint" -> fingerprint,
     "text_tfidf" -> tfidf,
     "corpus_prep" -> corpusPrep)
@@ -1011,6 +1054,7 @@ object TextStats {
     "text_lang_confusion" -> langConfusionSql,
     "text_token_count" -> tokenCountSql,
     "text_word_topk" -> wordTopkSql,
+    "text_heavy_guaranteed" -> heavyGuaranteedSql,
     "text_fingerprint" -> fingerprintSql,
     "text_tfidf" -> tfidfSql,
     "corpus_prep" -> corpusPrepSql)

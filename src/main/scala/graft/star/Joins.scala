@@ -124,6 +124,34 @@ object Joins {
        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
        |GROUP BY c_custkey, c_name${sqlOrderBy(Seq("c_custkey"))}""".stripMargin
 
+  /** J1 right outer: the mirror form, registered in its own right —
+    * the preserved side is the RIGHT input (orders RIGHT JOIN customer
+    * keeps customers with no orders). Spark plans RightOuter either
+    * directly or by flipping build sides under AQE; this query pins the
+    * semantics regardless of which physical form wins. Distinct output
+    * from [[leftOuter]]: counts only urgent-priority orders, so the
+    * null-extension rows carry zeros from a FILTERED probe side. */
+  def rightOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .join(Tables(spark, dir, "customer"), $"o_custkey" === $"c_custkey",
+        "right")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("n_urgent"),
+        coalesce(Det.xsum($"o_totalprice"), lit(0.0)).as("urgent_spend"))
+      .orderBy($"c_custkey")
+  }
+
+  val rightOuterSql: String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  COUNT(o_orderkey) AS n_urgent,
+       |  COALESCE(${sqlSum("o_totalprice")}, CAST(0 AS DOUBLE)) AS urgent_spend
+       |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') orders
+       |RIGHT JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_mktsegment${sqlOrderBy(Seq("c_custkey"))}""".stripMargin
+
   /** J3 semi: customers with at least one open ('O') order. */
   def semi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -538,6 +566,7 @@ object Joins {
     "join_broadcast_dim" -> broadcastDim,
     "join_multiway_q5" -> multiwayQ5,
     "join_left_outer" -> leftOuter,
+    "join_right_outer" -> rightOuter,
     "join_semi" -> semi,
     "join_anti" -> anti,
     "join_range" -> rangeJoin,
@@ -557,6 +586,7 @@ object Joins {
     "join_broadcast_dim" -> broadcastDimSql,
     "join_multiway_q5" -> multiwayQ5Sql,
     "join_left_outer" -> leftOuterSql,
+    "join_right_outer" -> rightOuterSql,
     "join_semi" -> semiSql,
     "join_anti" -> antiSql,
     "join_range" -> rangeJoinSql,

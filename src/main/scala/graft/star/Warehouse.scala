@@ -716,8 +716,17 @@ object Warehouse {
     * evenly, →1 = a few whales carry the book. Exact-arithmetic form of
     * the sorted identity G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n: spends in
     * integer cents, ranks by (spend, custkey) so every product and both
-    * sums are exact BIGINTs, then two exactly-rounded IEEE divisions
-    * and one subtraction — engine-identical.
+    * sums are exact, then two exactly-rounded IEEE divisions and one
+    * subtraction.
+    *
+    * Numeric bound: rank×cents sums grow ~n², so BIGINT wraps around
+    * 1e18 — the rank·cents products and the n·Σcents denominator are
+    * therefore carried in DECIMAL (i as DECIMAL(12,0): n ≤ 1e12
+    * customers; cents as DECIMAL(24,0)), keeping every intermediate
+    * exact to DECIMAL(38,0) at any realistic scale. The remaining seam
+    * is the final decimal→double conversion once the exact sums pass
+    * 2^53; both engines round that conversion, and the gini division
+    * maps it to ~1 ulp of the result.
     *
     * Scale posture: the per-customer aggregate is the only corpus-sized
     * shuffle; the rank runs over |customers| aggregate rows. At 100 TB
@@ -734,8 +743,10 @@ object Warehouse {
     ranked.agg(
       count(lit(1)).as("n_customers"),
       (sum($"cents").cast("double") / 100).as("total_spend"),
-      ((lit(2.0) * sum($"i" * $"cents").cast("double")
-        / (count(lit(1)) * sum($"cents")).cast("double"))
+      ((lit(2.0) * sum($"i".cast("decimal(12,0)") *
+        $"cents".cast("decimal(24,0)")).cast("double")
+        / (count(lit(1)).cast("decimal(12,0)") *
+          sum($"cents".cast("decimal(24,0)"))).cast("double"))
         - (count(lit(1)) + lit(1)).cast("double") / count(lit(1)).cast("double"))
         .as("gini"))
   }
@@ -754,8 +765,10 @@ object Warehouse {
        |)
        |SELECT COUNT(*) AS n_customers,
        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100 AS total_spend,
-       |  2.0 * CAST(CAST(SUM(i * cents) AS BIGINT) AS DOUBLE)
-       |    / CAST(COUNT(*) * CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+       |  2.0 * CAST(SUM(CAST(i AS DECIMAL(12,0)) * CAST(cents AS DECIMAL(24,0)))
+       |      AS DOUBLE)
+       |    / CAST(CAST(COUNT(*) AS DECIMAL(12,0)) *
+       |        SUM(CAST(cents AS DECIMAL(24,0))) AS DOUBLE)
        |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini
        |FROM ranked""".stripMargin
 

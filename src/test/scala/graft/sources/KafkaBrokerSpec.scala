@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Broker-backed Kafka round trip — env-gated: this harness ships no
+  * broker and no `spark-sql-kafka-0-10` connector jar (zero-egress
+  * container), so by default both assumptions cancel the test rather
+  * than fake a pass. On any machine with the connector on the
+  * classpath and `GRAFT_KAFKA_BOOTSTRAP=host:port` pointing at a live
+  * broker, this runs the full produce→consume→decode parity check
+  * against the file-based wire path (reference boundary
+  * `kafka-eh/produce_to_eventhub.py:28-94`, `README.md:103-110`). */
+class KafkaBrokerSpec extends SparkSpec {
+
+  private def connectorPresent: Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("kafka", spark.sessionState.conf)
+      true
+    } catch { case _: Throwable => false }
+
+  test("produce -> consume -> fromWire parity against a live broker (env-gated)") {
+    val bootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+    assume(bootstrap.isDefined,
+      "set GRAFT_KAFKA_BOOTSTRAP=host:port to run the broker round trip")
+    assume(connectorPresent,
+      "spark-sql-kafka-0-10 connector not on classpath")
+
+    import spark.implicits._
+    val topic = s"graft_smoke_${System.currentTimeMillis()}"
+    val df = graft.pipeline.SilverJson.silver(spark, sf0001).limit(100)
+
+    Wire.toKafka(df, bootstrap.get, topic, keyField = Some("carrier"))
+
+    // batch re-read of what the broker persisted, decoded by the SAME
+    // projection the streaming source uses
+    val consumed = Wire.fromWire(
+      spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap.get)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load(),
+      df.schema)
+      .drop("wire_key")
+
+    // broker parity with the broker-less wire path: same rows back
+    val sent = df.collect().map(_.toSeq).toSet
+    val got = consumed.collect().map(_.toSeq).toSet
+    assert(got == sent, s"sent ${sent.size} rows, got ${got.size}")
+    // key field landed as the kafka message key
+    val keyed = Wire.kafkaShape(df, Some("carrier"))
+      .where(col("key").isNull).count()
+    assert(keyed == 0)
+  }
+}
