@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off sf1 scale rehearsal (dev tool, not part of the gated bench):
+  * amplifies the sf0.1 `documents`/`embeddings` tables 10× with a
+  * deterministic mix of near-duplicates (even copy index — head/tail
+  * salted, shingle structure mostly preserved) and fully distinct docs
+  * (odd copy index — every word re-hashed), then drives the
+  * dedup → cluster and ANN chains end-to-end, recording per-stage wall
+  * time, output rows, shuffle read/write volume, and the LSH/IVF bucket
+  * second moments (Σ|bucket|²) that the 100 TB scale claims rest on.
+  * Results land in SCALE.md.
+  *
+  * Amplification happens in `target/rehearsal` — the driver's testdata
+  * tree is never touched.
+  */
+object ScaleRehearsal {
+
+  private class ShuffleMeter extends SparkListener {
+    @volatile var read = 0L
+    @volatile var write = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        read += m.shuffleReadMetrics.totalBytesRead
+        write += m.shuffleWriteMetrics.bytesWritten
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val dir = "target/rehearsal"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- amplify ----
+    val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .select($"*", k)
+      .select(
+        ($"doc_id" + $"k" * 10000000L).as("doc_id"),
+        when($"k" === 0, $"text")
+          .when($"k" % 2 === 1, concat_ws(" ",
+            expr("transform(split(text, ' '), w -> substr(md5(concat(w, '#', CAST(k AS STRING))), 1, 8))")))
+          .otherwise(concat_ws(" ",
+            concat(lit("v"), $"k".cast("string")), $"text",
+            md5(concat($"doc_id".cast("string"), lit("/"), $"k".cast("string")))))
+          .as("text"),
+        $"lang", $"source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select($"*", k)
+      .select(
+        ($"vec_id" + $"k" * 10000000L).as("vec_id"),
+        when($"k" === 0, $"embedding")
+          .when($"k" % 2 === 1,
+            expr("reverse(transform(embedding, x -> CAST(-x AS FLOAT)))"))
+          .otherwise(expr(
+            "transform(embedding, x -> CAST(x + k * 0.0004 AS FLOAT))"))
+          .as("embedding"),
+        $"label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"amplified: $nDocs docs, $nVecs vectors (x$copies from $srcDir)")
+
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    def stage(name: String)(df: => DataFrame): Unit = {
+      val (r0, w0) = (meter.read, meter.write)
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain
+      println(f"| $name | $rows | $secs%.1f | ${(meter.read - r0) / 1e6}%.1f | ${(meter.write - w0) / 1e6}%.1f |")
+    }
+
+    println("| stage | rows out | sec | shuffle read MB | shuffle write MB |")
+    println("|---|---|---|---|---|")
+    stage("dedup_minhash_sig")(graft.llm.Dedup.minhashSig(spark, dir))
+    // bucket second moment — the number that bounds candidate work
+    val sig = graft.llm.Dedup.minhashSig(spark, dir).cache()
+    val sq = sig.groupBy("band_a").count().agg(sum($"count" * $"count")).head.getLong(0)
+    val sqB = sig.groupBy("band_b").count().agg(sum($"count" * $"count")).head.getLong(0)
+    val maxBucket = sig.groupBy("band_a").count().agg(max("count")).head.getLong(0)
+    println(f"Σ|bucket|² band_a=$sq band_b=$sqB max|bucket|=$maxBucket corpus²=${nDocs * nDocs}")
+    stage("dedup_neardup_pairs")(graft.llm.Dedup.neardupPairs(spark, dir))
+    stage("dedup_clusters")(graft.llm.Cluster.clusters(spark, dir))
+    stage("dedup_keep_best")(graft.llm.Cluster.keepBest(spark, dir))
+    // IVF cell second moment
+    val cells = spark.read.parquet(s"$dir/embeddings.parquet")
+      .groupBy("label").count()
+    val csq = cells.agg(sum($"count" * $"count")).head.getLong(0)
+    println(f"IVF Σ|cell|²=$csq vs corpus²=${nVecs * nVecs}")
+    stage("embed_ivf_topk")(graft.llm.Similarity.ivfTopk(spark, dir))
+    stage("embed_knn_graph")(graft.llm.Similarity.knnGraph(spark, dir))
+    spark.stop()
+  }
+}
