@@ -67,11 +67,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // auditable artifact: the one-line stdout JSON can be truncated by
-    // log capture, so also persist the full per-query map in-repo
-    val outFile = java.nio.file.Paths.get(
-      "out", s"bench_${new java.io.File(sfDir).getName}.json")
-    java.nio.file.Files.createDirectories(outFile.getParent)
-    java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
+    // log capture, so also persist the full per-query map in-repo —
+    // full runs only, so a dev-filtered run never clobbers the round
+    // artifact with a partial map
+    if (only.isEmpty) {
+      val outFile = java.nio.file.Paths.get(
+        "out", s"bench_${new java.io.File(sfDir).getName}.json")
+      java.nio.file.Files.createDirectories(outFile.getParent)
+      java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -128,10 +128,35 @@ object Media {
     }
   }
 
-  /** The batched decode stage: `mapPartitions` over the encoded images. */
+  /** Fixture root for the encoded-image "media lake", keyed by scale
+    * dir name. */
+  def imageRoot(dir: String): String =
+    s"target/media_images/${new java.io.File(dir).getName}"
+
+  /** Materialize [[imageTable]] as a binary-column parquet lake —
+    * content-fingerprint-cached like AvroBronze, so repeat runs pay the
+    * PNG/BMP encode once. This is also the honest 100 TB shape: decode
+    * consumes a columnar scan of (id, type, payload BINARY) rows, which
+    * is what a `binaryFile` ingest of a real media lake produces. */
+  def writeImages(spark: SparkSession, dir: String): String = {
+    val root = imageRoot(dir)
+    val fp = graft.sources.AvroBronze.fingerprint(dir)
+    val fpFile = new java.io.File(s"$root/_SOURCE_FINGERPRINT")
+    val cached = new java.io.File(s"$root/_SUCCESS").isFile && fpFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
+    if (!cached) {
+      imageTable(spark, dir).write.mode("overwrite").parquet(root)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+    }
+    root
+  }
+
+  /** The batched decode stage: `mapPartitions` over the encoded-image
+    * lake (encode amortized by the fixture cache). */
   def decode(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    imageTable(spark, dir).mapPartitions(decodeBatch)
+    spark.read.parquet(writeImages(spark, dir)).as[MediaFile]
+      .mapPartitions(decodeBatch)
   }
 
   /** media_meta: encode -> REAL decode -> metadata row. Every gated

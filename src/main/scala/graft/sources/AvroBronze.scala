@@ -61,7 +61,7 @@ object AvroBronze {
     * data under the same path, a name-keyed cache would silently run the
     * avro query against the stale tree while the DuckDB oracle reads the
     * new data — a baffling mismatch (or worse, a stale pass). */
-  private[sources] def fingerprint(dir: String): String = {
+  private[graft] def fingerprint(dir: String): String = {
     val entries = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
