@@ -574,7 +574,160 @@ object Tpch {
        |      AND o_orderdate >= DATE '1998-06-01')
        |GROUP BY c_nationkey${sqlOrderBy(Seq("c_nationkey"))}""".stripMargin
 
+  /** Q8 (national market share): of the ECONOMY-part revenue delivered
+    * to ASIA customers in 1995-1996, the fraction supplied by NATION_2
+    * suppliers, by order year — the classic CASE-sum ratio over a
+    * 6-table snowflake join. Volumes are exact cents×basis-point
+    * BIGINTs; one IEEE division per year row.
+    *
+    * Scale posture: part/nation/region prefilters broadcast; the fact
+    * join chain shuffles lineitem once per key change (orders,
+    * customer) with AQE free to re-plan; the final agg carries
+    * |years| × 2 exact sums. */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaNations = Tables(spark, dir, "nation")
+      .join(Tables(spark, dir, "region"), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA").select($"n_nationkey".as("cn_key"))
+    val suppNation = Tables(spark, dir, "nation")
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+        .filter($"p_type" === "ECONOMY").select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables(spark, dir, "orders")
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("date") &&
+          $"o_orderdate" <= lit("1996-12-31").cast("date"))
+        .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(spark, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"cn_key")
+      .join(Tables(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+      .select($"o_year", $"supp_nation",
+        (round($"l_extendedprice" * 100).cast("bigint")
+          * (lit(100L) - round($"l_discount" * 100).cast("bigint")))
+          .as("volume"))
+      .groupBy($"o_year")
+      .agg(
+        (sum(when($"supp_nation" === "NATION_2", $"volume").otherwise(0L))
+          .cast("double")
+          / sum($"volume").cast("double")).as("mkt_share"),
+        (sum($"volume").cast("double") / 1e4).as("total_volume"))
+      .orderBy($"o_year")
+  }
+
+  val q8Sql: String =
+    s"""WITH v AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |    sn.n_name AS supp_nation,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |)
+       |SELECT o_year,
+       |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+       |      ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(volume) AS BIGINT) AS DOUBLE) AS mkt_share,
+       |  CAST(CAST(SUM(volume) AS BIGINT) AS DOUBLE) / 1e4 AS total_volume
+       |FROM v GROUP BY o_year${sqlOrderBy(Seq("o_year"))}""".stripMargin
+
+  /** Q13 (customer distribution): how many customers placed k orders,
+    * for every k INCLUDING ZERO — the double-aggregation pattern
+    * (count per customer, then count per count) whose outer join is
+    * the part naive formulations drop. The priority filter lives in
+    * the JOIN CONDITION, not a WHERE (a WHERE would erase the
+    * never-ordered customers the query exists to expose).
+    *
+    * Scale posture: one key shuffle for the per-customer count, then a
+    * tiny |distinct k| aggregate. Pure integer outputs. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "customer").select($"c_custkey")
+      .join(Tables(spark, dir, "orders")
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    s"""SELECT c_count, COUNT(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM customer LEFT JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+       |  GROUP BY c_custkey
+       |)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin
+
+  /** Q17 (small-quantity-order revenue): average yearly revenue lost if
+    * small orders (below 20% of the part's average quantity) were not
+    * filled, for one brand/type — the correlated-average subquery,
+    * decorrelated to a per-part aggregate + join. The 20%-of-average
+    * comparison is exact: quantities quantized to cents, and
+    * `q < 0.2·(sq/n)` restated integer-only as `5·n·qc < sq` — no
+    * division on either engine.
+    *
+    * Scale posture: the per-part average aggregates map-side to
+    * |parts in brand| rows and joins back keyed; the brand prefilter
+    * broadcasts. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brandParts = broadcast(Tables(spark, dir, "part")
+      .filter($"p_brand" === "Brand#23" && $"p_type" === "MEDIUM")
+      .select($"p_partkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .join(brandParts, $"l_partkey" === $"p_partkey")
+      .select($"l_partkey",
+        round($"l_quantity" * 100).cast("bigint").as("qc"),
+        round($"l_extendedprice" * 100).cast("bigint").as("ec"))
+    val perPart = li.groupBy($"l_partkey".as("agg_key"))
+      .agg(count(lit(1)).as("n"), sum($"qc").as("sq"))
+    li.join(perPart, $"l_partkey" === $"agg_key")
+      .filter($"qc" * lit(5L) * $"n" < $"sq")
+      .agg((sum($"ec").cast("double") / 700.0).as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  val q17Sql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ec
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+       |),
+       |pp AS (
+       |  SELECT l_partkey AS agg_key, COUNT(*) AS n,
+       |    CAST(SUM(qc) AS BIGINT) AS sq
+       |  FROM li GROUP BY l_partkey
+       |)
+       |SELECT
+       |  CAST(CAST(SUM(ec) AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly,
+       |  COUNT(*) AS n_small_lines
+       |FROM li JOIN pp ON l_partkey = agg_key
+       |WHERE qc * 5 * n < sq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q8" -> q8,
+    "tpch_q13" -> q13,
+    "tpch_q17" -> q17,
     "tpch_q22" -> q22,
     "tpch_q7" -> q7,
     "tpch_q21" -> q21,
@@ -589,6 +742,9 @@ object Tpch {
     "tpch_q19" -> q19)
 
   val oracles: Map[String, String] = Map(
+    "tpch_q8" -> q8Sql,
+    "tpch_q13" -> q13Sql,
+    "tpch_q17" -> q17Sql,
     "tpch_q22" -> q22Sql,
     "tpch_q7" -> q7Sql,
     "tpch_q21" -> q21Sql,
