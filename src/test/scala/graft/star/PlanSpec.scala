@@ -237,4 +237,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("leftanti"), p)
     assert(p.contains("takeorderedandproject"), p)
   }
+
+  test("right-outer join plans a real RightOuter (or its flipped build form)") {
+    val p = plan("join_right_outer").toLowerCase
+    assert(p.contains("rightouter") || p.contains("leftouter"), p)
+    assert(!p.contains("cartesianproduct"), p)
+  }
+
+  test("Q2's correlated MIN decorrelates: agg + equi joins, no re-scan loop") {
+    val p = plan("tpch_q2")
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("Q16's NOT IN plans as LeftAnti; Q20's chain stays semi-joins") {
+    val p16 = plan("tpch_q16").toLowerCase
+    assert(p16.contains("leftanti"), p16.take(1500))
+    val p20 = plan("tpch_q20").toLowerCase
+    assert(p20.contains("leftsemi"), p20.take(1500))
+    assert(!p20.contains("cartesianproduct"), p20.take(1500))
+  }
+
+  test("Q11's global total is a broadcast, never a driver collect seam") {
+    // the HAVING threshold joins against a 1-row aggregate: plan must
+    // contain a broadcast exchange feeding a join, and no cartesian
+    val p = plan("tpch_q11")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("two-pass heavy hitters broadcasts its candidate set") {
+    val p = plan("text_heavy_guaranteed")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
