@@ -45,9 +45,34 @@ object Versioned {
     else s"$root/v=$version"
   }
 
-  /** Commit `df` as the next version; returns the new version number. */
-  def write(df: DataFrame, root: String): Long = {
+  /** Commit `df` as the next version; returns the new version number.
+    *
+    * Schema enforcement (the `overwriteSchema` contract of
+    * transactional table formats, reference ipynb:1297-1303): by
+    * default a commit whose schema differs from the current version is
+    * REFUSED — silent schema drift is how a typo'd column becomes a
+    * production outage. Passing `overwriteSchema = true` evolves the
+    * table: the new snapshot carries the new schema, while every
+    * retained older version keeps its own (each snapshot's parquet
+    * footers are self-describing), so time travel across the evolution
+    * boundary reads each era with the schema it was written under. */
+  def write(df: DataFrame, root: String,
+      overwriteSchema: Boolean = false): Long = {
     val next = latestVersion(root).map(_ + 1).getOrElse(0L)
+    if (!overwriteSchema) {
+      latestVersion(root).foreach { cur =>
+        val existing = df.sparkSession.read.parquet(dataDir(root, cur)).schema
+        // compare (name, type) shape only: parquet read-back is always
+        // nullable, so strict StructType equality would reject every
+        // in-memory frame with non-null columns
+        def shape(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(f => (f.name, f.dataType)).toSeq
+        require(shape(existing) == shape(df.schema),
+          s"schema change rejected (overwriteSchema=false): table has " +
+            s"${existing.simpleString} but the write carries " +
+            s"${df.schema.simpleString}")
+      }
+    }
     df.write.mode("overwrite").parquet(s"$root/v=$next")
     commit(root, next)
     next

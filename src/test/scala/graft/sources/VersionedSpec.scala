@@ -38,6 +38,29 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, root).count() == 7)
   }
 
+  test("schema enforcement: drift refused; overwriteSchema evolves per-era") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned_sch").toFile.getAbsolutePath
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    val evolved = Seq((1L, "a", 0.5), (2L, "b", 0.7)).toDF("id", "tag", "score")
+
+    assert(Versioned.write(v1, root) == 0L)
+    // default: a schema-changing commit is refused, table untouched
+    val e = intercept[IllegalArgumentException](Versioned.write(evolved, root))
+    assert(e.getMessage.contains("overwriteSchema"))
+    assert(Versioned.latestVersion(root).contains(0L))
+    // explicit evolution commits the new schema
+    assert(Versioned.write(evolved, root, overwriteSchema = true) == 1L)
+    assert(Versioned.read(spark, root).columns.toSeq ==
+      Seq("id", "tag", "score"))
+    // time travel across the boundary reads each era's own schema
+    assert(Versioned.read(spark, root, Some(0L)).columns.toSeq ==
+      Seq("id", "tag"))
+    // post-evolution writes are enforced against the NEW schema
+    intercept[IllegalArgumentException](Versioned.write(v1, root))
+    assert(Versioned.write(evolved, root) == 2L)
+  }
+
   test("expire deletes old snapshots but never data a rollback points at") {
     import spark.implicits._
     val root = Files.createTempDirectory("versioned_exp").toFile.getAbsolutePath
