@@ -114,6 +114,24 @@ object CsvBronze {
        |              all_varchar=true)${sqlOrderBy(FlightPipeline.silverCols)}""".stripMargin
   }
 
+  /** Streaming twin of the ingest boundary: `readStream.csv` over a
+    * watched directory with the SAME explicit all-string schema and
+    * cast chain — the Auto-Loader-shaped "CSV files land, typed rows
+    * appear" pipeline. Streaming file sources REQUIRE the explicit
+    * schema (no inference), which the DictReader contract already
+    * provides; the transform is byte-for-byte the batch one, so batch
+    * and stream cannot drift (asserted in CsvBronzeSpec). */
+  def silverCsvStream(spark: SparkSession, root: String): DataFrame = {
+    val typed = spark.readStream
+      .option("header", "true").option("delimiter", ";")
+      .schema(readSchema)
+      .csv(root)
+      .withColumn("year", col("year").cast("int"))
+      .withColumn("month", col("month").cast("int"))
+    metricCols.foldLeft(typed)((df, c) =>
+      df.withColumn(c, col(c).cast("double")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "silver_csv_ingest" -> silverCsv)
 

@@ -31,4 +31,22 @@ class CsvBronzeSpec extends SparkSpec {
     // header rows are not data rows
     assert(df.where(col("year") === "year").count() == 0)
   }
+
+  test("streaming CSV ingest drains the directory to the same typed rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = CsvBronze.writeCsv(spark, sf0001)
+    val q = CsvBronze.silverCsvStream(spark, root)
+      .writeStream.format("memory").queryName("csv_stream_sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    val streamed = spark.table("csv_stream_sink")
+    val batch = CsvBronze.silverCsv(spark, sf0001)
+    assert(streamed.count() == batch.count())
+    assert(streamed.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      batch.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // content parity with the batch path (order-free compare)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
