@@ -56,9 +56,23 @@ object Versioned {
     * retained older version keeps its own (each snapshot's parquet
     * footers are self-describing), so time travel across the evolution
     * boundary reads each era with the schema it was written under. */
+  /** Optimistic-concurrency conflict: the table advanced past the
+    * version the writer read — the transactional-format contract that
+    * keeps two concurrent jobs from silently overwriting each other. */
+  final class VersionConflictException(msg: String)
+    extends RuntimeException(msg)
+
   def write(df: DataFrame, root: String,
-      overwriteSchema: Boolean = false): Long = {
-    val next = latestVersion(root).map(_ + 1).getOrElse(0L)
+      overwriteSchema: Boolean = false,
+      expectedVersion: Option[Long] = None): Long = {
+    val cur0 = latestVersion(root)
+    expectedVersion.foreach { exp =>
+      if (cur0 != Some(exp))
+        throw new VersionConflictException(
+          s"optimistic commit conflict: expected table at version $exp " +
+            s"but found ${cur0.fold("empty")(_.toString)} — re-read and retry")
+    }
+    val next = cur0.map(_ + 1).getOrElse(0L)
     if (!overwriteSchema) {
       latestVersion(root).foreach { cur =>
         val existing = df.sparkSession.read.parquet(dataDir(root, cur)).schema

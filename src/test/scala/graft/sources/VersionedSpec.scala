@@ -61,6 +61,25 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.write(evolved, root) == 2L)
   }
 
+  test("optimistic concurrency: a stale expectedVersion refuses to commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned_occ").toFile.getAbsolutePath
+    val df = Seq((1L, "a")).toDF("id", "tag")
+    assert(Versioned.write(df, root) == 0L)
+
+    // writer A reads v0, writer B commits v1 meanwhile
+    val readByA = Versioned.latestVersion(root)
+    assert(Versioned.write(df, root, expectedVersion = Some(0L)) == 1L)
+    // A's commit against its stale read must conflict, table untouched
+    val e = intercept[Versioned.VersionConflictException](
+      Versioned.write(df, root, expectedVersion = readByA))
+    assert(e.getMessage.contains("conflict"))
+    assert(Versioned.latestVersion(root).contains(1L))
+    // A re-reads and retries: succeeds
+    assert(Versioned.write(df, root,
+      expectedVersion = Versioned.latestVersion(root)) == 2L)
+  }
+
   test("expire deletes old snapshots but never data a rollback points at") {
     import spark.implicits._
     val root = Files.createTempDirectory("versioned_exp").toFile.getAbsolutePath
