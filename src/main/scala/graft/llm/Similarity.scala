@@ -659,6 +659,7 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
+    graft.functions.DoubleDot.register(spark)
     val emb = Tables(spark, dir, "embeddings")
       .selectExpr("vec_id", "label", "embedding",
         s"${dotSpark("embedding", "embedding")} AS nrm")
@@ -666,7 +667,37 @@ object Similarity {
       $"nrm".as("n1"))
     val b = emb.select($"vec_id".as("v2"), $"label".as("label_b"),
       $"embedding".as("e2"), $"nrm".as("n2"))
-    a.join(b, $"label" === $"label_b" && $"v1" =!= $"v2")
+    // Windows partition by (label, v1), not v1 alone: v1 determines its
+    // label so the grouping is identical, but HashPartitioning(label)
+    // from the pair join satisfies ClusteredDistribution(label, v1), so
+    // NO window re-exchanges the Σ|cell|² pair stream.
+    val byV1 = Window.partitionBy($"label", $"v1")
+    // Two-phase ranking. The 125k-doc rehearsal measured the single-
+    // phase form superlinear: the pair stream must stay SKINNY through
+    // the rank sort (the first attempt carried both 64-float vectors
+    // through the window — Σ|cell|²×600B of in-partition sort spill —
+    // and a decimal dot per pair on top). Phase 1 ranks (v1, v2,
+    // cos_d) rows only — a codegen'd pure-double cosine, vectors
+    // dropped before the sort. Phase 2 re-joins embeddings for the
+    // ≤8-per-vector survivors (plus any pair whose double cosine sits
+    // within 1e-9 of the 3rd-ranked one: |double − exact| ≲ 1e-12
+    // relative, so every vector the EXACT rank-3 cut could admit is in
+    // the band by construction) and rescores with the decimal-exact
+    // dot. Output values and order are bit-identical to the
+    // single-phase form (same exact dot, same tiebreak).
+    val pairsD = a.join(b, $"label" === $"label_b" && $"v1" =!= $"v2")
+      .selectExpr("v1", "label", "v2",
+        "(double_dot(e1, e2) / sqrt(n1 * n2)) AS cos_d")
+      .withColumn("rd", row_number().over(byV1.orderBy($"cos_d".desc, $"v2")))
+      .withColumn("third", max(when($"rd" === 3, $"cos_d")).over(byV1))
+      .filter($"rd" <= 8 || $"third".isNull ||
+        $"cos_d" >= $"third" - lit(1e-9))
+      .select($"v1", $"v2")
+    pairsD
+      .join(emb.select($"vec_id", $"embedding".as("e1"), $"nrm".as("n1")),
+        $"v1" === $"vec_id").drop("vec_id")
+      .join(emb.select($"vec_id", $"label", $"embedding".as("e2"),
+        $"nrm".as("n2")), $"v2" === $"vec_id").drop("vec_id")
       .selectExpr("v1", "label", "v2",
         s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
       .withColumn("rank", row_number().over(
