@@ -44,38 +44,56 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    // Two timed passes, min per query: the sf0.001 warm-up compiles the
-    // small-scale plans, but AQE picks DIFFERENT physical plans at the
-    // bench SF, so pass 1 still pays their Janino compilation (measured
-    // 8s cold vs 2s steady on the percentile window). min-of-2 reports
-    // the steady-state cost a resident service would see.
-    def timedPass(): Seq[(String, Double)] =
+    // Three timed passes, MEDIAN per query (+ min/max spread recorded):
+    // the sf0.001 warm-up compiles the small-scale plans, but AQE picks
+    // DIFFERENT physical plans at the bench SF, so pass 1 still pays
+    // their Janino compilation (measured 8s cold vs 2s steady on the
+    // percentile window); medians also stop round-over-round comparisons
+    // from chasing co-tenant machine variance (r5: two same-code runs
+    // differed ~15% on total). Failures are tracked per pass — a run
+    // with crashed queries must never masquerade as a clean artifact.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timedPass(): Map[String, Double] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
-      }
-    val p1 = timedPass().toMap
-    val results = timedPass().map { case (n, t) => n -> math.min(t, p1(n)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      }.toMap
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val names = passes.head.keys.toSeq.sorted
+    def stats(n: String): (Double, Double, Double) = {
+      val ts = passes.map(_(n)).sorted
+      (ts(1), ts.head, ts.last) // (median-of-3, min, max)
+    }
+    val qs = names.map(n => "\"" + n + "\":" + stats(n)._1)
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val spread = names.map { n =>
+      val (_, lo, hi) = stats(n); "\"" + n + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val total = names.map(stats(_)._1).sum
+    val failJson = failed.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","passes":3,"spread":$spread,""" +
+      s""""failures":$failJson}"""
     println(json)
     // auditable artifact: the one-line stdout JSON can be truncated by
     // log capture, so also persist the full per-query map in-repo —
-    // full runs only, so a dev-filtered run never clobbers the round
-    // artifact with a partial map
-    if (only.isEmpty) {
+    // full CLEAN runs only: a dev-filtered run must never clobber the
+    // round artifact with a partial map, and a run with crashed queries
+    // must never commit elapsed-until-failure times as if real
+    if (only.isEmpty && failed.isEmpty) {
       val outFile = java.nio.file.Paths.get(
         "out", s"bench_${new java.io.File(sfDir).getName}.json")
       java.nio.file.Files.createDirectories(outFile.getParent)
       java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
-    }
+    } else if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed — " +
+        "artifact not written: " + failed.mkString(", "))
     spark.stop()
   }
 }

@@ -478,23 +478,37 @@ object Cluster {
     * ratio, doc_id tiebreak) instead of [[clusters]]' min-id keeper —
     * what a curation pipeline actually ships (the min-id rule keeps
     * whichever copy crawled first; the quality rule keeps the cleanest
-    * one). One ranked window over cluster members only (|docs in
-    * multi-clusters| rows, not the corpus). */
+    * one).
+    *
+    * Two-phase skinny ranking (round 6 — the knn-graph discipline from
+    * the ×25 rehearsal, SCALE.md, applied to the rehearsal's heaviest
+    * remaining stage): multi-cluster MEMBERSHIP is taken straight from
+    * the component star edges (member→root, plus the roots themselves)
+    * — never the corpus-wide label+size join or the global doc_id sort
+    * [[clusters]] builds for its own output contract — and the rank
+    * sort sees only (cluster_id, ttr, doc_id). The cluster_size payload
+    * joins AFTER the rank filter, |clusters| rows against |clusters|
+    * rows. Anything wider through a per-cluster sort is spill surface
+    * at 100 TB; output is bit-identical (oracle-checked). */
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = clusters(spark, dir)
-      .select($"doc_id", $"cluster_id", $"cluster_size")
+    val stars = components(
+      Dedup.candidatePairs(spark, dir).select($"d1", $"d2"))
+    // docs in size>=2 clusters = star members + their roots, skinny
+    val members = stars.select($"src".as("doc_id"), $"dst".as("cid"))
+      .union(stars.select($"dst", $"dst").distinct())
+    val sizes = members.groupBy($"cid").agg(count(lit(1)).as("cluster_size"))
     val quality = Tables(spark, dir, "documents")
       .select($"doc_id",
         (expr("size(array_distinct(split(text, ' ')))") /
           expr("size(split(text, ' '))").cast("double")).as("ttr"))
-    base.join(quality, "doc_id")
-      .filter($"cluster_size" >= 2)
+    members.join(quality, "doc_id")
       .withColumn("rk", row_number().over(
-        Window.partitionBy($"cluster_id").orderBy($"ttr".desc, $"doc_id")))
+        Window.partitionBy($"cid").orderBy($"ttr".desc, $"doc_id")))
       .filter($"rk" === 1)
-      .select($"cluster_id", $"cluster_size",
+      .join(sizes, "cid")
+      .select($"cid".as("cluster_id"), $"cluster_size",
         $"doc_id".as("keeper_doc"), $"ttr".as("keeper_ttr"))
       .orderBy($"cluster_id")
   }

@@ -186,27 +186,103 @@ object Media {
        |  md5(text) AS source_fp
        |FROM documents${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** REAL multi-frame fixture (round 6, closing the r5 "arithmetic
+    * stand-in" residual): each document becomes a genuine ANIMATED GIF
+    * — the multi-frame container the JDK ships a codec for (there is
+    * still no video parser in `javax.imageio`; GIF gives the same
+    * decode contract: frame count asked of the container, not derived
+    * from payload arithmetic). Dimensions and frame count are
+    * deterministic functions of the text byte length — the generation
+    * rule the oracle recomputes relationally, so the gate proves the
+    * encoder and the frame-counting decoder agree end-to-end. Frames
+    * are flat hash-colored fills (encode kept cheap; the CONTAINER
+    * structure is what matters downstream). */
+  def gifTable(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bl = text.getBytes("UTF-8").length
+          val w = 16 + bl % 64
+          val h = 16 + (bl * 7) % 64
+          val n = 1 + bl % 24
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            for (f <- 0 until n) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = img.createGraphics()
+              g.setColor(new java.awt.Color(
+                ((id * 2654435761L + f * 40503L) & 0xffffffL).toInt))
+              g.fillRect(0, 0, w, h)
+              g.dispose()
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          MediaFile(id, "image/gif", baos.toByteArray)
+        }
+      }
+  }
+
+  /** Fixture root for the animated-GIF lake, keyed by scale dir name. */
+  def gifRoot(dir: String): String =
+    s"target/media_gifs/${new java.io.File(dir).getName}"
+
+  /** Materialize [[gifTable]] content-fingerprint-cached, like
+    * [[writeImages]]. */
+  def writeGifs(spark: SparkSession, dir: String): String = {
+    val root = gifRoot(dir)
+    val fp = graft.sources.AvroBronze.fingerprint(dir)
+    val fpFile = new java.io.File(s"$root/_SOURCE_FINGERPRINT")
+    val cached = new java.io.File(s"$root/_SUCCESS").isFile && fpFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
+    if (!cached) {
+      gifTable(spark, dir).write.mode("overwrite").parquet(root)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+    }
+    root
+  }
+
+  /** Batched decode over the GIF lake — the same [[decodeBatch]]
+    * kernel as [[decode]]: the reader is sniffed from the magic bytes
+    * and `getNumImages(true)` walks the container's frame blocks. */
+  def gifDecode(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    spark.read.parquet(writeGifs(spark, dir)).as[MediaFile]
+      .mapPartitions(decodeBatch)
+  }
+
   /** Frame sampling + thumbnail sizing — the 1→N generator stage of a
     * video curation pipeline: every 4th frame index of each media file
-    * becomes a row with a per-frame fingerprint (stub: hash of content
-    * fingerprint + index; real: decoded frame bytes), plus
-    * aspect-preserving thumbnail dims fit to 32x32 (pure arithmetic
-    * here; the real resize kernel lives in the mapPartitions stub
-    * alongside the codec).
+    * becomes a row with a per-frame fingerprint (hash of source
+    * fingerprint + index), plus aspect-preserving thumbnail dims fit to
+    * 32x32. Width, height and — since round 6 — N_FRAMES come from the
+    * REAL codec over the animated-GIF lake ([[gifDecode]]): the frame
+    * count is read from the container, and the oracle recomputes the
+    * fixture's generation rule relationally, gating the whole
+    * encode→decode loop.
     *
-    * Scale posture: explode(sequence(...)) is a codegen'd generator —
-    * map-only, no shuffle; output rows ∝ sampled frames, bounded by
-    * stride. Downstream per-frame dedup/embedding then reuses the
+    * Scale posture: decode is batched `mapPartitions` on executors
+    * (header/structure walk, no pixel buffers); explode(sequence(...))
+    * is a codegen'd generator — output rows ∝ sampled frames, bounded
+    * by stride. Downstream per-frame dedup/embedding then reuses the
     * document-side operators unchanged. */
   def framesQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select($"doc_id",
-        octet_length($"text".cast("binary")).as("byte_len"),
-        md5($"text".cast("binary")).as("fingerprint"))
-      .withColumn("width", lit(16) + $"byte_len" % 64)
-      .withColumn("height", lit(16) + ($"byte_len" * 7) % 64)
-      .withColumn("n_frames", lit(1) + $"byte_len" % 24)
+    gifDecode(spark, dir).toDF()
+      .select($"doc_id", $"width", $"height", $"n_frames")
+      .join(Tables(spark, dir, "documents")
+        .select($"doc_id", md5($"text".cast("binary")).as("fingerprint")),
+        "doc_id")
       .withColumn("scale",
         lit(32.0) / greatest($"width", $"height").cast("double"))
       .withColumn("thumb_w",

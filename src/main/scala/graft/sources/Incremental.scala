@@ -1,34 +1,54 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import java.nio.file.{Files, Paths, StandardCopyOption, Path => JPath}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Partition-level incremental materialization (round 3) — the
-  * lakehouse answer to "don't recompute the world": a derived table
-  * partitioned on some grain (here a month key) is refreshed by
+/** Partition-level incremental materialization (round 3; atomic commit
+  * round 6) — the lakehouse answer to "don't recompute the world": a
+  * derived table partitioned on some grain (here a month key) is
+  * refreshed by
   * (1) fingerprinting every SOURCE partition in one scan,
-  * (2) diffing fingerprints against the manifest persisted by the last
-  * run, and (3) recomputing + dynamically overwriting ONLY the stale
-  * partitions. The reference rebuilds gold with a full overwrite
-  * (ipynb:1297-1303); at 100 TB a late-arriving correction to one month
-  * must cost one month, not the table.
+  * (2) diffing fingerprints against the manifest committed by the last
+  * run, and (3) recomputing ONLY the stale partitions. The reference
+  * rebuilds gold with a full overwrite (ipynb:1297-1303); at 100 TB a
+  * late-arriving correction to one month must cost one month, not the
+  * table.
+  *
+  * COMMIT PROTOCOL (the Delta-log property, down to one file): data for
+  * a refresh lands in a fresh generation directory `gen=G/` that no
+  * reader can see; the table's single source of truth is the manifest
+  * file `_MANIFEST`, each line mapping a partition value to the
+  * generation directory holding its current data (plus its source
+  * fingerprint). The refresh commits by writing a new manifest sideways
+  * and atomically renaming it over `_MANIFEST` — a writer killed at ANY
+  * point before that rename leaves readers on the complete old
+  * snapshot (asserted by fault injection in AtomicCommitSpec), and the
+  * half-written generation is unreferenced garbage that [[vacuum]]
+  * reclaims. On an object store the rename maps to a conditional put;
+  * never is data moved or deleted on the commit path.
+  *
+  * Readers ([[read]]) resolve the manifest and scan exactly the
+  * referenced partition directories — a mid-refresh reader holds a
+  * consistent snapshot because the directories it resolved are
+  * immutable (refreshes only ever ADD generations).
   *
   * Fingerprints are order-independent (bit_xor of per-row xxhash64 +
   * row count), so partitioning/parallelism can never fake a change.
   *
   * Driver discipline: the DATA path never sees a driver-side value
   * list — stale partitions select their source rows via a broadcast
-  * LEFT SEMI join (an `isin` of collected literals would both haul the
-  * set through the driver and build an expression tree proportional to
-  * |stale|). Only the returned METADATA (the stale partition names —
-  * the same cardinality any metastore op handles) is collected, and
-  * that collect is bounded: `limit(maxParts+1)` + a hard failure if
-  * exceeded, so a mis-partitioned source (partCol accidentally a
-  * near-unique column) fails fast instead of flooding driver memory at
-  * 100 TB. The manifest commit is a staged swap like [[Merge]] — same
-  * documented non-atomicity gap that transactional table formats close.
+  * LEFT SEMI join built FROM the already-collected stale names (one
+  * collect, bounded, and the refreshed set always equals the returned
+  * set; an `isin` of literals would build an expression tree ∝
+  * |stale|). The manifest itself is driver-sized metadata — one line
+  * per partition, the same cardinality any metastore op handles — and
+  * is bounded by `maxParts` (default [[MaxDriverParts]]) with a hard
+  * failure beyond it, so a mis-partitioned source (partCol accidentally
+  * near-unique) fails fast instead of flooding driver memory at 100 TB.
   */
 object Incremental {
 
@@ -37,8 +57,85 @@ object Incremental {
     * partition column that exceeds it is a modeling bug, not a load. */
   val MaxDriverParts: Int = 100000
 
-  /** Bounded metadata collect of a single string column: never pulls
-    * more than `max`+1 values regardless of the frame's cardinality. */
+  /** One committed partition of the derived table: `dir` is the hive
+    * subdirectory under `gen=$gen/` holding its data (empty when the
+    * partition derived to zero rows — fingerprint retained so the
+    * partition doesn't re-stale forever), `fp`/`n` the source
+    * fingerprint it was derived from. */
+  private[graft] final case class ManifestEntry(
+      part: String, gen: Long, dir: String, fp: Long, n: Long)
+
+  /** Test-only fault injection, keyed by commit step ("after-data",
+    * "before-swap"): simulates a writer dying mid-commit. No-op in
+    * production. */
+  private[graft] var crashHook: String => Unit = _ => ()
+
+  private def manifestPath(path: String): JPath =
+    Paths.get(path, "_MANIFEST")
+
+  /** Parse the committed manifest (empty if the table has never been
+    * refreshed). Fields are tab-separated with the partition value
+    * URL-encoded (values are arbitrary strings). */
+  private[graft] def currentEntries(path: String): Seq[ManifestEntry] = {
+    val m = manifestPath(path)
+    if (!Files.exists(m)) return Seq.empty
+    Files.readAllLines(m).asScala.iterator.filter(_.nonEmpty).map { line =>
+      val Array(g, d, fp, n, p) = line.split("\t", 5)
+      ManifestEntry(java.net.URLDecoder.decode(p, "UTF-8"),
+        g.toLong, java.net.URLDecoder.decode(d, "UTF-8"), fp.toLong, n.toLong)
+    }.toSeq
+  }
+
+  /** Commit `entries` as the new snapshot: full write beside the live
+    * manifest, then one atomic same-directory rename — the single
+    * commit point of the whole refresh. */
+  private def commitManifest(path: String, entries: Seq[ManifestEntry]): Unit = {
+    val body = entries.map { e =>
+      s"${e.gen}\t${java.net.URLEncoder.encode(e.dir, "UTF-8")}\t${e.fp}\t" +
+        s"${e.n}\t${java.net.URLEncoder.encode(e.part, "UTF-8")}"
+    }.mkString("\n")
+    val tmp = Files.createTempFile(Paths.get(path), "_manifest.", ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    crashHook("before-swap")
+    Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Reverse of Hive/Spark partition-path escaping (%XX sequences). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def listNames(dir: JPath): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  /** Bounded metadata collect of (part, fp, n) rows: never pulls more
+    * than `max`+1 rows regardless of the frame's cardinality. */
+  private[sources] def collectFingerprints(df: DataFrame,
+      max: Int): Seq[(String, Long, Long)] = {
+    val rows = df.limit(max + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    require(rows.size <= max,
+      s"partition metadata exceeds driver bound ($max): is the " +
+        "partition column actually partition-grained?")
+    rows
+  }
+
+  /** Bounded metadata collect of a single string column (kept for
+    * [[Merge.deleteKeys]]). */
   private[sources] def collectParts(df: DataFrame, max: Int): Seq[String] = {
     val vals = df.limit(max + 1).collect().map(_.getString(0)).toSeq
     require(vals.size <= max,
@@ -64,44 +161,98 @@ object Incremental {
         count(lit(1)).as("n"))
   }
 
-  /** Refresh `path` (parquet partitioned by `partCol`) from `source`
-    * via `derive` (which must emit `partCol`). Returns the partition
-    * values recomputed this run (empty = everything was fresh).
-    * `maxParts` bounds the driver-side partition metadata (see
-    * [[MaxDriverParts]]). */
+  /** Refresh the derived table at `path` from `source` via `derive`
+    * (which must emit `partCol`). Returns the partition values
+    * recomputed this run (empty = everything was fresh). `maxParts`
+    * bounds the driver-side partition metadata (see
+    * [[MaxDriverParts]]). Read the result back with [[read]]. */
   def refresh(spark: SparkSession, source: DataFrame, partCol: String,
       derive: DataFrame => DataFrame, path: String,
       maxParts: Int = MaxDriverParts): Seq[String] = {
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = s"$path.__manifest"
+    val old = currentEntries(path)
     val cur = fingerprints(source, partCol)
-    // the stale set stays a DataFrame: the data path consumes it via
-    // broadcast semi-join, only the returned names are collected (bounded)
+    // the stale set stays a DataFrame until ONE bounded collect; the
+    // prior state is the driver-sized manifest, broadcast back out
     val staleDf: DataFrame =
-      if (!fs.exists(new Path(manifest))) cur.select("part")
+      if (old.isEmpty) cur
       else {
-        val prev = spark.read.parquet(manifest)
-          .select(col("part"), col("fp").as("p_fp"), col("n").as("p_n"))
-        cur.join(prev, Seq("part"), "left")
+        import spark.implicits._
+        val prev = old.map(e => (e.part, e.fp, e.n)).toDF("part", "p_fp", "p_n")
+        cur.join(broadcast(prev), Seq("part"), "left")
           .filter(col("p_fp").isNull ||
             col("fp") =!= col("p_fp") || col("n") =!= col("p_n"))
-          .select("part")
+          .select("part", "fp", "n")
       }
-    val stale = collectParts(staleDf, maxParts)
+    val stale = collectFingerprints(staleDf, maxParts)
     if (stale.nonEmpty) {
-      derive(semiRestrict(source, col(partCol).cast("string"), staleDf))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .partitionBy(partCol)
-        .parquet(path)
-      val staged = s"$manifest.__staged"
-      cur.coalesce(1).write.mode("overwrite").parquet(staged)
-      if (fs.exists(new Path(manifest)))
-        fs.delete(new Path(manifest), true)
-      fs.rename(new Path(staged), new Path(manifest))
+      import spark.implicits._
+      Files.createDirectories(Paths.get(path))
+      val gen = (old.map(_.gen) ++
+        listNames(Paths.get(path)).filter(_.startsWith("gen="))
+          .map(_.stripPrefix("gen=").toLong)).foldLeft(-1L)(math.max) + 1
+      // broadcast semi-join side built FROM the collected names: one
+      // evaluation, and the refreshed set always equals the returned set
+      val partsDf = stale.map(_._1).toDF("part")
+      derive(semiRestrict(source, col(partCol).cast("string"), partsDf))
+        .withColumn("__gpart", col(partCol).cast("string"))
+        .write.partitionBy("__gpart").parquet(s"$path/gen=$gen")
+      crashHook("after-data")
+      // map each stale partition to the hive subdir the write produced
+      // (absent = derived to zero rows; fingerprint still recorded)
+      val written = listNames(Paths.get(path, s"gen=$gen"))
+        .filter(_.startsWith("__gpart="))
+        .map(d => unescapePathName(d.stripPrefix("__gpart=")) -> d).toMap
+      val stalePartSet = stale.map(_._1).toSet
+      val entries = old.filterNot(e => stalePartSet(e.part)) ++
+        stale.map { case (p, fp, n) =>
+          ManifestEntry(p, gen, written.getOrElse(p, ""), fp, n)
+        }
+      require(entries.size <= maxParts,
+        s"manifest exceeds driver bound ($maxParts)")
+      commitManifest(path, entries.sortBy(_.part))
     }
-    stale
+    stale.map(_._1)
+  }
+
+  /** Scan the current snapshot: exactly the partition directories the
+    * committed manifest references. Immutable dirs + atomic manifest
+    * swap = a reader planned mid-refresh still reads one consistent
+    * snapshot. The derived frame's own `partCol` column is stored IN
+    * the data files (`__gpart` is a write-layout duplicate), so no
+    * partition-column inference is involved. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val entries = currentEntries(path).filter(_.dir.nonEmpty)
+    require(entries.nonEmpty, s"no committed materialization at $path")
+    val dirs = entries.map(e => s"$path/gen=${e.gen}/${e.dir}")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Reclaim partition directories (and then-empty generations) the
+    * committed manifest no longer references — superseded data and the
+    * debris of crashed refreshes. Safe only when no refresh is in
+    * flight (an uncommitted generation is unreferenced until its
+    * manifest lands). Returns deleted directory paths relative to
+    * `path`. */
+  def vacuum(path: String): Seq[String] = {
+    val live = currentEntries(path).filter(_.dir.nonEmpty)
+      .map(e => s"gen=${e.gen}/${e.dir}").toSet
+    val root = Paths.get(path)
+    val deleted = Seq.newBuilder[String]
+    listNames(root).filter(_.startsWith("gen=")).foreach { g =>
+      listNames(root.resolve(g)).filter(_.startsWith("__gpart=")).foreach { d =>
+        if (!live.contains(s"$g/$d")) {
+          val dir = root.resolve(g).resolve(d)
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+          deleted += s"$g/$d"
+        }
+      }
+      if (!listNames(root.resolve(g)).exists(_.startsWith("__gpart="))) {
+        // no partition data left (only _SUCCESS/.crc metadata): drop the gen
+        Files.walk(root.resolve(g)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    deleted.result()
   }
 }

@@ -619,7 +619,10 @@ object Aggs {
     * reductions are surfaced as INT (0/1): exact integers hash
     * identically across engines and comparator runtimes, where raw
     * BOOLEAN cells do not (r4: rows/schema green, hash red purely on
-    * the comparator's boolean encoding).
+    * the comparator's boolean encoding). The `count_if` itself needs
+    * an oracle-side `CAST(... AS BIGINT)`: DuckDB's count_if yields
+    * HUGEINT, which lands in pandas as float64 and hash-diverges from
+    * Spark's int64 even when every value is equal (r5 root cause).
     *
     * Scale posture: one partial-agg exchange; boolean aggregates are
     * trivially mergeable (AND/OR/count are associative+commutative). */
@@ -639,7 +642,7 @@ object Aggs {
   val boolAggsSql: String =
     s"""SELECT o_orderpriority,
        |  COUNT(*) AS n_orders,
-       |  count_if(o_totalprice > 300000) AS n_large,
+       |  CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_large,
        |  CAST(bool_and(o_totalprice > 1000) AS INT) AS all_above_floor,
        |  CAST(bool_or(o_orderstatus = 'P') AS INT) AS any_pending
        |FROM orders

@@ -46,7 +46,7 @@ class IncrementalIndexSpec extends SparkSpec {
 
     // incremental index == batch rebuild, and the new doc is indexed
     val batch = derive(docs)
-    val incremental = spark.read.parquet(idxPath)
+    val incremental = graft.sources.Incremental.read(spark, idxPath)
       .select(batch.columns.map(col): _*)
     assert(incremental.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(incremental).count() == 0)

@@ -27,6 +27,24 @@ class MediaSpec extends SparkSpec {
     assert(types == Seq("image/bmp", "image/png"))
   }
 
+  test("animated GIF round trip: frame counts come from the container") {
+    import spark.implicits._
+    // n_chars == UTF-8 byte length in this fixture (ASCII corpus), so
+    // the oracle-visible generation rule is recomputable from n_chars
+    val decoded = Media.gifDecode(spark, sf0001)
+      .select($"doc_id", $"media_type", $"width", $"height", $"n_frames")
+    val expected = graft.Tables(spark, sf0001, "documents")
+      .select($"doc_id",
+        lit("image/gif").as("media_type"),
+        (lit(16) + $"n_chars" % 64).cast("int").as("width"),
+        (lit(16) + ($"n_chars" * 7) % 64).cast("int").as("height"),
+        (lit(1) + $"n_chars" % 24).cast("int").as("n_frames"))
+    assert(decoded.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(decoded).count() == 0)
+    // multi-frame containers are genuinely present (not all n=1)
+    assert(decoded.filter($"n_frames" > 1).count() > 0)
+  }
+
   test("decoder sniffs format from magic bytes, not metadata") {
     import spark.implicits._
     // hand the decoder a payload whose claimed media_type lies: the

@@ -41,10 +41,14 @@ class IncrementalSpec extends SparkSpec {
       assert(first.size == nParts && nParts > 10)
 
       // 2. unchanged source: zero stale partitions, files untouched
-      def partFiles() = new java.io.File(outPath).listFiles()
-        .filter(_.getName.startsWith(s"$partCol="))
-        .map(d => d.getName -> d.listFiles().map(f =>
-          (f.getName, f.lastModified())).toSet).toMap
+      // (partition dirs are resolved via the committed manifest —
+      // part value -> immutable generation subdir and its file mtimes)
+      def partFiles() = Incremental.currentEntries(outPath)
+        .filter(_.dir.nonEmpty).map { e =>
+          val d = new java.io.File(s"$outPath/gen=${e.gen}/${e.dir}")
+          e.part -> ((e.gen, d.listFiles().map(f =>
+            (f.getName, f.lastModified())).toSet))
+        }.toMap
       val before = partFiles()
       assert(Incremental.refresh(spark, readSrc(srcPath), partCol,
         derive, outPath).isEmpty)
@@ -62,14 +66,15 @@ class IncrementalSpec extends SparkSpec {
       val after = partFiles()
       assert(after.keySet == before.keySet)
       before.foreach { case (p, files) =>
-        if (p != s"$partCol=$target")
+        if (p != target)
           assert(after(p) == files, s"untouched partition $p rewritten")
       }
+      assert(after(target) != before(target), "stale partition not refreshed")
 
       // 4. incremental state equals a from-scratch rebuild
       val rebuilt = derive(readSrc(srcPath))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
-      val incremental = spark.read.parquet(outPath)
+      val incremental = Incremental.read(spark, outPath)
         .select(col(partCol), col("n_orders"), col("revenue"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       assert(incremental == rebuilt)

@@ -15,11 +15,11 @@ class MergeSpec extends SparkSpec {
       Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
         .toDF("id", "name", "v"),
       Seq("id"))
-    assert(spark.read.parquet(path).count() == 3)
+    assert(Merge.read(spark, path).count() == 3)
 
     val updates = Seq((2L, "b2", 22.0), (4L, "d", 40.0)).toDF("id", "name", "v")
     Merge.upsert(spark, path, updates, Seq("id"))
-    def state() = spark.read.parquet(path).as[(Long, String, Double)]
+    def state() = Merge.read(spark, path).as[(Long, String, Double)]
       .collect().sortBy(_._1).toSeq
     assert(state() == Seq(
       (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
@@ -40,7 +40,7 @@ class MergeSpec extends SparkSpec {
       Seq(("R", 1996, 9.0), ("R", 1997, 1.0)).toDF("carrier", "year", "v"),
       Seq("carrier", "year"))
     import org.apache.spark.sql.functions._
-    val out = spark.read.parquet(path)
+    val out = Merge.read(spark, path)
     assert(out.count() == 3)
     assert(out.where($"carrier" === "R" && $"year" === 1996)
       .head.getDouble(2) == 9.0)

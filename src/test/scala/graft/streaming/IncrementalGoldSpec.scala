@@ -51,8 +51,9 @@ class IncrementalGoldSpec extends SparkSpec {
       q.processAllAvailable()
       assert(lastStale == Seq("2024-02"), s"stale was $lastStale")
 
-      val gold = spark.read.parquet(goldPath)
-        .collect().map(r => (r.getString(2), r.getLong(0), r.getDouble(1))).toSet
+      val gold = Incremental.read(spark, goldPath)
+        .select(col("ym"), col("n"), col("rev"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       val rebuilt = derive(spark.read.parquet(srcPath))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       assert(gold == rebuilt)
