@@ -844,7 +844,8 @@ object Similarity {
        |    ORDER BY cosine DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 3
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cosine
+       |FROM r WHERE rk <= 3
        |ORDER BY q_id NULLS FIRST, rk NULLS FIRST""".stripMargin
 
   /** Matryoshka truncation audit: how much nearest-neighbour quality a

@@ -998,6 +998,18 @@ object Tpch {
     * `availqty > 0.5·qty` ⇔ `availqty·200 > qc_sum` (qc in
     * centi-units).
     *
+    * DELIBERATE ADAPTATION vs spec Q20: the LEFT join + COALESCE(qc,0)
+    * means a (part, supplier) pair with ZERO 1995 shipments qualifies
+    * (any stock exceeds half of nothing) — the spec's correlated scalar
+    * subquery yields NULL there, and `availqty > NULL` excludes the
+    * pair. This harness's derived partsupp only contains pairs that
+    * shipped at some point, so the difference is pairs that shipped
+    * only outside 1995; including them reads "holds more than half of
+    * [possibly zero] shipped volume", which suits the promotion use
+    * case and keeps the aggregate a plain outer join instead of a
+    * correlated rewrite. The oracle states the same semantics, so the
+    * gate checks this adaptation, not spec text.
+    *
     * Scale posture: the shipped-volume aggregate collapses map-side to
     * (part, supp) grain; both probes are semi-joins (existence only,
     * no row blow-up); nation filter broadcasts. */
