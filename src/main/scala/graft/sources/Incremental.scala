@@ -227,6 +227,57 @@ object Incremental {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Small-file compaction — the table-maintenance pass every
+    * lakehouse schedules: partitions whose directory holds more than
+    * `maxFiles` data files are rewritten (coalesced to one file each)
+    * into a FRESH generation and republished with the same atomic
+    * manifest swap as [[refresh]] — readers never see a torn state,
+    * fingerprints are carried over untouched (compaction changes
+    * layout, not content, so it must not re-stale anything), and the
+    * superseded many-file directories become [[vacuum]] food. Returns
+    * the partition values compacted.
+    *
+    * Scale posture: candidate selection is directory metadata (file
+    * counts per referenced dir — a listing, no data read); the rewrite
+    * reads exactly the compacted partitions once. The streaming
+    * micro-batch sinks that motivate this (each batch appends a file)
+    * are why real formats ship OPTIMIZE; the commit discipline here is
+    * identical to the refresh path, so crash safety is inherited. */
+  def compact(spark: SparkSession, path: String, partCol: String,
+      maxFiles: Int = 4): Seq[String] = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val old = currentEntries(path)
+    val fat = old.filter { e =>
+      e.dir.nonEmpty && listNames(
+        Paths.get(path, s"gen=${e.gen}", e.dir))
+        .count(_.endsWith(".parquet")) > maxFiles
+    }
+    if (fat.isEmpty) return Seq.empty
+    val gen = (old.map(_.gen) ++
+      listNames(Paths.get(path)).filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toLong)).foldLeft(-1L)(math.max) + 1
+    val dirs = fat.map(e => s"$path/gen=${e.gen}/${e.dir}")
+    // the data files carry the original partCol (the __gpart write
+    // layout column is a stripped duplicate), so the rewrite re-derives
+    // its hive subdirs from data, not from path-name parsing
+    spark.read.parquet(dirs: _*)
+      .withColumn("__gpart", col(partCol).cast("string"))
+      .repartition(col("__gpart"))
+      .write.partitionBy("__gpart")
+      .parquet(s"$path/gen=$gen")
+    crashHook("after-data")
+    val written = listNames(Paths.get(path, s"gen=$gen"))
+      .filter(_.startsWith("__gpart="))
+      .map(d => unescapePathName(d.stripPrefix("__gpart=")) -> d).toMap
+    val fatParts = fat.map(_.part).toSet
+    val entries = old.filterNot(e => fatParts(e.part)) ++
+      fat.flatMap { e =>
+        written.get(e.part).map(d => e.copy(gen = gen, dir = d))
+      }
+    commitManifest(path, entries.sortBy(_.part))
+    fat.map(_.part)
+  }
+
   /** Reclaim partition directories (and then-empty generations) the
     * committed manifest no longer references — superseded data and the
     * debris of crashed refreshes. Safe only when no refresh is in

@@ -252,6 +252,84 @@ object Aggs {
        |  MIN(CASE WHEN cum >= ceil(n * 0.99) THEN v END) AS p99
        |FROM r GROUP BY l_returnflag${sqlOrderBy(Seq("l_returnflag"))}""".stripMargin
 
+  /** Two-scan EXACT quantiles via a coarse histogram sketch — the
+    * 100 TB answer to [[percentileDisc]]'s documented degenerate case
+    * (near-continuous values make the value-level collapse as big as
+    * the data, and the honest one-pass exact answer then needs a
+    * per-group sort). Same guarantee discipline as
+    * `text_heavy_guaranteed`: a bounded first pass NARROWS, an exact
+    * second pass ANSWERS, and the result is oracle-checkable — no
+    * approximation leaves the plan.
+    *
+    * Scan 1 groups values into fixed 2^16-cent buckets — the shuffle
+    * carries |groups|×|buckets| counts (thousands of rows regardless
+    * of N) — and a per-group cumulative window locates, for each
+    * target rank k = ⌈p·n/100⌉ (integer-exact: (n·p+99) div 100, the
+    * winsorized-mean lesson — decimal 0.9 in DuckDB vs double 0.9 in
+    * Spark can ceil across a rank boundary), the ONE bucket containing
+    * the k-th order statistic and the residual rank inside it. Scan 2
+    * re-reads only rows landing in target buckets (≈ n/|buckets| rows
+    * per group-quantile — the broadcast target table prunes at the
+    * scan), ranks them in bucket-sized windows, and picks the residual
+    * rank. No global sort, no value-level collapse, both exchanges
+    * metadata-sized; ties are harmless (the k-th smallest VALUE is
+    * well-defined under any tiebreak).
+    *
+    * The oracle is deliberately the opposite formulation — one global
+    * per-group row_number over all values joined against the rank
+    * table — so the engines cross-check the order statistic itself,
+    * not each other's bucketing. */
+  def quantileTwoScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bucketW = 1L << 16
+    val vals = Tables(spark, dir, "lineitem")
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("bigint").as("v"))
+      .withColumn("b", ($"v" / bucketW).cast("long"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"b")
+    val wN = Window.partitionBy($"l_returnflag")
+    val qs = Seq(50, 90, 99).toDF("p")
+    val targets = vals.groupBy($"l_returnflag", $"b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wN))
+      .crossJoin(broadcast(qs))
+      .withColumn("rank", expr("(n * CAST(p AS BIGINT) + 99) DIV 100"))
+      .filter($"cum" >= $"rank" && $"cum" - $"c" < $"rank")
+      .select($"l_returnflag", $"p", $"b",
+        ($"rank" - ($"cum" - $"c")).as("rk_in_bucket"))
+    val wPick = Window.partitionBy($"l_returnflag", $"p").orderBy($"v")
+    vals.join(broadcast(targets), Seq("l_returnflag", "b"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter($"rn" === $"rk_in_bucket")
+      .select($"l_returnflag", $"p", $"v".as("quantile_cents"))
+      .orderBy($"l_returnflag", $"p")
+  }
+
+  val quantileTwoScanSql: String =
+    s"""WITH vals AS (
+       |  SELECT l_returnflag,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  FROM lineitem
+       |),
+       |n AS (SELECT l_returnflag, COUNT(*) AS n FROM vals GROUP BY 1),
+       |qs AS (SELECT CAST(unnest([50, 90, 99]) AS INTEGER) AS p),
+       |r AS (
+       |  SELECT l_returnflag, v,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn
+       |  FROM vals
+       |),
+       |t AS (
+       |  SELECT l_returnflag, p, (n * p + 99) // 100 AS rank
+       |  FROM n CROSS JOIN qs
+       |)
+       |SELECT * FROM (
+       |  SELECT t.l_returnflag, t.p, r.v AS quantile_cents
+       |  FROM t JOIN r ON r.l_returnflag = t.l_returnflag AND r.rn = t.rank
+       |)
+       |${sqlOrderBy(Seq("l_returnflag", "p")).trim}""".stripMargin
+
   /** ANSI `percentile_cont` in engine-portable form — the INTERPOLATED
     * percentile completing the family ([[percentileDisc]] exact
     * discrete / [[approxPercentile]] sketch): at 0-based fractional
@@ -1084,6 +1162,7 @@ object Aggs {
     "agg_unpivot" -> unpivotNative,
     "agg_hll_merge" -> hllMerge,
     "agg_percentile_disc" -> percentileDisc,
+    "agg_quantile_two_scan" -> quantileTwoScan,
     "agg_percentile_cont" -> percentileCont,
     "agg_approx_percentile" -> approxPercentile,
     "agg_pivot" -> pivotCarriers,
@@ -1113,6 +1192,7 @@ object Aggs {
     "agg_grouping_id" -> groupingIdSql,
     "agg_unpivot" -> unpivotNativeSql,
     "agg_percentile_disc" -> percentileDiscSql,
+    "agg_quantile_two_scan" -> quantileTwoScanSql,
     "agg_percentile_cont" -> percentileContSql,
     "agg_pivot" -> pivotCarriersSql,
     "agg_rollup" -> rollupSql,

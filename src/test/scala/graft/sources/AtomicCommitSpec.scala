@@ -62,6 +62,50 @@ class AtomicCommitSpec extends SparkSpec {
     assert(Incremental.vacuum(outPath).isEmpty) // idempotent
   }
 
+  test("Incremental.compact: coalesces fat partitions atomically, content unchanged") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("atomic_cmp").toFile.getAbsolutePath
+    val srcPath = s"$work/src"
+    val outPath = s"$work/t"
+    // micro-batch-shaped derive: many shuffle partitions → many files
+    // per partition dir (the small-file problem compaction exists for)
+    def derive(src: DataFrame): DataFrame = src.repartition(8)
+    (1 to 64).map(i => (i.toLong, i * 1.5, s"2024-0${1 + i % 3}"))
+      .toDF("id", "v", "ym").write.parquet(srcPath)
+    def src = spark.read.parquet(srcPath)
+    Incremental.refresh(spark, src, "ym", derive, outPath)
+
+    def fileCount(e: Incremental.ManifestEntry) =
+      new java.io.File(s"$outPath/gen=${e.gen}/${e.dir}")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(Incremental.currentEntries(outPath).exists(fileCount(_) > 2),
+      "fixture failed to produce a fat partition")
+    def state() = Incremental.read(spark, outPath)
+      .as[(Long, Double, String)].collect().toSet
+    val old = state()
+
+    // writer death mid-compaction: reader keeps the old snapshot
+    Incremental.crashHook = s => if (s == "after-data") throw boom
+    try intercept[RuntimeException](
+      Incremental.compact(spark, outPath, "ym", maxFiles = 2))
+    finally Incremental.crashHook = _ => ()
+    assert(state() == old, "torn compaction visible")
+
+    // real run: every compacted partition is one file, content identical,
+    // fingerprints carried (so the next refresh sees nothing stale)
+    val compacted = Incremental.compact(spark, outPath, "ym", maxFiles = 2)
+    assert(compacted.nonEmpty)
+    assert(Incremental.currentEntries(outPath).forall(fileCount(_) == 1))
+    assert(state() == old)
+    assert(Incremental.refresh(spark, src, "ym", derive, outPath).isEmpty,
+      "compaction must not re-stale partitions")
+    // superseded many-file dirs + the dead writer's gen are sweepable
+    assert(Incremental.vacuum(outPath).nonEmpty)
+    assert(state() == old)
+    // idempotent: nothing fat remains
+    assert(Incremental.compact(spark, outPath, "ym", maxFiles = 2).isEmpty)
+  }
+
   test("Merge.upsert: writer death mid-commit leaves the old table") {
     import spark.implicits._
     val path = Files.createTempDirectory("atomic_merge")

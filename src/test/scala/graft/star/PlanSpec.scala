@@ -272,4 +272,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+  test("two-scan quantile: broadcast bucket pruning, no data-sized sort") {
+    // the target-bucket table must BROADCAST to scan 2 (pruning rows at
+    // the probe), the histogram must partial-aggregate below its
+    // exchange, and the only range-partitioned (global) sort allowed is
+    // the 9-row presentation ORDER BY — a second one would mean the
+    // operator degenerated to the sort-the-data form it exists to avoid
+    val p = plan("agg_quantile_two_scan")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("rangepartitioning".r.findAllIn(p).length <= 1, p)
+  }
 }
