@@ -848,6 +848,121 @@ object Similarity {
        |FROM r WHERE rk <= 3
        |ORDER BY q_id NULLS FIRST, rk NULLS FIRST""".stripMargin
 
+  /** IVF index build with K SCALED TO N — the structural fix the ×25
+    * rehearsal prescribes (SCALE.md: within-cell work is Σ|cell|² =
+    * N²/K at fixed K, so K must grow with N to keep cells bounded;
+    * here K = max(2, ⌈N/250⌉), making Σ|cell|² ≈ 250·N — linear).
+    * The whole build is deterministic and oracle-checked:
+    *
+    *  1. seeds — one per hash bucket (vec_id-hash mod K), each bucket's
+    *     minimum-hash vector: a single partial-agg'd groupBy + a
+    *     rank-1 window (WindowGroupLimit — per-partition heaps), never
+    *     a global sort, and data-order-independent;
+    *  2. one Lloyd iteration — assign to nearest seed (decimal-exact
+    *     squared distances, ties to the smallest cell id), recompute
+    *     centroids as decimal-exact element means;
+    *  3. final assignment histogram (cell → vector count) plus the
+    *     broadcast facts (n, k) the cell-bound claim reads off.
+    *
+    * Scale posture: both assignment passes are |N|×K broadcast scans
+    * (centroid tables are K rows — tiny by construction); the seed
+    * pick and the centroid update are single partial-agg exchanges.
+    * At 100 TB this plan IS the re-cluster step the knn/IVF operators
+    * assume runs whenever cells outgrow their bound. */
+  def ivfAutoK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val facts = emb.agg(count(lit(1)).as("n"))
+      .withColumn("k", greatest(lit(2L), ceil($"n" / 250.0).cast("long")))
+    val hashed = emb.crossJoin(broadcast(facts))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(cast(vec_id AS STRING) as binary)), 1, 8), 16, 10) as bigint)"))
+      .withColumn("bucket", $"h" % $"k")
+    val seeds = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bucket").orderBy($"h", $"vec_id")))
+      .filter($"rn" === 1)
+      .select($"vec_id".as("cell"), $"embedding".as("centroid"))
+    def assign(cent: DataFrame): DataFrame = {
+      val dist = emb.select($"vec_id", $"embedding").crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "cell",
+          s"""(${dotSpark("embedding", "embedding")}
+             | - 2 * ${dotSpark("embedding", "centroid")}
+             | + ${dotSpark("centroid", "centroid")}) AS d""".stripMargin
+            .replace("\n", ""))
+      val best = dist.groupBy($"vec_id").agg(min($"d").as("min_d"))
+      dist.join(best, "vec_id").filter($"d" === $"min_d")
+        .groupBy($"vec_id").agg(min($"cell").as("cell"))
+    }
+    val cent1 = assign(seeds)
+      .join(emb, "vec_id")
+      .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"cell", $"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
+      .groupBy($"cell")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+    assign(cent1)
+      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(facts))
+      .select($"cell", $"n_vectors", $"n".as("n_total"), $"k")
+      .orderBy($"cell")
+  }
+
+  val ivfAutoKSql: String = {
+    def dd(x: String, y: String) = dotDuck(x, y)
+    def assignCte(name: String, cent: String): String =
+      s"""${name}_d AS (
+         |  SELECT e.vec_id, c.cell,
+         |    (${dd("e.embedding", "e.embedding")}
+         |     - 2 * ${dd("e.embedding", "c.centroid")}
+         |     + ${dd("c.centroid", "c.centroid")}) AS d
+         |  FROM embeddings e, $cent c
+         |),
+         |${name}_b AS (SELECT vec_id, MIN(d) AS min_d FROM ${name}_d GROUP BY vec_id),
+         |$name AS (
+         |  SELECT d.vec_id, MIN(d.cell) AS cell
+         |  FROM ${name}_d d JOIN ${name}_b b
+         |    ON d.vec_id = b.vec_id AND d.d = b.min_d
+         |  GROUP BY d.vec_id
+         |)""".stripMargin
+    s"""WITH facts AS (
+       |  SELECT COUNT(*) AS n,
+       |    greatest(2, CAST(ceil(COUNT(*) / 250.0) AS BIGINT)) AS k
+       |  FROM embeddings
+       |),
+       |hashed AS (
+       |  SELECT vec_id, embedding,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % (SELECT k FROM facts) AS bucket
+       |  FROM embeddings
+       |),
+       |seeds AS (
+       |  SELECT vec_id AS cell, embedding AS centroid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bucket
+       |      ORDER BY h, vec_id) AS rn
+       |    FROM hashed) WHERE rn = 1
+       |),
+       |${assignCte("a1", "seeds")},
+       |cent1_0 AS (
+       |  SELECT a1.cell, i,
+       |    CAST(CAST(SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 / COUNT(*) AS c
+       |  FROM a1 JOIN embeddings e ON e.vec_id = a1.vec_id, range(1, 65) t(i)
+       |  GROUP BY a1.cell, i
+       |),
+       |cent1 AS (SELECT cell, list(c ORDER BY i) AS centroid
+       |          FROM cent1_0 GROUP BY cell),
+       |${assignCte("a2", "cent1")}
+       |SELECT a2.cell, COUNT(*) AS n_vectors,
+       |  (SELECT n FROM facts) AS n_total, (SELECT k FROM facts) AS k
+       |FROM a2 GROUP BY a2.cell
+       |${sqlOrderBy(Seq("cell")).trim}""".stripMargin
+  }
+
   /** Matryoshka truncation audit: how much nearest-neighbour quality a
     * 16-dim PREFIX of the 64-dim embedding loses — the eval that decides
     * whether truncated (MRL-style) vectors can serve first-stage
@@ -1054,6 +1169,7 @@ object Similarity {
     "embed_knn_graph" -> knnGraph,
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
+    "embed_ivf_autok" -> ivfAutoK,
     "embed_cosine_topk" -> cosineTopk,
     "embed_ivf_topk" -> ivfTopk,
     "embed_neardup_pairs" -> neardupPairs,
@@ -1072,6 +1188,7 @@ object Similarity {
     "embed_knn_graph" -> knnGraphSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
+    "embed_ivf_autok" -> ivfAutoKSql,
     "embed_cosine_topk" -> cosineTopkSql,
     "embed_ivf_topk" -> ivfTopkSql,
     "embed_neardup_pairs" -> neardupPairsSql,

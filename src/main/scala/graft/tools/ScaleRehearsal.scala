@@ -106,6 +106,15 @@ object ScaleRehearsal {
     val csq = cells.agg(sum($"count" * $"count")).head.getLong(0)
     println(f"IVF Σ|cell|²=$csq vs corpus²=${nVecs * nVecs}")
     stage("embed_ivf_topk")(graft.llm.Similarity.ivfTopk(spark, dir))
+    stage("embed_ivf_autok")(graft.llm.Similarity.ivfAutoK(spark, dir))
+    // the K∝N claim: auto-K cells keep Σ|cell|² ≈ 250·N (linear) while
+    // the fixed-K label cells above grow as N²/K
+    val autok = graft.llm.Similarity.ivfAutoK(spark, dir).cache()
+    val aSq = autok.agg(sum($"n_vectors" * $"n_vectors")).head.getLong(0)
+    val aMax = autok.agg(max($"n_vectors")).head.getLong(0)
+    val aK = autok.select("k").head.getLong(0)
+    println(s"auto-K: K=$aK Σ|cell|²=$aSq max|cell|=$aMax " +
+      s"(fixed-K Σ|cell|²=$csq, 250·N=${250 * nVecs})")
     stage("embed_knn_graph")(graft.llm.Similarity.knnGraph(spark, dir))
     spark.stop()
   }
