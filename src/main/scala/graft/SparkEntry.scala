@@ -21,6 +21,7 @@ object SparkEntry {
       pipeline.SilverJson.queries ++
       sources.AvroBronze.queries ++
       sources.CsvBronze.queries ++
+      sources.XmlBronze.queries ++
       sources.JsonLake.queries ++
       sources.OrcLake.queries ++
       sources.v2.Synth.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       pipeline.SilverJson.oracles ++
       sources.AvroBronze.oracles ++
       sources.CsvBronze.oracles ++
+      sources.XmlBronze.oracles ++
       sources.JsonLake.oracles ++
       sources.OrcLake.oracles ++
       sources.v2.Synth.oracles ++

@@ -871,6 +871,22 @@ object Similarity {
     * assume runs whenever cells outgrow their bound. */
   def ivfAutoK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val facts = emb.agg(count(lit(1)).as("n"))
+      .withColumn("k", greatest(lit(2L), ceil($"n" / 250.0).cast("long")))
+    autoKAssign(spark, dir)
+      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(facts))
+      .select($"cell", $"n_vectors", $"n".as("n_total"), $"k")
+      .orderBy($"cell")
+  }
+
+  /** The K∝N cell assignment [[ivfAutoK]] histograms: (vec_id, cell)
+    * after seeds + one Lloyd iteration. Factored out so composites
+    * ([[knnGraphAutoK]]) can bucket by the SAME deterministic cells the
+    * auto-K build certifies as size-bounded. */
+  def autoKAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     graft.functions.DecimalDot.register(spark)
     val emb = Tables(spark, dir, "embeddings")
     val facts = emb.agg(count(lit(1)).as("n"))
@@ -905,13 +921,11 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
         .as("centroid"))
     assign(cent1)
-      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
-      .crossJoin(broadcast(facts))
-      .select($"cell", $"n_vectors", $"n".as("n_total"), $"k")
-      .orderBy($"cell")
   }
 
-  val ivfAutoKSql: String = {
+  /** CTE prelude shared by [[ivfAutoKSql]] and [[knnGraphAutoKSql]]:
+    * everything through the final assignment `a2 (vec_id, cell)`. */
+  private val autoKCtes: String = {
     def dd(x: String, y: String) = dotDuck(x, y)
     def assignCte(name: String, cent: String): String =
       s"""${name}_d AS (
@@ -928,7 +942,7 @@ object Similarity {
          |    ON d.vec_id = b.vec_id AND d.d = b.min_d
          |  GROUP BY d.vec_id
          |)""".stripMargin
-    s"""WITH facts AS (
+    s"""facts AS (
        |  SELECT COUNT(*) AS n,
        |    greatest(2, CAST(ceil(COUNT(*) / 250.0) AS BIGINT)) AS k
        |  FROM embeddings
@@ -956,12 +970,84 @@ object Similarity {
        |),
        |cent1 AS (SELECT cell, list(c ORDER BY i) AS centroid
        |          FROM cent1_0 GROUP BY cell),
-       |${assignCte("a2", "cent1")}
+       |${assignCte("a2", "cent1")}""".stripMargin
+  }
+
+  val ivfAutoKSql: String =
+    s"""WITH $autoKCtes
        |SELECT a2.cell, COUNT(*) AS n_vectors,
        |  (SELECT n FROM facts) AS n_total, (SELECT k FROM facts) AS k
        |FROM a2 GROUP BY a2.cell
        |${sqlOrderBy(Seq("cell")).trim}""".stripMargin
+
+  /** k-NN graph bucketed by the AUTO-K IVF CELLS — the composition the
+    * scale story ends on: [[knnGraph]] buckets by the static `label`
+    * (Σ|bucket|² grows quadratically at fixed bucket count — the ×25
+    * rehearsal's one superlinear stage), while this variant buckets by
+    * [[autoKAssign]]'s K∝N cells, whose Σ|cell|² ≈ 250·N is measured
+    * LINEAR (SCALE.md). Same two-phase skinny ranking as [[knnGraph]]:
+    * phase 1 ranks (v1, v2, double-cosine) rows only — vectors dropped
+    * before the in-partition sort — keeping ≤8 per vector plus the
+    * 1e-9 band around the 3rd-ranked cosine (|double − exact| ≲ 1e-12
+    * relative, so every pair the exact cut could admit survives);
+    * phase 2 re-joins embeddings for survivors and rescores with the
+    * decimal-exact dot, so output is bit-identical to a single-phase
+    * exact form. At 100 TB the assignment is the materialized IVF index
+    * (maintained partition-incrementally, see `sources/Incremental`),
+    * not recomputed per query as in this self-contained oracle form. */
+  def knnGraphAutoK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    graft.functions.DoubleDot.register(spark)
+    val raw = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val emb = raw.join(autoKAssign(spark, dir), "vec_id")
+    val a = emb.select($"vec_id".as("v1"), $"cell", $"embedding".as("e1"),
+      $"nrm".as("n1"))
+    val b = emb.select($"vec_id".as("v2"), $"cell".as("cell_b"),
+      $"embedding".as("e2"), $"nrm".as("n2"))
+    val byV1 = Window.partitionBy($"cell", $"v1")
+    val pairsD = a.join(b, $"cell" === $"cell_b" && $"v1" =!= $"v2")
+      .selectExpr("v1", "cell", "v2",
+        "(double_dot(e1, e2) / sqrt(n1 * n2)) AS cos_d")
+      .withColumn("rd", row_number().over(byV1.orderBy($"cos_d".desc, $"v2")))
+      .withColumn("third", max(when($"rd" === 3, $"cos_d")).over(byV1))
+      .filter($"rd" <= 8 || $"third".isNull ||
+        $"cos_d" >= $"third" - lit(1e-9))
+      .select($"v1", $"cell", $"v2")
+    pairsD
+      .join(raw.select($"vec_id", $"embedding".as("e1"), $"nrm".as("n1")),
+        $"v1" === $"vec_id").drop("vec_id")
+      .join(raw.select($"vec_id", $"embedding".as("e2"), $"nrm".as("n2")),
+        $"v2" === $"vec_id").drop("vec_id")
+      .selectExpr("v1", "cell", "v2",
+        s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"v1").orderBy($"cosine".desc, $"v2")))
+      .filter($"rank" <= 3)
+      .select($"v1", $"rank", $"v2", $"cell", $"cosine")
+      .orderBy($"v1", $"rank")
   }
+
+  val knnGraphAutoKSql: String =
+    s"""WITH $autoKCtes,
+       |e AS (
+       |  SELECT emb.vec_id, a2.cell, emb.embedding,
+       |    ${dotDuck("emb.embedding", "emb.embedding")} AS nrm
+       |  FROM embeddings emb JOIN a2 ON emb.vec_id = a2.vec_id
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, a.cell, b.vec_id AS v2,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm)) AS cosine
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |)
+       |SELECT v1, CAST(rank AS INTEGER) AS rank, v2, cell, cosine FROM (
+       |  SELECT p.*, row_number() OVER (PARTITION BY v1
+       |    ORDER BY cosine DESC, v2) AS rank
+       |  FROM p
+       |) WHERE rank <= 3
+       |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
 
   /** Matryoshka truncation audit: how much nearest-neighbour quality a
     * 16-dim PREFIX of the 64-dim embedding loses — the eval that decides
@@ -1167,6 +1253,7 @@ object Similarity {
     "embed_dim_stats" -> dimStats,
     "embed_ivf_recall" -> ivfRecall,
     "embed_knn_graph" -> knnGraph,
+    "embed_knn_graph_autok" -> knnGraphAutoK,
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
     "embed_ivf_autok" -> ivfAutoK,
@@ -1186,6 +1273,7 @@ object Similarity {
     "embed_dim_stats" -> dimStatsSql,
     "embed_ivf_recall" -> ivfRecallSql,
     "embed_knn_graph" -> knnGraphSql,
+    "embed_knn_graph_autok" -> knnGraphAutoKSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
     "embed_ivf_autok" -> ivfAutoKSql,

@@ -116,6 +116,9 @@ object ScaleRehearsal {
     println(s"auto-K: K=$aK Σ|cell|²=$aSq max|cell|=$aMax " +
       s"(fixed-K Σ|cell|²=$csq, 250·N=${250 * nVecs})")
     stage("embed_knn_graph")(graft.llm.Similarity.knnGraph(spark, dir))
+    // the composition the scale story ends on: same k-NN output contract,
+    // bucketed by the K∝N cells instead of the fixed label buckets
+    stage("embed_knn_graph_autok")(graft.llm.Similarity.knnGraphAutoK(spark, dir))
     spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import graft.SparkSpec
+import graft.pipeline.FlightPipeline
+
+/** XML ingestion boundary (Spark 4 native XML datasource): the
+  * encode→decode loop over multi-file XML reproduces the typed silver
+  * fixture BIT-EXACTLY (shortest-round-trip double text + correctly
+  * rounded parse — lossless by construction). */
+class XmlBronzeSpec extends SparkSpec {
+
+  test("XML round trip: row count, schema types, bit-exact value parity") {
+    val out = XmlBronze.silverXml(spark, sf0001)
+    val src = FlightPipeline.silver(spark, sf0001)
+    assert(out.count() == src.count())
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("year") == IntegerType && types("month") == IntegerType)
+    assert(types("carrier") == StringType && types("airport_name") == StringType)
+    assert(types("arr_delay") == DoubleType && types("carrier_delay") == DoubleType)
+    assert(out.exceptAll(src).count() == 0)
+    assert(src.exceptAll(out).count() == 0)
+  }
+
+  test("XML scan uses the explicit schema (no inference) over 4 files") {
+    val root = XmlBronze.writeXml(spark, sf0001)
+    val df = XmlBronze.readXml(spark, root)
+    assert(df.schema == XmlBronze.readSchema)
+    val files = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(files.size == 4, s"expected 4 xml part files, got ${files.size}")
+  }
+}
