@@ -240,6 +240,18 @@ object Dedup {
     * sum of squared shingle frequencies. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    pairOverlap(spark, dir)
+      .select($"d1", $"d2", $"est_jaccard", $"n_common",
+        ($"n_common" / ($"n_sh1" + $"n_sh2" - $"n_common").cast("double"))
+          .as("exact_jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Shared overlap frame for [[ngramJaccard]] and [[containmentPairs]]:
+    * candidate pairs with exact shingle intersection size and both
+    * docs' shingle counts. */
+  private def pairOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // NOT cached despite 3 consumers (both join sides + counts):
     // measured no win at sf0.1 (the join tree dominates), and pinning a
     // |docs x shingles|-sized intermediate is exactly what you can't
@@ -269,14 +281,31 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_sh1"), "d1")
       .join(counts.withColumnRenamed("doc_id", "d2")
         .withColumnRenamed("n_sh", "n_sh2"), "d2")
-      .select($"d1", $"d2", $"est_jaccard", $"n_common",
-        ($"n_common" / ($"n_sh1" + $"n_sh2" - $"n_common").cast("double"))
-          .as("exact_jaccard"))
+      .select($"d1", $"d2", $"est_jaccard", $"n_common", $"n_sh1", $"n_sh2")
+  }
+
+  /** Exact n-gram CONTAINMENT for the LSH candidate pairs: |A∩B| over
+    * min(|A|,|B|) — the asymmetric companion to [[ngramJaccard]] that
+    * catches quote-inclusion and superset duplication (a page embedding
+    * a full copy of a shorter page scores near 1.0 here while its
+    * Jaccard is diluted by the extra content). Standard second verifier
+    * in web-corpus dedup funnels. Same candidate-driven cost shape as
+    * the Jaccard stage — the pair frame is LSH-bounded, never all-pairs. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pairOverlap(spark, dir)
+      .select($"d1", $"d2", $"n_common",
+        least($"n_sh1", $"n_sh2").as("n_min"),
+        ($"n_common" / least($"n_sh1", $"n_sh2").cast("double"))
+          .as("containment"))
+      .withColumn("is_superdup", $"containment" >= 0.9)
       .orderBy($"d1", $"d2")
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH $sigSqlCte,
+  /** CTE body shared by [[ngramJaccardSql]] and [[containmentPairsSql]]:
+    * candidate pairs, per-doc shingle counts, intersection sizes. */
+  private val pairOverlapCtes: String =
+    s"""$sigSqlCte,
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
        |    (CAST(a.sig0 = b.sig0 AS INTEGER) + CAST(a.sig1 = b.sig1 AS INTEGER)
@@ -298,11 +327,29 @@ object Dedup {
        |  JOIN docsh a ON a.doc_id = p.d1
        |  JOIN docsh b ON b.doc_id = p.d2 AND b.shingle = a.shingle
        |  GROUP BY p.d1, p.d2
-       |)
+       |)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $pairOverlapCtes
        |SELECT p.d1, p.d2, p.est_jaccard,
        |  COALESCE(i.n_common, 0) AS n_common,
        |  COALESCE(i.n_common, 0)
        |    / CAST(c1.n_sh + c2.n_sh - COALESCE(i.n_common, 0) AS DOUBLE) AS exact_jaccard
+       |FROM pairs p
+       |LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
+       |JOIN cnt c1 ON c1.doc_id = p.d1
+       |JOIN cnt c2 ON c2.doc_id = p.d2
+       |ORDER BY p.d1 NULLS FIRST, p.d2 NULLS FIRST""".stripMargin
+
+  val containmentPairsSql: String =
+    s"""WITH $pairOverlapCtes
+       |SELECT p.d1, p.d2,
+       |  COALESCE(i.n_common, 0) AS n_common,
+       |  least(c1.n_sh, c2.n_sh) AS n_min,
+       |  COALESCE(i.n_common, 0)
+       |    / CAST(least(c1.n_sh, c2.n_sh) AS DOUBLE) AS containment,
+       |  COALESCE(i.n_common, 0)
+       |    / CAST(least(c1.n_sh, c2.n_sh) AS DOUBLE) >= 0.9 AS is_superdup
        |FROM pairs p
        |LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
        |JOIN cnt c1 ON c1.doc_id = p.d1
@@ -685,6 +732,7 @@ object Dedup {
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_neardup_pairs" -> neardupPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_containment" -> containmentPairs,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs)
 
@@ -699,6 +747,7 @@ object Dedup {
     "dedup_minhash_sig" -> minhashSqlQuery,
     "dedup_neardup_pairs" -> neardupPairsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" -> containmentPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql)
 }

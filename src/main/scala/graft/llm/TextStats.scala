@@ -283,6 +283,85 @@ object TextStats {
        |  COUNT(*) AS n_windows
        |FROM w GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Winnowing fingerprint profile (the MOSS scheme: Schleimer/Wilkerson/
+    * Aiken, SIGMOD'03): hash every 8-char gram, slide a w=4 window over
+    * the gram sequence, select each window's RIGHTMOST-minimal hash,
+    * dedup selections — the guarantee is every shared substring of
+    * length ≥ w+k−1 contributes a shared fingerprint, with selection
+    * density ~2/(w+1). Emitted as a per-doc profile (gram count,
+    * selected-fingerprint count, density, min/max selected hash) that
+    * is uniquely determined by the selected set, so the oracle gates
+    * the whole selection logic. Rightmost-minimal tie-break is encoded
+    * portably as min over the string key `hash ∥ (10^7 − pos)` —
+    * lexicographic min = (hash asc, pos desc), no engine-specific
+    * arg-min tie rules.
+    *
+    * Scale posture: grams explode map-side and collapse through the
+    * per-doc windows (documents are bounded, so a per-doc window sort
+    * is a few-KB in-partition sort — never corpus-global); the distinct
+    * and final agg carry one row per SELECTED fingerprint (~2n/(w+1)),
+    * not per gram. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables(spark, dir, "documents")
+      .select($"doc_id",
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("pos"),
+        $"text")
+      .select($"doc_id", $"pos",
+        concat(md5(expr("substr(text, pos, 8)")),
+          lpad((lit(10000000) - $"pos").cast("string"), 8, "0")).as("key"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
+    val sel = grams
+      .withColumn("selkey", min($"key").over(w))
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"pos" <= greatest($"n_grams" - 3, lit(1)))
+      .select($"doc_id", $"n_grams",
+        expr("substr(selkey, 1, 32)").as("fp"),
+        (lit(10000000) - expr("CAST(substr(selkey, 33, 8) AS BIGINT)"))
+          .as("sel_pos"))
+      .distinct()
+    sel.groupBy($"doc_id", $"n_grams")
+      .agg(count(lit(1)).as("n_fp"),
+        min($"fp").as("fp_min"), max($"fp").as("fp_max"))
+      .select($"doc_id", $"n_grams", $"n_fp",
+        ($"n_fp".cast("double") / $"n_grams".cast("double")).as("density"),
+        $"fp_min", $"fp_max")
+      .orderBy($"doc_id")
+  }
+
+  val winnowingSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS pos,
+       |    text
+       |  FROM documents
+       |),
+       |k AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    md5(substr(text, CAST(pos AS INTEGER), 8))
+       |      || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0') AS key
+       |  FROM g
+       |),
+       |wsel AS (
+       |  SELECT doc_id, pos,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
+       |  FROM k
+       |),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, n_grams,
+       |    substr(selkey, 1, 32) AS fp,
+       |    10000000 - CAST(substr(selkey, 33, 8) AS BIGINT) AS sel_pos
+       |  FROM wsel
+       |  WHERE pos <= greatest(n_grams - 3, 1)
+       |)
+       |SELECT doc_id, n_grams, COUNT(*) AS n_fp,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS density,
+       |  MIN(fp) AS fp_min, MAX(fp) AS fp_max
+       |FROM sel GROUP BY doc_id, n_grams${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   /** Corpus normalization (the Common-Crawl-style cleaning pass):
     * strip non-alphanumerics, collapse whitespace runs, trim — emitted
     * as before/after size metrics plus an md5 of the normalized form
@@ -1035,6 +1114,7 @@ object TextStats {
     "text_heavy_hitters" -> heavyHitters,
     "text_heavy_guaranteed" -> heavyGuaranteed,
     "text_fingerprint" -> fingerprint,
+    "text_winnowing" -> winnowing,
     "text_tfidf" -> tfidf,
     "corpus_prep" -> corpusPrep)
 
@@ -1056,6 +1136,7 @@ object TextStats {
     "text_word_topk" -> wordTopkSql,
     "text_heavy_guaranteed" -> heavyGuaranteedSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_winnowing" -> winnowingSql,
     "text_tfidf" -> tfidfSql,
     "corpus_prep" -> corpusPrepSql)
 }

@@ -106,6 +106,24 @@ object XmlBronze {
     s"""WITH ${FlightPipeline.silverSql}
        |SELECT * FROM silver${sqlOrderBy(FlightPipeline.silverCols)}""".stripMargin
 
+  /** Streaming twin of the XML ingest boundary: `readStream` over the
+    * watched directory with the SAME explicit schema + rowTag and the
+    * same cast chain — "XML files land, typed rows appear". The
+    * transform is byte-for-byte the batch one, so batch and stream
+    * cannot drift (asserted in XmlBronzeSpec). */
+  def silverXmlStream(spark: SparkSession, root: String): DataFrame = {
+    val typed = spark.readStream
+      .format("xml")
+      .option("rowTag", "flight")
+      .schema(readSchema)
+      .load(root)
+      .withColumn("year", col("year").cast("int"))
+      .withColumn("month", col("month").cast("int"))
+    metricCols.foldLeft(typed)((df, c) =>
+      df.withColumn(c, col(c).cast("double")))
+      .select(FlightPipeline.silverCols.map(col): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "silver_xml_ingest" -> silverXml)
 

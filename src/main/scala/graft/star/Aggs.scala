@@ -1062,6 +1062,77 @@ object Aggs {
        |  COUNT(*) AS n_cells
        |FROM scored""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov drift report: for every document
+    * source, the KS statistic of its length (n_chars) distribution
+    * against the whole corpus — the per-source drift monitor a data
+    * pipeline alarms on when one feed starts emitting truncated or
+    * concatenated pages. D = max over jump points |F_src − F_corpus| is
+    * computed EXACTLY as an integer numerator max |scum·n − ccum·n_s|
+    * over the global value grid (counts are integers, so the only IEEE
+    * op is the final division) — no float ECDF comparisons whose ties
+    * could break differently per engine.
+    *
+    * Scale posture: the grid is |distinct n_chars| rows (bounded by the
+    * value domain, not the corpus); the dense source×grid frame is
+    * |sources|·|grid| — both windows run over that pre-aggregated frame,
+    * never raw rows. At 100 TB the exact grid becomes an ε-grid from a
+    * mergeable quantile sketch (same max-over-grid form, D known to ±ε);
+    * the integer products cap at n·n_s, so the numerator moves to
+    * DECIMAL(38,0) past ~3·10⁹ rows — shapes unchanged. */
+  def statKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, dir, "documents").select($"source", $"n_chars".as("x"))
+    val tot = v.agg(count(lit(1)).as("n"))
+    val grid = v.groupBy($"x").agg(count(lit(1)).as("cnt"))
+      .withColumn("ccum", sum($"cnt").over(
+        Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"x", $"ccum")
+    val st = v.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val sc = v.groupBy($"source", $"x").agg(count(lit(1)).as("scnt"))
+    val dense = st.select($"source").crossJoin(grid)
+      .join(sc, Seq("source", "x"), "left").na.fill(0L, Seq("scnt"))
+      .withColumn("scum", sum($"scnt").over(
+        Window.partitionBy($"source").orderBy($"x")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    dense.join(st, "source").crossJoin(broadcast(tot))
+      .select($"source", $"ns", $"n",
+        abs($"scum" * $"n" - $"ccum" * $"ns").as("num"))
+      .groupBy($"source", $"ns", $"n")
+      .agg(max($"num").as("d_num"))
+      .select($"source", $"ns".as("n_source"),
+        ($"d_num".cast("double") / ($"n" * $"ns").cast("double"))
+          .as("ks_stat"))
+      .orderBy($"source")
+  }
+
+  val statKsDriftSql: String =
+    s"""WITH v AS (SELECT source, n_chars AS x FROM documents),
+       |tot AS (SELECT COUNT(*) AS n FROM v),
+       |grid AS (
+       |  SELECT x, CAST(SUM(COUNT(*)) OVER (ORDER BY x) AS BIGINT) AS ccum
+       |  FROM v GROUP BY x
+       |),
+       |st AS (SELECT source, COUNT(*) AS ns FROM v GROUP BY source),
+       |sc AS (SELECT source, x, COUNT(*) AS scnt FROM v GROUP BY source, x),
+       |dense AS (
+       |  SELECT s.source, g.x, g.ccum, COALESCE(sc.scnt, 0) AS scnt
+       |  FROM st s CROSS JOIN grid g
+       |  LEFT JOIN sc ON sc.source = s.source AND sc.x = g.x
+       |),
+       |cum AS (
+       |  SELECT source, x, ccum,
+       |    CAST(SUM(scnt) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS scum
+       |  FROM dense
+       |)
+       |SELECT * FROM (
+       |  SELECT c.source AS source, st.ns AS n_source,
+       |    CAST(MAX(ABS(c.scum * (SELECT n FROM tot) - c.ccum * st.ns)) AS DOUBLE)
+       |      / CAST((SELECT n FROM tot) * st.ns AS DOUBLE) AS ks_stat
+       |  FROM cum c JOIN st ON c.source = st.source
+       |  GROUP BY c.source, st.ns
+       |)${sqlOrderBy(Seq("source"))}""".stripMargin
+
   /** Deterministic MODE: the most frequent l_quantity per return flag,
     * smallest value on frequency ties — stated as count+rank rather
     * than the engines' built-in `mode()` because neither engine
@@ -1147,6 +1218,7 @@ object Aggs {
     "events_dau_wau" -> dauWau,
     "stat_crosstab" -> statCrosstab,
     "stat_chi2" -> statChi2,
+    "stat_ks_drift" -> statKsDrift,
     "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
@@ -1179,6 +1251,7 @@ object Aggs {
     "events_dau_wau" -> dauWauSql,
     "stat_crosstab" -> statCrosstabSql,
     "stat_chi2" -> statChi2Sql,
+    "stat_ks_drift" -> statKsDriftSql,
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,

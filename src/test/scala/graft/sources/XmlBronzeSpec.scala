@@ -23,6 +23,21 @@ class XmlBronzeSpec extends SparkSpec {
     assert(src.exceptAll(out).count() == 0)
   }
 
+  test("streaming XML ingest drains the directory to the same typed rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = XmlBronze.writeXml(spark, sf0001)
+    val q = XmlBronze.silverXmlStream(spark, root)
+      .writeStream.format("memory").queryName("xml_stream_sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    val streamed = spark.table("xml_stream_sink")
+    val batch = XmlBronze.silverXml(spark, sf0001)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("XML scan uses the explicit schema (no inference) over 4 files") {
     val root = XmlBronze.writeXml(spark, sf0001)
     val df = XmlBronze.readXml(spark, root)
