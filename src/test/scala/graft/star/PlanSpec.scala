@@ -283,4 +283,30 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert("rangepartitioning".r.findAllIn(p).length <= 1, p)
   }
+
+  test("auto-K knn graph: cell-bucketed equi pair join, no cartesian") {
+    // the pair stream must come from SortMergeJoin/ShuffledHashJoin on
+    // the cell key; the only BNLJ allowed is the 1-row facts broadcast
+    // inside the assignment build
+    val p = plan("embed_knn_graph_autok")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
+  test("KS drift windows run over the grid frame, never raw documents") {
+    // both cumulative windows must sit ABOVE a HashAggregate (the
+    // value-grid / per-source-cell collapse) — a window whose child
+    // scans documents directly would sort the corpus
+    val p = plan("stat_ks_drift")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p.take(1500))
+    assert(p.substring(winIdx).contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("containment verifier stays candidate-driven equi joins") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
