@@ -753,6 +753,102 @@ object Similarity {
     * decimal CAST, see DecimalDot/embedHistogram): exact integer sums,
     * then a fixed IEEE op sequence. One posexplode (codegen'd) and one
     * partial-agg exchange carrying 64 rows of state. */
+  /** Top principal direction by TWO POWER-ITERATION steps — the
+    * distributed linear-algebra primitive behind embedding whitening,
+    * PCA-based dimensionality reduction, and ABTT-style dominant-
+    * direction removal. No covariance matrix is materialized: each
+    * iteration is the two matvecs s = Xv then v' = Xᵀs, i.e. two
+    * partial-agg'd passes whose exchanged state is 64 values — the
+    * Gram/covariance outer-product NEVER crosses the wire. Start vector
+    * is the deterministic all-ones direction; the first iterate is
+    * unit-normalized so every fixed-point term in the second stays
+    * within BIGINT range. All sums quantize per-term (floor(p·10^s+0.5)
+    * BIGINT) so both engines add identical integers; the only IEEE ops
+    * are per-term products, two norms, and the final divisions — each
+    * a single deterministic operation. Output: the 64 loadings of the
+    * second (normalized) iterate plus ‖Xᵀ(X·u)‖, the Rayleigh-style
+    * dominant-eigenvalue estimate of XᵀX (u unit).
+    *
+    * Scale posture: four linear passes over the exploded (vec, dim)
+    * frame with 64-row aggregation states; iterate vectors broadcast.
+    * At ~10⁹+ rows the second-pass BIGINT headroom (terms ≤ 10^14·s·x)
+    * moves to DECIMAL(38,0) — shape unchanged. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables(spark, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "xf")))
+      .select($"vec_id", $"dim", $"xf".cast("double").as("x"))
+    // iteration 1: v0 = 1 (all dims), s1 = X·v0 = row sums
+    val s1 = x.groupBy($"vec_id")
+      .agg((sum(floor($"x" * 1e9 + 0.5).cast("bigint")).cast("double") / 1e9)
+        .as("s"))
+    val v1 = x.join(s1, "vec_id").groupBy($"dim")
+      .agg((sum(floor($"s" * $"x" * 1e9 + 0.5).cast("bigint"))
+        .cast("double") / 1e9).as("v"))
+    val n1 = v1.agg(sqrt(sum(floor($"v" * $"v" * 1e9 + 0.5).cast("bigint"))
+      .cast("double") / 1e9).as("nrm"))
+    val u = v1.crossJoin(broadcast(n1)).select($"dim", ($"v" / $"nrm").as("u"))
+    // iteration 2 on the unit iterate
+    val s2 = x.join(broadcast(u), "dim").groupBy($"vec_id")
+      .agg((sum(floor($"x" * $"u" * 1e14 + 0.5).cast("bigint"))
+        .cast("double") / 1e14).as("s2"))
+    val v2 = x.join(s2, "vec_id").groupBy($"dim")
+      .agg((sum(floor($"s2" * $"x" * 1e14 + 0.5).cast("bigint"))
+        .cast("double") / 1e14).as("w"))
+    val n2 = v2.agg(sqrt(sum(floor($"w" * $"w" * 1e9 + 0.5).cast("bigint"))
+      .cast("double") / 1e9).as("lambda"))
+    v2.crossJoin(broadcast(n2))
+      .select($"dim", ($"w" / $"lambda").as("loading"),
+        $"lambda".as("eigenvalue_est"))
+      .orderBy($"dim")
+  }
+
+  val pcaPowerSql: String =
+    s"""WITH xv AS (
+       |  SELECT vec_id,
+       |    unnest(list_transform(range(0, 64),
+       |      i -> struct_pack(dim := CAST(i AS INTEGER),
+       |                       x := embedding[i + 1]))) AS t
+       |  FROM embeddings
+       |),
+       |x AS (SELECT vec_id, t.dim AS dim, CAST(t.x AS DOUBLE) AS x FROM xv),
+       |s1 AS (
+       |  SELECT vec_id,
+       |    CAST(CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE) / 1e9 AS s
+       |  FROM x GROUP BY vec_id
+       |),
+       |v1 AS (
+       |  SELECT dim,
+       |    CAST(CAST(SUM(CAST(floor(s1.s * x.x * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE) / 1e9 AS v
+       |  FROM x JOIN s1 ON x.vec_id = s1.vec_id GROUP BY dim
+       |),
+       |n1 AS (
+       |  SELECT sqrt(CAST(CAST(SUM(CAST(floor(v * v * 1e9 + 0.5) AS BIGINT))
+       |    AS BIGINT) AS DOUBLE) / 1e9) AS nrm FROM v1
+       |),
+       |u AS (SELECT dim, v / (SELECT nrm FROM n1) AS u FROM v1),
+       |s2 AS (
+       |  SELECT x.vec_id,
+       |    CAST(CAST(SUM(CAST(floor(x.x * u.u * 1e14 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE) / 1e14 AS s2
+       |  FROM x JOIN u ON x.dim = u.dim GROUP BY x.vec_id
+       |),
+       |v2 AS (
+       |  SELECT dim,
+       |    CAST(CAST(SUM(CAST(floor(s2.s2 * x.x * 1e14 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE) / 1e14 AS w
+       |  FROM x JOIN s2 ON x.vec_id = s2.vec_id GROUP BY dim
+       |),
+       |n2 AS (
+       |  SELECT sqrt(CAST(CAST(SUM(CAST(floor(w * w * 1e9 + 0.5) AS BIGINT))
+       |    AS BIGINT) AS DOUBLE) / 1e9) AS lambda FROM v2
+       |)
+       |SELECT dim, w / (SELECT lambda FROM n2) AS loading,
+       |  (SELECT lambda FROM n2) AS eigenvalue_est
+       |FROM v2${sqlOrderBy(Seq("dim"))}""".stripMargin
+
   def dimStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "embeddings")
@@ -1251,6 +1347,7 @@ object Similarity {
     "embed_batch_topk" -> batchTopk,
     "embed_mrl_regret" -> mrlRegret,
     "embed_dim_stats" -> dimStats,
+    "embed_pca_power" -> pcaPower,
     "embed_ivf_recall" -> ivfRecall,
     "embed_knn_graph" -> knnGraph,
     "embed_knn_graph_autok" -> knnGraphAutoK,
@@ -1271,6 +1368,7 @@ object Similarity {
     "embed_batch_topk" -> batchTopkSql,
     "embed_mrl_regret" -> mrlRegretSql,
     "embed_dim_stats" -> dimStatsSql,
+    "embed_pca_power" -> pcaPowerSql,
     "embed_ivf_recall" -> ivfRecallSql,
     "embed_knn_graph" -> knnGraphSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,

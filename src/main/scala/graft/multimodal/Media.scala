@@ -462,11 +462,114 @@ object Media {
        |FROM frames f JOIN fo USING (frame_fp)
        |GROUP BY media_type${sqlOrderBy(Seq("media_type"))}""".stripMargin
 
+  /** Row of the perceptual-hash stage: 64-bit average-hash split into
+    * two 32-bit halves (a single BIGINT would need the sign bit). */
+  case class MediaPhash(doc_id: Long, width: Int, height: Int,
+    phash_hi: Long, phash_lo: Long)
+
+  /** media_phash: perceptual AVERAGE-HASH over the REAL decoded pixel
+    * buffer — the content-level near-dup signature for image lakes
+    * (resize-robust where `media_dedup`'s byte-exact md5 is not). The
+    * kernel is deliberately transcendental-free (block-mean aHash, not
+    * DCT-pHash, whose cosines would break the cross-engine exactness
+    * rule): decode pixels via `javax.imageio`, integer luma
+    * 299R+587G+114B, 8×8 block partition (block of (x,y) is
+    * (x·8 div w, y·8 div h)), bit b = [block luma-sum crosses the
+    * global mean], compared by INTEGER cross-multiplication
+    * (sum_b·n_total > sum_total·n_b) so no division ever happens.
+    *
+    * The oracle recomputes the expected hash RELATIONALLY from the
+    * fixture generation rule (pixel i of doc = f(doc_id, i) — pure
+    * arithmetic), so the gate proves the whole encode→decode→pixels→
+    * hash loop: a single wrong pixel channel flips luma sums and the
+    * hash. This is the strongest form of the media gates — `media_meta`
+    * proves the codecs agree on HEADERS; this proves them on CONTENT.
+    *
+    * Scale posture: identical to [[decode]] — batched `mapPartitions`
+    * over the binary lake, one row out per image, no shuffle before
+    * the harness order. */
+  def phashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = spark.read.parquet(writeImages(spark, dir)).as[MediaFile]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val sums = Array.ofDim[Long](64)
+          val cnts = Array.ofDim[Long](64)
+          var i = 0
+          while (i < px.length) {
+            val x = i % w; val y = i / w
+            val b = (y * 8 / h) * 8 + (x * 8 / w)
+            val p = px(i) & 0xffffff
+            sums(b) += 299L * ((p >> 16) & 0xff) +
+              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            cnts(b) += 1L
+            i += 1
+          }
+          val totalSum = sums.sum; val totalCnt = cnts.sum
+          var hi = 0L; var lo = 0L
+          var b = 0
+          while (b < 64) {
+            if (sums(b) * totalCnt > totalSum * cnts(b)) {
+              if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+            }
+            b += 1
+          }
+          MediaPhash(m.doc_id, w, h, hi, lo)
+        }
+      }
+    hashed.toDF().orderBy($"doc_id")
+  }
+
+  val phashQuerySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 64 AS h
+       |  FROM documents
+       |),
+       |ix AS (
+       |  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d
+       |),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+       |    (doc_id * 2654435761 + i * 40503) & 16777215 AS p
+       |  FROM ix
+       |),
+       |lum AS (
+       |  SELECT doc_id, w, h, b,
+       |    299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255) + 114 * (p & 255) AS l
+       |  FROM px
+       |),
+       |blocks AS (
+       |  SELECT doc_id, w, h, b, CAST(SUM(l) AS BIGINT) AS sl,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lum GROUP BY doc_id, w, h, b
+       |),
+       |tot AS (
+       |  SELECT doc_id, CAST(SUM(sl) AS BIGINT) AS st,
+       |    CAST(SUM(c) AS BIGINT) AS ct
+       |  FROM blocks GROUP BY doc_id
+       |)
+       |SELECT * FROM (
+       |  SELECT blocks.doc_id AS doc_id, CAST(w AS INTEGER) AS width,
+       |    CAST(h AS INTEGER) AS height,
+       |    CAST(SUM(CASE WHEN b >= 32 AND sl * ct > st * c
+       |      THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+       |    CAST(SUM(CASE WHEN b < 32 AND sl * ct > st * c
+       |      THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS phash_lo
+       |  FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+       |  GROUP BY blocks.doc_id, w, h
+       |)${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_frame_dedup" -> frameDedupQuery,
     "media_sample" -> sampleQuery,
     "media_meta" -> metaQuery,
     "media_frames" -> framesQuery,
+    "media_phash" -> phashQuery,
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +577,6 @@ object Media {
     "media_sample" -> sampleQuerySql,
     "media_meta" -> metaQuerySql,
     "media_frames" -> framesQuerySql,
+    "media_phash" -> phashQuerySql,
     "media_dedup" -> dedupQuerySql)
 }
