@@ -155,6 +155,90 @@ object Dedup {
        |)
        |SELECT * FROM p${sqlOrderBy(Seq("d1", "d2"))}""".stripMargin
 
+  /** One-Permutation-Hashing MinHash (Li/Owen/Zhang, NeurIPS 2012): the
+    * 100 TB cost fix for signature generation. Classic k-hash MinHash
+    * ([[minhashSig]]) computes k salted hashes PER SHINGLE (k× the hash
+    * bandwidth of the scan); OPH hashes each shingle ONCE, partitions
+    * the 48-bit hash space into k=8 buckets by h mod 8, and takes the
+    * min within each bucket — one md5 per shingle regardless of k, the
+    * dominant-cost term at corpus scale. Empty buckets are densified by
+    * circular borrowing from the next non-empty bucket (rotation
+    * densification), keeping the per-bucket collision probability an
+    * unbiased Jaccard estimator. Two 4-bucket LSH band keys are derived
+    * exactly like the classic path, so the downstream band-bucket join
+    * is IDENTICAL plan shape — OPH swaps only the map-side signature
+    * cost.
+    *
+    * Formulation mirrors [[minhashSig]]'s lesson: shingles explode and
+    * every hash is a codegen'd md5 projection (array-lambda HOFs run
+    * interpreted, measured 25× slower); the 8 conditional mins
+    * partial-aggregate map-side, so the shuffle carries one row per doc.
+    * Densification is a bounded coalesce chain on the 8 aggregated
+    * columns — driver-free, branch-free. */
+  def minhashOph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 8
+    val ex = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 3)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+        .as("shingle"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(shingle as binary)), 1, 12), 16, 10) as bigint)"))
+    val mins = (0 until K).map(j => min(when($"h" % K === j, $"h")).as(s"m$j"))
+    val sig = ex.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val dense = (0 until K).map { j =>
+      coalesce((0 until K).map(t => col(s"m${(j + t) % K}")): _*).as(s"oph$j")
+    }
+    sig.select(($"doc_id" +: dense): _*)
+      .withColumn("band_a", md5(concat_ws(":",
+        (0 until 4).map(j => col(s"oph$j")): _*).cast("binary")))
+      .withColumn("band_b", md5(concat_ws(":",
+        (4 until 8).map(j => col(s"oph$j")): _*).cast("binary")))
+      .orderBy($"doc_id")
+  }
+
+  val minhashOphSql: String = {
+    val K = 8
+    val mins = (0 until K)
+      .map(j => s"    MIN(h) FILTER (h % $K = $j) AS m$j").mkString(",\n")
+    val dense = (0 until K).map { j =>
+      val chain = (0 until K).map(t => s"m${(j + t) % K}").mkString(", ")
+      s"    COALESCE($chain) AS oph$j"
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, len(tokens) - 2),
+       |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]) AS shingles
+       |  FROM tok WHERE len(tokens) >= 3
+       |),
+       |exs AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+       |ex AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(sgl), 1, 12) AS BIGINT) AS h
+       |  FROM exs
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM ex GROUP BY doc_id
+       |),
+       |dense AS (
+       |  SELECT doc_id,
+       |$dense
+       |  FROM sig
+       |)
+       |SELECT doc_id, ${(0 until K).map(j => s"oph$j").mkString(", ")},
+       |  md5(concat_ws(':', oph0, oph1, oph2, oph3)) AS band_a,
+       |  md5(concat_ws(':', oph4, oph5, oph6, oph7)) AS band_b
+       |FROM dense${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+  }
+
   /** 16-bit SimHash fingerprint: per-word 32-bit hash (first 8 md5 hex
     * chars), majority vote per bit position. */
   private[llm] def simhashCore(spark: SparkSession, dir: String): DataFrame = {
@@ -730,6 +814,7 @@ object Dedup {
     "text_contamination" -> contamination,
     "dedup_exact" -> exact,
     "dedup_minhash_sig" -> minhashQuery,
+    "dedup_minhash_oph" -> minhashOph,
     "dedup_neardup_pairs" -> neardupPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_containment" -> containmentPairs,
@@ -745,6 +830,7 @@ object Dedup {
     "text_contamination" -> contaminationSql,
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSqlQuery,
+    "dedup_minhash_oph" -> minhashOphSql,
     "dedup_neardup_pairs" -> neardupPairsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentPairsSql,

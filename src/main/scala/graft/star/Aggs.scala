@@ -1133,6 +1133,163 @@ object Aggs {
        |  GROUP BY c.source, st.ns
        |)${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** Per-source Total-Variation + Hellinger drift vs the corpus — the
+    * bounded-metric companions to [[statKsDrift]] (KS sees only the worst
+    * single CDF gap; TVD integrates ALL histogram mass moved, Hellinger
+    * is the f-divergence that downweights bulk and flags tail swings).
+    * Distributions are 100-char length histograms. TVD is EXACT integer
+    * arithmetic until one final division: Σ|scnt·n − cnt·ns| / (2·ns·n).
+    * Hellinger terms (√pₛ−√p_c)² use only correctly-rounded IEEE ops
+    * (divide, sqrt, multiply) so each term is bit-identical cross-engine;
+    * terms are quantized to 1e-9 fixed point and integer-summed (the
+    * chi2 trick) so summation order cannot flip the hash.
+    *
+    * Scale posture: one partial-agg exchange to |sources|×|bins| cells
+    * (bins bounded by the value domain / 100, not the corpus); the dense
+    * source×bin frame is built from broadcast-size per-source and per-bin
+    * totals. At 100 TB the integer TVD numerator caps at n·ns → moves to
+    * DECIMAL(38,0) past ~3·10⁹ docs; shapes unchanged. */
+  def statTvdDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir, "documents")
+      .select($"source", floor($"n_chars" / 100).as("b"))
+    val cb = v.groupBy($"b").agg(count(lit(1)).as("cnt"))
+    val st = v.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val sb = v.groupBy($"source", $"b").agg(count(lit(1)).as("scnt"))
+    val tot = cb.agg(sum($"cnt").as("n"))
+    val dense = st.crossJoin(cb)
+      .join(sb, Seq("source", "b"), "left").na.fill(0L, Seq("scnt"))
+      .crossJoin(broadcast(tot))
+    val ps = $"scnt".cast("double") / $"ns".cast("double")
+    val pc = $"cnt".cast("double") / $"n".cast("double")
+    dense
+      .withColumn("tvd_num", abs($"scnt" * $"n" - $"cnt" * $"ns"))
+      .withColumn("hq", expr(
+        "CAST(floor((sqrt(CAST(scnt AS DOUBLE) / CAST(ns AS DOUBLE))"
+          + " - sqrt(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))"
+          + " * (sqrt(CAST(scnt AS DOUBLE) / CAST(ns AS DOUBLE))"
+          + " - sqrt(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))"
+          + " * 1e9 + 0.5) AS BIGINT)"))
+      .groupBy($"source", $"ns", $"n")
+      .agg(sum($"tvd_num").as("tnum"), sum($"hq").as("hsum"),
+        count(lit(1)).as("n_bins"))
+      .select($"source", $"ns".as("n_source"), $"n_bins",
+        ($"tnum".cast("double") /
+          (lit(2.0) * $"ns".cast("double") * $"n".cast("double"))).as("tvd"),
+        sqrt($"hsum".cast("double") / 2e9).as("hellinger"))
+      .orderBy($"source")
+  }
+
+  val statTvdDriftSql: String =
+    s"""WITH v AS (
+       |  SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS b FROM documents
+       |),
+       |cb AS (SELECT b, COUNT(*) AS cnt FROM v GROUP BY b),
+       |st AS (SELECT source, COUNT(*) AS ns FROM v GROUP BY source),
+       |sb AS (SELECT source, b, COUNT(*) AS scnt FROM v GROUP BY source, b),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cb),
+       |dense AS (
+       |  SELECT st.source, st.ns, cb.b, cb.cnt, tot.n,
+       |    COALESCE(sb.scnt, 0) AS scnt
+       |  FROM st CROSS JOIN cb CROSS JOIN tot
+       |  LEFT JOIN sb ON sb.source = st.source AND sb.b = cb.b
+       |),
+       |scored AS (
+       |  SELECT source, ns, n,
+       |    ABS(scnt * n - cnt * ns) AS tvd_num,
+       |    CAST(floor((sqrt(CAST(scnt AS DOUBLE) / CAST(ns AS DOUBLE))
+       |          - sqrt(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))
+       |        * (sqrt(CAST(scnt AS DOUBLE) / CAST(ns AS DOUBLE))
+       |          - sqrt(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))
+       |        * 1e9 + 0.5) AS BIGINT) AS hq
+       |  FROM dense
+       |)
+       |SELECT source, ns AS n_source, COUNT(*) AS n_bins,
+       |  CAST(CAST(SUM(tvd_num) AS BIGINT) AS DOUBLE)
+       |    / (2.0 * CAST(ns AS DOUBLE) * CAST(n AS DOUBLE)) AS tvd,
+       |  sqrt(CAST(CAST(SUM(hq) AS BIGINT) AS DOUBLE) / 2e9) AS hellinger
+       |FROM scored
+       |GROUP BY source, ns, n${sqlOrderBy(Seq("source"))}""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per source vs the REST of the
+    * corpus over document length — the nonparametric location test that
+    * complements [[statKsDrift]]'s shape test: KS asks "is the
+    * distribution different", U asks "does this feed run systematically
+    * longer/shorter". Midranks over the combined sample are computed on
+    * the value grid as EXACT integers in half-units (mr2 = 2·cum< +
+    * t + 1), so the rank sum is integer until one final /2 — ties get
+    * the textbook midrank treatment with zero float ambiguity. The
+    * normal-approximation z uses the tie-corrected variance
+    * ns·nr·((N+1)·N·(N−1) − Σ(t³−t)) / (12·N·(N−1)); every factor is an
+    * exact <2^53 int→double conversion and the IEEE op sequence is
+    * written identically in both engines, so z is bit-identical.
+    *
+    * Scale posture: the grid is |distinct n_chars| rows; rank sums are
+    * one broadcast-grid join + per-source partial agg — raw rows are
+    * touched exactly once (the value-count pass). At 100 TB the exact
+    * grid becomes an ε-grid from a mergeable quantile sketch and the
+    * integer rank sums move to DECIMAL(38,0) past ~2⁵³ half-ranks. */
+  def statMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, dir, "documents").select($"source", $"n_chars".as("x"))
+    val grid = v.groupBy($"x").agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", coalesce(sum($"cnt").over(
+        Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("mr2", lit(2) * $"cumb" + $"cnt" + 1)
+    val tot = grid.agg(sum($"cnt").as("n"),
+      sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tsum"))
+    val sc = v.groupBy($"source", $"x").agg(count(lit(1)).as("scnt"))
+    val r2 = sc.join(grid.select($"x", $"mr2"), "x")
+      .groupBy($"source")
+      .agg(sum($"scnt" * $"mr2").as("r2"), sum($"scnt").as("ns"))
+    val nr = $"n" - $"ns"
+    val u = $"r2".cast("double") / 2.0 -
+      ($"ns" * ($"ns" + 1)).cast("double") / 2.0
+    val meanU = ($"ns" * nr).cast("double") / 2.0
+    val grand = ($"n" + 1).cast("double") * $"n".cast("double") *
+      ($"n" - 1).cast("double")
+    val varU = $"ns".cast("double") * nr.cast("double") *
+      (grand - $"tsum".cast("double")) /
+      (lit(12.0) * $"n".cast("double") * ($"n" - 1).cast("double"))
+    r2.crossJoin(broadcast(tot))
+      .select($"source", $"ns".as("n_source"), u.as("u_stat"),
+        ((u - meanU) / sqrt(varU)).as("z_score"))
+      .orderBy($"source")
+  }
+
+  val statMannWhitneySql: String =
+    s"""WITH v AS (SELECT source, n_chars AS x FROM documents),
+       |grid0 AS (SELECT x, COUNT(*) AS cnt FROM v GROUP BY x),
+       |grid AS (
+       |  SELECT x, cnt,
+       |    2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + cnt + 1 AS mr2
+       |  FROM grid0
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+       |  FROM grid
+       |),
+       |sc AS (SELECT source, x, COUNT(*) AS scnt FROM v GROUP BY source, x),
+       |r2 AS (
+       |  SELECT source, CAST(SUM(scnt * mr2) AS BIGINT) AS r2,
+       |    CAST(SUM(scnt) AS BIGINT) AS ns
+       |  FROM sc JOIN grid ON sc.x = grid.x GROUP BY source
+       |)
+       |SELECT source, ns AS n_source,
+       |  CAST(r2 AS DOUBLE) / 2.0 - CAST(ns * (ns + 1) AS DOUBLE) / 2.0 AS u_stat,
+       |  (CAST(r2 AS DOUBLE) / 2.0 - CAST(ns * (ns + 1) AS DOUBLE) / 2.0
+       |    - CAST(ns * (n - ns) AS DOUBLE) / 2.0)
+       |  / sqrt(CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)
+       |      * (CAST(n + 1 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+       |         - CAST(tsum AS DOUBLE))
+       |      / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS z_score
+       |FROM r2 CROSS JOIN tot${sqlOrderBy(Seq("source"))}""".stripMargin
+
   /** Deterministic MODE: the most frequent l_quantity per return flag,
     * smallest value on frequency ties — stated as count+rank rather
     * than the engines' built-in `mode()` because neither engine
@@ -1219,6 +1376,8 @@ object Aggs {
     "stat_crosstab" -> statCrosstab,
     "stat_chi2" -> statChi2,
     "stat_ks_drift" -> statKsDrift,
+    "stat_tvd_drift" -> statTvdDrift,
+    "stat_mannwhitney" -> statMannWhitney,
     "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
@@ -1252,6 +1411,8 @@ object Aggs {
     "stat_crosstab" -> statCrosstabSql,
     "stat_chi2" -> statChi2Sql,
     "stat_ks_drift" -> statKsDriftSql,
+    "stat_tvd_drift" -> statTvdDriftSql,
+    "stat_mannwhitney" -> statMannWhitneySql,
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,

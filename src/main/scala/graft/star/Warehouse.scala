@@ -221,6 +221,76 @@ object Warehouse {
        |JOIN bn n2 ON n2.p_brand = brand2
        |CROSS JOIN tot${sqlOrderBy(Seq("brand1", "brand2"))}""".stripMargin
 
+  /** Directed association rules over the [[basketPairs]] co-occurrence
+    * frame: for every ordered brand pair A→B co-bought in ≥3 orders,
+    * support = P(A∧B), confidence = P(B|A), lift = confidence / P(B).
+    * Each metric is ONE division of exact BIGINT counts (numerators
+    * cleared: lift = n_pair·n_orders / (nbA·nbB)), so results are
+    * bit-identical cross-engine with no float accumulation anywhere.
+    * Both rule directions are emitted from the undirected pair counts by
+    * a union — the pair self-join runs ONCE, not per direction.
+    *
+    * Scale posture: identical to basketPairs — the per-order self-join
+    * is bounded by brands-per-order, pair counts partial-aggregate to
+    * |brands|² rows max, and the singleton/total frames broadcast. The
+    * min-support filter (HAVING on the aggregated count) is what keeps
+    * the rule set bounded as orders grow: absolute-count thresholds
+    * scale to min-support fractions at 100 TB. */
+  def basketLiftRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("okey"), $"p_brand").distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"), $"a.okey" === $"b.okey" && $"a.p_brand" < $"b.p_brand")
+      .groupBy($"a.p_brand".as("b1"), $"b.p_brand".as("b2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter($"n_pair" >= 3)
+    val directed = pairs.select($"b1".as("antecedent"), $"b2".as("consequent"), $"n_pair")
+      .union(pairs.select($"b2", $"b1", $"n_pair"))
+    val brandN = items.groupBy($"p_brand").agg(count(lit(1)).as("nb"))
+    val total = items.select(countDistinct($"okey").as("n_orders"))
+    directed
+      .join(broadcast(brandN).withColumnRenamed("p_brand", "antecedent")
+        .withColumnRenamed("nb", "nb_a"), "antecedent")
+      .join(broadcast(brandN).withColumnRenamed("p_brand", "consequent")
+        .withColumnRenamed("nb", "nb_c"), "consequent")
+      .crossJoin(broadcast(total))
+      .select($"antecedent", $"consequent", $"n_pair",
+        ($"n_pair".cast(DoubleType) / $"n_orders".cast(DoubleType)).as("support"),
+        ($"n_pair".cast(DoubleType) / $"nb_a".cast(DoubleType)).as("confidence"),
+        (($"n_pair" * $"n_orders").cast(DoubleType) /
+          ($"nb_a" * $"nb_c").cast(DoubleType)).as("lift"))
+      .orderBy($"antecedent", $"consequent")
+  }
+
+  val basketLiftRulesSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, p_brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |),
+       |pairs AS (
+       |  SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS n_pair
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.p_brand < b.p_brand
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 3
+       |),
+       |directed AS (
+       |  SELECT b1 AS antecedent, b2 AS consequent, n_pair FROM pairs
+       |  UNION ALL
+       |  SELECT b2, b1, n_pair FROM pairs
+       |),
+       |bn AS (SELECT p_brand, COUNT(*) AS nb FROM items GROUP BY 1),
+       |tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items)
+       |SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS n_pair,
+       |  CAST(n_pair AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+       |  CAST(n_pair AS DOUBLE) / CAST(na.nb AS DOUBLE) AS confidence,
+       |  CAST(n_pair * n_orders AS DOUBLE) / CAST(na.nb * nc.nb AS DOUBLE) AS lift
+       |FROM directed
+       |JOIN bn na ON na.p_brand = antecedent
+       |JOIN bn nc ON nc.p_brand = consequent
+       |CROSS JOIN tot${sqlOrderBy(Seq("antecedent", "consequent"))}""".stripMargin
+
   /** 1.5σ outlier orders per priority class, decided in EXACT integer
     * arithmetic: prices live on a 2-decimal grid, so cents = round(p*100)
     * is exact in BIGINT, and the z² > (3/2)² test in cleared-fraction form
@@ -1164,6 +1234,7 @@ object Warehouse {
     "events_cohort_ltv" -> cohortLtv,
     "dim_scd2" -> scd2,
     "basket_brand_pairs" -> basketPairs,
+    "basket_lift_rules" -> basketLiftRules,
     "orders_outlier_z" -> outlierZ,
     "dq_checks" -> dqChecks,
     "events_path_markov" -> pathMarkov,
@@ -1187,6 +1258,7 @@ object Warehouse {
     "events_cohort_ltv" -> cohortLtvSql,
     "dim_scd2" -> scd2Sql,
     "basket_brand_pairs" -> basketPairsSql,
+    "basket_lift_rules" -> basketLiftRulesSql,
     "orders_outlier_z" -> outlierZSql,
     "dq_checks" -> dqChecksSql,
     "events_path_markov" -> pathMarkovSql,

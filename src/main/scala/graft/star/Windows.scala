@@ -264,7 +264,40 @@ object Windows {
        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
        |${sqlOrderBy(Seq("s_suppkey")).trim}""".stripMargin
 
+  /** Sliding COUNT DISTINCT — how many different order priorities
+    * appear among each customer's last 5 orders (a priority-churn signal). Spark has
+    * no DISTINCT window aggregate, so the operator is composed as
+    * `size(array_distinct(collect_list(...) over w))` — semantically
+    * identical (set size is order-invariant) and still a single window
+    * pass; the oracle states the intent directly with DuckDB's native
+    * `COUNT(DISTINCT) OVER`. Frame order is (o_orderdate, o_orderkey) —
+    * key-unique, so frame CONTENTS are deterministic even with date ties.
+    *
+    * Scale posture: one hash exchange on o_custkey, then per-partition
+    * sorted windows; per-row state is the ≤5-element frame list, so
+    * memory is O(frame), not O(partition). At 100 TB this is the same
+    * plan with more partitions — no global sort, no driver state. */
+  def countDistinctWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-4, 0)
+    Tables(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("prios_5",
+        size(array_distinct(collect_list($"o_orderpriority").over(w))).cast("long"))
+      .select($"o_custkey", $"o_orderkey", $"prios_5")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val countDistinctWindowSql: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS prios_5
+       |FROM orders${sqlOrderBy(Seq("o_custkey", "o_orderkey"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_count_distinct" -> countDistinctWindow,
     "window_range_numeric" -> rangeNumeric,
     "window_topn_rank" -> topnRank,
     "window_topk_ties" -> topkTies,
@@ -275,6 +308,7 @@ object Windows {
     "window_first_last" -> firstLast)
 
   val oracles: Map[String, String] = Map(
+    "window_count_distinct" -> countDistinctWindowSql,
     "window_range_numeric" -> rangeNumericSql,
     "window_topn_rank" -> topnRankSql,
     "window_topk_ties" -> topkTiesSql,
