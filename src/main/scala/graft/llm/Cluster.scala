@@ -529,7 +529,76 @@ object Cluster {
        |) WHERE rk = 1
        |${sqlOrderBy(Seq("cluster_id")).trim}""".stripMargin
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * near-dup candidate graph — community detection that, unlike
+    * [[components]]' connected components, splits a weakly-bridged
+    * blob into its dense cores: each node adopts the MODE of its
+    * neighbors' labels (min label on frequency ties — the same
+    * deterministic-mode rank formulation as `agg_mode`), two
+    * synchronous rounds unrolled. Fixed rounds keep the operator a
+    * bounded DAG (production iterates to label stability with the same
+    * per-round plan; the [[pagerankIter]] loop shows the template).
+    *
+    * Scale posture: one round = one equi-join (edge.dst → label) + one
+    * partial-aggregated (src, label) count + a per-src window over
+    * |distinct neighbor labels| rows — all hash-partitioned, no driver
+    * state; the edge list is localCheckpoint'd once so the LSH lineage
+    * isn't re-derived per round. Label frames carry 2 longs per node.
+    * The DuckDB oracle restates both rounds as windowed CTEs. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = bothDirs(
+      Dedup.candidatePairs(spark, dir).select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint()
+    var lbl = edges.select($"src".as("id")).distinct()
+      .withColumn("lbl", $"id")
+    for (_ <- 1 to 2) {
+      val cnt = edges.join(lbl.withColumnRenamed("id", "dst"), "dst")
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"src").orderBy($"c".desc, $"lbl")
+      lbl = cnt.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"src".as("id"), $"lbl")
+    }
+    lbl.select($"id".as("doc_id"), $"lbl".as("community")).orderBy($"doc_id")
+  }
+
+  val labelPropSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |c1 AS (
+       |  SELECT e.src, l.lbl, COUNT(*) AS c
+       |  FROM edges e JOIN l0 l ON e.dst = l.id GROUP BY 1, 2
+       |),
+       |l1 AS (
+       |  SELECT src AS id, lbl FROM (
+       |    SELECT src, lbl,
+       |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+       |    FROM c1
+       |  ) WHERE rn = 1
+       |),
+       |c2 AS (
+       |  SELECT e.src, l.lbl, COUNT(*) AS c
+       |  FROM edges e JOIN l1 l ON e.dst = l.id GROUP BY 1, 2
+       |),
+       |l2 AS (
+       |  SELECT src AS id, lbl FROM (
+       |    SELECT src, lbl,
+       |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+       |    FROM c2
+       |  ) WHERE rn = 1
+       |)
+       |SELECT id AS doc_id, lbl AS community
+       |FROM l2${graft.Det.sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> labelProp,
     "dedup_keep_best" -> keepBest,
     "dedup_clusters" -> clusters,
     "corpus_dup_rate_by_source" -> dupRateBySource,
@@ -540,6 +609,7 @@ object Cluster {
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
+    "graph_label_prop" -> labelPropSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_clusters" -> clustersSql,
     "corpus_dup_rate_by_source" -> dupRateBySourceSql,

@@ -1340,7 +1340,65 @@ object Similarity {
             "CAST(COUNT(*) AS DOUBLE)")} AS agreement
        |FROM u""".stripMargin
 
+  /** Full 64×64 covariance matrix of the embedding dimensions (upper
+    * triangle), computed by SINGLE-PASS mergeable Gram accumulation
+    * ([[graft.functions.GramAggregator]] — the MLlib RowMatrix Gramian
+    * pattern as a typed Aggregator): each partition folds its vectors
+    * into one flat d(d+1)/2 fixed-point buffer, partials merge by
+    * addition, one ~2 KB buffer per partition crosses the wire, and the
+    * 2080 output cells are exploded from the single aggregated row.
+    * The naive relational form — posexplode twice and self-join on
+    * vec_id — multiplies the scan by d² rows (4096× at d=64); the
+    * DuckDB oracle runs exactly that naive form, so the engines
+    * cross-check the accumulation through an independent algorithm.
+    * Covariance itself is assembled from exact integer sums with a
+    * fixed IEEE op sequence (the dim-stats discipline) — bit-identical
+    * at any parallelism. Feeds whitening / PCA sanity checks
+    * ([[pcaPower]] uses the same moments implicitly). */
+  def covariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gram = udaf(new graft.functions.GramAggregator(64))
+    Tables(spark, dir, "embeddings")
+      .agg(gram($"embedding").as("cells"))
+      .select(explode($"cells").as("c"))
+      .select($"c.i".as("dim_i"), $"c.j".as("dim_j"),
+        $"c.n".as("n_vectors"),
+        ((($"c.sxy".cast("double") / 1e9) -
+          (($"c.sxi".cast("double") / 1e9) * ($"c.sxj".cast("double") / 1e9))
+            / $"c.n".cast("double"))
+          / ($"c.n" - 1).cast("double")).as("cov"))
+      .orderBy($"dim_i", $"dim_j")
+  }
+
+  val covarianceSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(list_transform(range(0, 64),
+       |    i -> struct_pack(d := CAST(i AS INTEGER),
+       |                     x := embedding[i + 1]))) AS t
+       |  FROM embeddings
+       |),
+       |e AS (SELECT vec_id, t.d AS d, CAST(t.x AS DOUBLE) AS x FROM ex),
+       |p AS (
+       |  SELECT a.d AS dim_i, b.d AS dim_j,
+       |    CAST(SUM(CAST(floor(a.x * b.x * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+       |    COUNT(*) AS n
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2
+       |),
+       |m AS (
+       |  SELECT d, CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sx
+       |  FROM e GROUP BY d
+       |)
+       |SELECT dim_i, dim_j, CAST(p.n AS BIGINT) AS n_vectors,
+       |  ((CAST(sxy AS DOUBLE) / 1e9)
+       |    - ((CAST(ma.sx AS DOUBLE) / 1e9) * (CAST(mb.sx AS DOUBLE) / 1e9))
+       |       / CAST(p.n AS DOUBLE))
+       |  / CAST(p.n - 1 AS DOUBLE) AS cov
+       |FROM p JOIN m ma ON ma.d = dim_i JOIN m mb ON mb.d = dim_j
+       |${sqlOrderBy(Seq("dim_i", "dim_j")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_covariance" -> covariance,
     "dedup_method_agreement" -> methodAgreement,
     "embed_norm_audit" -> normAudit,
     "embed_semdedup" -> semDedup,
@@ -1362,6 +1420,7 @@ object Similarity {
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_covariance" -> covarianceSql,
     "dedup_method_agreement" -> methodAgreementSql,
     "embed_norm_audit" -> normAuditSql,
     "embed_semdedup" -> semDedupSql,
