@@ -646,6 +646,75 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) = 1
        |ORDER BY vec_id NULLS FIRST, subspace NULLS FIRST""".stripMargin
 
+  /** PQ quantization-distortion audit — the codebook-quality gate a
+    * vector store runs before committing to a compression config: per
+    * subspace, how much of the corpus energy the 4-bit-equivalent code
+    * assignment throws away (Σd²/Σ‖x_sub‖², the quantization noise-to-
+    * signal ratio) plus the worst single-vector residual. Jégou et al.
+    * (PAMI 2011) tune M and codebook size against exactly this curve.
+    * Composes [[pqCode]]'s assigned residuals with a map-only per-slice
+    * energy pass; sums go through DECIMAL(28,5) (Det discipline) so the
+    * aggregate is bit-identical at any parallelism.
+    *
+    * Scale posture: residuals come from the broadcast-codebook argmin
+    * (map-only after the tiny codebook derivation), energy is map-only,
+    * and the final rollup is 4 rows — nothing here grows faster than
+    * one scan of the vectors. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val pq = pqCode(spark, dir)
+    val energy = Tables(spark, dir, "embeddings")
+      .select($"vec_id", explode(expr("array(0,1,2,3)")).as("subspace"),
+        $"embedding")
+      .selectExpr("vec_id", "subspace",
+        s"""${dotSpark("slice(embedding, 1 + 16*subspace, 16)",
+            "slice(embedding, 1 + 16*subspace, 16)")} AS e2""")
+    pq.join(energy, Seq("vec_id", "subspace"))
+      .groupBy($"subspace")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.Det.xsum($"d2").as("sum_d2"),
+        graft.Det.xsum($"e2").as("sum_energy"),
+        max($"d2").as("max_d2"))
+      .withColumn("distortion_ratio", $"sum_d2" / $"sum_energy")
+      .orderBy($"subspace")
+  }
+
+  val pqDistortionSql: String =
+    s"""WITH $centroidsSqlCtes,
+       |pairs AS (
+       |  SELECT e.vec_id, s.sub, cvec.label AS cand,
+       |    e.embedding[(1+16*s.sub):(16+16*s.sub)] AS xs,
+       |    cvec.centroid[(1+16*s.sub):(16+16*s.sub)] AS cs
+       |  FROM embeddings e, (SELECT unnest(range(4)) AS sub) s, cvec
+       |),
+       |scored AS (
+       |  SELECT vec_id, sub, cand,
+       |    (${dotDuck16("xs", "xs")} - 2 * ${dotDuck16("xs", "cs")}
+       |     + ${dotDuck16("cs", "cs")}) AS d2
+       |  FROM pairs
+       |),
+       |assigned AS (
+       |  SELECT vec_id, sub, d2 FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) = 1
+       |),
+       |en AS (
+       |  SELECT e.vec_id, s.sub,
+       |    ${dotDuck16("e.embedding[(1+16*s.sub):(16+16*s.sub)]",
+                        "e.embedding[(1+16*s.sub):(16+16*s.sub)]")} AS e2
+       |  FROM embeddings e, (SELECT unnest(range(4)) AS sub) s
+       |)
+       |SELECT subspace, n_vectors, sum_d2, sum_energy, max_d2,
+       |  sum_d2 / sum_energy AS distortion_ratio
+       |FROM (
+       |  SELECT CAST(a.sub AS INTEGER) AS subspace, COUNT(*) AS n_vectors,
+       |    ${graft.Det.sqlSum("a.d2")} AS sum_d2,
+       |    ${graft.Det.sqlSum("en.e2")} AS sum_energy,
+       |    MAX(a.d2) AS max_d2
+       |  FROM assigned a JOIN en ON en.vec_id = a.vec_id AND en.sub = a.sub
+       |  GROUP BY a.sub
+       |)${sqlOrderBy(Seq("subspace"))}""".stripMargin
+
   /** k-NN graph build (k=3) within label buckets — the batch companion
     * to [[ivfTopk]]: ANN indexes (HNSW, disk-IVF) and graph-based dedup
     * both start from "every vector's k nearest neighbours". Buckets
@@ -1417,6 +1486,7 @@ object Similarity {
     "embed_neardup_pairs" -> neardupPairs,
     "embed_srp_neardup" -> srpNeardup,
     "embed_pq_code" -> pqCode,
+    "embed_pq_distortion" -> pqDistortion,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
@@ -1439,5 +1509,6 @@ object Similarity {
     "embed_neardup_pairs" -> neardupPairsSql,
     "embed_srp_neardup" -> srpNeardupSql,
     "embed_pq_code" -> pqCodeSql,
+    "embed_pq_distortion" -> pqDistortionSql,
     "embed_quantize" -> quantizeSql)
 }

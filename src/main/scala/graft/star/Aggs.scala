@@ -1290,6 +1290,81 @@ object Aggs {
        |      / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS z_score
        |FROM r2 CROSS JOIN tot${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** Per-brand OLS regression (extended price vs quantity) by
+    * SUFFICIENT STATISTICS — the canonical one-pass distributed
+    * regression: each partition partial-aggregates the six moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) and slope/intercept/R² assemble from
+    * the merged moments, so a line fit over 100 TB is ONE scan + one
+    * |groups|-row exchange, no iteration, no driver math. Inputs live
+    * on exact grids (integer quantities, 2dp prices → cents), so every
+    * moment is an exact DECIMAL(38,0) integer; the closed-form assembly
+    * is a fixed IEEE op sequence over the moment-to-double conversions
+    * (single correctly-rounded conversion per moment in both engines) —
+    * bit-identical results at any parallelism.
+    *
+    * Overflow headroom: Σy² terms are ≤1e14 per row, so the decimal
+    * sums hold ~1e24 rows; the double-converted moments then cap the
+    * formula — no intermediate ever exceeds ~1e38 (R²'s numerator is a
+    * squared double, fine). */
+  def statOlsBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .select($"p_brand",
+        round($"l_quantity").cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+    val m = pts.groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"),
+        sum(($"y" * $"y").cast(dec)).as("syy"))
+      .select($"p_brand", $"n",
+        $"n".cast("double").as("nd"),
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"sxy".cast("double").as("sxyd"),
+        $"sxx".cast("double").as("sxxd"), $"syy".cast("double").as("syyd"))
+      .select($"p_brand", $"n", $"nd", $"sxd", $"syd",
+        ($"nd" * $"sxyd" - $"sxd" * $"syd").as("num_xy"),
+        ($"nd" * $"sxxd" - $"sxd" * $"sxd").as("den_x"),
+        ($"nd" * $"syyd" - $"syd" * $"syd").as("den_y"))
+    m.select($"p_brand".as("brand"), $"n".as("n_points"),
+      ($"num_xy" / $"den_x").as("slope_cents"),
+      (($"syd" - ($"num_xy" / $"den_x") * $"sxd") / $"nd").as("intercept_cents"),
+      (($"num_xy" * $"num_xy") / ($"den_x" * $"den_y")).as("r2"))
+      .orderBy($"brand")
+  }
+
+  val statOlsBrandSql: String =
+    s"""WITH pts AS (
+       |  SELECT p_brand,
+       |    CAST(round(l_quantity) AS BIGINT) AS x,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |),
+       |m AS (
+       |  SELECT p_brand, COUNT(*) AS n,
+       |    CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sxd,
+       |    CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS syd,
+       |    CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxyd,
+       |    CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxxd,
+       |    CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syyd
+       |  FROM pts GROUP BY p_brand
+       |),
+       |f AS (
+       |  SELECT p_brand, n, CAST(n AS DOUBLE) AS nd, sxd, syd,
+       |    (CAST(n AS DOUBLE) * sxyd - sxd * syd) AS num_xy,
+       |    (CAST(n AS DOUBLE) * sxxd - sxd * sxd) AS den_x,
+       |    (CAST(n AS DOUBLE) * syyd - syd * syd) AS den_y
+       |  FROM m
+       |)
+       |SELECT p_brand AS brand, n AS n_points,
+       |  num_xy / den_x AS slope_cents,
+       |  (syd - (num_xy / den_x) * sxd) / nd AS intercept_cents,
+       |  (num_xy * num_xy) / (den_x * den_y) AS r2
+       |FROM f${sqlOrderBy(Seq("brand"))}""".stripMargin
+
   /** Deterministic MODE: the most frequent l_quantity per return flag,
     * smallest value on frequency ties — stated as count+rank rather
     * than the engines' built-in `mode()` because neither engine
@@ -1378,6 +1453,7 @@ object Aggs {
     "stat_ks_drift" -> statKsDrift,
     "stat_tvd_drift" -> statTvdDrift,
     "stat_mannwhitney" -> statMannWhitney,
+    "stat_ols_brand" -> statOlsBrand,
     "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
@@ -1413,6 +1489,7 @@ object Aggs {
     "stat_ks_drift" -> statKsDriftSql,
     "stat_tvd_drift" -> statTvdDriftSql,
     "stat_mannwhitney" -> statMannWhitneySql,
+    "stat_ols_brand" -> statOlsBrandSql,
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,

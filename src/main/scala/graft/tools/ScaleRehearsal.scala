@@ -91,6 +91,8 @@ object ScaleRehearsal {
     println("| stage | rows out | sec | shuffle read MB | shuffle write MB |")
     println("|---|---|---|---|---|")
     stage("dedup_minhash_sig")(graft.llm.Dedup.minhashSig(spark, dir))
+    // OPH head-to-head: same corpus, one md5 per shingle instead of four
+    stage("dedup_minhash_oph")(graft.llm.Dedup.minhashOph(spark, dir))
     // bucket second moment — the number that bounds candidate work
     val sig = graft.llm.Dedup.minhashSig(spark, dir).cache()
     val sq = sig.groupBy("band_a").count().agg(sum($"count" * $"count")).head.getLong(0)
@@ -99,12 +101,16 @@ object ScaleRehearsal {
     println(f"Σ|bucket|² band_a=$sq band_b=$sqB max|bucket|=$maxBucket corpus²=${nDocs * nDocs}")
     stage("dedup_neardup_pairs")(graft.llm.Dedup.neardupPairs(spark, dir))
     stage("dedup_clusters")(graft.llm.Cluster.clusters(spark, dir))
+    stage("graph_label_prop")(graft.llm.Cluster.labelProp(spark, dir))
     stage("dedup_keep_best")(graft.llm.Cluster.keepBest(spark, dir))
     // IVF cell second moment
     val cells = spark.read.parquet(s"$dir/embeddings.parquet")
       .groupBy("label").count()
     val csq = cells.agg(sum($"count" * $"count")).head.getLong(0)
     println(f"IVF Σ|cell|²=$csq vs corpus²=${nVecs * nVecs}")
+    // single-pass Gram covariance: shuffle bytes should stay ~flat
+    // (one 2 KB buffer per partition) while scan rows grow with copies
+    stage("embed_covariance")(graft.llm.Similarity.covariance(spark, dir))
     stage("embed_ivf_topk")(graft.llm.Similarity.ivfTopk(spark, dir))
     stage("embed_ivf_autok")(graft.llm.Similarity.ivfAutoK(spark, dir))
     // the K∝N claim: auto-K cells keep Σ|cell|² ≈ 250·N (linear) while
