@@ -309,4 +309,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  test("Gram covariance is one aggregation pass — no join, no input explode") {
+    // the naive formulation needs a posexplode² self-join (4096 rows per
+    // vector); the aggregator plan must have NO join at all, and its one
+    // Generate node (the 2080-cell output explode) must sit ABOVE the
+    // aggregate, never below it on the scan side
+    val p = plan("embed_covariance")
+    assert(!p.contains("Join"), p.take(1500))
+    val gen = p.indexOf("Generate")
+    val agg = p.lastIndexOf("Aggregate")
+    assert(gen >= 0 && agg > gen,
+      s"output explode must be above the aggregate: gen=$gen agg=$agg\n" + p.take(1500))
+  }
+
+  test("OLS regression is one partial+final aggregate over a broadcast dim join") {
+    val p = plan("stat_ols_brand")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+  }
+
+  test("sliding distinct-count runs in a single customer-keyed window pass") {
+    val p = plan("window_count_distinct")
+    assert("Window".r.findAllIn(p).length == 1, p.take(1500))
+    assert(p.toLowerCase.contains("hashpartitioning(o_custkey"), p.take(1500))
+  }
+
+  test("OPH signatures shuffle one row per doc (partial min under the exchange)") {
+    // the 8 bucket-mins must partial-aggregate below the doc_id exchange,
+    // so the shuffle carries |docs| rows, not |docs×shingles|
+    val p = plan("dedup_minhash_oph")
+    val agg = p.indexOf("HashAggregate")
+    val exch = p.indexOf("Exchange")
+    assert(agg >= 0 && exch >= 0, p.take(1500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+  }
 }
