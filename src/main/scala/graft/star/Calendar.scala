@@ -358,7 +358,75 @@ object Calendar {
        |  CAST((prefix - runmin) * 5 > k AS INTEGER) AS alarm
        |FROM m${sqlOrderBy(Seq("day"))}""".stripMargin
 
+  /** Autocorrelation of the monthly revenue series at lags 1–3 — the
+    * seasonality/persistence fingerprint that decides whether a
+    * forecasting layer needs AR terms at all (high ACF₁ → momentum;
+    * ACF₁₂-style seasonal lags → [[seasonalIndex]] is the right model).
+    * Computed in CLEARED-FRACTION integer form: with S = Σx and n
+    * months, the centered term n·xₜ − S replaces xₜ − μ (the n² factors
+    * cancel in the ratio), so numerators Σdₜ·dₜ₋ₖ and denominator Σdₜ²
+    * are EXACT decimal integers and each ACF is one double division —
+    * bit-identical cross-engine, no float accumulation.
+    *
+    * Scale posture: facts collapse to the |months| frame in one
+    * partial-agg exchange; the lag windows run over ~84 bounded rows
+    * (the monthlyRev single-partition note applies). The integer
+    * centered terms cap at n·Σcents — DECIMAL(19,0) inputs keep the
+    * products inside DECIMAL(38,0) up to ~1e6× this revenue. */
+  def ordersAcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val m = Tables(spark, dir, "orders")
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("mo"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+    val tot = m.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val w = Window.orderBy($"y", $"mo")
+    val d0 = m.crossJoin(broadcast(tot))
+      .select($"y", $"mo", ($"n" * $"x" - $"s").as("d"))
+      .withColumn("d1", lag($"d", 1).over(w))
+      .withColumn("d2", lag($"d", 2).over(w))
+      .withColumn("d3", lag($"d", 3).over(w))
+    d0.agg(count(lit(1)).as("n_months"),
+        sum(($"d".cast(dec) * $"d".cast(dec))).as("den"),
+        sum(($"d".cast(dec) * $"d1".cast(dec))).as("n1"),
+        sum(($"d".cast(dec) * $"d2".cast(dec))).as("n2"),
+        sum(($"d".cast(dec) * $"d3".cast(dec))).as("n3"))
+      .select($"n_months",
+        ($"n1".cast("double") / $"den".cast("double")).as("acf_lag1"),
+        ($"n2".cast("double") / $"den".cast("double")).as("acf_lag2"),
+        ($"n3".cast("double") / $"den".cast("double")).as("acf_lag3"))
+  }
+
+  val ordersAcfSql: String =
+    s"""WITH m AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       |         CAST(month(o_orderdate) AS INTEGER) AS mo,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1, 2
+       |),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM m),
+       |d0 AS (
+       |  SELECT y, mo, n * x - s AS d FROM m CROSS JOIN tot
+       |),
+       |dl AS (
+       |  SELECT d,
+       |    lag(d, 1) OVER (ORDER BY y, mo) AS d1,
+       |    lag(d, 2) OVER (ORDER BY y, mo) AS d2,
+       |    lag(d, 3) OVER (ORDER BY y, mo) AS d3
+       |  FROM d0
+       |)
+       |SELECT COUNT(*) AS n_months,
+       |  CAST(SUM(CAST(d AS HUGEINT) * CAST(d1 AS HUGEINT)) AS DOUBLE)
+       |    / CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE) AS acf_lag1,
+       |  CAST(SUM(CAST(d AS HUGEINT) * CAST(d2 AS HUGEINT)) AS DOUBLE)
+       |    / CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE) AS acf_lag2,
+       |  CAST(SUM(CAST(d AS HUGEINT) * CAST(d3 AS HUGEINT)) AS DOUBLE)
+       |    / CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE) AS acf_lag3
+       |FROM dl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_acf" -> ordersAcf,
     "orders_cusum" -> cusum,
     "orders_ewma" -> ewma,
     "orders_seasonal_index" -> seasonalIndex,
@@ -368,6 +436,7 @@ object Calendar {
 
   val oracles: Map[String, String] = Map(
     "orders_cusum" -> cusumSql,
+    "orders_acf" -> ordersAcfSql,
     "orders_ewma" -> ewmaSql,
     "orders_seasonal_index" -> seasonalIndexSql,
     "dim_calendar" -> dimCalendarSql,
