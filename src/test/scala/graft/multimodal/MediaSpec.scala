@@ -106,4 +106,43 @@ class MediaSpec extends SparkSpec {
       assert(len == c.length && got == c)
     }
   }
+
+  test("wav fixtures are genuine RIFF containers the JDK decoder accepts") {
+    import spark.implicits._
+    val sample = Media.wavTable(spark, sf0001).take(5)
+    assert(sample.nonEmpty)
+    sample.foreach { m =>
+      assert(new String(m.content.take(4), "US-ASCII") == "RIFF")
+      assert(new String(m.content.slice(8, 12), "US-ASCII") == "WAVE")
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(m.content))
+      assert(aff.getFormat.getChannels == 1)
+      assert(aff.getFormat.getSampleSizeInBits == 16)
+    }
+  }
+
+  test("wav decode recovers the exact synthetic waveform moments") {
+    val feats = Media.wavDecode(spark, sf0001).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      // recompute the generation rule locally, sample by sample
+      var ssq = 0L; var peak = 0; var i = 0
+      while (i < f.n_samples) {
+        val s = (((f.doc_id * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt
+        ssq += s.toLong * s; val a = math.abs(s); if (a > peak) peak = a
+        i += 1
+      }
+      assert(f.ssq == ssq, s"doc ${f.doc_id}: ssq ${f.ssq} != $ssq")
+      assert(f.peak == peak, s"doc ${f.doc_id}: peak ${f.peak} != $peak")
+      assert(f.channels == 1 && f.bits == 16)
+    }
+  }
+
+  test("a corrupted wav payload fails loudly, not silently") {
+    val m = Media.wavTable(spark, sf0001).take(1).head
+    val bad = m.content.clone(); bad(0) = 'X'.toByte // break the RIFF magic
+    intercept[Exception] {
+      Media.wavDecodeBatch(Iterator(m.copy(content = bad))).toList
+    }
+  }
 }
