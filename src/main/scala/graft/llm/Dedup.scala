@@ -175,7 +175,7 @@ object Dedup {
     * partial-aggregate map-side, so the shuffle carries one row per doc.
     * Densification is a bounded coalesce chain on the 8 aggregated
     * columns — driver-free, branch-free. */
-  def minhashOph(spark: SparkSession, dir: String): DataFrame = {
+  private[llm] def ophSig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val K = 8
     val ex = Tables(spark, dir, "documents")
@@ -197,10 +197,15 @@ object Dedup {
         (0 until 4).map(j => col(s"oph$j")): _*).cast("binary")))
       .withColumn("band_b", md5(concat_ws(":",
         (4 until 8).map(j => col(s"oph$j")): _*).cast("binary")))
-      .orderBy($"doc_id")
   }
 
-  val minhashOphSql: String = {
+  def minhashOph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ophSig(spark, dir).orderBy($"doc_id")
+  }
+
+  /** OPH CTE chain ending in `obands(doc_id, oph0..7, band_a, band_b)`. */
+  private[llm] val ophSqlCtes: String = {
     val K = 8
     val mins = (0 until K)
       .map(j => s"    MIN(h) FILTER (h % $K = $j) AS m$j").mkString(",\n")
@@ -208,7 +213,7 @@ object Dedup {
       val chain = (0 until K).map(t => s"m${(j + t) % K}").mkString(", ")
       s"    COALESCE($chain) AS oph$j"
     }.mkString(",\n")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
        |),
        |sh AS (
@@ -232,12 +237,90 @@ object Dedup {
        |  SELECT doc_id,
        |$dense
        |  FROM sig
-       |)
-       |SELECT doc_id, ${(0 until K).map(j => s"oph$j").mkString(", ")},
-       |  md5(concat_ws(':', oph0, oph1, oph2, oph3)) AS band_a,
-       |  md5(concat_ws(':', oph4, oph5, oph6, oph7)) AS band_b
-       |FROM dense${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+       |),
+       |obands AS (
+       |  SELECT doc_id, ${(0 until K).map(j => s"oph$j").mkString(", ")},
+       |    md5(concat_ws(':', oph0, oph1, oph2, oph3)) AS band_a,
+       |    md5(concat_ws(':', oph4, oph5, oph6, oph7)) AS band_b
+       |  FROM dense
+       |)""".stripMargin
   }
+
+  val minhashOphSql: String =
+    s"WITH $ophSqlCtes SELECT * FROM obands${sqlOrderBy(Seq("doc_id"))}"
+
+  /** OPH recall against the exact-Jaccard truth set — the quality half
+    * of the OPH story ([[minhashOph]] is the cost half): candidates
+    * from the two OPH band buckets, recall measured against the
+    * [[ppjoin]] exact pairs (Jaccard ≥ 0.9), mirroring [[lshRecall]]'s
+    * contract for the classic signatures so the two schemes are
+    * directly comparable inside one registry. Candidate generation is
+    * the same two equi-joins + union — never an OR-join.
+    *
+    * Scale posture: identical to lshRecall — candidate-bounded
+    * everywhere; the truth side is the prefix-filtered PPJoin, the
+    * candidate side is Σ|bucket|² band work. */
+  def ophRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = ppjoin(spark, dir).select($"d1", $"d2")
+    val s = ophSig(spark, dir)
+    val a = s.select($"doc_id".as("d1"), $"band_a".as("ba"), $"band_b".as("bb"))
+    val b = s.select($"doc_id".as("d2"), $"band_a".as("bc"), $"band_b".as("bd"))
+    val cand = a.join(b, $"ba" === $"bc" && $"d1" < $"d2").select($"d1", $"d2")
+      .union(a.join(b, $"bb" === $"bd" && $"d1" < $"d2").select($"d1", $"d2"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    exact.join(cand, Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count($"hit").as("n_recalled"))
+      .select($"n_true_pairs", $"n_recalled",
+        graft.Det.nullRatio($"n_recalled".cast("double"),
+          $"n_true_pairs".cast("double")).as("oph_recall"))
+  }
+
+  val ophRecallSql: String =
+    s"""WITH $ophSqlCtes,
+       |ocand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM obands a JOIN obands b
+       |    ON a.band_a = b.band_a AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM obands a JOIN obands b
+       |    ON a.band_b = b.band_b AND a.doc_id < b.doc_id
+       |),
+       |tok0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+       |),
+       |docsh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, len(tokens) - 2),
+       |      i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]))
+       |      AS shingle
+       |  FROM tok0 WHERE len(tokens) >= 3
+       |),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM docsh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM docsh a JOIN docsh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |exact AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i
+       |  JOIN cnt c1 ON c1.doc_id = i.d1
+       |  JOIN cnt c2 ON c2.doc_id = i.d2
+       |  WHERE i.i * 10 >= (c1.n + c2.n - i.i) * 9
+       |)
+       |SELECT COUNT(*) AS n_true_pairs,
+       |  CAST(SUM(CASE WHEN ocand.d1 IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_recalled,
+       |  ${graft.Det.sqlNullRatio(
+            "CAST(SUM(CASE WHEN ocand.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)",
+            "CAST(COUNT(*) AS DOUBLE)")} AS oph_recall
+       |FROM exact
+       |LEFT JOIN ocand ON exact.d1 = ocand.d1 AND exact.d2 = ocand.d2""".stripMargin
 
   /** 16-bit SimHash fingerprint: per-word 32-bit hash (first 8 md5 hex
     * chars), majority vote per bit position. */
@@ -815,6 +898,7 @@ object Dedup {
     "dedup_exact" -> exact,
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_minhash_oph" -> minhashOph,
+    "dedup_oph_recall" -> ophRecall,
     "dedup_neardup_pairs" -> neardupPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_containment" -> containmentPairs,
@@ -831,6 +915,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_minhash_sig" -> minhashSqlQuery,
     "dedup_minhash_oph" -> minhashOphSql,
+    "dedup_oph_recall" -> ophRecallSql,
     "dedup_neardup_pairs" -> neardupPairsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_containment" -> containmentPairsSql,

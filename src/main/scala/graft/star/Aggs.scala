@@ -1290,6 +1290,43 @@ object Aggs {
        |      / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS z_score
        |FROM r2 CROSS JOIN tot${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** EXACT distinct counting by BITMAP INDEX — Spark's `bitmap_*`
+    * function family (the ClickHouse/Iceberg-style alternative to the
+    * double-shuffle exact COUNT DISTINCT): keys hash into 32k-wide
+    * buckets, each (group, bucket) partial-aggregates a fixed 4 KB
+    * bitmap (`bitmap_construct_agg(bitmap_bit_position(k))`),
+    * popcounts collapse per bucket, and the per-group rollup is a SUM
+    * over ≤ |keyspace|/32k bucket rows. The shuffle carries bitmaps,
+    * never raw keys — at 100 TB that is the difference between
+    * exchanging 4 KB per (group, bucket) and exchanging every key
+    * occurrence; bitmaps are also OR-mergeable, so the same state
+    * serves incremental refresh. The DuckDB oracle runs the plain
+    * COUNT(DISTINCT) — an independent algorithm confirming exactness,
+    * plus the bucket-count arithmetic restated relationally. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      // keys shift to the strictly-positive domain the bitmap family
+      // indexes naturally (custkey starts at 0; value<=0 falls into a
+      // differently-numbered bucket regime)
+      .groupBy($"o_orderpriority",
+        expr("bitmap_bucket_number(o_custkey + 1)").as("bkt"))
+      .agg(expr(
+        "bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey + 1)))")
+        .as("c"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"c").as("n_distinct_customers"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val bitmapDistinctSql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+       |  COUNT(DISTINCT (o_custkey // 32768) + 1) AS n_buckets
+       |FROM orders
+       |GROUP BY o_orderpriority${sqlOrderBy(Seq("o_orderpriority"))}""".stripMargin
+
   /** Per-brand OLS regression (extended price vs quantity) by
     * SUFFICIENT STATISTICS — the canonical one-pass distributed
     * regression: each partition partial-aggregates the six moments
@@ -1454,6 +1491,7 @@ object Aggs {
     "stat_tvd_drift" -> statTvdDrift,
     "stat_mannwhitney" -> statMannWhitney,
     "stat_ols_brand" -> statOlsBrand,
+    "agg_bitmap_distinct" -> bitmapDistinct,
     "segment_overlap_kmv" -> segmentOverlapKmv,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
@@ -1490,6 +1528,7 @@ object Aggs {
     "stat_tvd_drift" -> statTvdDriftSql,
     "stat_mannwhitney" -> statMannWhitneySql,
     "stat_ols_brand" -> statOlsBrandSql,
+    "agg_bitmap_distinct" -> bitmapDistinctSql,
     "agg_size_histogram" -> orderSizeHistogramSql,
     "agg_filter_clause" -> filterClauseSql,
     "agg_stats_moments" -> statsMomentsSql,
