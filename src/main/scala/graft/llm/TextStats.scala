@@ -1094,7 +1094,101 @@ object TextStats {
       .orderBy($"lang")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the classic
+    * stopword-delimited phrase scorer: candidate phrases are maximal
+    * stopword-free token runs (gaps-and-islands on token position),
+    * each word scores degree/frequency over the document's phrases
+    * (degree = Σ length of phrases containing it, self included), and a
+    * phrase scores the sum of its word scores; the top phrase per doc
+    * is the document's keyphrase. Word scores are integer-exact:
+    * deg·10⁹ div freq (both engines' integer division truncates
+    * identically on positives), so phrase sums are exact BIGINT and
+    * summation order cannot flip the hash — one /10⁹ at the end.
+    *
+    * Scale posture: everything is per-document (explode → two
+    * doc-keyed aggregations → one doc-partitioned rank window); no
+    * corpus-wide state exists, so the operator is embarrassingly
+    * parallel over documents at any scale. */
+  def keywordRake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables(spark, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val ns = tok.filter(!$"w".isin(stopwords: _*))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"pos")))
+      .withColumn("ph", $"pos" - $"rn")
+    val phrases = ns.groupBy($"doc_id", $"ph")
+      .agg(count(lit(1)).as("plen"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, w))), s -> s.w))")
+          .as("phrase"))
+    val wordStats = ns
+      .join(phrases.select($"doc_id", $"ph", $"plen"), Seq("doc_id", "ph"))
+      .groupBy($"doc_id", $"w")
+      .agg(sum($"plen").as("deg"), count(lit(1)).as("freq"))
+      .withColumn("sq", expr("deg * 1000000000L div freq"))
+    val scored = ns.join(wordStats.select($"doc_id", $"w", $"sq"), Seq("doc_id", "w"))
+      .groupBy($"doc_id", $"ph")
+      .agg(sum($"sq").as("score_q"))
+    val np = phrases.groupBy($"doc_id").agg(count(lit(1)).as("n_phrases"))
+    phrases.join(scored, Seq("doc_id", "ph"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score_q".desc, $"phrase")))
+      .filter($"rk" === 1)
+      .join(np, "doc_id")
+      .select($"doc_id", $"phrase".as("top_phrase"),
+        ($"score_q".cast("double") / 1e9).as("rake_score"), $"n_phrases")
+      .orderBy($"doc_id")
+  }
+
+  val keywordRakeSql: String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(ts)),
+       |    i -> struct_pack(pos := CAST(i AS INTEGER), w := ts[i+1]))) AS t
+       |  FROM tok0
+       |),
+       |tt AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM tok),
+       |ns AS (
+       |  SELECT doc_id, pos, w,
+       |    pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS INTEGER) AS ph
+       |  FROM tt WHERE w NOT IN ${inList(stopwords)}
+       |),
+       |phr AS (
+       |  SELECT doc_id, ph, COUNT(*) AS plen,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase
+       |  FROM ns GROUP BY 1, 2
+       |),
+       |ws AS (
+       |  SELECT ns.doc_id, ns.w,
+       |    CAST(SUM(plen) AS BIGINT) AS deg, COUNT(*) AS freq
+       |  FROM ns JOIN phr ON ns.doc_id = phr.doc_id AND ns.ph = phr.ph
+       |  GROUP BY 1, 2
+       |),
+       |wq AS (SELECT doc_id, w, (deg * 1000000000) // freq AS sq FROM ws),
+       |sc AS (
+       |  SELECT ns.doc_id, ns.ph, CAST(SUM(sq) AS BIGINT) AS score_q
+       |  FROM ns JOIN wq ON ns.doc_id = wq.doc_id AND ns.w = wq.w
+       |  GROUP BY 1, 2
+       |),
+       |np AS (SELECT doc_id, COUNT(*) AS n_phrases FROM phr GROUP BY 1),
+       |top AS (
+       |  SELECT p.doc_id, p.phrase, s.score_q
+       |  FROM phr p JOIN sc s ON p.doc_id = s.doc_id AND p.ph = s.ph
+       |  QUALIFY row_number() OVER (PARTITION BY p.doc_id
+       |    ORDER BY s.score_q DESC, p.phrase) = 1
+       |)
+       |SELECT t.doc_id, t.phrase AS top_phrase,
+       |  CAST(t.score_q AS DOUBLE) / 1e9 AS rake_score,
+       |  np.n_phrases
+       |FROM top t JOIN np ON t.doc_id = np.doc_id
+       |${graft.Det.sqlOrderBy(Seq("t.doc_id")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyword_rake" -> keywordRake,
     "text_compression_ratio" -> compressionRatio,
     "text_bloom_audit" -> bloomAudit,
     "text_cms_estimate" -> cmsEstimate,
@@ -1119,6 +1213,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "text_keyword_rake" -> keywordRakeSql,
     "text_bloom_audit" -> bloomAuditSql,
     "text_cms_estimate" -> cmsEstimateSql,
     "text_fluency" -> fluencySql,
