@@ -726,7 +726,99 @@ object Media {
        |    / CAST(n AS DOUBLE)) AS rms
        |FROM v GROUP BY doc_id, n${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** media_wav_resample: a real audio TRANSFORM, not just metadata —
+    * decimate-by-2 (adjacent-pair mean, floor-of-half rounding stated
+    * identically in both engines), RE-ENCODE the result as a genuine
+    * RIFF container at half the sample rate, then RE-DECODE it through
+    * the JDK parser and report the decoded moments. The full
+    * decode → transform → encode → decode loop is what an audio
+    * preprocessing stage actually is; the oracle resynthesizes the
+    * decimated waveform relationally, so a bug anywhere in the loop
+    * (byte layout, rounding, header rewrite) breaks the hash.
+    * Map-only `mapPartitions`; no shuffle at any scale. */
+  def wavResampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = spark.read.parquet(writeWavs(spark, dir)).as[MediaFile]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          // decode pass 1
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val rate = ais.getFormat.getSampleRate.toInt
+          val n = ais.getFrameLength.toInt
+          val bytes = ais.readNBytes(2 * n)
+          ais.close()
+          // transform: decimate by 2 with floor-of-mean rounding
+          val half = n / 2
+          val out = new Array[Short](half)
+          var i = 0
+          while (i < half) {
+            val s0 = (bytes(4 * i + 1) << 8) | (bytes(4 * i) & 0xff)
+            val s1 = (bytes(4 * i + 3) << 8) | (bytes(4 * i + 2) & 0xff)
+            out(i) = math.floor((s0 + s1) / 2.0).toShort
+            i += 1
+          }
+          // re-encode: genuine RIFF at half the rate
+          val bb = java.nio.ByteBuffer.allocate(44 + 2 * half)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * half)
+          bb.put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+          bb.putShort(1); bb.putShort(1)
+          bb.putInt(rate / 2); bb.putInt(rate / 2 * 2)
+          bb.putShort(2); bb.putShort(16)
+          bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * half)
+          out.foreach(bb.putShort)
+          // decode pass 2 — moments come from the RE-DECODED container
+          val ais2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bb.array()))
+          try {
+            val n2 = ais2.getFrameLength.toInt
+            val b2 = ais2.readNBytes(2 * n2)
+            var ssq = 0L; var peak = 0; var j = 0
+            while (j < n2) {
+              val s = (b2(2 * j + 1) << 8) | (b2(2 * j) & 0xff)
+              ssq += s.toLong * s
+              val a = math.abs(s); if (a > peak) peak = a
+              j += 1
+            }
+            WavFeatures(m.doc_id, ais2.getFormat.getSampleRate.toInt, 1, 16,
+              n2.toLong, ssq, peak)
+          } finally ais2.close()
+        }
+      }
+    feats.toDF()
+      .select($"doc_id", $"sample_rate", $"n_samples", $"peak",
+        sqrt($"ssq".cast("double") / $"n_samples".cast("double")).as("rms"))
+      .orderBy($"doc_id")
+  }
+
+  val wavResampleQuerySql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    8000 + (n_chars % 4) * 4000 AS rate,
+       |    256 + n_chars % 512 AS n
+       |  FROM documents
+       |),
+       |s AS (SELECT doc_id, rate, n, unnest(range(0, n // 2)) AS i FROM g),
+       |v AS (
+       |  SELECT doc_id, rate, n,
+       |    CAST(floor((
+       |      (((doc_id * 2654435761 + (2*i) * 40503) % 65536) - 32768)
+       |      + (((doc_id * 2654435761 + (2*i+1) * 40503) % 65536) - 32768)
+       |    ) / 2.0) AS BIGINT) AS smp
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |  CAST(rate // 2 AS INTEGER) AS sample_rate,
+       |  CAST(n // 2 AS BIGINT) AS n_samples,
+       |  CAST(MAX(ABS(smp)) AS INTEGER) AS peak,
+       |  sqrt(CAST(CAST(SUM(CAST(smp AS HUGEINT) * smp) AS BIGINT) AS DOUBLE)
+       |    / CAST(n // 2 AS DOUBLE)) AS rms
+       |FROM v GROUP BY doc_id, rate, n${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_wav_resample" -> wavResampleQuery,
     "media_wav_meta" -> wavMetaQuery,
     "media_wav_rms" -> wavRmsQuery,
     "media_frame_dedup" -> frameDedupQuery,
@@ -737,6 +829,7 @@ object Media {
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
+    "media_wav_resample" -> wavResampleQuerySql,
     "media_wav_meta" -> wavMetaQuerySql,
     "media_wav_rms" -> wavRmsQuerySql,
     "media_frame_dedup" -> frameDedupQuerySql,

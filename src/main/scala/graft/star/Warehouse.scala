@@ -291,6 +291,68 @@ object Warehouse {
        |JOIN bn nc ON nc.p_brand = consequent
        |CROSS JOIN tot${sqlOrderBy(Seq("antecedent", "consequent"))}""".stripMargin
 
+  /** Benford first-digit audit over order prices — the forensic DQ
+    * screen for fabricated or truncated monetary data (Nigrini's
+    * fraud-audit standard): the leading significant digit of naturally
+    * occurring amounts follows P(d) = log10(1+1/d); a feed whose
+    * digit histogram departs is synthetic, clipped, or unit-mangled.
+    * First digits come from the CENTS integer rendered as decimal text
+    * (identical in both engines — never from float formatting); the
+    * expectation constants are shared double LITERALS (no log evaluated
+    * at query time — the transcendental-free house rule), and the full
+    * digit spine 1–9 is materialized so absent digits still report.
+    * NOTE: the harness's uniform synthetic prices are EXPECTED to flunk
+    * Benford — the operator is the audit, not an assertion the fixture
+    * is natural; deviations are the point.
+    *
+    * Scale posture: one partial-agg exchange to ≤9 digit cells; the
+    * spine join is against a 9-row literal frame. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514).toDF("digit", "p_benford")
+    val obs = Tables(spark, dir, "orders")
+      .select(substring(round($"o_totalprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum($"n_obs").as("n"))
+    benford.join(obs, Seq("digit"), "left").na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs",
+        ($"n_obs".cast("double") / $"n".cast("double")).as("p_obs"),
+        $"p_benford",
+        (($"n_obs".cast("double") / $"n".cast("double")) - $"p_benford")
+          .as("deviation"))
+      .orderBy($"digit")
+  }
+
+  val dqBenfordSql: String =
+    s"""WITH bf0(digit, pb) AS (VALUES
+       |  (1, 0.3010299956639812), (2, 0.17609125905568124),
+       |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+       |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+       |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+       |  (9, 0.04575749056067514)),
+       |bf AS (SELECT digit, CAST(pb AS DOUBLE) AS p_benford FROM bf0),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    COUNT(*) AS n_obs
+       |  FROM orders GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+       |SELECT bf.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+       |  CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
+       |  bf.p_benford,
+       |  (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE))
+       |    - bf.p_benford AS deviation
+       |FROM bf LEFT JOIN obs ON bf.digit = obs.digit CROSS JOIN tot
+       |${sqlOrderBy(Seq("bf.digit")).trim}""".stripMargin
+
   /** 1.5σ outlier orders per priority class, decided in EXACT integer
     * arithmetic: prices live on a 2-decimal grid, so cents = round(p*100)
     * is exact in BIGINT, and the z² > (3/2)² test in cleared-fraction form
@@ -1237,6 +1299,7 @@ object Warehouse {
     "basket_lift_rules" -> basketLiftRules,
     "orders_outlier_z" -> outlierZ,
     "dq_checks" -> dqChecks,
+    "dq_benford" -> dqBenford,
     "events_path_markov" -> pathMarkov,
     "customer_rfm" -> rfm,
     "events_streaks" -> streaks,
@@ -1261,6 +1324,7 @@ object Warehouse {
     "basket_lift_rules" -> basketLiftRulesSql,
     "orders_outlier_z" -> outlierZSql,
     "dq_checks" -> dqChecksSql,
+    "dq_benford" -> dqBenfordSql,
     "events_path_markov" -> pathMarkovSql,
     "customer_rfm" -> rfmSql,
     "events_streaks" -> streaksSql,
