@@ -336,6 +336,36 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("hashpartitioning(o_custkey"), p.take(1500))
   }
 
+  test("bitmap distinct: typed bitmap aggregate under a tiny rollup, no raw-key distinct") {
+    // level 1 carries the 4 KB bitmap buffers (Spark 4 plans the binary
+    // buffer aggregate as SortAggregate; ObjectHashAggregate would also
+    // be fine); level 2 is a plain hash rollup over bucket rows — the
+    // plan that shuffles bitmaps, never key occurrences
+    val p = plan("agg_bitmap_distinct")
+    assert(p.contains("SortAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.toLowerCase.contains("expand"), p.take(1500)) // not the distinct-rewrite path
+  }
+
+  test("Benford audit joins the 9-row expectation spine by broadcast") {
+    val p = plan("dq_benford")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("wav resample is a map-only object pipeline — no joins, no windows") {
+    val p = plan("media_wav_resample")
+    assert(p.contains("MapPartitions"), p.take(1500))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1500))
+  }
+
+  test("RAKE keyphrases never cross documents (doc-keyed everywhere)") {
+    val p = plan("text_keyword_rake")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("OPH signatures shuffle one row per doc (partial min under the exchange)") {
     // the 8 bucket-mins must partial-aggregate below the doc_id exchange,
     // so the shuffle carries |docs| rows, not |docs×shingles|
