@@ -1085,6 +1085,56 @@ object Warehouse {
        |FROM agg${sqlOrderBy(Seq("variant"))}""".stripMargin
   }
 
+  /** Sample-ratio-mismatch (SRM) guardrail for the A/B assignment that
+    * [[abWilson]] reads out — the first check every experimentation
+    * platform runs before trusting ANY metric: with a 50/50 intended
+    * split, the 2-cell chi-square statistic collapses to the exact
+    * rational (n_a − n_b)²/N, so the test is ONE integer-fed division;
+    * the 95% decision threshold is a shared double literal (the
+    * transcendental-free house rule — no runtime distribution math).
+    * An SRM hit means the assignment or logging pipeline is biased and
+    * every downstream lift number is invalid — cheaper to detect here
+    * than to debug a phantom experiment result.
+    *
+    * Scale posture: one distinct-user aggregation (map-side partial
+    * over (variant, user) pairs) collapsing to 2 rows, then scalar
+    * arithmetic. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byVariant = Tables(spark, dir, "events")
+      .select(($"user_id" % 2).cast("int").as("variant"), $"user_id")
+      .groupBy($"variant").agg(countDistinct($"user_id").as("n_users"))
+    val one = byVariant.agg(
+      sum(when($"variant" === 0, $"n_users").otherwise(0L)).as("n_a"),
+      sum(when($"variant" === 1, $"n_users").otherwise(0L)).as("n_b"))
+    val n = ($"n_a" + $"n_b").cast("double")
+    val chi2 = (($"n_a" - $"n_b") * ($"n_a" - $"n_b")).cast("double") / n
+    one.select($"n_a", $"n_b",
+      ($"n_a".cast("double") / n).as("split_ratio"),
+      chi2.as("srm_chi2"),
+      (chi2 > 3.841458820694124).cast("int").as("srm_flag"))
+  }
+
+  val abSrmSql: String =
+    s"""WITH bv AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+       |    COUNT(DISTINCT user_id) AS n_users
+       |  FROM events GROUP BY 1
+       |),
+       |one AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM bv
+       |)
+       |SELECT n_a, n_b,
+       |  CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS split_ratio,
+       |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |    / CAST(n_a + n_b AS DOUBLE) AS srm_chi2,
+       |  CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |    / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124 AS INTEGER) AS srm_flag
+       |FROM one""".stripMargin
+
   /** Supplier-concentration HHI per brand market — the antitrust
     * screen (Herfindahl-Hirschman index, Σ shareᵢ²) over who supplies
     * each part brand: n suppliers, the index, and the top supplier's
@@ -1300,6 +1350,7 @@ object Warehouse {
     "orders_outlier_z" -> outlierZ,
     "dq_checks" -> dqChecks,
     "dq_benford" -> dqBenford,
+    "events_ab_srm" -> abSrm,
     "events_path_markov" -> pathMarkov,
     "customer_rfm" -> rfm,
     "events_streaks" -> streaks,
@@ -1325,6 +1376,7 @@ object Warehouse {
     "orders_outlier_z" -> outlierZSql,
     "dq_checks" -> dqChecksSql,
     "dq_benford" -> dqBenfordSql,
+    "events_ab_srm" -> abSrmSql,
     "events_path_markov" -> pathMarkovSql,
     "customer_rfm" -> rfmSql,
     "events_streaks" -> streaksSql,

@@ -38,12 +38,12 @@ class XmlBronzeSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
-  test("XML scan uses the explicit schema (no inference) over 4 files") {
+  test("XML scan uses the explicit schema (no inference) over 16 files") {
     val root = XmlBronze.writeXml(spark, sf0001)
     val df = XmlBronze.readXml(spark, root)
     assert(df.schema == XmlBronze.readSchema)
     val files = new java.io.File(root).listFiles()
       .filter(f => f.getName.startsWith("part-")).toSeq
-    assert(files.size == 4, s"expected 4 xml part files, got ${files.size}")
+    assert(files.size == 16, s"expected 16 xml part files, got ${files.size}")
   }
 }
