@@ -155,6 +155,69 @@ object Dedup {
        |)
        |SELECT * FROM p${sqlOrderBy(Seq("d1", "d2"))}""".stripMargin
 
+  /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup pattern at
+    * 50-token granularity): documents split into DISJOINT 50-token
+    * chunks, chunks hash-grouped corpus-wide, and every chunk occurring
+    * more than once reports its occurrence count, spanning-document
+    * count, and lexicographically-first (doc, chunk) keeper — the
+    * removal list a boilerplate scrubber consumes. Catches the
+    * template/footer/navigation duplication WHOLE-document dedup never
+    * sees (two different pages sharing one boilerplate block) at a cost
+    * [[dedup_span_cover]]'s k-gram machinery doesn't pay: one explode,
+    * one hash groupBy — the shuffle carries (hash, doc, chunk) triples.
+    *
+    * Scale posture: map-side chunking, one partial-agg exchange on the
+    * chunk hash, HAVING n>1 prunes the unique mass before any further
+    * work; at 100 TB this is the cheapest corpus-wide dedup signal
+    * after whole-doc hashing. */
+  def chunkExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 50
+    val ch = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", explode(sequence(lit(0),
+        greatest(lit(0), floor((size($"toks") - 1).cast("double") / W)
+          .cast("int")))).as("cid"))
+      .select($"doc_id", $"cid",
+        md5(expr(s"concat_ws(' ', slice(toks, 1 + cid * $W, $W))")
+          .cast("binary")).as("chunk_hash"))
+    ch.groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"),
+        min(struct($"doc_id", $"cid")).as("k"))
+      .filter($"n_occurrences" > 1)
+      .select($"chunk_hash", $"n_occurrences", $"n_docs",
+        $"k.doc_id".as("keeper_doc_id"), $"k.cid".as("keeper_chunk_id"))
+      .orderBy($"chunk_hash")
+  }
+
+  val chunkExactSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, 1 + GREATEST(CAST(0 AS BIGINT),
+       |      CAST(floor(CAST(len(toks) - 1 AS DOUBLE) / 50) AS BIGINT)))) AS cid
+       |  FROM tok
+       |),
+       |ch AS (
+       |  SELECT doc_id, CAST(cid AS INTEGER) AS cid,
+       |    md5(array_to_string(toks[(1 + cid * 50):(cid * 50 + 50)], ' '))
+       |      AS chunk_hash
+       |  FROM c
+       |),
+       |g AS (
+       |  SELECT chunk_hash, COUNT(*) AS n_occurrences,
+       |    COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS kd
+       |  FROM ch GROUP BY 1 HAVING COUNT(*) > 1
+       |)
+       |SELECT g.chunk_hash, g.n_occurrences, g.n_docs,
+       |  g.kd AS keeper_doc_id, CAST(MIN(ch.cid) AS INTEGER) AS keeper_chunk_id
+       |FROM g JOIN ch ON ch.chunk_hash = g.chunk_hash AND ch.doc_id = g.kd
+       |GROUP BY g.chunk_hash, g.n_occurrences, g.n_docs, g.kd
+       |${sqlOrderBy(Seq("g.chunk_hash")).trim}""".stripMargin
+
   /** One-Permutation-Hashing MinHash (Li/Owen/Zhang, NeurIPS 2012): the
     * 100 TB cost fix for signature generation. Classic k-hash MinHash
     * ([[minhashSig]]) computes k salted hashes PER SHINGLE (k× the hash
@@ -896,6 +959,7 @@ object Dedup {
     "dedup_editdist" -> editDistance,
     "text_contamination" -> contamination,
     "dedup_exact" -> exact,
+    "dedup_chunk_exact" -> chunkExact,
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_minhash_oph" -> minhashOph,
     "dedup_oph_recall" -> ophRecall,
@@ -913,6 +977,7 @@ object Dedup {
     "dedup_editdist" -> editDistanceSql,
     "text_contamination" -> contaminationSql,
     "dedup_exact" -> exactSql,
+    "dedup_chunk_exact" -> chunkExactSql,
     "dedup_minhash_sig" -> minhashSqlQuery,
     "dedup_minhash_oph" -> minhashOphSql,
     "dedup_oph_recall" -> ophRecallSql,

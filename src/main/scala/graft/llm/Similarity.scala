@@ -794,6 +794,91 @@ object Similarity {
        |) WHERE rank <= 3
        |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
 
+  /** Local Outlier Factor (Breunig et al., SIGMOD 2000) over the k-NN
+    * graph — density-based embedding outlier detection for data
+    * cleaning: LOF ≈ 1 means a vector sits at its neighbors' density,
+    * LOF ≫ 1 flags isolated points (mis-embedded, corrupted, or
+    * genuinely novel documents — review-queue candidates either way).
+    * Composes [[knnGraph]]'s exact within-cell neighbors: k-distance =
+    * max neighbor distance (d = 1 − cosine), reachability distances
+    * quantize to 1e-9 fixed point before the per-point sum (exact
+    * BIGINT — summation order cannot flip the hash), local reachability
+    * density lrd = cnt·10⁹/Σreach (one division), and LOF =
+    * (Σ lrd_neighbor)/(cnt·lrd_self) with the neighbor-lrd sum
+    * quantized at 1e-6. Short cells (< k+1 members) use their actual
+    * neighbor count, not the nominal k.
+    *
+    * Scale posture: three joins and three aggregations over the
+    * |vectors|·k edge list — all hash-partitioned on vector id; the
+    * expensive part (the knn graph itself) is the Σ|cell|²-bounded
+    * machinery already rehearsed at ×25. */
+  def lofOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = knnGraph(spark, dir)
+      .select($"v1", $"v2", (lit(1.0) - $"cosine").as("d"))
+    val kd = knn.groupBy($"v1".as("v")).agg(max($"d").as("kdist"))
+    val reach = knn.join(kd.withColumnRenamed("v", "v2"), "v2")
+      .select($"v1",
+        expr("CAST(floor(greatest(kdist, d) * 1e9 + 0.5) AS BIGINT)").as("rq"))
+    val lrd = reach.groupBy($"v1".as("v"))
+      .agg(sum($"rq").as("sq"), count(lit(1)).as("cnt"))
+      .select($"v", $"cnt",
+        when($"sq" > 0,
+          ($"cnt" * lit(1000000000L)).cast("double") / $"sq".cast("double"))
+          .as("lrd"))
+    val lofq = knn.join(lrd.select($"v".as("v2"), $"lrd".as("lrd_b")), "v2")
+      .groupBy($"v1")
+      .agg(sum(expr("CAST(floor(lrd_b * 1e6 + 0.5) AS BIGINT)")).as("slq"))
+    lrd.join(kd, "v")
+      .join(lofq.withColumnRenamed("v1", "v"), "v")
+      .select($"v".as("vec_id"), $"kdist", $"lrd",
+        (($"slq".cast("double") / 1e6) / ($"cnt".cast("double") * $"lrd"))
+          .as("lof"))
+      .orderBy($"vec_id")
+  }
+
+  val lofOutliersSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm)) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |),
+       |knn AS (
+       |  SELECT v1, v2, 1.0 - cosine AS d FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY v1
+       |      ORDER BY cosine DESC, v2) AS rank
+       |    FROM p
+       |  ) WHERE rank <= 3
+       |),
+       |kd AS (SELECT v1 AS v, MAX(d) AS kdist FROM knn GROUP BY 1),
+       |reach AS (
+       |  SELECT knn.v1,
+       |    CAST(floor(GREATEST(kd.kdist, knn.d) * 1e9 + 0.5) AS BIGINT) AS rq
+       |  FROM knn JOIN kd ON kd.v = knn.v2
+       |),
+       |lrd AS (
+       |  SELECT v1 AS v, COUNT(*) AS cnt,
+       |    CASE WHEN CAST(SUM(rq) AS BIGINT) > 0
+       |      THEN CAST(COUNT(*) * 1000000000 AS DOUBLE)
+       |        / CAST(CAST(SUM(rq) AS BIGINT) AS DOUBLE)
+       |      ELSE NULL END AS lrd
+       |  FROM reach GROUP BY 1
+       |),
+       |lofq AS (
+       |  SELECT knn.v1,
+       |    CAST(SUM(CAST(floor(lb.lrd * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS slq
+       |  FROM knn JOIN lrd lb ON lb.v = knn.v2 GROUP BY 1
+       |)
+       |SELECT l.v AS vec_id, kd.kdist, l.lrd,
+       |  (CAST(slq AS DOUBLE) / 1e6) / (CAST(l.cnt AS DOUBLE) * l.lrd) AS lof
+       |FROM lrd l JOIN kd ON kd.v = l.v JOIN lofq ON lofq.v1 = l.v
+       |${sqlOrderBy(Seq("vec_id")).trim}""".stripMargin
+
   /** ANN quality eval as a first-class operator: recall@10 of the IVF
     * probe against the brute-force exact top-10 — the number an ANN
     * deployment monitors when retuning nprobe/K. Both rankings are
@@ -1477,6 +1562,7 @@ object Similarity {
     "embed_pca_power" -> pcaPower,
     "embed_ivf_recall" -> ivfRecall,
     "embed_knn_graph" -> knnGraph,
+    "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
@@ -1500,6 +1586,7 @@ object Similarity {
     "embed_pca_power" -> pcaPowerSql,
     "embed_ivf_recall" -> ivfRecallSql,
     "embed_knn_graph" -> knnGraphSql,
+    "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
