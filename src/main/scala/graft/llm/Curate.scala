@@ -549,7 +549,88 @@ object Curate {
        |    AS alloc
        |FROM r${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** Composite filter VERDICT table — the FineWeb/Gopher/C4 shape of a
+    * quality funnel: every document gets one row with a per-rule flag
+    * column and the final keep bit, so "which rule killed this doc"
+    * (the number a filter-tuning loop actually needs) is a GROUP BY
+    * away, and rules can be ablated without re-running the scan. Four
+    * deterministic rules, all exact-integer/ratio arithmetic:
+    * too_short (< 30 words), stop_band (stopword ratio outside
+    * [0.01, 0.5] — cleared-fraction integer comparisons, no float
+    * thresholds), word_rep (any single word > 10% of tokens — the
+    * cheap repetition proxy), len_band (mean token length outside
+    * [2, 12] — cleared-fraction again). keep = no flag set.
+    *
+    * Scale posture: one scan; the only shuffle is the per-doc word
+    * top-frequency (partial-aggregated (doc, word) counts); flags are
+    * codegen'd integer comparisons. At 100 TB each rule column is also
+    * the input to the removal-attribution rollup — no second pass. */
+  def filterVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text", split($"text", " ").as("toks"))
+      .select($"doc_id", $"text", size($"toks").as("n_words"),
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'value', 'data')))")
+          .as("n_stop"))
+    val topw = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("max_word_freq"))
+    base.join(topw, "doc_id")
+      .select($"doc_id", $"n_words",
+        ($"n_words" < 30).cast("int").as("flag_too_short"),
+        // stopword ratio outside [0.01, 0.5]: 100*ns < nw OR 2*ns > nw
+        ($"n_stop" * 100 < $"n_words" || $"n_stop" * 2 > $"n_words")
+          .cast("int").as("flag_stop_band"),
+        ($"max_word_freq" * 10 > $"n_words").cast("int").as("flag_word_rep"),
+        // mean token length = (chars - (nw-1)) / nw outside [2, 12]
+        ((length($"text") - ($"n_words" - 1)) < $"n_words" * 2 ||
+          (length($"text") - ($"n_words" - 1)) > $"n_words" * 12)
+          .cast("int").as("flag_len_band"))
+      .withColumn("keep",
+        ($"flag_too_short" + $"flag_stop_band" + $"flag_word_rep" +
+          $"flag_len_band" === 0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val filterVerdictsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |),
+       |b AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(toks) AS INTEGER) AS n_words,
+       |    CAST(len(list_filter(toks,
+       |      t -> t IN ('the', 'a', 'value', 'data'))) AS INTEGER) AS n_stop
+       |  FROM base
+       |),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |topw AS (
+       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_word_freq FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_words,
+       |  CAST(b.n_words < 30 AS INTEGER) AS flag_too_short,
+       |  CAST(b.n_stop * 100 < b.n_words OR b.n_stop * 2 > b.n_words
+       |    AS INTEGER) AS flag_stop_band,
+       |  CAST(topw.max_word_freq * 10 > b.n_words AS INTEGER) AS flag_word_rep,
+       |  CAST((length(b.text) - (b.n_words - 1)) < b.n_words * 2 OR
+       |       (length(b.text) - (b.n_words - 1)) > b.n_words * 12
+       |    AS INTEGER) AS flag_len_band,
+       |  CAST(CAST(b.n_words < 30 AS INTEGER)
+       |     + CAST(b.n_stop * 100 < b.n_words OR b.n_stop * 2 > b.n_words AS INTEGER)
+       |     + CAST(topw.max_word_freq * 10 > b.n_words AS INTEGER)
+       |     + CAST((length(b.text) - (b.n_words - 1)) < b.n_words * 2 OR
+       |            (length(b.text) - (b.n_words - 1)) > b.n_words * 12 AS INTEGER)
+       |     = 0 AS INTEGER) AS keep
+       |FROM b JOIN topw ON topw.doc_id = b.doc_id
+       |${sqlOrderBy(Seq("b.doc_id")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_filter_verdicts" -> filterVerdicts,
     "corpus_neyman_alloc" -> neymanAlloc,
     "corpus_lang_drift" -> langDrift,
     "corpus_epoch_order" -> epochOrder,
@@ -562,6 +643,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_filter_verdicts" -> filterVerdictsSql,
     "corpus_neyman_alloc" -> neymanAllocSql,
     "corpus_lang_drift" -> langDriftSql,
     "corpus_epoch_order" -> epochOrderSql,

@@ -1133,6 +1133,73 @@ object Aggs {
        |  GROUP BY c.source, st.ns
        |)${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** Cramér's V effect size over the [[statChi2]] contingency — the
+    * answer to the chi-square's scale problem: at 100 TB sample sizes
+    * EVERY independence test "significant" (χ² grows linearly with n
+    * for a fixed association), so pipelines alarm on the
+    * sample-size-free effect size V = √(χ²/(n·min(r−1, c−1))) ∈ [0,1]
+    * instead. Same quantized-integer χ² machinery, three more
+    * correctly-rounded IEEE ops (two divisions, one sqrt) — fixed
+    * sequence, bit-identical cross-engine.
+    *
+    * Scale posture: identical to statChi2 — one partial-agg exchange
+    * to the bounded |langs|×|sources| grid. */
+  def statCramersV(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "documents")
+      .groupBy($"lang".as("f"), $"source".as("m"))
+      .agg(count(lit(1)).as("o"))
+    val rowt = cells.groupBy($"f").agg(sum($"o").as("rt"))
+    val colt = cells.groupBy($"m").agg(sum($"o").as("ct"))
+    val grid = rowt.crossJoin(colt)
+      .join(cells, Seq("f", "m"), "left").na.fill(0L, Seq("o"))
+    val tot = cells.agg(sum($"o").as("n"))
+    val e = $"rt".cast("double") * $"ct".cast("double") / $"n".cast("double")
+    grid.crossJoin(broadcast(tot))
+      .select($"f", $"m", $"o", $"n", e.as("e"))
+      .withColumn("q", expr(
+        "CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e"
+          + " * 1e9 + 0.5) AS BIGINT)"))
+      .agg(
+        (sum($"q").cast("double") / 1e9).as("chi2"),
+        first($"n").as("n"),
+        (least(countDistinct($"f"), countDistinct($"m")) - 1).as("min_dof"))
+      .select($"chi2", $"n", $"min_dof",
+        sqrt($"chi2" / ($"n".cast("double") * $"min_dof".cast("double")))
+          .as("cramers_v"))
+  }
+
+  val statCramersVSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang AS f, source AS m, COUNT(*) AS o
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |rowt AS (SELECT f, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY f),
+       |colt AS (SELECT m, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY m),
+       |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+       |grid AS (
+       |  SELECT rowt.f, colt.m, rt, ct, COALESCE(cells.o, 0) AS o
+       |  FROM rowt CROSS JOIN colt
+       |  LEFT JOIN cells ON cells.f = rowt.f AND cells.m = colt.m
+       |),
+       |scored AS (
+       |  SELECT f, m, o, n,
+       |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+       |  FROM grid CROSS JOIN tot
+       |),
+       |agg AS (
+       |  SELECT
+       |    CAST(CAST(SUM(CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+       |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9 AS chi2,
+       |    CAST(MIN(n) AS BIGINT) AS n,
+       |    CAST(LEAST(COUNT(DISTINCT f), COUNT(DISTINCT m)) - 1 AS BIGINT)
+       |      AS min_dof
+       |  FROM scored
+       |)
+       |SELECT chi2, n, min_dof,
+       |  sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(min_dof AS DOUBLE))) AS cramers_v
+       |FROM agg""".stripMargin
+
   /** Per-source Total-Variation + Hellinger drift vs the corpus — the
     * bounded-metric companions to [[statKsDrift]] (KS sees only the worst
     * single CDF gap; TVD integrates ALL histogram mass moved, Hellinger
@@ -1487,6 +1554,7 @@ object Aggs {
     "events_dau_wau" -> dauWau,
     "stat_crosstab" -> statCrosstab,
     "stat_chi2" -> statChi2,
+    "stat_cramers_v" -> statCramersV,
     "stat_ks_drift" -> statKsDrift,
     "stat_tvd_drift" -> statTvdDrift,
     "stat_mannwhitney" -> statMannWhitney,
@@ -1524,6 +1592,7 @@ object Aggs {
     "events_dau_wau" -> dauWauSql,
     "stat_crosstab" -> statCrosstabSql,
     "stat_chi2" -> statChi2Sql,
+    "stat_cramers_v" -> statCramersVSql,
     "stat_ks_drift" -> statKsDriftSql,
     "stat_tvd_drift" -> statTvdDriftSql,
     "stat_mannwhitney" -> statMannWhitneySql,
