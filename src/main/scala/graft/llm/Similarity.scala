@@ -149,6 +149,88 @@ object Similarity {
        |ORDER BY cosine DESC NULLS LAST, vec_id NULLS FIRST
        |LIMIT 10""".stripMargin
 
+  /** IVF TUNING CURVE — recall@10 as a function of nprobe (1–4), with
+    * the candidate count each setting pays: the artifact an ANN
+    * deployment actually reads when trading recall against scan
+    * fraction ([[ivfRecall]] is one point on this curve; the curve is
+    * the knob). One centroid ranking feeds all four settings (probes =
+    * rank ≤ nprobe), candidates score once per setting against the
+    * broadcast query, and the exact brute-force top-10 is the shared
+    * truth set. Everything is the exact fixed-point cosine with id
+    * tiebreaks, so the curve is a constant of the corpus.
+    *
+    * Scale posture: candidate work is Σ_{np} (np/K)·N for ONE query —
+    * production sweeps a sampled query batch with the same plan; the
+    * centroid ranking is K rows, broadcast everywhere. */
+  def ivfCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val ranked = centroids(emb).crossJoin(broadcast(q))
+      .selectExpr("label", s"${cosSpark("centroid", "qv")} AS ccos")
+      .withColumn("crk",
+        row_number().over(Window.orderBy($"ccos".desc, $"label")))
+    val np = spark.range(1, 5).select($"id".cast("int").as("nprobe"))
+    val probes = np.join(ranked, $"crk" <= $"nprobe")
+      .select($"nprobe", $"label".as("probe_label"))
+    val cand = emb.join(broadcast(probes), $"label" === $"probe_label")
+      .crossJoin(broadcast(q))
+      .selectExpr("nprobe", "vec_id",
+        s"${cosSpark("embedding", "qv")} AS cosine")
+    val top10 = cand
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"nprobe").orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rk" <= 10)
+      .select($"nprobe", $"vec_id")
+    val cnt = cand.groupBy($"nprobe").agg(count(lit(1)).as("n_candidates"))
+    val brute = cosineTopk(spark, dir).select($"vec_id".as("bv"))
+      .withColumn("hit", lit(1))
+    top10.join(brute, $"vec_id" === $"bv", "left")
+      .groupBy($"nprobe")
+      .agg((count($"hit") / lit(10).cast("double")).as("recall_at_10"))
+      .join(cnt, "nprobe")
+      .select($"nprobe", $"n_candidates", $"recall_at_10")
+      .orderBy($"nprobe")
+  }
+
+  val ivfCurveSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |$centroidsSqlCtes,
+       |ranked AS (
+       |  SELECT cvec.label,
+       |    CAST(row_number() OVER (
+       |      ORDER BY ${cosDuck("cvec.centroid", "q.qv")} DESC NULLS LAST, label)
+       |      AS INTEGER) AS crk
+       |  FROM cvec, q
+       |),
+       |np AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS nprobe),
+       |probes AS (
+       |  SELECT np.nprobe, r.label FROM np JOIN ranked r ON r.crk <= np.nprobe
+       |),
+       |cand AS (
+       |  SELECT p.nprobe, e.vec_id,
+       |    ${cosDuck("e.embedding", "q.qv")} AS cosine
+       |  FROM embeddings e JOIN probes p ON e.label = p.label, q
+       |),
+       |top10 AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT cand.*, row_number() OVER (PARTITION BY nprobe
+       |      ORDER BY cosine DESC NULLS LAST, vec_id) AS rk
+       |    FROM cand
+       |  ) WHERE rk <= 10
+       |),
+       |cnt AS (SELECT nprobe, COUNT(*) AS n_candidates FROM cand GROUP BY 1),
+       |brute AS (SELECT vec_id AS bv FROM ($cosineTopkSql) b)
+       |SELECT t.nprobe, cnt.n_candidates,
+       |  COUNT(brute.bv) / CAST(10 AS DOUBLE) AS recall_at_10
+       |FROM top10 t
+       |LEFT JOIN brute ON brute.bv = t.vec_id
+       |JOIN cnt ON cnt.nprobe = t.nprobe
+       |GROUP BY t.nprobe, cnt.n_candidates
+       |${sqlOrderBy(Seq("t.nprobe")).trim}""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs, bucketed by label (the IVF
     * partitioning): all-pairs search runs WITHIN buckets only, so the
     * comparison count is sum of |bucket|^2, not |corpus|^2. Threshold
@@ -1561,6 +1643,7 @@ object Similarity {
     "embed_dim_stats" -> dimStats,
     "embed_pca_power" -> pcaPower,
     "embed_ivf_recall" -> ivfRecall,
+    "embed_ivf_curve" -> ivfCurve,
     "embed_knn_graph" -> knnGraph,
     "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
@@ -1585,6 +1668,7 @@ object Similarity {
     "embed_dim_stats" -> dimStatsSql,
     "embed_pca_power" -> pcaPowerSql,
     "embed_ivf_recall" -> ivfRecallSql,
+    "embed_ivf_curve" -> ivfCurveSql,
     "embed_knn_graph" -> knnGraphSql,
     "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
