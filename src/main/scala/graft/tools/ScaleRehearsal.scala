@@ -102,6 +102,8 @@ object ScaleRehearsal {
     stage("dedup_neardup_pairs")(graft.llm.Dedup.neardupPairs(spark, dir))
     stage("dedup_clusters")(graft.llm.Cluster.clusters(spark, dir))
     stage("graph_label_prop")(graft.llm.Cluster.labelProp(spark, dir))
+    // chunk-level exact dedup: one explode + one hash groupBy
+    stage("dedup_chunk_exact")(graft.llm.Dedup.chunkExact(spark, dir))
     stage("dedup_keep_best")(graft.llm.Cluster.keepBest(spark, dir))
     // IVF cell second moment
     val cells = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -125,6 +127,8 @@ object ScaleRehearsal {
     // the composition the scale story ends on: same k-NN output contract,
     // bucketed by the K∝N cells instead of the fixed label buckets
     stage("embed_knn_graph_autok")(graft.llm.Similarity.knnGraphAutoK(spark, dir))
+    // LOF rides the knn edge list: joins+aggs over |V|·k rows
+    stage("embed_outlier_lof")(graft.llm.Similarity.lofOutliers(spark, dir))
     spark.stop()
   }
 }
