@@ -1133,6 +1133,35 @@ object Aggs {
        |  GROUP BY c.source, st.ns
        |)${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** Oracle-checkable companion to the rows-only `agg_approx_distinct`
+    * (the `text_heavy_guaranteed` pattern): the HLL estimate itself is
+    * engine-specific and can never hash-match DuckDB, but its ERROR
+    * CONTRACT can — this query emits the exact distinct count plus a
+    * within-bounds flag at 3× the configured 5% rsd (the ±15% envelope
+    * a production monitor would alarm outside), and the oracle states
+    * the exact count with the expected all-clear flag. A Spark HLL
+    * regression that drifts outside its own error envelope turns the
+    * row red, which is exactly the property a sketch consumer relies
+    * on. Spark's HLL is deterministic for fixed input, so the flag is a
+    * constant of the corpus, not a flaky assertion. */
+  def approxDistinctBounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_exact"),
+        approx_count_distinct($"o_custkey", 0.05).as("n_approx"))
+      .select($"o_orderpriority", $"n_exact",
+        (abs($"n_approx" - $"n_exact").cast("double") <=
+          $"n_exact".cast("double") * 0.15).cast("int").as("within_15pct"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val approxDistinctBoundsSql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(DISTINCT o_custkey) AS n_exact,
+       |  1 AS within_15pct
+       |FROM orders GROUP BY o_orderpriority${sqlOrderBy(Seq("o_orderpriority"))}""".stripMargin
+
   /** Cramér's V effect size over the [[statChi2]] contingency — the
     * answer to the chi-square's scale problem: at 100 TB sample sizes
     * EVERY independence test "significant" (χ² grows linearly with n
@@ -1584,6 +1613,7 @@ object Aggs {
     "agg_grouping_sets" -> groupingSets,
     "agg_count_distinct" -> countDistinct2,
     "agg_approx_distinct" -> approxDistinct,
+    "agg_approx_distinct_bounds" -> approxDistinctBounds,
     "topk_orders" -> topkOrders,
     "events_daily" -> eventsDaily)
 
@@ -1618,6 +1648,7 @@ object Aggs {
     "agg_cube" -> cube2Sql,
     "agg_grouping_sets" -> groupingSetsSql,
     "agg_count_distinct" -> countDistinct2Sql,
+    "agg_approx_distinct_bounds" -> approxDistinctBoundsSql,
     "topk_orders" -> topkOrdersSql,
     "events_daily" -> eventsDailySql)
 }
