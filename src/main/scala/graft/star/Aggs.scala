@@ -972,6 +972,59 @@ object Aggs {
       .orderBy($"seg_a", $"seg_b")
   }
 
+  /** Exact companion to the rows-only [[segmentOverlapKmv]]: the true
+    * distinct-user overlap of every event-type segment pair, as one
+    * self-joined distinct frame — the ground truth the KMV estimate is
+    * property-tested against (KmvSpec), now ALSO driver-gated so the
+    * sketch's target is itself oracle-verified. Jaccard is a single
+    * division of exact counts.
+    *
+    * Scale posture: the distinct (segment, user) frame is one
+    * partial-agg exchange; the pair join is |segments|² × avg segment
+    * size — fine for bounded segment vocabularies; at very large
+    * segment counts THIS is the query the KMV sketch replaces (its
+    * cost is the point of the sketch). */
+  def segmentOverlapExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val su = Tables(spark, dir, "events")
+      .select($"event_type", $"user_id").distinct()
+    val sz = su.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val both = su.as("a")
+      .join(su.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("seg_a"), $"b.event_type".as("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(sz.select($"event_type".as("seg_a"), $"n".as("n_a")), "seg_a")
+      .join(sz.select($"event_type".as("seg_b"), $"n".as("n_b")), "seg_b")
+      .select($"seg_a", $"seg_b", $"n_a", $"n_b", $"n_both",
+        ($"n_both".cast("double") /
+          ($"n_a" + $"n_b" - $"n_both").cast("double")).as("jaccard"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
+  val segmentOverlapExactSql: String =
+    s"""WITH su AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |),
+       |sz AS (SELECT event_type, COUNT(*) AS n FROM su GROUP BY 1),
+       |ov AS (
+       |  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+       |    COUNT(*) AS n_both
+       |  FROM su a JOIN su b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT seg_a, seg_b,
+       |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_both AS DOUBLE)
+       |    / CAST(na.n + nb.n - n_both AS DOUBLE) AS jaccard
+       |FROM ov
+       |JOIN sz na ON na.event_type = seg_a
+       |JOIN sz nb ON nb.event_type = seg_b
+       |${sqlOrderBy(Seq("seg_a", "seg_b")).trim}""".stripMargin
+
   /** `DataFrameStatFunctions.crosstab` — the contingency-table one-liner
     * (lang x source document counts): every (row, column) pair cell,
     * zero-filled, without hand-writing the 20-way conditional
@@ -1590,6 +1643,7 @@ object Aggs {
     "stat_ols_brand" -> statOlsBrand,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "segment_overlap_kmv" -> segmentOverlapKmv,
+    "segment_overlap_exact" -> segmentOverlapExact,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
     "agg_stats_moments" -> statsMoments,
@@ -1649,6 +1703,7 @@ object Aggs {
     "agg_grouping_sets" -> groupingSetsSql,
     "agg_count_distinct" -> countDistinct2Sql,
     "agg_approx_distinct_bounds" -> approxDistinctBoundsSql,
+    "segment_overlap_exact" -> segmentOverlapExactSql,
     "topk_orders" -> topkOrdersSql,
     "events_daily" -> eventsDailySql)
 }
