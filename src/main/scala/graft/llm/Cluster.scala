@@ -597,7 +597,44 @@ object Cluster {
        |SELECT id AS doc_id, lbl AS community
        |FROM l2${graft.Det.sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Degree distribution of the near-dup candidate graph — the first
+    * chart anyone puts on a graph before running anything else on it:
+    * how many nodes have degree d, plus the hub tail (max degree).
+    * A heavy hub tail here predicts skew in every downstream
+    * graph op (a 10k-degree node makes [[triangles]]' wedge join
+    * quadratic at that node and concentrates [[labelProp]] traffic),
+    * so this IS the pre-flight skew check for the graph tier — the
+    * graph analogue of `dq_skew_report`. Exact integer counts end to
+    * end.
+    *
+    * Scale posture: two bounded aggregations — per-node degree
+    * (partial-agg on node id) then |distinct degrees| histogram
+    * cells; no joins, no windows over raw edges. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deg = bothDirs(
+      Dedup.candidatePairs(spark, dir).select($"d1".as("src"), $"d2".as("dst")))
+      .groupBy($"src").agg(count(lit(1)).as("degree"))
+    deg.groupBy($"degree")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"degree")
+  }
+
+  val degreeHistSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+       |SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
+       |FROM deg GROUP BY degree
+       |${graft.Det.sqlOrderBy(Seq("degree")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_hist" -> degreeHist,
     "graph_label_prop" -> labelProp,
     "dedup_keep_best" -> keepBest,
     "dedup_clusters" -> clusters,
@@ -610,6 +647,7 @@ object Cluster {
 
   val oracles: Map[String, String] = Map(
     "graph_label_prop" -> labelPropSql,
+    "graph_degree_hist" -> degreeHistSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_clusters" -> clustersSql,
     "corpus_dup_rate_by_source" -> dupRateBySourceSql,
