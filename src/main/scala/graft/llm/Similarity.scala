@@ -881,7 +881,10 @@ object Similarity {
     * cleaning: LOF ≈ 1 means a vector sits at its neighbors' density,
     * LOF ≫ 1 flags isolated points (mis-embedded, corrupted, or
     * genuinely novel documents — review-queue candidates either way).
-    * Composes [[knnGraph]]'s exact within-cell neighbors: k-distance =
+    * Composes [[knnGraphAutoK]]'s exact within-cell neighbors (the
+    * K∝N auto-K cells whose Σ|cell|² ≈ 250·N is measured LINEAR in
+    * SCALE.md — NOT the static label buckets, whose Σ|bucket|² the ×25
+    * rehearsal measured superlinear): k-distance =
     * max neighbor distance (d = 1 − cosine), reachability distances
     * quantize to 1e-9 fixed point before the per-point sum (exact
     * BIGINT — summation order cannot flip the hash), local reachability
@@ -892,11 +895,11 @@ object Similarity {
     *
     * Scale posture: three joins and three aggregations over the
     * |vectors|·k edge list — all hash-partitioned on vector id; the
-    * expensive part (the knn graph itself) is the Σ|cell|²-bounded
-    * machinery already rehearsed at ×25. */
+    * expensive part (the knn graph itself) is the auto-K cell-bounded
+    * machinery whose pair count grows linearly with the corpus. */
   def lofOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val knn = knnGraph(spark, dir)
+    val knn = knnGraphAutoK(spark, dir)
       .select($"v1", $"v2", (lit(1.0) - $"cosine").as("d"))
     val kd = knn.groupBy($"v1".as("v")).agg(max($"d").as("kdist"))
     val reach = knn.join(kd.withColumnRenamed("v", "v2"), "v2")
@@ -919,16 +922,17 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
-  val lofOutliersSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, label, embedding,
-       |    ${dotDuck("embedding", "embedding")} AS nrm
-       |  FROM embeddings
+  lazy val lofOutliersSql: String =
+    s"""WITH $autoKCtes,
+       |e AS (
+       |  SELECT emb.vec_id, a2.cell, emb.embedding,
+       |    ${dotDuck("emb.embedding", "emb.embedding")} AS nrm
+       |  FROM embeddings emb JOIN a2 ON emb.vec_id = a2.vec_id
        |),
        |p AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
        |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm)) AS cosine
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |),
        |knn AS (
        |  SELECT v1, v2, 1.0 - cosine AS d FROM (
