@@ -53,7 +53,11 @@ object Bench {
     // differed ~15% on total). Failures are tracked per pass — a run
     // with crashed queries must never masquerade as a clean artifact.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def timedPass(): Map[String, Double] =
+    def timedPass(): Map[String, Double] = {
+      // operators that persist() an intermediate (LOF's edge list) must
+      // re-pay it every pass — a pass-2 cache hit on pass 1's plan-
+      // canonical match would understate the floor
+      spark.catalog.clearCache()
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -63,6 +67,7 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+    }
     val passes = Seq(timedPass(), timedPass(), timedPass())
     val names = passes.head.keys.toSeq.sorted
     def stats(n: String): (Double, Double, Double) = {
@@ -83,18 +88,56 @@ object Bench {
     val totalMin = names.map(stats(_)._2).sum
     val failJson = failed.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // Floor-regression gate: compare each query's min floor against the
+    // previous committed artifact for this SF. The floor (not the median)
+    // is the comparison statistic — additive co-tenant load inflates
+    // medians asymmetrically, while a floor that moved >50% on unchanged
+    // code is either a real plan regression or a window worth a second
+    // look (the r7 `text_winnowing` 1.08→4.37 s case this gate exists to
+    // auto-adjudicate). Thresholds: ratio > 1.5× AND absolute delta
+    // > 0.5 s, so sub-second jitter on cheap queries never flags.
+    val outFile = java.nio.file.Paths.get(
+      "out", s"bench_${new java.io.File(sfDir).getName}.json")
+    val regressions: Seq[(String, Double, Double)] =
+      if (!java.nio.file.Files.exists(outFile)) Nil
+      else {
+        // scope the parse to the "spread" object — the artifact also
+        // carries "floor_regressions" entries of the same [a,b] shape
+        val prev = new String(
+          java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+          .split(""""spread":""").last.split(""""failures"""").head
+        val prevFloors = raw""""([A-Za-z0-9_]+)":\[([0-9.Ee+\-]+),"""
+          .r.findAllMatchIn(prev)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        names.flatMap { n =>
+          val cur = stats(n)._2
+          prevFloors.get(n).collect {
+            case p if cur > p * 1.5 && cur - p > 0.5 => (n, p, cur)
+          }
+        }
+      }
+    val regJson = regressions
+      .map { case (n, p, c) => "\"" + n + s"""":[$p,$c]""" }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","passes":3,"value_min_floor":$totalMin,""" +
-      s""""spread":$spread,"failures":$failJson}"""
+      s""""spread":$spread,"failures":$failJson,""" +
+      s""""floor_regressions":$regJson}"""
     println(json)
+    if (regressions.nonEmpty) {
+      System.err.println(
+        s"[bench] ${regressions.size} floor regression(s) vs previous artifact:")
+      System.err.println("[bench]   query | prev floor s | this floor s")
+      regressions.foreach { case (n, p, c) =>
+        System.err.println(f"[bench]   $n | $p%.2f | $c%.2f")
+      }
+    }
     // auditable artifact: the one-line stdout JSON can be truncated by
     // log capture, so also persist the full per-query map in-repo —
     // full CLEAN runs only: a dev-filtered run must never clobber the
     // round artifact with a partial map, and a run with crashed queries
     // must never commit elapsed-until-failure times as if real
     if (only.isEmpty && failed.isEmpty) {
-      val outFile = java.nio.file.Paths.get(
-        "out", s"bench_${new java.io.File(sfDir).getName}.json")
       java.nio.file.Files.createDirectories(outFile.getParent)
       java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))
     } else if (failed.nonEmpty)

@@ -161,6 +161,102 @@ object Curate {
        |FROM pairs GROUP BY pair
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** ITERATED BPE tokenizer training — 5 greedy merge rounds (Sennrich
+    * et al. 2016), where [[bpePairs]] is round 1's counting step only.
+    * Each round counts adjacent SYMBOL pairs over the word-frequency
+    * dictionary, merges the single most frequent pair (cnt DESC, then
+    * lexicographic — the deterministic tiebreak both engines state),
+    * and rewrites the dictionary before the next count. Output is the
+    * merge table a tokenizer ships: (round, pair, merged symbol, count).
+    *
+    * Symbol sequences are strings with a `chr(31)` before every symbol
+    * ("·a·b·c"), so the merge is `replace(wseq, ·pa·pb, ·papb)` — both
+    * engines' replace() scans left-to-right and resumes AFTER the
+    * replacement, which IS greedy BPE merge semantics ("a a a a" with
+    * pair (a,a) → "aa aa", verified cross-engine). The leading-only
+    * separator makes the trailing boundary of one match the leading
+    * boundary of the next, so runs merge correctly; a symbol can never
+    * straddle a false boundary because every symbol start carries the
+    * separator and symbols cannot contain it.
+    *
+    * Scale posture ([[bpePairs]]'s argument, compounded): the corpus
+    * collapses to its Zipf-bounded dictionary ONCE (the only corpus-
+    * sized shuffle, map-side combined); all 5 rounds run over |vocab|
+    * rows — pair counting is one |vocab|×avg_len explode + groupBy per
+    * round, the argmax is a 1-row TakeOrdered broadcast back into a
+    * narrow projection rewrite. The driver sees only the loop counter,
+    * exactly the [[graft.llm.Cluster.pagerankIter]] template. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab0 = Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("c_w"))
+      .select(regexp_replace($"w", "(.)", "\u001f$1").as("wseq"), $"c_w")
+      .localCheckpoint() // the dictionary feeds all 5 merge rounds
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (round <- 1 to 5) {
+      val pairs = vocab
+        .select($"c_w", split(expr("substr(wseq, 2)"), "\u001f").as("syms"))
+        .filter(size($"syms") >= 2) // guards sequence()'s negative-stop hazard
+        .select($"c_w", explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "j -> named_struct('pa', syms[j], 'pb', syms[j + 1]))")).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(sum($"c_w").as("cnt"))
+      val best = pairs.orderBy($"cnt".desc, $"pa", $"pb").limit(1)
+        .select(lit(round).as("round"), $"pa", $"pb",
+          concat($"pa", $"pb").as("merged"), $"cnt")
+        .localCheckpoint() // 1 row — pins round k's argmax out of k+1's lineage
+      merges += best
+      vocab = vocab
+        .crossJoin(broadcast(best.select($"pa".as("bpa"), $"pb".as("bpb"))))
+        .select(expr(
+          "replace(wseq, concat(chr(31), bpa, chr(31), bpb), " +
+            "concat(chr(31), bpa, bpb))").as("wseq"), $"c_w")
+    }
+    merges.reduce(_ unionAll _).orderBy($"round")
+  }
+
+  val bpeVocabSql: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""pairs$k AS (
+         |  SELECT syms[j + 1] AS pa, syms[j + 2] AS pb,
+         |    CAST(SUM(c_w) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(substr(wseq, 2), chr(31)) AS syms, c_w
+         |        FROM vocab${k - 1} WHERE length(wseq) > 0),
+         |    unnest(range(0, len(syms) - 1)) t(j)
+         |  WHERE len(syms) >= 2
+         |  GROUP BY 1, 2
+         |),
+         |best$k AS (
+         |  SELECT CAST($k AS INTEGER) AS round, pa, pb, pa || pb AS merged, cnt
+         |  FROM pairs$k ORDER BY cnt DESC, pa, pb LIMIT 1
+         |),
+         |vocab$k AS (
+         |  SELECT replace(wseq, chr(31) || b.pa || chr(31) || b.pb,
+         |    chr(31) || b.pa || b.pb) AS wseq, c_w
+         |  FROM vocab${k - 1} CROSS JOIN best$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vocab0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS wseq,
+       |    CAST(c_w AS BIGINT) AS c_w
+       |  FROM (
+       |    SELECT w, COUNT(*) AS c_w FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    ) WHERE length(w) >= 2 GROUP BY w
+       |  )
+       |),
+       |$rounds
+       |SELECT round, pa, pb, merged, cnt
+       |FROM (SELECT * FROM best1 UNION ALL SELECT * FROM best2
+       |      UNION ALL SELECT * FROM best3 UNION ALL SELECT * FROM best4
+       |      UNION ALL SELECT * FROM best5)
+       |${sqlOrderBy(Seq("round")).trim}""".stripMargin
+  }
+
   /** Cross-document duplicated-span coverage — the exact-substring dedup
     * signal (Lee et al. 2022): for every document, how much of it is
     * covered by an 8-token window that appears verbatim in at least one
@@ -639,6 +735,7 @@ object Curate {
     "corpus_source_cap" -> sourceCap,
     "corpus_quality_buckets" -> qualityBuckets,
     "text_bpe_pairs" -> bpePairs,
+    "text_bpe_vocab" -> bpeVocab,
     "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover)
 
@@ -652,6 +749,7 @@ object Curate {
     "corpus_source_cap" -> sourceCapSql,
     "corpus_quality_buckets" -> qualityBucketsSql,
     "text_bpe_pairs" -> bpePairsSql,
+    "text_bpe_vocab" -> bpeVocabSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql)
 }

@@ -899,8 +899,14 @@ object Similarity {
     * machinery whose pair count grows linearly with the corpus. */
   def lofOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The edge list feeds THREE consumers (k-distance, reachability,
+    // neighbor-lrd join); without materialization each reference
+    // re-executes the whole auto-K build + pair enumeration beneath it.
+    // Persisting |V|·k skinny rows IS the documented 100 TB posture —
+    // LOF consumes the materialized edge list, never recomputes it.
     val knn = knnGraphAutoK(spark, dir)
       .select($"v1", $"v2", (lit(1.0) - $"cosine").as("d"))
+      .persist()
     val kd = knn.groupBy($"v1".as("v")).agg(max($"d").as("kdist"))
     val reach = knn.join(kd.withColumnRenamed("v", "v2"), "v2")
       .select($"v1",

@@ -1003,6 +1003,117 @@ object Aggs {
       .orderBy($"seg_a", $"seg_b")
   }
 
+  /** FULL theta-style set algebra from the SAME persisted per-segment
+    * KMV sketches — union, intersection, and both difference estimates
+    * for every segment pair, none re-scanning events: the sketch table
+    * is built (and persisted) ONCE, and every set expression is array
+    * math over sketch pairs. This is the theta-sketch contract
+    * ([[segmentOverlapKmv]] gives only the intersection): the union
+    * sketch's sample (its k−1 members strictly below theta) PARTITIONS
+    * into in-both / a-only / b-only — each class scaled by 1/theta is
+    * that set's estimate, and the three sum to (k−1)/theta = the union
+    * estimate identically (asserted in KmvSpec). A hash below the
+    * union's theta is necessarily inside either side's sketch (theta_u
+    * <= theta_a, theta_b), so class membership is decidable from the
+    * sketches alone. Unsaturated pairs short-circuit to exact set
+    * arithmetic (the sketch IS the distinct hash set).
+    *
+    * No oracle (xxhash64 is engine-specific): rows-only in
+    * CORRECTNESS; the estimates are gated against the oracle-checked
+    * [[segmentSetopsExact]] twin by KmvSpec's error-contract assert.
+    *
+    * Scale posture: one partial-agg shuffle carrying k longs per
+    * segment per partition builds the sketch table; persistence makes
+    * "sketches once, many set expressions" literal; composition is
+    * \|segments\|² rows of codegen'd array built-ins. */
+  def segmentSetopsKmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 256
+    val agg = new graft.functions.KmvSketchAggregator(k).toColumn
+    val sk = Tables(spark, dir, "events")
+      .select($"event_type", expr("xxhash64(user_id)").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sketch"))
+      .toDF("event_type", "sketch")
+      .persist() // the point: segment sketches built once, reused per pair
+    val a = sk.select($"event_type".as("seg_a"), $"sketch".as("sa"))
+    val b = sk.select($"event_type".as("seg_b"), $"sketch".as("sb"))
+    a.join(b, $"seg_a" < $"seg_b")
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("theta", expr("element_at(u, size(u))").cast("double")
+        / lit(Long.MaxValue.toDouble))
+      .withColumn("sample", expr("slice(u, 1, size(u) - 1)"))
+      .withColumn("n_i", expr(
+        "size(array_intersect(sample, array_intersect(sa, sb)))"))
+      .withColumn("n_ao", expr(
+        "size(array_intersect(sample, array_except(sa, sb)))"))
+      .withColumn("n_bo", expr(
+        "size(array_intersect(sample, array_except(sb, sa)))"))
+      .select($"seg_a", $"seg_b",
+        when(size($"u") < k, size($"u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / $"theta").as("est_union"),
+        when(size($"u") < k,
+          expr("size(array_intersect(sa, sb))").cast("double"))
+          .otherwise($"n_i".cast("double") / $"theta").as("est_intersect"),
+        when(size($"u") < k,
+          expr("size(array_except(sa, sb))").cast("double"))
+          .otherwise($"n_ao".cast("double") / $"theta").as("est_a_only"),
+        when(size($"u") < k,
+          expr("size(array_except(sb, sa))").cast("double"))
+          .otherwise($"n_bo".cast("double") / $"theta").as("est_b_only"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
+  /** Exact companion to the rows-only [[segmentSetopsKmv]]: true
+    * distinct-user union / intersection / difference cardinalities per
+    * segment pair, all derived from the one (n_a, n_b, n_both) triple
+    * by inclusion–exclusion — the oracle-gated ground truth KmvSpec
+    * holds the sketch estimates against. Same plan as
+    * [[segmentOverlapExact]]: one distinct exchange + one
+    * candidate-bounded pair join. */
+  def segmentSetopsExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val su = Tables(spark, dir, "events")
+      .select($"event_type", $"user_id").distinct()
+    val sz = su.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val both = su.as("a")
+      .join(su.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("seg_a"), $"b.event_type".as("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(sz.select($"event_type".as("seg_a"), $"n".as("n_a")), "seg_a")
+      .join(sz.select($"event_type".as("seg_b"), $"n".as("n_b")), "seg_b")
+      .select($"seg_a", $"seg_b",
+        ($"n_a" + $"n_b" - $"n_both").as("n_union"),
+        $"n_both".as("n_intersect"),
+        ($"n_a" - $"n_both").as("n_a_only"),
+        ($"n_b" - $"n_both").as("n_b_only"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
+  val segmentSetopsExactSql: String =
+    s"""WITH su AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |),
+       |sz AS (SELECT event_type, COUNT(*) AS n FROM su GROUP BY 1),
+       |ov AS (
+       |  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+       |    COUNT(*) AS n_both
+       |  FROM su a JOIN su b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT seg_a, seg_b,
+       |  CAST(na.n + nb.n - n_both AS BIGINT) AS n_union,
+       |  CAST(n_both AS BIGINT) AS n_intersect,
+       |  CAST(na.n - n_both AS BIGINT) AS n_a_only,
+       |  CAST(nb.n - n_both AS BIGINT) AS n_b_only
+       |FROM ov
+       |JOIN sz na ON na.event_type = seg_a
+       |JOIN sz nb ON nb.event_type = seg_b
+       |${sqlOrderBy(Seq("seg_a", "seg_b")).trim}""".stripMargin
+
   val segmentOverlapExactSql: String =
     s"""WITH su AS (
        |  SELECT DISTINCT event_type, user_id FROM events
@@ -1643,6 +1754,8 @@ object Aggs {
     "stat_ols_brand" -> statOlsBrand,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "segment_overlap_kmv" -> segmentOverlapKmv,
+    "segment_setops_kmv" -> segmentSetopsKmv,
+    "segment_setops_exact" -> segmentSetopsExact,
     "segment_overlap_exact" -> segmentOverlapExact,
     "agg_size_histogram" -> orderSizeHistogram,
     "agg_filter_clause" -> filterClause,
@@ -1704,6 +1817,7 @@ object Aggs {
     "agg_count_distinct" -> countDistinct2Sql,
     "agg_approx_distinct_bounds" -> approxDistinctBoundsSql,
     "segment_overlap_exact" -> segmentOverlapExactSql,
+    "segment_setops_exact" -> segmentSetopsExactSql,
     "topk_orders" -> topkOrdersSql,
     "events_daily" -> eventsDailySql)
 }

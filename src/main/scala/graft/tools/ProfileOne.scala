@@ -21,6 +21,7 @@ object ProfileOne {
     val fn = graft.SparkEntry.queries(name)
     if (sys.env.contains("EXPLAIN")) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to n) {
+      spark.catalog.clearCache() // no cross-run reuse of persist()ed plans
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"== run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")

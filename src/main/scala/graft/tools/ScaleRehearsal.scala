@@ -123,11 +123,18 @@ object ScaleRehearsal {
     val aK = autok.select("k").head.getLong(0)
     println(s"auto-K: K=$aK Σ|cell|²=$aSq max|cell|=$aMax " +
       s"(fixed-K Σ|cell|²=$csq, 250·N=${250 * nVecs})")
-    stage("embed_knn_graph")(graft.llm.Similarity.knnGraph(spark, dir))
+    // The fixed-label knn is the PROVEN superlinear stage (root-caused at
+    // ×25: Σ|bucket|² = N²/K at fixed K — SCALE.md:235). Re-measuring it
+    // at ×100 would cost ~an hour to re-prove a settled point, so high
+    // copy counts run only the scale-safe composition it motivates.
+    if (copies <= 10)
+      stage("embed_knn_graph")(graft.llm.Similarity.knnGraph(spark, dir))
+    else
+      println(s"| embed_knn_graph | skipped at x$copies (superlinear, root-caused at x25) | | | |")
     // the composition the scale story ends on: same k-NN output contract,
     // bucketed by the K∝N cells instead of the fixed label buckets
     stage("embed_knn_graph_autok")(graft.llm.Similarity.knnGraphAutoK(spark, dir))
-    // LOF rides the knn edge list: joins+aggs over |V|·k rows
+    // LOF rides the auto-K knn edge list: joins+aggs over |V|·k rows
     stage("embed_outlier_lof")(graft.llm.Similarity.lofOutliers(spark, dir))
     spark.stop()
   }

@@ -44,6 +44,76 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.25, s"estimate $est vs exact $n")
   }
 
+  test("setops: registered query matches the exact twin when unsaturated") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.star.Aggs.segmentSetopsKmv(spark, dir)
+      .as[(String, String, Double, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    val exact = graft.star.Aggs.segmentSetopsExact(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((pair, (u, i, ao, bo)) <- est) {
+      val (xu, xi, xao, xbo) = exact(pair)
+      if (xu < 256) { // unsaturated: sketch algebra must be EXACT
+        assert(u == xu.toDouble && i == xi.toDouble &&
+          ao == xao.toDouble && bo == xbo.toDouble,
+          s"$pair ($u,$i,$ao,$bo) vs exact ($xu,$xi,$xao,$xbo)")
+      } else { // saturated: 4-sigma envelope on the union
+        assert(math.abs(u - xu) / xu < 0.25, s"$pair union $u vs $xu")
+      }
+    }
+  }
+
+  test("setops: class estimates partition the union estimate exactly") {
+    import spark.implicits._
+    // synthetic segments large enough to SATURATE k=256: A = 1..4000,
+    // B = 2001..6000 (overlap 2000), C = disjoint 10001..12000
+    val rows =
+      (1 to 4000).map(i => ("A", s"u$i")) ++
+      (2001 to 6000).map(i => ("B", s"u$i")) ++
+      (10001 to 12000).map(i => ("C", s"u$i"))
+    val df = rows.toDF("event_type", "user_id")
+    val k = 256
+    val agg = new KmvSketchAggregator(k).toColumn
+    val sk = df.select($"event_type", expr("xxhash64(user_id)").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sketch"))
+      .toDF("event_type", "sketch")
+    val a = sk.select($"event_type".as("seg_a"), $"sketch".as("sa"))
+    val b = sk.select($"event_type".as("seg_b"), $"sketch".as("sb"))
+    val out = a.join(b, $"seg_a" < $"seg_b")
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("theta", expr("element_at(u, size(u))").cast("double")
+        / lit(Long.MaxValue.toDouble))
+      .withColumn("sample", expr("slice(u, 1, size(u) - 1)"))
+      .select($"seg_a", $"seg_b", size($"u").as("su"),
+        (expr("size(array_intersect(sample, array_intersect(sa, sb)))") +
+          expr("size(array_intersect(sample, array_except(sa, sb)))") +
+          expr("size(array_intersect(sample, array_except(sb, sa)))"))
+          .as("class_sum"),
+        (lit((k - 1).toDouble) / $"theta").as("est_u"),
+        $"theta")
+      .as[(String, String, Int, Int, Double, Double)].collect()
+    assert(out.length == 3)
+    for ((sa2, sb2, su, classSum, estU, _) <- out) {
+      assert(su == k, s"$sa2/$sb2 not saturated (|u|=$su) — test data too small")
+      // the union sample partitions into in-both / a-only / b-only:
+      // class counts sum to k-1, so class estimates sum to (k-1)/theta
+      assert(classSum == k - 1,
+        s"$sa2/$sb2 classes sum to $classSum, want ${k - 1}")
+      assert(estU > 0)
+    }
+    // disjoint pair A/C: the in-both class of the union sample is empty
+    val acInBoth = a.join(b, $"seg_a" === "A" && $"seg_b" === "C")
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("sample", expr("slice(u, 1, size(u) - 1)"))
+      .select(expr("size(array_intersect(sample, array_intersect(sa, sb)))"))
+      .as[Int].head()
+    assert(acInBoth == 0, s"disjoint A/C in-both class = $acInBoth, want 0")
+  }
+
   test("registered overlap query tracks exact distinct overlaps") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.01"
