@@ -41,7 +41,7 @@ object Similarity {
     * the floor-scaled-long form (see DecimalDot doc) is IEEE-portable,
     * so [[dotDuck]] states the identical arithmetic.
     */
-  private def dotSpark(x: String, y: String): String =
+  private[graft] def dotSpark(x: String, y: String): String =
     s"decimal_dot($x, $y)"
 
   /** DuckDB twin of [[dotSpark]]: same floor(v*1e14 + 0.5) term
@@ -1227,7 +1227,39 @@ object Similarity {
     * after seeds + one Lloyd iteration. Factored out so composites
     * ([[knnGraphAutoK]]) can bucket by the SAME deterministic cells the
     * auto-K build certifies as size-bounded. */
-  def autoKAssign(spark: SparkSession, dir: String): DataFrame = {
+  def autoKAssign(spark: SparkSession, dir: String): DataFrame =
+    assignToCells(spark, Tables(spark, dir, "embeddings"),
+      autoKCentroids(spark, dir))
+
+  /** Nearest-centroid assignment of arbitrary `(vec_id, embedding)`
+    * rows to a FROZEN `(cell, centroid)` table — the IVF index
+    * MAINTENANCE path: with the model held fixed, a vector's cell
+    * depends on that vector alone, so the assignment is partition-
+    * incremental (compose with `sources/Incremental.refresh` — proven
+    * in IvfIncrementalSpec: mutate one source partition, only that
+    * partition's index rows recompute). One broadcast \|N\|×K scan,
+    * decimal-exact distances, min-cell tiebreak. */
+  def assignToCells(spark: SparkSession, emb: DataFrame,
+      cent: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val dist = emb.select($"vec_id", $"embedding").crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "cell",
+        s"""(${dotSpark("embedding", "embedding")}
+           | - 2 * ${dotSpark("embedding", "centroid")}
+           | + ${dotSpark("centroid", "centroid")}) AS d""".stripMargin
+          .replace("\n", ""))
+    val best = dist.groupBy($"vec_id").agg(min($"d").as("min_d"))
+    dist.join(best, "vec_id").filter($"d" === $"min_d")
+      .groupBy($"vec_id").agg(min($"cell").as("cell"))
+  }
+
+  /** The frozen auto-K centroid MODEL `(cell, centroid)`: hash-bucket-
+    * minimum seeds (K = ⌈N/250⌉) plus one decimal-exact Lloyd update.
+    * Built once per (re-)clustering; [[assignToCells]] assigns against
+    * it without recomputing it — the split that makes the materialized
+    * IVF index incrementally maintainable. */
+  def autoKCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
     val emb = Tables(spark, dir, "embeddings")
@@ -1242,18 +1274,7 @@ object Similarity {
         Window.partitionBy($"bucket").orderBy($"h", $"vec_id")))
       .filter($"rn" === 1)
       .select($"vec_id".as("cell"), $"embedding".as("centroid"))
-    def assign(cent: DataFrame): DataFrame = {
-      val dist = emb.select($"vec_id", $"embedding").crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "cell",
-          s"""(${dotSpark("embedding", "embedding")}
-             | - 2 * ${dotSpark("embedding", "centroid")}
-             | + ${dotSpark("centroid", "centroid")}) AS d""".stripMargin
-            .replace("\n", ""))
-      val best = dist.groupBy($"vec_id").agg(min($"d").as("min_d"))
-      dist.join(best, "vec_id").filter($"d" === $"min_d")
-        .groupBy($"vec_id").agg(min($"cell").as("cell"))
-    }
-    val cent1 = assign(seeds)
+    assignToCells(spark, emb, seeds)
       .join(emb, "vec_id")
       .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"cell", $"pos")
@@ -1262,7 +1283,6 @@ object Similarity {
       .groupBy($"cell")
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
         .as("centroid"))
-    assign(cent1)
   }
 
   /** CTE prelude shared by [[ivfAutoKSql]] and [[knnGraphAutoKSql]]:
