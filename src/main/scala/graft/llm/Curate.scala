@@ -188,6 +188,14 @@ object Curate {
     * exactly the [[graft.llm.Cluster.pagerankIter]] template. */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, dir).reduce(_ unionAll _).orderBy($"round")
+  }
+
+  /** The 5-round training loop behind [[bpeVocab]] and [[bpeTokenize]]:
+    * returns the learned merges as five 1-row checkpointed frames
+    * `(round, pa, pb, merged, cnt)`. */
+  private def bpeTrain(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    import spark.implicits._
     val vocab0 = Tables(spark, dir, "documents")
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 2)
@@ -216,10 +224,53 @@ object Curate {
           "replace(wseq, concat(chr(31), bpa, chr(31), bpb), " +
             "concat(chr(31), bpa, bpb))").as("wseq"), $"c_w")
     }
-    merges.reduce(_ unionAll _).orderBy($"round")
+    merges.toSeq
   }
 
-  val bpeVocabSql: String = {
+  /** BPE tokenizer APPLICATION — encode every document with the merge
+    * table [[bpeVocab]] learns, closing the tokenizer loop (train ->
+    * apply -> measure): per document, the token count under the 5-merge
+    * vocab, the character count, and chars-per-token (the compression
+    * number tokenizer work optimizes; one exact-integer division).
+    *
+    * Scale posture — the trick that makes BPE ENCODING corpus-scale:
+    * tokenization is a pure function of the word, so the corpus never
+    * re-runs the merges. The DISTINCT-word dictionary (Zipf-bounded) is
+    * encoded once — five broadcast-1-row replace() projections, merges
+    * applied in learned order — and documents get their counts by
+    * joining words to the word->n_tokens map and summing: \|tokens\|-row
+    * join + per-doc aggregate. A word the merge rounds never saw still
+    * encodes correctly (its symbols simply never match a merge pattern —
+    * 1-char words fall out as 1 token without a special case). */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir)
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    var words = toks.select($"w").distinct()
+      .select($"w", regexp_replace($"w", "(.)", "\u001f$1").as("wseq"))
+    for (best <- merges)
+      words = words
+        .crossJoin(broadcast(best.select($"pa".as("bpa"), $"pb".as("bpb"))))
+        .select($"w", expr(
+          "replace(wseq, concat(chr(31), bpa, chr(31), bpb), " +
+            "concat(chr(31), bpa, bpb))").as("wseq"))
+    val nsym = words.select($"w", length($"w").as("n_ch"),
+      size(split(expr("substr(wseq, 2)"), "\u001f")).as("n_sym"))
+    toks.join(nsym, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sym".cast("long")).as("n_tokens"),
+        sum($"n_ch".cast("long")).as("n_chars"))
+      .select($"doc_id", $"n_tokens", $"n_chars",
+        ($"n_chars".cast("double") / $"n_tokens".cast("double"))
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** CTE prelude shared by [[bpeVocabSql]] and [[bpeTokenizeSql]]:
+    * the word dictionary plus the 5 unrolled merge rounds, built by the
+    * same Scala loop that drives the Spark side. */
+  private val bpeCtes: String = {
     val rounds = (1 to 5).map { k =>
       s"""pairs$k AS (
          |  SELECT syms[j + 1] AS pa, syms[j + 2] AS pb,
@@ -240,7 +291,7 @@ object Curate {
          |  FROM vocab${k - 1} CROSS JOIN best$k b
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH vocab0 AS (
+    s"""vocab0 AS (
        |  SELECT regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS wseq,
        |    CAST(c_w AS BIGINT) AS c_w
        |  FROM (
@@ -249,12 +300,50 @@ object Curate {
        |    ) WHERE length(w) >= 2 GROUP BY w
        |  )
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeVocabSql: String =
+    s"""WITH $bpeCtes
        |SELECT round, pa, pb, merged, cnt
        |FROM (SELECT * FROM best1 UNION ALL SELECT * FROM best2
        |      UNION ALL SELECT * FROM best3 UNION ALL SELECT * FROM best4
        |      UNION ALL SELECT * FROM best5)
        |${sqlOrderBy(Seq("round")).trim}""".stripMargin
+
+  val bpeTokenizeSql: String = {
+    val apply = (1 to 5).map { k =>
+      s"""aw$k AS (
+         |  SELECT w, replace(wseq, chr(31) || b.pa || chr(31) || b.pb,
+         |    chr(31) || b.pa || b.pb) AS wseq
+         |  FROM aw${k - 1} CROSS JOIN best$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeCtes,
+       |allw AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |),
+       |aw0 AS (
+       |  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS wseq
+       |  FROM allw
+       |),
+       |$apply,
+       |ns AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS n_ch,
+       |    CAST(len(string_split(substr(wseq, 2), chr(31))) AS BIGINT) AS n_sym
+       |  FROM aw5
+       |),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(SUM(ns.n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(ns.n_ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(ns.n_ch) AS DOUBLE) / CAST(SUM(ns.n_sym) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM toks JOIN ns USING (w)
+       |GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
   }
 
   /** Cross-document duplicated-span coverage — the exact-substring dedup
@@ -328,6 +417,83 @@ object Curate {
        |  CAST(COUNT(DISTINCT p) AS BIGINT) AS n_covered,
        |  COUNT(DISTINCT p) / CAST(ANY_VALUE(n_tok) AS DOUBLE) AS dup_fraction
        |FROM cov GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  /** Benchmark DECONTAMINATION audit — the n-gram overlap check every
+    * serious pretraining corpus ships (GPT-3 appendix C; The Pile;
+    * FineWeb's decontamination pass): training documents sharing long
+    * verbatim n-grams with an evaluation suite leak test answers into
+    * the train set and corrupt downstream evals. The held-out suite is
+    * stood in by the documents of the lexicographically-first source
+    * (deterministic, corpus-derived); every OTHER document is scored by
+    * the fraction of its 8-gram windows appearing verbatim ANYWHERE in
+    * the eval set, with the ≥25% verdict a curation pipeline would gate
+    * shipping on.
+    *
+    * Scale posture: eval shingles collapse to a DISTINCT set (the
+    * benchmark suite is tiny next to the corpus — broadcast-able at
+    * 100 TB; here an equi-join); the train side is the same streaming
+    * [[graft.functions.PosShingles]] generator [[spanCover]] uses, and
+    * the hit test is ONE row-preserving left join against the deduped
+    * eval shingles (no fanout: the join key is distinct on the build
+    * side) feeding a single per-doc count — no all-pairs comparison,
+    * work ∝ \|train tokens\| + \|eval shingles\|. */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.PosShingles.register(spark)
+    val docs = Tables(spark, dir, "documents")
+    val evalSrc = docs.agg(min($"source").as("eval_src"))
+    val toks = docs
+      .select($"doc_id", $"source", split($"text", " ").as("t"))
+      .filter(size($"t") >= 8)
+      .crossJoin(broadcast(evalSrc))
+    val sh = toks.selectExpr("doc_id", "source", "eval_src",
+      "pos_shingles(t, 8, ' ') AS (i, sh)")
+    val evalSh = sh.filter($"source" === $"eval_src")
+      .select($"sh").distinct().withColumn("m", lit(1))
+    sh.filter($"source" =!= $"eval_src")
+      .select($"doc_id", $"sh")
+      .join(evalSh, Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"), count($"m").as("n_hit"))
+      .select($"doc_id", $"n_windows", $"n_hit",
+        ($"n_hit".cast("double") / $"n_windows".cast("double"))
+          .as("contam_frac"))
+      .withColumn("verdict",
+        when($"contam_frac" >= 0.25, lit("contaminated"))
+          .otherwise(lit("clean")))
+      .orderBy($"doc_id")
+  }
+
+  val decontamSql: String =
+    s"""WITH ev AS (SELECT MIN(source) AS eval_src FROM documents),
+       |toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8
+       |),
+       |sh AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(0, len(t) - 7),
+       |      i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))) AS sh
+       |  FROM toks
+       |),
+       |evs AS (
+       |  SELECT DISTINCT sh, 1 AS m FROM sh, ev WHERE source = eval_src
+       |),
+       |tr AS (
+       |  SELECT doc_id, sh.sh AS sh FROM sh, ev WHERE source <> eval_src
+       |),
+       |scored AS (
+       |  SELECT tr.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(COUNT(evs.m) AS BIGINT) AS n_hit
+       |  FROM tr LEFT JOIN evs USING (sh)
+       |  GROUP BY tr.doc_id
+       |)
+       |SELECT doc_id, n_windows, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_windows AS DOUBLE) AS contam_frac,
+       |  CASE WHEN CAST(n_hit AS DOUBLE) / CAST(n_windows AS DOUBLE) >= 0.25
+       |    THEN 'contaminated' ELSE 'clean' END AS verdict
+       |FROM scored${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"), unigram ratio
@@ -736,6 +902,8 @@ object Curate {
     "corpus_quality_buckets" -> qualityBuckets,
     "text_bpe_pairs" -> bpePairs,
     "text_bpe_vocab" -> bpeVocab,
+    "corpus_decontam" -> decontam,
+    "text_bpe_tokenize" -> bpeTokenize,
     "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover)
 
@@ -750,6 +918,8 @@ object Curate {
     "corpus_quality_buckets" -> qualityBucketsSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_vocab" -> bpeVocabSql,
+    "corpus_decontam" -> decontamSql,
+    "text_bpe_tokenize" -> bpeTokenizeSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql)
 }
