@@ -1243,12 +1243,18 @@ object Similarity {
       cent: DataFrame): DataFrame = {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
-    val dist = emb.select($"vec_id", $"embedding").crossJoin(broadcast(cent))
+    // hoist the self-dots: ‖e‖² once per VECTOR (not per pair), ‖c‖²
+    // once per CENTROID — the expanded ‖e−c‖² needs only the cross
+    // term per pair. Same decimal operands in the same expression →
+    // bit-identical distances, at 1/3 the decimal-dot work of the
+    // inline form (the ×100 rehearsal's dominant remaining cost).
+    val e2 = emb.select($"vec_id", $"embedding",
+      expr(dotSpark("embedding", "embedding")).as("ee"))
+    val c2 = cent.select($"cell", $"centroid",
+      expr(dotSpark("centroid", "centroid")).as("cc"))
+    val dist = e2.crossJoin(broadcast(c2))
       .selectExpr("vec_id", "cell",
-        s"""(${dotSpark("embedding", "embedding")}
-           | - 2 * ${dotSpark("embedding", "centroid")}
-           | + ${dotSpark("centroid", "centroid")}) AS d""".stripMargin
-          .replace("\n", ""))
+        s"(ee - 2 * ${dotSpark("embedding", "centroid")} + cc) AS d")
     // ONE pass: min_by over (d, cell) = "closest centroid, min-cell
     // tiebreak" — bit-identical to the min-d-agg + re-join + min-cell
     // form this replaced, but the N×K distance stream is produced and

@@ -23,7 +23,11 @@ object ProfileOne {
     for (i <- 1 to n) {
       spark.catalog.clearCache() // no cross-run reuse of persist()ed plans
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // PROFILE_COUNT=1 measures the ScaleRehearsal stage() methodology
+      // (count() — lets Catalyst prune unconsumed columns) instead of
+      // the bench's full-row-production noop write
+      if (sys.env.contains("PROFILE_COUNT")) fn(spark, sfDir).count()
+      else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"== run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
