@@ -199,6 +199,75 @@ object Cluster {
        |GROUP BY d.source${sqlOrderBy(Seq("d.source"))}""".stripMargin
   }
 
+  /** Duplication rate BY QUALITY TERCILE — the cross-tier analysis
+    * that decides pipeline ORDER: if low-quality content duplicates
+    * disproportionately (it does, in crawls — boilerplate and spam are
+    * both low-TTR and mass-replicated), dedup-before-filter wastes
+    * candidate work on documents the filter would drop anyway, and
+    * filter-before-dedup changes the clusters. Composes
+    * [[graft.llm.Curate.qualityBuckets]]'s per-language CCNet terciles
+    * with [[clusters]]' connected components: one doc_id equi-join, one
+    * 3-row aggregate. Same removal-rate arithmetic as
+    * [[dupRateBySource]], so the two scorecards read side by side. */
+  def dupRateByQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.llm.Curate.qualityBuckets(spark, dir)
+      .select($"doc_id", $"bucket")
+    val c = clusters(spark, dir)
+      .select($"doc_id", ($"cluster_size" > 1).as("in_dup"), $"is_keeper")
+    q.join(c, "doc_id")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"in_dup".cast("long")).as("n_in_dup_cluster"),
+        sum($"is_keeper".cast("long")).as("n_keepers"))
+      .select($"bucket", $"n_docs", $"n_in_dup_cluster", $"n_keepers",
+        (($"n_docs" - $"n_keepers").cast("double") /
+          $"n_docs".cast("double")).as("removal_rate"))
+      .orderBy($"bucket")
+  }
+
+  val dupRateByQualitySql: String = {
+    s"""WITH RECURSIVE ${graft.llm.Dedup.sigSqlCte},
+       |${graft.llm.Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+       |),
+       |comp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+       |),
+       |sz AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY cluster_id
+       |),
+       |qt AS (
+       |  SELECT doc_id,
+       |    CAST(ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY len(list_distinct(string_split(text, ' ')))
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE) DESC, doc_id)
+       |      AS INTEGER) AS bucket
+       |  FROM documents
+       |)
+       |SELECT qt.bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN sz.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_in_dup_cluster,
+       |  CAST(SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_keepers,
+       |  CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS removal_rate
+       |FROM comp c
+       |JOIN sz USING (cluster_id)
+       |JOIN qt ON qt.doc_id = c.doc_id
+       |GROUP BY qt.bucket${sqlOrderBy(Seq("qt.bucket"))}""".stripMargin
+  }
+
   /** One damped PageRank power-iteration step (d = 0.85) from the
     * uniform vector over the undirected candidate-pair graph — the
     * centrality primitive for picking the CANONICAL document of a
@@ -639,6 +708,7 @@ object Cluster {
     "dedup_keep_best" -> keepBest,
     "dedup_clusters" -> clusters,
     "corpus_dup_rate_by_source" -> dupRateBySource,
+    "corpus_dup_rate_by_quality" -> dupRateByQuality,
     "graph_pagerank_step" -> pagerankStep,
     "graph_pagerank_iter5" -> pagerankIter,
     "graph_triangles" -> triangles,
@@ -651,6 +721,7 @@ object Cluster {
     "dedup_keep_best" -> keepBestSql,
     "dedup_clusters" -> clustersSql,
     "corpus_dup_rate_by_source" -> dupRateBySourceSql,
+    "corpus_dup_rate_by_quality" -> dupRateByQualitySql,
     "graph_pagerank_step" -> pagerankStepSql,
     "graph_pagerank_iter5" -> pagerankIterSql,
     "graph_triangles" -> trianglesSql,

@@ -303,15 +303,10 @@ object Curate {
        |$rounds""".stripMargin
   }
 
-  val bpeVocabSql: String =
-    s"""WITH $bpeCtes
-       |SELECT round, pa, pb, merged, cnt
-       |FROM (SELECT * FROM best1 UNION ALL SELECT * FROM best2
-       |      UNION ALL SELECT * FROM best3 UNION ALL SELECT * FROM best4
-       |      UNION ALL SELECT * FROM best5)
-       |${sqlOrderBy(Seq("round")).trim}""".stripMargin
-
-  val bpeTokenizeSql: String = {
+  /** CTE chain shared by [[bpeTokenizeSql]] and [[bpeFertilitySql]]:
+    * the distinct-word dictionary encoded and run through the 5
+    * learned merges, ending in `ns (w, n_ch, n_sym)`. */
+  private val bpeApplyCtes: String = {
     val apply = (1 to 5).map { k =>
       s"""aw$k AS (
          |  SELECT w, replace(wseq, chr(31) || b.pa || chr(31) || b.pb,
@@ -319,8 +314,7 @@ object Curate {
          |  FROM aw${k - 1} CROSS JOIN best$k b
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bpeCtes,
-       |allw AS (
+    s"""allw AS (
        |  SELECT DISTINCT w FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |),
@@ -333,7 +327,20 @@ object Curate {
        |  SELECT w, CAST(length(w) AS BIGINT) AS n_ch,
        |    CAST(len(string_split(substr(wseq, 2), chr(31))) AS BIGINT) AS n_sym
        |  FROM aw5
-       |),
+       |)""".stripMargin
+  }
+
+  val bpeVocabSql: String =
+    s"""WITH $bpeCtes
+       |SELECT round, pa, pb, merged, cnt
+       |FROM (SELECT * FROM best1 UNION ALL SELECT * FROM best2
+       |      UNION ALL SELECT * FROM best3 UNION ALL SELECT * FROM best4
+       |      UNION ALL SELECT * FROM best5)
+       |${sqlOrderBy(Seq("round")).trim}""".stripMargin
+
+  val bpeTokenizeSql: String =
+    s"""WITH $bpeCtes,
+       |$bpeApplyCtes,
        |toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
        |)
@@ -344,7 +351,57 @@ object Curate {
        |    AS chars_per_token
        |FROM toks JOIN ns USING (w)
        |GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  /** Tokenizer FERTILITY by language — tokens-per-word under the
+    * learned 5-merge vocab, the per-language health number tokenizer
+    * teams track (a vocab trained on one language's corpus quietly
+    * doubles another's sequence lengths — fertility is where that
+    * shows first). Composes [[bpeTokenize]]'s word->token map with the
+    * language column: one \|tokens\|-row join, one per-lang aggregate.
+    * Fertility and chars-per-token are single divisions of exact
+    * integer sums. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir)
+    val toks = Tables(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+    var words = toks.select($"w").distinct()
+      .select($"w", regexp_replace($"w", "(.)", "\u001f$1").as("wseq"))
+    for (best <- merges)
+      words = words
+        .crossJoin(broadcast(best.select($"pa".as("bpa"), $"pb".as("bpb"))))
+        .select($"w", expr(
+          "replace(wseq, concat(chr(31), bpa, chr(31), bpb), " +
+            "concat(chr(31), bpa, bpb))").as("wseq"))
+    val nsym = words.select($"w", length($"w").as("n_ch"),
+      size(split(expr("substr(wseq, 2)"), "\u001f")).as("n_sym"))
+    toks.join(nsym, "w")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_sym".cast("long")).as("n_tokens"),
+        sum($"n_ch".cast("long")).as("n_chars"))
+      .select($"lang", $"n_words", $"n_tokens",
+        ($"n_tokens".cast("double") / $"n_words".cast("double"))
+          .as("fertility"),
+        ($"n_chars".cast("double") / $"n_tokens".cast("double"))
+          .as("chars_per_token"))
+      .orderBy($"lang")
   }
+
+  val bpeFertilitySql: String =
+    s"""WITH $bpeCtes,
+       |$bpeApplyCtes,
+       |toks AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(ns.n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(ns.n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility,
+       |  CAST(SUM(ns.n_ch) AS DOUBLE) / CAST(SUM(ns.n_sym) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM toks JOIN ns USING (w)
+       |GROUP BY lang${sqlOrderBy(Seq("lang"))}""".stripMargin
 
   /** Cross-document duplicated-span coverage — the exact-substring dedup
     * signal (Lee et al. 2022): for every document, how much of it is
@@ -904,6 +961,7 @@ object Curate {
     "text_bpe_vocab" -> bpeVocab,
     "corpus_decontam" -> decontam,
     "text_bpe_tokenize" -> bpeTokenize,
+    "text_bpe_fertility" -> bpeFertility,
     "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover)
 
@@ -920,6 +978,7 @@ object Curate {
     "text_bpe_vocab" -> bpeVocabSql,
     "corpus_decontam" -> decontamSql,
     "text_bpe_tokenize" -> bpeTokenizeSql,
+    "text_bpe_fertility" -> bpeFertilitySql,
     "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql)
 }
