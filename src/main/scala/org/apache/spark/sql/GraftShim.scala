@@ -10,4 +10,13 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Expression bridges (`classic.ExpressionUtils` is
+    * `private[sql]`): needed when a custom Expression must carry an
+    * INLINE literal operand through a higher-order-function lambda
+    * (graft.streaming.DecontamStream's bloom gate). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
