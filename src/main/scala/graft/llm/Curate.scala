@@ -948,7 +948,102 @@ object Curate {
        |FROM b JOIN topw ON topw.doc_id = b.doc_id
        |${sqlOrderBy(Seq("b.doc_id")).trim}""".stripMargin
 
+  /** Multiplicative-weights learning rate for [[mwReweight]]. */
+  private val MwEta = 0.5
+
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * one multiplicative-weights update of the per-domain sampling
+    * mixture, upweighting domains whose "excess loss" proxy is high.
+    * DoReMi's proxy is reference-model excess loss; in a
+    * model-free pipeline the stand-in is the quality deficit — how far
+    * the domain's mean type-token ratio sits BELOW the corpus mean
+    * (low-TTR domains are the underfit/boilerplate-heavy ones a
+    * curriculum upweights or a cleaner revisits). The update is the
+    * LINEAR multiplicative-weights rule w_i ∝ u_i·(1 + η·excess_i)
+    * (the 1+ηx form of exp(ηx) — rational, so no transcendentals):
+    * u_i is the baseline token share, and the normalized result is the
+    * new sampling mixture. Per-document TTRs are 1e9-quantized before
+    * the integer domain sums, and the final normalization divides two
+    * exact integers, so the mixture is bit-identical across engines
+    * and at any parallelism.
+    *
+    * Scale posture: two map-side-combined aggregations (per-domain,
+    * then the 1-row corpus total broadcast back) — |domains| rows of
+    * state regardless of corpus size; no skew (domain stats, not
+    * per-doc routing). */
+  def mwReweight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables(spark, dir, "documents")
+      .select($"source",
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"))
+      .withColumn("q",
+        floor($"n_distinct" / $"n_words".cast("double") * 1e9 + 0.5)
+          .cast("long"))
+    val dom = perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words".cast("long")).as("toks"),
+        sum($"q").as("sq"))
+    val tot = dom.agg(sum($"n_docs").as("nd"), sum($"toks").as("tt"),
+      sum($"sq").as("tq"))
+    val domMean = $"sq".cast("double") / $"n_docs".cast("double")
+    val corpMean = $"tq".cast("double") / $"nd".cast("double")
+    val excess = greatest(lit(0.0), (corpMean - domMean) / 1e9)
+    val u = $"toks".cast("double") / $"tt".cast("double")
+    val w = u * (lit(1.0) + lit(MwEta) * excess)
+    val qw = floor(w * 1e12 + 0.5).cast("long")
+    val scored = dom.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", u.as("tok_share"), excess.as("excess"),
+        qw.as("qw"))
+    val denom = scored.agg(sum($"qw").as("dq"))
+    scored.crossJoin(broadcast(denom))
+      .select($"source", $"n_docs", $"tok_share", $"excess",
+        ($"qw".cast("double") / $"dq".cast("double")).as("weight"))
+      .orderBy($"source")
+  }
+
+  val mwReweightSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(floor(len(list_distinct(string_split(text, ' ')))
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e9 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM documents
+       |),
+       |dom AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS toks,
+       |    CAST(SUM(q) AS BIGINT) AS sq
+       |  FROM perdoc GROUP BY source
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS nd,
+       |    CAST(SUM(toks) AS BIGINT) AS tt,
+       |    CAST(SUM(sq) AS BIGINT) AS tq
+       |  FROM dom
+       |),
+       |scored AS (
+       |  SELECT source, n_docs,
+       |    CAST(toks AS DOUBLE) / CAST(tt AS DOUBLE) AS tok_share,
+       |    greatest(CAST(0.0 AS DOUBLE),
+       |      (CAST(tq AS DOUBLE) / CAST(nd AS DOUBLE)
+       |       - CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1e9) AS excess,
+       |    CAST(floor(CAST(toks AS DOUBLE) / CAST(tt AS DOUBLE)
+       |      * (1.0 + $MwEta * greatest(CAST(0.0 AS DOUBLE),
+       |          (CAST(tq AS DOUBLE) / CAST(nd AS DOUBLE)
+       |           - CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1e9))
+       |      * 1e12 + 0.5) AS BIGINT) AS qw
+       |  FROM dom CROSS JOIN tot
+       |),
+       |den AS (SELECT CAST(SUM(qw) AS BIGINT) AS dq FROM scored)
+       |SELECT source, n_docs, tok_share, excess,
+       |  CAST(qw AS DOUBLE) / CAST(dq AS DOUBLE) AS weight
+       |FROM scored CROSS JOIN den${sqlOrderBy(Seq("source"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mw_reweight" -> mwReweight,
     "corpus_filter_verdicts" -> filterVerdicts,
     "corpus_neyman_alloc" -> neymanAlloc,
     "corpus_lang_drift" -> langDrift,
@@ -966,6 +1061,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_mw_reweight" -> mwReweightSql,
     "corpus_filter_verdicts" -> filterVerdictsSql,
     "corpus_neyman_alloc" -> neymanAllocSql,
     "corpus_lang_drift" -> langDriftSql,

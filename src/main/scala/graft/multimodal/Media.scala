@@ -817,7 +817,208 @@ object Media {
        |    / CAST(n // 2 AS DOUBLE)) AS rms
        |FROM v GROUP BY doc_id, rate, n${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Per-clip Haar wavelet subband energies ([[wavHaarQuery]]). */
+  case class WavHaar(
+    doc_id: Long,
+    e1: Long, e2: Long, e3: Long, e4: Long,
+    e5: Long, e6: Long, e7: Long, e8: Long,
+    a8: Long)
+
+  /** media_wav_haar: audio FEATURE EXTRACTION over the decoded PCM —
+    * an 8-level unnormalized integer Haar wavelet decomposition of the
+    * first 256 samples (every fixture has >= 256), emitting the detail
+    * energy per subband plus the final approximation coefficient. The
+    * unnormalized lifting form (a = s0+s1, d = s0-s1 — no division, no
+    * sqrt(2) scaling) keeps every coefficient an exact integer, so the
+    * subband energies are bit-identical across engines and at any
+    * parallelism: the multiresolution spectral profile audio
+    * fingerprinting / classification front-ends use, with zero
+    * transcendentals. Bounds: |coef| <= 2^8 * 32768 at the deepest
+    * level, so every energy sum stays far below 2^63.
+    *
+    * The oracle resynthesizes the waveform relationally and unrolls
+    * the 8 halving rounds as CTEs (the `graph_pagerank_iter5`
+    * unrolled-iteration pattern) — writer, JDK decoder, and wavelet
+    * kernel must agree on every sample for the hash to match.
+    * Scale posture: map-only `mapPartitions` over the binary lake,
+    * constant work per clip, no shuffle before the harness order. */
+  def wavHaarQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = spark.read.parquet(writeWavs(spark, dir)).as[MediaFile]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try {
+            val bytes = ais.readNBytes(512) // first 256 16-bit samples
+            var cur = new Array[Long](256)
+            var i = 0
+            while (i < 256) {
+              cur(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+              i += 1
+            }
+            val e = new Array[Long](8)
+            var lvl = 0
+            while (lvl < 8) {
+              val half = cur.length / 2
+              val nxt = new Array[Long](half)
+              var j = 0; var en = 0L
+              while (j < half) {
+                val d = cur(2 * j) - cur(2 * j + 1)
+                nxt(j) = cur(2 * j) + cur(2 * j + 1)
+                en += d * d
+                j += 1
+              }
+              e(lvl) = en; cur = nxt; lvl += 1
+            }
+            WavHaar(m.doc_id, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7),
+              cur(0))
+          } finally ais.close()
+        }
+      }
+    feats.toDF().orderBy($"doc_id")
+  }
+
+  val wavHaarQuerySql: String = {
+    val levels = (1 to 8).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""l$k AS (
+         |  SELECT doc_id, i // 2 AS i, SUM(a) AS a,
+         |    SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS d
+         |  FROM $prev GROUP BY doc_id, i // 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    val energies = (1 to 8).map { k =>
+      s"""e$k AS (SELECT doc_id, CAST(SUM(d * d) AS BIGINT) AS e$k
+         |  FROM l$k GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
+       |),
+       |l0 AS (
+       |  SELECT doc_id, i,
+       |    CAST(((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS BIGINT)
+       |      AS a
+       |  FROM s
+       |),
+       |$levels,
+       |$energies
+       |SELECT e1.doc_id AS doc_id,
+       |  e1.e1, e2.e2, e3.e3, e4.e4, e5.e5, e6.e6, e7.e7, e8.e8,
+       |  CAST(l8.a AS BIGINT) AS a8
+       |FROM e1
+       |JOIN e2 USING (doc_id) JOIN e3 USING (doc_id) JOIN e4 USING (doc_id)
+       |JOIN e5 USING (doc_id) JOIN e6 USING (doc_id) JOIN e7 USING (doc_id)
+       |JOIN e8 USING (doc_id) JOIN l8 ON l8.doc_id = e1.doc_id
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+  }
+
+  /** Resized-image feature record ([[resizeQuery]]). */
+  case class MediaResize(
+    doc_id: Long,
+    out_w: Int,
+    out_h: Int,
+    luma_sum: Long,
+    luma_peak: Int,
+    checksum: Long)
+
+  /** Fixed resize target — deliberately coprime with the 8x8 phash
+    * grid and with every fixture dimension, so the sampling pattern
+    * exercises non-aligned coordinates. */
+  private val ResizeW = 13
+  private val ResizeH = 9
+
+  /** media_resize: the real image RESIZE stage of a multimodal
+    * training pipeline — decode the genuine PNG/BMP payload, resample
+    * to a fixed 13x9 thumbnail by nearest-neighbor (source pixel of
+    * output (x,y) is (x*w div 13, y*h div 9) — pure integer index
+    * math, no interpolation arithmetic to drift), RE-ENCODE the
+    * thumbnail as a genuine PNG, RE-DECODE it with `javax.imageio`,
+    * and report integer luma moments plus a position-weighted checksum
+    * of the re-decoded pixels. PNG is lossless RGB, so the second
+    * decode must reproduce the sampled pixels exactly: the oracle
+    * recomputes the expected features from the 117 sampled source
+    * coordinates of the generation rule, gating the whole
+    * decode -> resize -> encode -> decode loop on CONTENT (the
+    * `media_wav_resample` contract, on the image axis).
+    * Scale posture: map-only batched `mapPartitions`, constant output
+    * size per image, no shuffle before the harness order. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = spark.read.parquet(writeImages(spark, dir)).as[MediaFile]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val thumb = new java.awt.image.BufferedImage(
+            ResizeW, ResizeH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < ResizeH) {
+            var x = 0
+            while (x < ResizeW) {
+              thumb.setRGB(x, y, img.getRGB(x * w / ResizeW, y * h / ResizeH))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(thumb, "png", baos)
+          val img2 = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(baos.toByteArray))
+          var sum = 0L; var peak = 0; var chk = 0L
+          y = 0
+          while (y < ResizeH) {
+            var x = 0
+            while (x < ResizeW) {
+              val p = img2.getRGB(x, y) & 0xffffff
+              val l = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+                + 114 * (p & 0xff)).toInt
+              sum += l
+              if (l > peak) peak = l
+              chk += l.toLong * (1L + x + ResizeW.toLong * y)
+              x += 1
+            }
+            y += 1
+          }
+          MediaResize(m.doc_id, img2.getWidth, img2.getHeight, sum, peak, chk)
+        }
+      }
+    feats.toDF().orderBy($"doc_id")
+  }
+
+  val resizeQuerySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 64 AS h
+       |  FROM documents
+       |),
+       |grid AS (
+       |  SELECT doc_id, w, h, unnest(range(0, $ResizeW * $ResizeH)) AS g
+       |  FROM d
+       |),
+       |px AS (
+       |  SELECT doc_id, g % $ResizeW AS x, g // $ResizeW AS y,
+       |    (doc_id * 2654435761
+       |      + (((g // $ResizeW) * h // $ResizeH) * w
+       |         + ((g % $ResizeW) * w // $ResizeW)) * 40503) & 16777215 AS p
+       |  FROM grid
+       |),
+       |lum AS (
+       |  SELECT doc_id, x, y,
+       |    299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255) + 114 * (p & 255)
+       |      AS l
+       |  FROM px
+       |)
+       |SELECT doc_id, CAST($ResizeW AS INTEGER) AS out_w,
+       |  CAST($ResizeH AS INTEGER) AS out_h,
+       |  CAST(SUM(l) AS BIGINT) AS luma_sum,
+       |  CAST(MAX(l) AS INTEGER) AS luma_peak,
+       |  CAST(SUM(l * (1 + x + $ResizeW * y)) AS BIGINT) AS checksum
+       |FROM lum GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_wav_haar" -> wavHaarQuery,
+    "media_resize" -> resizeQuery,
     "media_wav_resample" -> wavResampleQuery,
     "media_wav_meta" -> wavMetaQuery,
     "media_wav_rms" -> wavRmsQuery,
@@ -829,6 +1030,8 @@ object Media {
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
+    "media_wav_haar" -> wavHaarQuerySql,
+    "media_resize" -> resizeQuerySql,
     "media_wav_resample" -> wavResampleQuerySql,
     "media_wav_meta" -> wavMetaQuerySql,
     "media_wav_rms" -> wavRmsQuerySql,

@@ -1550,6 +1550,104 @@ object Aggs {
        |      / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS z_score
        |FROM r2 CROSS JOIN tot${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** Bradley–Terry preference-strength estimation — the pairwise-
+    * comparison ranking model behind RLHF preference data (and chess
+    * Elo's maximum-likelihood cousin). Contests are derived from the
+    * events table: for every user and every pair of event types both
+    * present, the type with the larger exact-decimal engagement value
+    * wins (decimal ties are no-contests). Two rounds of the standard
+    * MM (minorize–maximize) update from a uniform start:
+    * round 1 collapses to w1_i = 2*W_i/G_i (wins over games, an exact
+    * integer ratio), round 2 is w2_i = W_i / Σ_j n_ij/(w1_i + w1_j)
+    * with each rational term 1e9-quantized before the integer sum, so
+    * the fixed-point iterate is bit-identical across engines and at
+    * any parallelism — no logistic/exp anywhere (MM, not gradient).
+    *
+    * Scale posture: the heavy stage is contest generation — a
+    * user-key equi self-join whose fan-out is bounded by
+    * |event_types|² per user; everything after lives on the
+    * |types|²-row contest matrix and |types|-row strength vector
+    * (broadcast). At 100 TB the per-user agg map-side combines and
+    * the solve cost is independent of row count. */
+  def statBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables(spark, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(sum($"value".cast(graft.Det.SumDec)).as("sv"))
+    val a = s.select($"user_id", $"event_type".as("ta"), $"sv".as("sa"))
+    val b = s.select($"user_id", $"event_type".as("tb"), $"sv".as("sb"))
+    val p = a.join(b, "user_id")
+      .filter($"ta" < $"tb" && $"sa" =!= $"sb")
+      .groupBy($"ta", $"tb")
+      .agg(count(lit(1)).as("games"),
+        sum(when($"sa" > $"sb", 1L).otherwise(0L)).as("wins_a"))
+    val sym = p.select($"ta".as("t"), $"tb".as("o"), $"games",
+        $"wins_a".as("wins"))
+      .unionAll(p.select($"tb".as("t"), $"ta".as("o"), $"games",
+        ($"games" - $"wins_a").as("wins")))
+    val tot = sym.groupBy($"t")
+      .agg(sum($"games").as("g"), sum($"wins").as("w"))
+      .withColumn("w1", ($"w" * 2).cast("double") / $"g".cast("double"))
+    val den = sym
+      .join(broadcast(tot.select($"t", $"w1")), "t")
+      .join(broadcast(tot.select($"t".as("o"), $"w1".as("w1o"))), "o")
+      .groupBy($"t")
+      .agg(sum(floor($"games".cast("double") / ($"w1" + $"w1o") * 1e9 + 0.5)
+        .cast("long")).as("q"))
+    val strength = $"w".cast("double") * 1e9 / $"q".cast("double")
+    tot.join(den, "t")
+      .select($"t".as("event_type"), $"g".as("games"), $"w".as("wins"),
+        $"w1", strength.as("strength"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"strength".desc, $"event_type")).cast("int"))
+      .orderBy($"event_type")
+  }
+
+  val statBradleyTerrySql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(28,5))) AS sv
+       |  FROM events GROUP BY user_id, event_type
+       |),
+       |p AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |    CAST(COUNT(*) AS BIGINT) AS games,
+       |    CAST(SUM(CASE WHEN a.sv > b.sv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS wins_a
+       |  FROM s a JOIN s b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  WHERE a.sv <> b.sv
+       |  GROUP BY a.event_type, b.event_type
+       |),
+       |sym AS (
+       |  SELECT ta AS t, tb AS o, games, wins_a AS wins FROM p
+       |  UNION ALL
+       |  SELECT tb AS t, ta AS o, games, games - wins_a AS wins FROM p
+       |),
+       |tot AS (
+       |  SELECT t, CAST(SUM(games) AS BIGINT) AS g,
+       |    CAST(SUM(wins) AS BIGINT) AS w
+       |  FROM sym GROUP BY t
+       |),
+       |w1t AS (
+       |  SELECT t, g, w, CAST(w * 2 AS DOUBLE) / CAST(g AS DOUBLE) AS w1
+       |  FROM tot
+       |),
+       |den AS (
+       |  SELECT sym.t AS t,
+       |    CAST(SUM(CAST(floor(CAST(sym.games AS DOUBLE) / (x.w1 + y.w1)
+       |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS q
+       |  FROM sym JOIN w1t x ON sym.t = x.t JOIN w1t y ON sym.o = y.t
+       |  GROUP BY sym.t
+       |)
+       |SELECT w1t.t AS event_type, g AS games, w AS wins, w1,
+       |  CAST(w AS DOUBLE) * 1e9 / CAST(q AS DOUBLE) AS strength,
+       |  CAST(row_number() OVER (
+       |    ORDER BY CAST(w AS DOUBLE) * 1e9 / CAST(q AS DOUBLE) DESC, w1t.t)
+       |    AS INTEGER) AS rnk
+       |FROM w1t JOIN den ON w1t.t = den.t
+       |${sqlOrderBy(Seq("event_type")).trim}""".stripMargin
+
   /** EXACT distinct counting by BITMAP INDEX — Spark's `bitmap_*`
     * function family (the ClickHouse/Iceberg-style alternative to the
     * double-shuffle exact COUNT DISTINCT): keys hash into 32k-wide
@@ -1751,6 +1849,7 @@ object Aggs {
     "stat_ks_drift" -> statKsDrift,
     "stat_tvd_drift" -> statTvdDrift,
     "stat_mannwhitney" -> statMannWhitney,
+    "stat_bradley_terry" -> statBradleyTerry,
     "stat_ols_brand" -> statOlsBrand,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "segment_overlap_kmv" -> segmentOverlapKmv,
@@ -1793,6 +1892,7 @@ object Aggs {
     "stat_ks_drift" -> statKsDriftSql,
     "stat_tvd_drift" -> statTvdDriftSql,
     "stat_mannwhitney" -> statMannWhitneySql,
+    "stat_bradley_terry" -> statBradleyTerrySql,
     "stat_ols_brand" -> statOlsBrandSql,
     "agg_bitmap_distinct" -> bitmapDistinctSql,
     "agg_size_histogram" -> orderSizeHistogramSql,
