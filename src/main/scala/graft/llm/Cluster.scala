@@ -702,7 +702,74 @@ object Cluster {
        |FROM deg GROUP BY degree
        |${graft.Det.sqlOrderBy(Seq("degree")).trim}""".stripMargin
 
+  /** k-core peeling threshold and unrolled round count. */
+  private val CoreK = 2
+  private val CoreRounds = 3
+
+  /** graph_kcore_peel3: k-core decomposition by iterative peeling over
+    * the candidate-pair graph — the standard dense-community extractor
+    * (a node is in the k-core iff it keeps >= k neighbors after every
+    * lower-degree node is recursively removed). k=2 here — the 2-core
+    * strips every tree-like tendril and keeps exactly the CYCLIC dup
+    * families; in a dedup pipeline that separates boilerplate rings
+    * from incidental one-off pair matches (the sparse candidate graph
+    * of this fixture has no 3-core at every SF, so k=2 is also the
+    * non-degenerate choice). Three peeling rounds are unrolled (the
+    * `graph_pagerank_iter5` fixed-iteration pattern — each round is a
+    * degree filter + two semi-joins, O(log n) rounds suffice in
+    * practice and the unroll keeps the oracle expressible); emitted is
+    * each survivor's degree inside the round-3 subgraph. Pure integer
+    * degree arithmetic — nothing to quantize.
+    *
+    * Scale posture: each round is one map-side-combined degree count
+    * and two hash semi-joins on the edge list, all equi-keyed; edges
+    * only ever shrink, and `localCheckpoint` truncates the per-round
+    * lineage exactly as the connected-components loop does. */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var alive = bothDirs(
+      Dedup.candidatePairs(spark, dir).select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to CoreRounds) {
+      val keep = alive.groupBy($"src").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= CoreK).select($"src")
+      alive = alive
+        .join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select($"src", $"dst")
+        .localCheckpoint()
+    }
+    alive.groupBy($"src").agg(count(lit(1)).as("degree"))
+      .select($"src".as("doc_id"), $"degree")
+      .orderBy($"doc_id")
+  }
+
+  val kcorePeelSql: String = {
+    val rounds = (1 to CoreRounds).map { k =>
+      s"""keep$k AS (
+         |  SELECT src FROM alive${k - 1} GROUP BY src HAVING COUNT(*) >= $CoreK
+         |),
+         |alive$k AS (
+         |  SELECT a.src, a.dst FROM alive${k - 1} a
+         |  JOIN keep$k k1 ON a.src = k1.src
+         |  JOIN keep$k k2 ON a.dst = k2.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |alive0 AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |$rounds
+       |SELECT src AS doc_id, COUNT(*) AS degree
+       |FROM alive$CoreRounds GROUP BY src
+       |${graft.Det.sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore_peel3" -> kcorePeel,
     "graph_degree_hist" -> degreeHist,
     "graph_label_prop" -> labelProp,
     "dedup_keep_best" -> keepBest,
@@ -716,6 +783,7 @@ object Cluster {
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
+    "graph_kcore_peel3" -> kcorePeelSql,
     "graph_label_prop" -> labelPropSql,
     "graph_degree_hist" -> degreeHistSql,
     "dedup_keep_best" -> keepBestSql,

@@ -1648,6 +1648,83 @@ object Aggs {
        |FROM w1t JOIN den ON w1t.t = den.t
        |${sqlOrderBy(Seq("event_type")).trim}""".stripMargin
 
+  /** Theil–Sen robust trend (Theil 1950 / Sen 1968): the median of all
+    * pairwise slopes over the monthly revenue series, plus the matching
+    * median intercept — the outlier-resistant alternative to OLS for
+    * "is the business growing" (breakdown point 29%: a third of the
+    * months can be garbage before the estimate moves). Exact, not
+    * approximated: monthly revenue is an integer-cents sum, every
+    * pairwise slope is one IEEE division of exactly-agreed doubles,
+    * and the median is the deterministic lower-middle element under
+    * (slope, m1, m2) ordering — bit-identical across engines.
+    *
+    * Scale posture: the O(M²) pair set is over MONTHS (M ≈ 84 here;
+    * time-bounded, NOT data-bounded — 100 TB of orders still spans the
+    * same calendar), produced by a broadcast self-join after the
+    * map-side-combined monthly rollup. The heavy input collapses to M
+    * rows before anything quadratic happens. */
+  def statTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables(spark, dir, "orders")
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate"))
+        .cast("long").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m").agg(sum($"cents").as("rev"))
+      .select($"m", $"rev".cast("double").as("y"))
+    val sl = monthly.select($"m".as("m1"), $"y".as("y1"))
+      .join(broadcast(monthly.select($"m".as("m2"), $"y".as("y2"))),
+        $"m1" < $"m2")
+      .select($"m1", $"m2",
+        (($"y2" - $"y1") / ($"m2" - $"m1").cast("double")).as("slope"))
+    val nP = sl.agg(count(lit(1)).as("n_pairs"))
+    val med = sl
+      .withColumn("rk", row_number().over(Window.orderBy($"slope", $"m1", $"m2")))
+      .crossJoin(broadcast(nP))
+      .filter($"rk" === expr("(n_pairs + 1) div 2"))
+      .select($"slope", $"n_pairs")
+    val nM = monthly.agg(count(lit(1)).as("n_months"))
+    monthly.crossJoin(broadcast(med))
+      .select($"m", ($"y" - $"slope" * $"m".cast("double")).as("b0"),
+        $"slope", $"n_pairs")
+      .withColumn("rk", row_number().over(Window.orderBy($"b0", $"m")))
+      .crossJoin(broadcast(nM))
+      .filter($"rk" === expr("(n_months + 1) div 2"))
+      .select($"n_months", $"n_pairs", $"slope".as("slope_cents_per_month"),
+        $"b0".as("intercept_cents"))
+  }
+
+  val statTheilSenSql: String =
+    s"""WITH monthly AS (
+       |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+       |      AS m,
+       |    CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS HUGEINT) AS DOUBLE) AS y
+       |  FROM orders GROUP BY 1
+       |),
+       |sl AS (
+       |  SELECT a.m AS m1, b.m AS m2,
+       |    (b.y - a.y) / CAST(b.m - a.m AS DOUBLE) AS slope
+       |  FROM monthly a JOIN monthly b ON a.m < b.m
+       |),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sl),
+       |med AS (
+       |  SELECT slope, n_pairs FROM (
+       |    SELECT slope, row_number() OVER (ORDER BY slope, m1, m2) AS rk
+       |    FROM sl
+       |  ) r CROSS JOIN np WHERE rk = (n_pairs + 1) // 2
+       |),
+       |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+       |b0s AS (
+       |  SELECT m, y - slope * CAST(m AS DOUBLE) AS b0, slope, n_pairs
+       |  FROM monthly CROSS JOIN med
+       |)
+       |SELECT n_months, n_pairs, slope AS slope_cents_per_month,
+       |  b0 AS intercept_cents
+       |FROM (
+       |  SELECT b0s.*, row_number() OVER (ORDER BY b0, m) AS rk FROM b0s
+       |) rb CROSS JOIN nm WHERE rk = (n_months + 1) // 2""".stripMargin
+
   /** EXACT distinct counting by BITMAP INDEX — Spark's `bitmap_*`
     * function family (the ClickHouse/Iceberg-style alternative to the
     * double-shuffle exact COUNT DISTINCT): keys hash into 32k-wide
@@ -1850,6 +1927,7 @@ object Aggs {
     "stat_tvd_drift" -> statTvdDrift,
     "stat_mannwhitney" -> statMannWhitney,
     "stat_bradley_terry" -> statBradleyTerry,
+    "stat_theil_sen" -> statTheilSen,
     "stat_ols_brand" -> statOlsBrand,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "segment_overlap_kmv" -> segmentOverlapKmv,
@@ -1893,6 +1971,7 @@ object Aggs {
     "stat_tvd_drift" -> statTvdDriftSql,
     "stat_mannwhitney" -> statMannWhitneySql,
     "stat_bradley_terry" -> statBradleyTerrySql,
+    "stat_theil_sen" -> statTheilSenSql,
     "stat_ols_brand" -> statOlsBrandSql,
     "agg_bitmap_distinct" -> bitmapDistinctSql,
     "agg_size_histogram" -> orderSizeHistogramSql,

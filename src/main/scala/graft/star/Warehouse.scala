@@ -1135,6 +1135,97 @@ object Warehouse {
        |    / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124 AS INTEGER) AS srm_flag
        |FROM one""".stripMargin
 
+  /** events_ab_cuped: CUPED variance reduction (Deng, Xu, Kohavi &
+    * Walker 2013, "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data") — the adjustment
+    * every mature experimentation platform applies before reading a
+    * metric. Per user: covariate x = non-purchase engagement cents
+    * (view/click value — the pre-exposure proxy this fixture affords),
+    * outcome y = purchase cents; variant = user_id % 2 (the
+    * `events_ab_srm` assignment). θ = cov(x,y)/var(x) is estimated
+    * POOLED (the standard practice — a per-variant θ leaks the
+    * treatment effect into the adjustment), and each variant reports
+    * mean(y) and the adjusted mean(y) − θ·(mean(x) − mean_pool(x)).
+    * All moments are exact DECIMAL(38,0) sums of integer-cent products
+    * (the `stat_ols_brand` discipline), so θ and both means are
+    * bit-identical across engines; the only floating steps are the
+    * final few IEEE operations on exactly-agreed inputs.
+    *
+    * Scale posture: one per-user aggregation (map-side combined), then
+    * |users| rows collapse to one moment row + two variant rows —
+    * broadcast-joined back. No skew (user_id keys), no window. */
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type".isin("view", "click"),
+          round($"value" * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).cast("int").as("variant"), $"x", $"y")
+    val pool = perUser.agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"))
+      .select($"n".cast("double").as("nd"),
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"sxy".cast("double").as("sxyd"), $"sxx".cast("double").as("sxxd"))
+      .select($"nd", ($"sxd" / $"nd").as("xbar"),
+        (($"nd" * $"sxyd" - $"sxd" * $"syd") /
+          ($"nd" * $"sxxd" - $"sxd" * $"sxd")).as("theta"))
+    val byVariant = perUser.groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"x".cast(dec)).as("vx"), sum($"y".cast(dec)).as("vy"))
+      .select($"variant", $"n_users",
+        ($"vx".cast("double") / $"n_users".cast("double")).as("mean_x"),
+        ($"vy".cast("double") / $"n_users".cast("double")).as("mean_y"))
+    byVariant.crossJoin(broadcast(pool))
+      .select($"variant", $"n_users", $"mean_y", $"theta",
+        ($"mean_y" - $"theta" * ($"mean_x" - $"xbar")).as("mean_y_cuped"))
+      .orderBy($"variant")
+  }
+
+  val abCupedSql: String =
+    s"""WITH pu AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+       |    CAST(SUM(CASE WHEN event_type IN ('view', 'click')
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS x,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM events GROUP BY user_id
+       |),
+       |pool AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+       |    CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sxd,
+       |    CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS syd,
+       |    CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+       |      AS sxyd,
+       |    CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS DOUBLE)
+       |      AS sxxd
+       |  FROM pu
+       |),
+       |theta AS (
+       |  SELECT nd, sxd / nd AS xbar,
+       |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS theta
+       |  FROM pool
+       |),
+       |bv AS (
+       |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS mean_x,
+       |    CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS mean_y
+       |  FROM pu GROUP BY variant
+       |)
+       |SELECT variant, n_users, mean_y, theta,
+       |  mean_y - theta * (mean_x - xbar) AS mean_y_cuped
+       |FROM bv CROSS JOIN theta${sqlOrderBy(Seq("variant"))}""".stripMargin
+
   /** Supplier-concentration HHI per brand market — the antitrust
     * screen (Herfindahl-Hirschman index, Σ shareᵢ²) over who supplies
     * each part brand: n suppliers, the index, and the top supplier's
@@ -1351,6 +1442,7 @@ object Warehouse {
     "dq_checks" -> dqChecks,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
+    "events_ab_cuped" -> abCuped,
     "events_path_markov" -> pathMarkov,
     "customer_rfm" -> rfm,
     "events_streaks" -> streaks,
@@ -1377,6 +1469,7 @@ object Warehouse {
     "dq_checks" -> dqChecksSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
+    "events_ab_cuped" -> abCupedSql,
     "events_path_markov" -> pathMarkovSql,
     "customer_rfm" -> rfmSql,
     "events_streaks" -> streaksSql,
