@@ -1423,6 +1423,81 @@ object Similarity {
        |) WHERE rank <= 3
        |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * prep step): for every anchor vector, the top-2 most-similar
+    * vectors of a DIFFERENT label — the near-miss impostors whose
+    * gradients actually teach an embedding model, where
+    * [[Cluster.negatives]]' random draws teach almost nothing. Mined
+    * approximately WITHIN the auto-K IVF cells (the production ANN
+    * posture: a hard negative is by definition nearby, so cell-local
+    * candidates are the right recall/cost point — the same
+    * Σ|cell|² ≈ 250·N measured-linear pair budget as
+    * [[knnGraphAutoK]]). Two-phase ranking: a plain-double cosine
+    * prunes each anchor's cross-label candidates to a slop-guarded
+    * top-8, then the exact decimal dot re-ranks the survivors, so the
+    * emitted (rank, cosine) is bit-identical to the single-phase exact
+    * form at a fraction of the decimal work.
+    *
+    * Scale posture: equi-join on cell, per-anchor windows inside
+    * cells, norms hoisted per vector — no global sort, no all-pairs
+    * path anywhere. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    graft.functions.DoubleDot.register(spark)
+    val raw = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val emb = raw.join(autoKAssign(spark, dir), "vec_id")
+    val a = emb.select($"vec_id".as("v1"), $"label".as("l1"), $"cell",
+      $"embedding".as("e1"), $"nrm".as("n1"))
+    val b = emb.select($"vec_id".as("v2"), $"label".as("l2"),
+      $"cell".as("cell_b"), $"embedding".as("e2"), $"nrm".as("n2"))
+    val byV1 = Window.partitionBy($"cell", $"v1")
+    val pairsD = a.join(b, $"cell" === $"cell_b" && $"l1" =!= $"l2")
+      .selectExpr("v1", "cell", "v2", "l2",
+        "(double_dot(e1, e2) / sqrt(n1 * n2)) AS cos_d")
+      .withColumn("rd", row_number().over(byV1.orderBy($"cos_d".desc, $"v2")))
+      .withColumn("second", max(when($"rd" === 2, $"cos_d")).over(byV1))
+      .filter($"rd" <= 8 || $"second".isNull ||
+        $"cos_d" >= $"second" - lit(1e-9))
+      .select($"v1", $"v2", $"l2")
+    pairsD
+      .join(raw.select($"vec_id", $"embedding".as("e1"), $"nrm".as("n1")),
+        $"v1" === $"vec_id").drop("vec_id")
+      .join(raw.select($"vec_id", $"embedding".as("e2"), $"nrm".as("n2")),
+        $"v2" === $"vec_id").drop("vec_id")
+      .selectExpr("v1", "v2", "l2",
+        s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"v1").orderBy($"cosine".desc, $"v2")))
+      .filter($"rank" <= 2)
+      .select($"v1", $"rank", $"v2".as("neg_id"), $"l2".as("neg_label"),
+        $"cosine")
+      .orderBy($"v1", $"rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH $autoKCtes,
+       |e AS (
+       |  SELECT emb.vec_id, emb.label, a2.cell, emb.embedding,
+       |    ${dotDuck("emb.embedding", "emb.embedding")} AS nrm
+       |  FROM embeddings emb JOIN a2 ON emb.vec_id = a2.vec_id
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS neg_id, b.label AS neg_label,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm))
+       |      AS cosine
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.label <> b.label
+       |)
+       |SELECT v1, CAST(rank AS INTEGER) AS rank, neg_id,
+       |  CAST(neg_label AS INTEGER) AS neg_label, cosine FROM (
+       |  SELECT p.*, row_number() OVER (PARTITION BY v1
+       |    ORDER BY cosine DESC, neg_id) AS rank
+       |  FROM p
+       |) WHERE rank <= 2
+       |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
+
   /** Matryoshka truncation audit: how much nearest-neighbour quality a
     * 16-dim PREFIX of the 64-dim embedding loses — the eval that decides
     * whether truncated (MRL-style) vectors can serve first-stage
@@ -1689,6 +1764,7 @@ object Similarity {
     "embed_knn_graph" -> knnGraph,
     "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
+    "embed_hard_negatives" -> hardNegatives,
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
     "embed_ivf_autok" -> ivfAutoK,
@@ -1714,6 +1790,7 @@ object Similarity {
     "embed_knn_graph" -> knnGraphSql,
     "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
+    "embed_hard_negatives" -> hardNegativesSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
     "embed_ivf_autok" -> ivfAutoKSql,

@@ -312,6 +312,92 @@ object Calendar {
     * Scale posture: facts collapse to |days| rows before the bounded
     * windows (the benign unpartitioned-window class); at 100 TB the
     * same identity runs per segment under partitionBy. */
+  /** orders_changepoint: single change-point detection by binary
+    * segmentation over the monthly revenue series — the structural-
+    * break localizer behind drift monitors (where [[cusum]] ALARMS on
+    * a shift, this answers WHERE it happened). The split month
+    * maximizes the between-segment sum of squares
+    * S_L²/n_L + S_R²/n_R − S²/n (the SSE reduction of a one-break
+    * piecewise-constant fit), computed entirely from integer-cent
+    * prefix sums: the squares are exact DECIMAL(38,0)/HUGEINT integer
+    * products cast to double, every division is a single IEEE op on
+    * exactly-agreed inputs, and the argmax is deterministic under
+    * (gain DESC, month) ordering — bit-identical across engines.
+    *
+    * Scale posture: the fact table collapses to |months| rows in one
+    * map-side-combined rollup before anything quadratic-free but
+    * windowed runs; the candidate scan is one |months|-row window
+    * (time-bounded, not data-bounded). */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val monthly = Tables(spark, dir, "orders")
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate"))
+        .cast("long").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m").agg(sum($"cents").as("y"))
+    val tot = monthly.agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val w = Window.orderBy($"m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sr = $"s" - $"sl"
+    val gain =
+      ($"sl".cast(dec) * $"sl".cast(dec)).cast("double") / $"t".cast("double") +
+        (sr.cast(dec) * sr.cast(dec)).cast("double") /
+          ($"n" - $"t").cast("double") -
+        ($"s".cast(dec) * $"s".cast(dec)).cast("double") / $"n".cast("double")
+    monthly
+      .withColumn("t", row_number().over(Window.orderBy($"m")).cast("long"))
+      .withColumn("sl", sum($"y").over(w))
+      .crossJoin(broadcast(tot))
+      .filter($"t" < $"n")
+      .select($"m", $"t", $"n", gain.as("gain"),
+        ($"sl".cast("double") / $"t".cast("double") / 100.0).as("mean_left"),
+        (sr.cast("double") / ($"n" - $"t").cast("double") / 100.0)
+          .as("mean_right"))
+      .withColumn("rk", row_number().over(Window.orderBy($"gain".desc, $"m")))
+      .filter($"rk" === 1)
+      .select($"m".as("split_m"), $"n".as("n_months"), $"gain",
+        $"mean_left", $"mean_right")
+  }
+
+  val changepointSql: String =
+    s"""WITH monthly AS (
+       |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+       |      AS m,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS y
+       |  FROM orders GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+       |  FROM monthly
+       |),
+       |pre AS (
+       |  SELECT m,
+       |    CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t,
+       |    CAST(SUM(y) OVER (ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS sl
+       |  FROM monthly
+       |),
+       |g AS (
+       |  SELECT m, t, n,
+       |    CAST(CAST(sl AS HUGEINT) * sl AS DOUBLE) / CAST(t AS DOUBLE)
+       |      + CAST(CAST(s - sl AS HUGEINT) * (s - sl) AS DOUBLE)
+       |        / CAST(n - t AS DOUBLE)
+       |      - CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS gain,
+       |    CAST(sl AS DOUBLE) / CAST(t AS DOUBLE) / 100.0 AS mean_left,
+       |    CAST(s - sl AS DOUBLE) / CAST(n - t AS DOUBLE) / 100.0
+       |      AS mean_right
+       |  FROM pre CROSS JOIN tot WHERE t < n
+       |)
+       |SELECT m AS split_m, n AS n_months, gain, mean_left, mean_right
+       |FROM (SELECT g.*, row_number() OVER (ORDER BY gain DESC, m) AS rk
+       |      FROM g)
+       |WHERE rk = 1""".stripMargin
+
   def cusum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -428,6 +514,7 @@ object Calendar {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_acf" -> ordersAcf,
     "orders_cusum" -> cusum,
+    "orders_changepoint" -> changepoint,
     "orders_ewma" -> ewma,
     "orders_seasonal_index" -> seasonalIndex,
     "dim_calendar" -> dimCalendar,
@@ -436,6 +523,7 @@ object Calendar {
 
   val oracles: Map[String, String] = Map(
     "orders_cusum" -> cusumSql,
+    "orders_changepoint" -> changepointSql,
     "orders_acf" -> ordersAcfSql,
     "orders_ewma" -> ewmaSql,
     "orders_seasonal_index" -> seasonalIndexSql,
