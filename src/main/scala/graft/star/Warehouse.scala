@@ -1226,6 +1226,164 @@ object Warehouse {
        |  mean_y - theta * (mean_x - xbar) AS mean_y_cuped
        |FROM bv CROSS JOIN theta${sqlOrderBy(Seq("variant"))}""".stripMargin
 
+  /** Permutation replicates for [[permutationTest]]. */
+  private val PermB = 64
+
+  /** stat_permutation_test: an exact-arithmetic nonparametric
+    * significance test for the A/B purchase-value difference — the
+    * p-value machinery every other test in this tier would need a
+    * normal CDF (a transcendental) for, obtained instead by the
+    * randomization test (Fisher 1935): re-assign each user to a side
+    * under $PermB salted-hash permutations, recompute |mean
+    * difference| per replicate, and report the add-one p-value
+    * P = (1 + #{b : stat_b >= obs}) / (B + 1). Every replicate's
+    * statistic is built from integer-cent sums and exact counts, so
+    * the comparison set — and therefore the p-value — is bit-identical
+    * across engines and at any parallelism; salted md5 assignment
+    * makes the "random" permutations a pure function of (user, b).
+    *
+    * Scale posture: the corpus collapses to one row per user first
+    * (map-side combined); the ×$PermB explode happens on that skinny
+    * frame, so replicate cost is B × |users|, independent of event
+    * volume — the standard way a permutation test survives scale. */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        round($"value" * 100).cast("long")).otherwise(0L)).as("y"))
+    val obs = perUser
+      .select((($"user_id" % 2) === 1).as("side"), $"y")
+      .groupBy().agg(
+        sum(when($"side", $"y")).as("s1"), count_if(col("side")).as("n1"),
+        sum(when(!$"side", $"y")).as("s0"), count_if(!col("side")).as("n0"))
+      .select(abs($"s1".cast("double") / $"n1".cast("double") -
+        $"s0".cast("double") / $"n0".cast("double")).as("obs_diff"))
+    val perms = perUser
+      .select($"user_id", $"y", explode(expr(
+        s"sequence(0, ${PermB - 1})")).as("b"))
+      .withColumn("side", expr(
+        "cast(conv(substr(md5(cast(concat('perm:', cast(user_id AS STRING), ':', cast(b AS STRING)) as binary)), 1, 8), 16, 10) as bigint) % 2 = 1"))
+      .groupBy($"b").agg(
+        sum(when($"side", $"y")).as("s1"), count_if(col("side")).as("n1"),
+        sum(when(!$"side", $"y")).as("s0"), count_if(!col("side")).as("n0"))
+      .select($"b", abs($"s1".cast("double") / $"n1".cast("double") -
+        $"s0".cast("double") / $"n0".cast("double")).as("stat"))
+    perms.crossJoin(broadcast(obs))
+      .groupBy().agg(
+        first($"obs_diff").as("obs_diff"),
+        count(lit(1)).as("n_perms"),
+        count_if($"stat" >= $"obs_diff").as("n_ge"))
+      .select($"obs_diff", $"n_perms", $"n_ge",
+        (($"n_ge" + 1).cast("double") / ($"n_perms" + 1).cast("double"))
+          .as("p_value"))
+  }
+
+  val permutationTestSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM events GROUP BY user_id
+       |),
+       |obs AS (
+       |  SELECT abs(
+       |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN y END) AS DOUBLE)
+       |      / CAST(COUNT(*) FILTER (user_id % 2 = 1) AS DOUBLE)
+       |    - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN y END) AS DOUBLE)
+       |      / CAST(COUNT(*) FILTER (user_id % 2 = 0) AS DOUBLE)) AS obs_diff
+       |  FROM pu
+       |),
+       |grid AS (
+       |  SELECT user_id, y, unnest(range(0, $PermB)) AS b FROM pu
+       |),
+       |assigned AS (
+       |  SELECT b, y,
+       |    CAST('0x' || substr(md5('perm:' || CAST(user_id AS VARCHAR)
+       |      || ':' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 1 AS side
+       |  FROM grid
+       |),
+       |stats AS (
+       |  SELECT b, abs(
+       |    CAST(SUM(CASE WHEN side THEN y END) AS DOUBLE)
+       |      / CAST(COUNT(*) FILTER (side) AS DOUBLE)
+       |    - CAST(SUM(CASE WHEN NOT side THEN y END) AS DOUBLE)
+       |      / CAST(COUNT(*) FILTER (NOT side) AS DOUBLE)) AS stat
+       |  FROM assigned GROUP BY b
+       |)
+       |SELECT obs_diff,
+       |  CAST(COUNT(*) AS BIGINT) AS n_perms,
+       |  CAST(COUNT(*) FILTER (stat >= obs_diff) AS BIGINT) AS n_ge,
+       |  CAST(COUNT(*) FILTER (stat >= obs_diff) + 1 AS DOUBLE)
+       |    / CAST(COUNT(*) + 1 AS DOUBLE) AS p_value
+       |FROM stats CROSS JOIN obs GROUP BY obs_diff""".stripMargin
+
+  /** orders_did_lift: difference-in-differences — the workhorse
+    * quasi-experimental estimator (Card & Krueger 1994 popularized it)
+    * for "did the intervention move the metric beyond the trend both
+    * groups share". Treated = urgent/high-priority orders, post = the
+    * calendar back half (split year = integer midpoint of the observed
+    * range — derived from the data, no hard-coded date), outcome =
+    * mean order value. DiD = (treated post − treated pre) − (control
+    * post − control pre): four exact integer-cent means, three IEEE
+    * subtractions — bit-identical across engines.
+    *
+    * Scale posture: one map-side-combined 4-cell aggregation after a
+    * broadcast 1-row year-bounds join; nothing here grows with data
+    * beyond the single scan. */
+  def didLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderpriority".isin("1-URGENT", "2-HIGH").as("treated"),
+        year($"o_orderdate").as("yr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val bounds = o.agg(
+      expr("(min(yr) + max(yr) + 1) div 2").as("split_year"))
+    val cells = o.crossJoin(broadcast(bounds))
+      .withColumn("post", $"yr" >= $"split_year")
+      .groupBy($"treated", $"post")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+      .select($"treated", $"post", $"n",
+        ($"s".cast("double") / $"n".cast("double") / 100.0).as("mean_value"))
+    val wide = cells.groupBy().agg(
+      max(when($"treated" && $"post", $"mean_value")).as("m_t_post"),
+      max(when($"treated" && !$"post", $"mean_value")).as("m_t_pre"),
+      max(when(!$"treated" && $"post", $"mean_value")).as("m_c_post"),
+      max(when(!$"treated" && !$"post", $"mean_value")).as("m_c_pre"),
+      sum($"n").as("n_orders"))
+    wide.select($"n_orders", $"m_t_pre", $"m_t_post", $"m_c_pre", $"m_c_post",
+      (($"m_t_post" - $"m_t_pre") - ($"m_c_post" - $"m_c_pre")).as("did"))
+  }
+
+  val didLiftSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated,
+       |    CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |),
+       |b AS (SELECT (MIN(yr) + MAX(yr) + 1) // 2 AS split_year FROM o),
+       |cells AS (
+       |  SELECT treated, yr >= split_year AS post,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_value
+       |  FROM o CROSS JOIN b GROUP BY treated, yr >= split_year
+       |)
+       |SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+       |  MAX(CASE WHEN treated AND NOT post THEN mean_value END) AS m_t_pre,
+       |  MAX(CASE WHEN treated AND post THEN mean_value END) AS m_t_post,
+       |  MAX(CASE WHEN NOT treated AND NOT post THEN mean_value END)
+       |    AS m_c_pre,
+       |  MAX(CASE WHEN NOT treated AND post THEN mean_value END) AS m_c_post,
+       |  (MAX(CASE WHEN treated AND post THEN mean_value END)
+       |   - MAX(CASE WHEN treated AND NOT post THEN mean_value END))
+       |  - (MAX(CASE WHEN NOT treated AND post THEN mean_value END)
+       |     - MAX(CASE WHEN NOT treated AND NOT post THEN mean_value END))
+       |    AS did
+       |FROM cells""".stripMargin
+
   /** Supplier-concentration HHI per brand market — the antitrust
     * screen (Herfindahl-Hirschman index, Σ shareᵢ²) over who supplies
     * each part brand: n suppliers, the index, and the top supplier's
@@ -1443,6 +1601,8 @@ object Warehouse {
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
     "events_ab_cuped" -> abCuped,
+    "stat_permutation_test" -> permutationTest,
+    "orders_did_lift" -> didLift,
     "events_path_markov" -> pathMarkov,
     "customer_rfm" -> rfm,
     "events_streaks" -> streaks,
@@ -1470,6 +1630,8 @@ object Warehouse {
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
     "events_ab_cuped" -> abCupedSql,
+    "stat_permutation_test" -> permutationTestSql,
+    "orders_did_lift" -> didLiftSql,
     "events_path_markov" -> pathMarkovSql,
     "customer_rfm" -> rfmSql,
     "events_streaks" -> streaksSql,
