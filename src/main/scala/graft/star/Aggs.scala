@@ -1,6 +1,6 @@
 package graft.star
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 import graft.Det.{sqlSum, sqlOrderBy}
@@ -1648,6 +1648,132 @@ object Aggs {
        |FROM w1t JOIN den ON w1t.t = den.t
        |${sqlOrderBy(Seq("event_type")).trim}""".stripMargin
 
+  /** Permutation replicates / FDR level for [[statBhFdr]]. */
+  private val BhB = 32
+  private val BhAlpha = 0.1
+
+  /** stat_bh_fdr: Benjamini–Hochberg step-up FDR control (Benjamini &
+    * Hochberg 1995) over per-language two-sample permutation tests —
+    * the selective-inference layer a segment-scanning pipeline needs
+    * ("which of these m segments genuinely differ?") run with ZERO
+    * transcendentals: each language's p-value is an exact add-one
+    * randomization p (is this language's mean document length
+    * different from the rest of the corpus?), and the BH step-up is
+    * pure rational comparisons p_(i) <= i·α/m on exactly-agreed
+    * doubles. Pseudo-membership for replicate b is the integer
+    * cross-multiplied hash threshold u·N < n_l·2^32 (a Bernoulli
+    * n_l/N label swap that is a pure function of (doc, b), shared
+    * across all m tests so the replicate grid is built once).
+    *
+    * Scale posture: documents collapse to (doc, metric) once; the
+    * replicate grid is |docs|×B rows map-side-combined into B×m cells
+    * against broadcast language stats — no shuffle grows with B or m,
+    * and the BH step runs on the m-row frame. */
+  def statBhFdr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars".as("x"))
+    val ls = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("nl"), sum($"x").as("sl"))
+    val tot = ls.agg(sum($"nl").as("nn"), sum($"sl").as("ss"))
+    def twoSample(sIn: Column, nIn: Column) =
+      abs(sIn.cast("double") / nIn.cast("double") -
+        ($"ss" - sIn).cast("double") / ($"nn" - nIn).cast("double"))
+    val obs = ls.crossJoin(broadcast(tot))
+      .select($"lang", twoSample($"sl", $"nl").as("obs_stat"))
+    val gu = docs
+      .select($"doc_id", $"x", explode(expr(s"sequence(0, ${BhB - 1})")).as("b"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(cast(concat('bh:', cast(doc_id AS STRING), ':', cast(b AS STRING)) as binary)), 1, 8), 16, 10) as bigint)"))
+    val perm = gu
+      .crossJoin(broadcast(ls.select($"lang", $"nl")))
+      .crossJoin(broadcast(tot))
+      .filter($"u" * $"nn" < $"nl" * lit(4294967296L))
+      .groupBy($"b", $"lang")
+      .agg(count(lit(1)).as("n_in"), sum($"x").as("s_in"))
+      .crossJoin(broadcast(tot))
+      .select($"b", $"lang", twoSample($"s_in", $"n_in").as("stat"))
+    val pv = perm.join(broadcast(obs), "lang")
+      .groupBy($"lang")
+      .agg(max($"obs_stat").as("obs_stat"),
+        count(lit(1)).as("n_perms"),
+        count_if($"stat" >= $"obs_stat").as("n_ge"))
+      .select($"lang", $"obs_stat",
+        (($"n_ge" + 1).cast("double") / ($"n_perms" + 1).cast("double"))
+          .as("p_value"))
+    val m = ls.agg(count(lit(1)).as("m"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pv.crossJoin(broadcast(m))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"p_value", $"lang")).cast("int"))
+      .withColumn("sel", max(when(
+        $"p_value" <= $"rk".cast("double") * lit(BhAlpha) / $"m".cast("double"),
+        $"rk")).over(all))
+      .select($"lang", $"obs_stat", $"p_value", $"rk",
+        ($"rk" <= coalesce($"sel", lit(0))).cast("int").as("bh_selected"))
+      .orderBy($"lang")
+  }
+
+  val statBhFdrSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, n_chars AS x FROM documents),
+       |ls AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl,
+       |    CAST(SUM(x) AS BIGINT) AS sl
+       |  FROM d GROUP BY lang
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(nl) AS BIGINT) AS nn, CAST(SUM(sl) AS BIGINT) AS ss
+       |  FROM ls
+       |),
+       |obs AS (
+       |  SELECT lang,
+       |    abs(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+       |      - CAST(ss - sl AS DOUBLE) / CAST(nn - nl AS DOUBLE)) AS obs_stat
+       |  FROM ls CROSS JOIN tot
+       |),
+       |gu AS (
+       |  SELECT doc_id, x, b,
+       |    CAST('0x' || substr(md5('bh:' || CAST(doc_id AS VARCHAR)
+       |      || ':' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) AS u
+       |  FROM (SELECT doc_id, x, unnest(range(0, $BhB)) AS b FROM d)
+       |),
+       |inr AS (
+       |  SELECT b, lang, CAST(COUNT(*) AS BIGINT) AS n_in,
+       |    CAST(SUM(x) AS BIGINT) AS s_in
+       |  FROM gu CROSS JOIN ls CROSS JOIN tot
+       |  WHERE u * nn < nl * 4294967296
+       |  GROUP BY b, lang
+       |),
+       |perm AS (
+       |  SELECT b, lang,
+       |    abs(CAST(s_in AS DOUBLE) / CAST(n_in AS DOUBLE)
+       |      - CAST(ss - s_in AS DOUBLE) / CAST(nn - n_in AS DOUBLE)) AS stat
+       |  FROM inr CROSS JOIN tot
+       |),
+       |pv AS (
+       |  SELECT perm.lang, MAX(obs_stat) AS obs_stat,
+       |    CAST(COUNT(*) FILTER (stat >= obs_stat) + 1 AS DOUBLE)
+       |      / CAST(COUNT(*) + 1 AS DOUBLE) AS p_value
+       |  FROM perm JOIN obs ON perm.lang = obs.lang GROUP BY perm.lang
+       |),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ls),
+       |rkd AS (
+       |  SELECT lang, obs_stat, p_value,
+       |    CAST(row_number() OVER (ORDER BY p_value, lang) AS INTEGER) AS rk,
+       |    m
+       |  FROM pv CROSS JOIN mm
+       |),
+       |sel AS (
+       |  SELECT MAX(CASE WHEN p_value <= CAST(rk AS DOUBLE) * $BhAlpha
+       |    / CAST(m AS DOUBLE) THEN rk END) AS sr
+       |  FROM rkd
+       |)
+       |SELECT lang, obs_stat, p_value, rk,
+       |  CAST(rk <= COALESCE(sr, 0) AS INTEGER) AS bh_selected
+       |FROM rkd CROSS JOIN sel${sqlOrderBy(Seq("lang"))}""".stripMargin
+
   /** Theil–Sen robust trend (Theil 1950 / Sen 1968): the median of all
     * pairwise slopes over the monthly revenue series, plus the matching
     * median intercept — the outlier-resistant alternative to OLS for
@@ -1928,6 +2054,7 @@ object Aggs {
     "stat_mannwhitney" -> statMannWhitney,
     "stat_bradley_terry" -> statBradleyTerry,
     "stat_theil_sen" -> statTheilSen,
+    "stat_bh_fdr" -> statBhFdr,
     "stat_ols_brand" -> statOlsBrand,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "segment_overlap_kmv" -> segmentOverlapKmv,
@@ -1972,6 +2099,7 @@ object Aggs {
     "stat_mannwhitney" -> statMannWhitneySql,
     "stat_bradley_terry" -> statBradleyTerrySql,
     "stat_theil_sen" -> statTheilSenSql,
+    "stat_bh_fdr" -> statBhFdrSql,
     "stat_ols_brand" -> statOlsBrandSql,
     "agg_bitmap_distinct" -> bitmapDistinctSql,
     "agg_size_histogram" -> orderSizeHistogramSql,
