@@ -768,7 +768,94 @@ object Cluster {
        |${graft.Det.sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
   }
 
+  /** graph_modularity: Newman–Girvan modularity (Newman 2004, "Finding
+    * and evaluating community structure in networks") of the connected-
+    * component partition over the candidate-pair graph — the audit that
+    * tells a dedup pipeline whether its clusters are cohesive
+    * communities or band-collision chains: a component whose degree
+    * mass is far larger than its edge share (q_contrib near zero or
+    * negative) is a chained cluster that over-merges documents.
+    *
+    * Every edge is intra-component by construction (the partition IS
+    * the components), so per cluster c the contribution is
+    * L_c/m − (D_c/2m)², with L_c, D_c, m exact integers; the double
+    * expression is shape-identical in both engines. Output is one row
+    * per non-singleton cluster plus the exact integer evidence.
+    *
+    * Scale posture: one degree aggregation, one membership join against
+    * the (skinny) star-edge assignment, one per-cluster aggregation —
+    * all equi-shuffles on cluster_id; nothing quadratic, no collect. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Dedup.candidatePairs(spark, dir).select($"d1", $"d2")
+    val stars = components(e)
+    val assign = stars.select($"src".as("node"), $"dst".as("cluster_id"))
+      .union(stars.select($"dst".as("node"), $"dst".as("cluster_id")))
+      .distinct()
+    val deg = bothDirs(e.select($"d1".as("src"), $"d2".as("dst")))
+      .groupBy($"src".as("node")).agg(count(lit(1)).as("degree"))
+    val intra = e.join(assign.withColumnRenamed("node", "d1"), "d1")
+      .groupBy($"cluster_id").agg(count(lit(1)).as("intra_edges"))
+    val mTot = e.agg(count(lit(1)).as("m"))
+    val perC = assign.join(deg, "node")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_nodes"), sum($"degree").as("degree_sum"))
+      .join(intra, "cluster_id")
+    perC.crossJoin(broadcast(mTot))
+      .select($"cluster_id", $"n_nodes", $"intra_edges", $"degree_sum",
+        ($"intra_edges".cast("double") / $"m"
+          - ($"degree_sum".cast("double") / (lit(2) * $"m"))
+            * ($"degree_sum".cast("double") / (lit(2) * $"m")))
+          .as("q_contrib"))
+      .orderBy($"cluster_id")
+  }
+
+  val modularitySql: String =
+    s"""WITH RECURSIVE ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |-- DuckDB parses top-level UNIONs inside WITH RECURSIVE with
+       |-- recursive-union semantics and keeps duplicates (cand pairs
+       |-- matching on BOTH bands appear twice); counts need an explicit
+       |-- DISTINCT layer. Reachability below is multiplicity-blind.
+       |candd AS (SELECT DISTINCT d1, d2 FROM cand),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM candd
+       |  UNION
+       |  SELECT d2, d1 FROM candd
+       |),
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+       |),
+       |comp AS (
+       |  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+       |),
+       |deg AS (
+       |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+       |  FROM edges GROUP BY a
+       |),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM candd),
+       |intra AS (
+       |  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS intra_edges
+       |  FROM candd JOIN comp c ON candd.d1 = c.node
+       |  GROUP BY c.cluster_id
+       |),
+       |perc AS (
+       |  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d.degree) AS BIGINT) AS degree_sum
+       |  FROM comp c JOIN deg d ON c.node = d.node
+       |  GROUP BY c.cluster_id
+       |)
+       |SELECT p.cluster_id, p.n_nodes, i.intra_edges, p.degree_sum,
+       |  CAST(i.intra_edges AS DOUBLE) / m
+       |    - (CAST(p.degree_sum AS DOUBLE) / (2 * m))
+       |      * (CAST(p.degree_sum AS DOUBLE) / (2 * m)) AS q_contrib
+       |FROM perc p JOIN intra i USING (cluster_id) CROSS JOIN mm
+       |${graft.Det.sqlOrderBy(Seq("cluster_id")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> modularity,
     "graph_kcore_peel3" -> kcorePeel,
     "graph_degree_hist" -> degreeHist,
     "graph_label_prop" -> labelProp,
@@ -783,6 +870,7 @@ object Cluster {
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
+    "graph_modularity" -> modularitySql,
     "graph_kcore_peel3" -> kcorePeelSql,
     "graph_label_prop" -> labelPropSql,
     "graph_degree_hist" -> degreeHistSql,

@@ -191,6 +191,64 @@ object TextStats {
        |ORDER BY n_occurrences DESC NULLS LAST, word NULLS FIRST
        |LIMIT 30""".stripMargin
 
+  /** text_burstiness: Church–Gale burstiness (Church & Gale 1995,
+    * "Poisson mixtures") — per-term variance-to-mean ratio of the
+    * per-document count across the WHOLE corpus (absent docs count 0).
+    * VMR ≈ 1 means Poisson scatter (function words); VMR ≫ 1 means the
+    * term clumps into few documents — the signal that separates topical
+    * content terms from glue, and the corpus-health check that flags
+    * boilerplate injected by one source. All moments are exact integer
+    * sums (Σc, Σc² over per-doc counts), and the zero-count docs enter
+    * only through N, so VMR = Σc²/Σc − Σc/N is one identical rational
+    * double expression per engine. Top 30 by VMR, term tiebreak.
+    *
+    * Scale posture: explode→(term, doc) count→per-term aggregate is two
+    * map-side-combined shuffles on term; the corpus size N is a 1-row
+    * broadcast; TakeOrdered caps the result. Vocabulary-bounded state,
+    * nothing quadratic. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = graft.Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    graft.Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("c"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("doc_freq"), sum($"c").as("total_count"),
+        sum($"c" * $"c").as("sum_sq"))
+      .crossJoin(broadcast(n))
+      .select($"term", $"doc_freq", $"total_count",
+        ($"sum_sq".cast("double") / $"total_count"
+          - $"total_count".cast("double") / $"n_docs").as("vmr"))
+      .filter($"total_count" >= 5)
+      .orderBy($"vmr".desc, $"term")
+      .limit(30)
+  }
+
+  val burstinessSql: String =
+    s"""WITH tc AS (
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term <> ''
+       |  GROUP BY term, doc_id
+       |),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |pt AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       |    CAST(SUM(c) AS BIGINT) AS total_count,
+       |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+       |  FROM tc GROUP BY term
+       |)
+       |SELECT term, doc_freq, total_count,
+       |  CAST(sum_sq AS DOUBLE) / total_count
+       |    - CAST(total_count AS DOUBLE) / n_docs AS vmr
+       |FROM pt CROSS JOIN nn
+       |WHERE total_count >= 5
+       |ORDER BY vmr DESC NULLS LAST, term NULLS FIRST
+       |LIMIT 30""".stripMargin
+
   /** Sketch-based heavy hitters (no oracle — see
     * HeavyHittersAggregator: count overestimates depend on partitioning;
     * the guarantee is tested in HeavyHittersSpec). The capacity here
@@ -1205,6 +1263,7 @@ object TextStats {
     "text_lang_confusion" -> langConfusion,
     "text_token_count" -> tokenCount,
     "text_word_topk" -> wordTopk,
+    "text_burstiness" -> burstiness,
     "text_heavy_hitters" -> heavyHitters,
     "text_heavy_guaranteed" -> heavyGuaranteed,
     "text_fingerprint" -> fingerprint,
@@ -1229,6 +1288,7 @@ object TextStats {
     "text_lang_confusion" -> langConfusionSql,
     "text_token_count" -> tokenCountSql,
     "text_word_topk" -> wordTopkSql,
+    "text_burstiness" -> burstinessSql,
     "text_heavy_guaranteed" -> heavyGuaranteedSql,
     "text_fingerprint" -> fingerprintSql,
     "text_winnowing" -> winnowingSql,

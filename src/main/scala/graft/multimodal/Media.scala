@@ -1016,7 +1016,118 @@ object Media {
        |  CAST(SUM(l * (1 + x + $ResizeW * y)) AS BIGINT) AS checksum
        |FROM lum GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** Per-image channel moment record emitted by the full-pixel decode. */
+  case class ChannelMoments(
+    media_type: String, n_px: Long,
+    sr: Long, sg: Long, sb: Long,
+    sr2: Long, sg2: Long, sb2: Long)
+
+  /** media_channel_stats: the dataset NORMALIZATION-CONSTANT stage of a
+    * multimodal training pipeline (the "ImageNet mean/std" numbers) —
+    * decode EVERY pixel of every PNG/BMP payload with `javax.imageio`,
+    * accumulate exact integer per-channel sums and sums of squares per
+    * image, and aggregate per media type into channel means and
+    * variances. The oracle recomputes every pixel relationally from the
+    * generation rule, so the gate covers the full decoded pixel content
+    * of the lake (not headers, not samples): a single wrong pixel in
+    * either engine breaks the BIGINT sums. Means/variances are derived
+    * from the exact integer moments by one identical double expression
+    * per engine (var = E[x^2] - E[x]^2), so no float accumulation order
+    * exists anywhere.
+    *
+    * Scale posture: map-only batched decode (one `ChannelMoments` row
+    * per image), then a 2-group aggregate — partial aggregation makes
+    * the shuffle 8 longs per partition per type. At 100 TB the decode
+    * stage is the scan; nothing downstream grows with pixel count. */
+  def channelStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val moments = spark.read.parquet(writeImages(spark, dir)).as[MediaFile]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var sr2 = 0L; var sg2 = 0L; var sb2 = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y) & 0xffffff
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sr += r; sg += g; sb += b
+              sr2 += r.toLong * r; sg2 += g.toLong * g; sb2 += b.toLong * b
+              x += 1
+            }
+            y += 1
+          }
+          ChannelMoments(m.media_type, w.toLong * h, sr, sg, sb, sr2, sg2, sb2)
+        }
+      }
+    def mean(s: org.apache.spark.sql.Column) = s.cast("double") / $"n_pixels"
+    def vr(s2: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+      s2.cast("double") / $"n_pixels" - mean(s) * mean(s)
+    moments.toDF()
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_images"), sum($"n_px").as("n_pixels"),
+        sum($"sr").as("sum_r"), sum($"sg").as("sum_g"), sum($"sb").as("sum_b"),
+        sum($"sr2").as("sq_r"), sum($"sg2").as("sq_g"), sum($"sb2").as("sq_b"))
+      .select($"media_type", $"n_images", $"n_pixels",
+        $"sum_r", $"sum_g", $"sum_b",
+        mean($"sum_r").as("mean_r"), mean($"sum_g").as("mean_g"),
+        mean($"sum_b").as("mean_b"),
+        vr($"sq_r", $"sum_r").as("var_r"), vr($"sq_g", $"sum_g").as("var_g"),
+        vr($"sq_b", $"sum_b").as("var_b"))
+      .orderBy($"media_type")
+  }
+
+  val channelStatsQuerySql: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END
+       |      AS media_type,
+       |    16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 64 AS h
+       |  FROM documents
+       |),
+       |px AS (
+       |  SELECT media_type, w * h AS npx, doc_id,
+       |    (doc_id * 2654435761 + g * 40503) & 16777215 AS p
+       |  FROM (SELECT *, unnest(range(0, w * h)) AS g FROM imgs)
+       |),
+       |ch AS (
+       |  SELECT media_type, doc_id, (p >> 16) & 255 AS r,
+       |    (p >> 8) & 255 AS g, p & 255 AS b
+       |  FROM px
+       |),
+       |agg AS (
+       |  SELECT media_type,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       |    CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+       |    CAST(SUM(b) AS BIGINT) AS sum_b,
+       |    CAST(SUM(r * r) AS BIGINT) AS sq_r,
+       |    CAST(SUM(g * g) AS BIGINT) AS sq_g,
+       |    CAST(SUM(b * b) AS BIGINT) AS sq_b
+       |  FROM ch
+       |  GROUP BY media_type
+       |)
+       |SELECT media_type, n_images, n_pixels, sum_r, sum_g, sum_b,
+       |  CAST(sum_r AS DOUBLE) / n_pixels AS mean_r,
+       |  CAST(sum_g AS DOUBLE) / n_pixels AS mean_g,
+       |  CAST(sum_b AS DOUBLE) / n_pixels AS mean_b,
+       |  CAST(sq_r AS DOUBLE) / n_pixels
+       |    - (CAST(sum_r AS DOUBLE) / n_pixels) * (CAST(sum_r AS DOUBLE) / n_pixels)
+       |    AS var_r,
+       |  CAST(sq_g AS DOUBLE) / n_pixels
+       |    - (CAST(sum_g AS DOUBLE) / n_pixels) * (CAST(sum_g AS DOUBLE) / n_pixels)
+       |    AS var_g,
+       |  CAST(sq_b AS DOUBLE) / n_pixels
+       |    - (CAST(sum_b AS DOUBLE) / n_pixels) * (CAST(sum_b AS DOUBLE) / n_pixels)
+       |    AS var_b
+       |FROM agg${sqlOrderBy(Seq("media_type"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_channel_stats" -> channelStatsQuery,
     "media_wav_haar" -> wavHaarQuery,
     "media_resize" -> resizeQuery,
     "media_wav_resample" -> wavResampleQuery,
@@ -1030,6 +1141,7 @@ object Media {
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
+    "media_channel_stats" -> channelStatsQuerySql,
     "media_wav_haar" -> wavHaarQuerySql,
     "media_resize" -> resizeQuerySql,
     "media_wav_resample" -> wavResampleQuerySql,

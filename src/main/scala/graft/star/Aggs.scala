@@ -1774,6 +1774,116 @@ object Aggs {
        |  CAST(rk <= COALESCE(sr, 0) AS INTEGER) AS bh_selected
        |FROM rkd CROSS JOIN sel${sqlOrderBy(Seq("lang"))}""".stripMargin
 
+  /** orders_kaplan_meier: Kaplan–Meier survival estimate (Kaplan &
+    * Meier 1958) of time-to-first-ship with administrative
+    * censoring at 1998-06-01 — the right-censored "how long until an
+    * order completes" curve naive latency averages get wrong (they
+    * silently drop the still-open orders that carry exactly the tail
+    * signal). Orders placed before the cutoff enroll; first ship
+    * after the cutoff censors at the cutoff. Risk sets and event
+    * counts are exact integers; the product-limit estimator is an
+    * INTEGER-SCALED left fold S_i = floor(S_{i-1}·(n_i−d_i)/n_i)
+    * (S_0 = 10^9), so the running product is a pure integer recurrence
+    * both engines replay bit-identically in ascending-time order — no
+    * float accumulation exists (house determinism rule: quantize, then
+    * integer arithmetic). `survival` is the one terminal double.
+    *
+    * Scale posture: one per-order min over lineitem (equi-shuffle),
+    * one day-grain aggregation; the product fold runs on the
+    * day-grain grid (≤ a few thousand rows regardless of corpus size
+    * — bounded by the calendar, not the data), collected as ONE sorted
+    * array. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cut = to_date(lit("1998-06-01"))
+    val fr = Tables(spark, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(min($"l_shipdate").as("first_ship"))
+    val enrolled = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate")
+      .filter($"o_orderdate" < cut)
+      .join(fr, $"o_orderkey" === $"l_orderkey")
+      .select(
+        when($"first_ship" <= cut, lit(1)).otherwise(lit(0)).as("is_event"),
+        when($"first_ship" <= cut, datediff($"first_ship", $"o_orderdate"))
+          .otherwise(datediff(cut, $"o_orderdate")).as("t"))
+    val nTot = enrolled.agg(count(lit(1)).as("n_total"))
+    val grid = enrolled.groupBy($"t")
+      .agg(count_if($"is_event" === 1).as("d_events"),
+        count_if($"is_event" === 0).as("c_censored"))
+    val prior = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grid.crossJoin(broadcast(nTot))
+      .withColumn("n_risk", ($"n_total" -
+        coalesce(sum($"d_events" + $"c_censored").over(prior), lit(0L)))
+        .cast("long"))
+    risk
+      .agg(sort_array(collect_list(
+        struct($"t", $"d_events", $"c_censored", $"n_risk"))).as("g"))
+      .select(posexplode($"g").as(Seq("pos", "s")), $"g")
+      .select($"s.t".as("t_day"), $"s.n_risk".as("n_risk"),
+        $"s.d_events".as("d_events"), $"s.c_censored".as("c_censored"),
+        expr("""aggregate(slice(g, 1, pos + 1), CAST(1000000000 AS BIGINT),
+                (acc, x) -> (acc * (x.n_risk - x.d_events)) div x.n_risk)""")
+          .as("survival_scaled"))
+      .withColumn("survival",
+        $"survival_scaled".cast("double") / lit(1000000000L))
+      .orderBy($"t_day")
+  }
+
+  val kaplanMeierSql: String =
+    s"""WITH fr AS (
+       |  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+       |  FROM lineitem GROUP BY l_orderkey
+       |),
+       |enrolled AS (
+       |  SELECT CASE WHEN fr.first_ship <= DATE '1998-06-01'
+       |      THEN 1 ELSE 0 END AS is_event,
+       |    CAST(CASE WHEN fr.first_ship <= DATE '1998-06-01'
+       |      THEN datediff('day', o.o_orderdate, fr.first_ship)
+       |      ELSE datediff('day', o.o_orderdate, DATE '1998-06-01')
+       |      END AS INTEGER) AS t
+       |  FROM orders o JOIN fr ON o.o_orderkey = fr.l_orderkey
+       |  WHERE o.o_orderdate < DATE '1998-06-01'
+       |),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM enrolled),
+       |grid AS (
+       |  SELECT t, CAST(count_if(is_event = 1) AS BIGINT) AS d_events,
+       |    CAST(count_if(is_event = 0) AS BIGINT) AS c_censored
+       |  FROM enrolled GROUP BY t
+       |),
+       |risk AS (
+       |  SELECT t, d_events, c_censored,
+       |    CAST(n_total - COALESCE(SUM(d_events + c_censored) OVER (
+       |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS n_risk
+       |  FROM grid CROSS JOIN nt
+       |),
+       |garr AS (
+       |  SELECT list(struct_pack(t := t, d_events := d_events,
+       |    c_censored := c_censored, n_risk := n_risk) ORDER BY t) AS g
+       |  FROM risk
+       |),
+       |folded AS (
+       |  SELECT s.t AS t_day, s.n_risk AS n_risk, s.d_events AS d_events,
+       |    s.c_censored AS c_censored,
+       |    list_reduce(
+       |      list_prepend(
+       |        struct_pack(f := CAST(1000000000 AS BIGINT),
+       |                    n := CAST(1 AS BIGINT)),
+       |        list_transform(g[1:pos],
+       |          x -> struct_pack(f := x.n_risk - x.d_events,
+       |                           n := x.n_risk))),
+       |      (acc, x) -> struct_pack(f := (acc.f * x.f) // x.n,
+       |                              n := CAST(1 AS BIGINT))).f
+       |      AS survival_scaled
+       |  FROM (SELECT unnest(g) AS s, generate_subscripts(g, 1) AS pos, g
+       |        FROM garr)
+       |)
+       |SELECT t_day, n_risk, d_events, c_censored, survival_scaled,
+       |  CAST(survival_scaled AS DOUBLE) / 1000000000 AS survival
+       |FROM folded${sqlOrderBy(Seq("t_day"))}""".stripMargin
+
   /** Theil–Sen robust trend (Theil 1950 / Sen 1968): the median of all
     * pairwise slopes over the monthly revenue series, plus the matching
     * median intercept — the outlier-resistant alternative to OLS for
@@ -2054,6 +2164,7 @@ object Aggs {
     "stat_mannwhitney" -> statMannWhitney,
     "stat_bradley_terry" -> statBradleyTerry,
     "stat_theil_sen" -> statTheilSen,
+    "orders_kaplan_meier" -> kaplanMeier,
     "stat_bh_fdr" -> statBhFdr,
     "stat_ols_brand" -> statOlsBrand,
     "agg_bitmap_distinct" -> bitmapDistinct,
@@ -2099,6 +2210,7 @@ object Aggs {
     "stat_mannwhitney" -> statMannWhitneySql,
     "stat_bradley_terry" -> statBradleyTerrySql,
     "stat_theil_sen" -> statTheilSenSql,
+    "orders_kaplan_meier" -> kaplanMeierSql,
     "stat_bh_fdr" -> statBhFdrSql,
     "stat_ols_brand" -> statOlsBrandSql,
     "agg_bitmap_distinct" -> bitmapDistinctSql,
