@@ -1042,7 +1042,142 @@ object Curate {
        |  CAST(qw AS DOUBLE) / CAST(dq AS DOUBLE) AS weight
        |FROM scored CROSS JOIN den${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** corpus_quality_lpm: train a LINEAR PROBABILITY MODEL that screens
+    * documents for near-dup risk from two cheap surface features — the
+    * "fast classifier distills the expensive signal" pattern every
+    * production curation stack runs (a fastText/logreg gate trained on
+    * labels a slower pipeline produced; CCNet, FineWeb-Edu). Label
+    * y = doc participates in ≥1 LSH candidate pair; features
+    * x1 = n_chars, x2 = 1e4-scaled distinct-token ratio (integer
+    * division — already quantized). The 3-parameter OLS solves the
+    * normal equations CLOSED-FORM by Cramer's rule over nine exact
+    * BIGINT moment sums, so training is one aggregation pass and the
+    * only doubles are shape-identical rational expressions of exact
+    * integers. The model is then applied back to every document and
+    * graded in-sample: confusion counts at the 0.5 threshold.
+    *
+    * Output: one row — coefficients, confusion matrix, accuracy.
+    *
+    * Scale posture: labels ride the existing bucketed candidate graph;
+    * the moment pass is one map-side-combined aggregation to a 1-row
+    * frame broadcast back for scoring. Nothing iterative, nothing
+    * collected. */
+  def qualityLpm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flagged = Dedup.candidatePairs(spark, dir)
+      .select($"d1".as("doc_id"))
+      .union(Dedup.candidatePairs(spark, dir).select($"d2".as("doc_id")))
+      .distinct()
+      .withColumn("y", lit(1L))
+    val feats = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "n_chars AS x1",
+        """CAST((10000 * size(array_distinct(split(text, ' '))))
+           div size(split(text, ' ')) AS BIGINT) AS x2""")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id", $"x1", $"x2", coalesce($"y", lit(0L)).as("y"))
+    val m = feats.agg(
+      count(lit(1)).as("n"), sum($"x1").as("s1"), sum($"x2").as("s2"),
+      sum($"x1" * $"x1").as("s11"), sum($"x1" * $"x2").as("s12"),
+      sum($"x2" * $"x2").as("s22"), sum($"y").as("sy"),
+      sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+    // Cramer's rule over the 3x3 normal equations, doubles cast from
+    // exact BIGINTs in one fixed expression shape per coefficient
+    val beta = m.selectExpr(
+      "n", "sy",
+      """(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS det""",
+      """(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE))) AS d0""",
+      """(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))) AS d1""",
+      """(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+        + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS d2""")
+      .selectExpr("n", "sy", "d0 / det AS b0", "d1 / det AS b1",
+        "d2 / det AS b2")
+    feats.crossJoin(broadcast(beta))
+      .withColumn("pred",
+        ($"b0" + $"b1" * $"x1".cast("double")
+          + $"b2" * $"x2".cast("double") >= 0.5).cast("long"))
+      .groupBy($"n", $"sy", $"b0", $"b1", $"b2")
+      .agg(
+        count_if($"pred" === 1 && $"y" === 1).as("tp"),
+        count_if($"pred" === 1 && $"y" === 0).as("fp"),
+        count_if($"pred" === 0 && $"y" === 0).as("tn"),
+        count_if($"pred" === 0 && $"y" === 1).as("fn"))
+      .select($"n".as("n_docs"), $"sy".as("n_flagged"), $"b0", $"b1",
+        $"b2", $"tp", $"fp", $"tn", $"fn",
+        (($"tp" + $"tn").cast("double") / $"n").as("accuracy"))
+  }
+
+  val qualityLpmSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |flagged AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT d1 AS doc_id FROM cand UNION ALL SELECT d2 FROM cand)
+       |),
+       |feats AS (
+       |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x1,
+       |    CAST((10000 * len(list_distinct(string_split(d.text, ' '))))
+       |      // len(string_split(d.text, ' ')) AS BIGINT) AS x2,
+       |    CAST(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |      AS y
+       |  FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+       |),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+       |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+       |    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+       |  FROM feats
+       |),
+       |beta AS (
+       |  SELECT n, sy,
+       |    (CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       |      - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+       |      + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))
+       |    / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS b0,
+       |    (CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+       |      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))
+       |    / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS b1,
+       |    (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+       |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+       |    / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS b2
+       |  FROM m
+       |),
+       |scored AS (
+       |  SELECT f.y,
+       |    CAST(b.b0 + b.b1 * CAST(f.x1 AS DOUBLE)
+       |      + b.b2 * CAST(f.x2 AS DOUBLE) >= 0.5 AS BIGINT) AS pred,
+       |    b.n, b.sy, b.b0, b.b1, b.b2
+       |  FROM feats f CROSS JOIN beta b
+       |)
+       |SELECT n AS n_docs, sy AS n_flagged, b0, b1, b2,
+       |  CAST(count_if(pred = 1 AND y = 1) AS BIGINT) AS tp,
+       |  CAST(count_if(pred = 1 AND y = 0) AS BIGINT) AS fp,
+       |  CAST(count_if(pred = 0 AND y = 0) AS BIGINT) AS tn,
+       |  CAST(count_if(pred = 0 AND y = 1) AS BIGINT) AS fn,
+       |  CAST(count_if(pred = y) AS DOUBLE) / n AS accuracy
+       |FROM scored GROUP BY n, sy, b0, b1, b2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_lpm" -> qualityLpm,
     "corpus_mw_reweight" -> mwReweight,
     "corpus_filter_verdicts" -> filterVerdicts,
     "corpus_neyman_alloc" -> neymanAlloc,
@@ -1061,6 +1196,7 @@ object Curate {
     "dedup_span_cover" -> spanCover)
 
   val oracles: Map[String, String] = Map(
+    "corpus_quality_lpm" -> qualityLpmSql,
     "corpus_mw_reweight" -> mwReweightSql,
     "corpus_filter_verdicts" -> filterVerdictsSql,
     "corpus_neyman_alloc" -> neymanAllocSql,

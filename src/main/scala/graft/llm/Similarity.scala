@@ -1477,6 +1477,93 @@ object Similarity {
       .orderBy($"v1", $"rank")
   }
 
+  /** Triplet-margin threshold for [[triplets]] (γ in the triplet loss). */
+  private val TripletMargin = 0.05
+
+  /** embed_triplets: contrastive TRIPLET MINING (Schroff et al. 2015,
+    * FaceNet; the data-prep stage of every metric-learning run) — for
+    * each anchor, the hardest in-cell positive (nearest same-label
+    * vector) and hardest in-cell negative (nearest different-label
+    * vector), with the triplet margin cos_pos − cos_neg and a
+    * `satisfied` flag at γ=$TripletMargin. Anchors lacking either side
+    * in their IVF cell drop out (semi-hard mining is cell-local by
+    * design: the cells ARE the candidate structure, so no all-pairs
+    * scan exists).
+    *
+    * Both engines rank on the SAME exact quantized-decimal dot (the
+    * [[dotSpark]]/[[dotDuck]] contract), so near-tie rank flips cannot
+    * occur. Spark picks each side's winner with one max(struct)
+    * aggregation (map-side combinable — no per-cell window sort), the
+    * same single-pass shape that carried knn_autok's ×100 rehearsal.
+    *
+    * Scale posture: Σ|cell|² ≈ 250·N pair stream (measured linear in
+    * SCALE.md), two grouped aggregations, then O(N) output. */
+  def triplets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val raw = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val emb = raw.join(autoKAssign(spark, dir), "vec_id")
+    val a = emb.select($"vec_id".as("v1"), $"label".as("l1"), $"cell",
+      $"embedding".as("e1"), $"nrm".as("n1"))
+    val b = emb.select($"vec_id".as("v2"), $"label".as("l2"),
+      $"cell".as("cell_b"), $"embedding".as("e2"), $"nrm".as("n2"))
+    a.join(b, $"cell" === $"cell_b" && $"v1" =!= $"v2")
+      .selectExpr("v1", "v2", "CAST(l1 = l2 AS INT) AS same",
+        s"(${dotSpark("e1", "e2")} / sqrt(n1 * n2)) AS cos")
+      .groupBy($"v1", $"same")
+      .agg(max(struct($"cos", (-$"v2").as("nv2"))).as("top"))
+      .select($"v1", $"same", $"top.cos".as("cos"), (-$"top.nv2").as("vid"))
+      .groupBy($"v1")
+      .agg(max(when($"same" === 1, $"vid")).as("pos_id"),
+        max(when($"same" === 1, $"cos")).as("cos_pos"),
+        max(when($"same" === 0, $"vid")).as("neg_id"),
+        max(when($"same" === 0, $"cos")).as("cos_neg"))
+      .filter($"pos_id".isNotNull && $"neg_id".isNotNull)
+      .select($"v1".as("vec_id"), $"pos_id", $"neg_id", $"cos_pos",
+        $"cos_neg", ($"cos_pos" - $"cos_neg").as("margin"),
+        ($"cos_pos" - $"cos_neg" >= TripletMargin).cast("int")
+          .as("satisfied"))
+      .orderBy($"vec_id")
+  }
+
+  val tripletsSql: String =
+    s"""WITH $autoKCtes,
+       |e AS (
+       |  SELECT emb.vec_id, emb.label, a2.cell, emb.embedding,
+       |    ${dotDuck("emb.embedding", "emb.embedding")} AS nrm
+       |  FROM embeddings emb JOIN a2 ON emb.vec_id = a2.vec_id
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    CAST(a.label = b.label AS INTEGER) AS same,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm))
+       |      AS cos
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |),
+       |sel AS (
+       |  SELECT v1, same, cos, v2 FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY v1, same
+       |      ORDER BY cos DESC, v2) AS rn
+       |    FROM p
+       |  ) WHERE rn = 1
+       |),
+       |tri AS (
+       |  SELECT v1,
+       |    MAX(CASE WHEN same = 1 THEN v2 END) AS pos_id,
+       |    MAX(CASE WHEN same = 1 THEN cos END) AS cos_pos,
+       |    MAX(CASE WHEN same = 0 THEN v2 END) AS neg_id,
+       |    MAX(CASE WHEN same = 0 THEN cos END) AS cos_neg
+       |  FROM sel GROUP BY v1
+       |)
+       |SELECT v1 AS vec_id, pos_id, neg_id, cos_pos, cos_neg,
+       |  cos_pos - cos_neg AS margin,
+       |  CAST(cos_pos - cos_neg >= $TripletMargin AS INTEGER) AS satisfied
+       |FROM tri
+       |WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+       |${sqlOrderBy(Seq("vec_id")).trim}""".stripMargin
+
   val hardNegativesSql: String =
     s"""WITH $autoKCtes,
        |e AS (
@@ -1765,6 +1852,7 @@ object Similarity {
     "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
     "embed_hard_negatives" -> hardNegatives,
+    "embed_triplets" -> triplets,
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
     "embed_ivf_autok" -> ivfAutoK,
@@ -1791,6 +1879,7 @@ object Similarity {
     "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
     "embed_hard_negatives" -> hardNegativesSql,
+    "embed_triplets" -> tripletsSql,
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
     "embed_ivf_autok" -> ivfAutoKSql,

@@ -403,6 +403,53 @@ object Warehouse {
        |WHERE 4 * (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
        |${sqlOrderBy(Seq("o_orderkey")).trim}""".stripMargin
 
+  /** dq_k_anonymity: k-anonymity audit (Sweeney 2002) over the
+    * quasi-identifier tuple (lang, source, 100-char length bucket) of
+    * the documents table — the privacy pre-flight a training-data
+    * release runs: any document whose quasi-identifier equivalence
+    * class has fewer than k=5 members is re-identifiable by linkage.
+    * Per (lang, source) stratum: class count, the smallest class, how
+    * many documents sit in sub-k classes, and the at-risk fraction.
+    * All integer counts plus one terminal division.
+    *
+    * Scale posture: two stacked aggregations on the same keys (class
+    * grain then stratum grain) — both map-side combinable; output is
+    * |lang × source| rows. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val classes = graft.Tables(spark, dir, "documents")
+      .select($"lang", $"source", expr("n_chars div 100").as("len_bucket"))
+      .groupBy($"lang", $"source", $"len_bucket")
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy($"lang", $"source")
+      .agg(sum($"class_size").as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        min($"class_size").as("k_anonymity"),
+        sum(when($"class_size" < 5, $"class_size").otherwise(lit(0L)))
+          .as("n_below_k"))
+      .select($"lang", $"source", $"n_docs", $"n_classes", $"k_anonymity",
+        $"n_below_k",
+        ($"n_below_k".cast("double") / $"n_docs").as("at_risk_frac"))
+      .orderBy($"lang", $"source")
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH classes AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS class_size
+       |  FROM documents GROUP BY lang, source, len_bucket
+       |)
+       |SELECT lang, source,
+       |  CAST(SUM(class_size) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+       |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+       |    AS BIGINT) AS n_below_k,
+       |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+       |    AS DOUBLE) / SUM(class_size) AS at_risk_frac
+       |FROM classes GROUP BY lang, source
+       |${graft.Det.sqlOrderBy(Seq("lang", "source")).trim}""".stripMargin
+
   /** Data-quality audit in long form (check_name, n_violations): the
     * dbt-tests / Great-Expectations shape every warehouse runs before
     * publishing a table. All single-table checks on a table share ONE
@@ -1598,6 +1645,7 @@ object Warehouse {
     "basket_lift_rules" -> basketLiftRules,
     "orders_outlier_z" -> outlierZ,
     "dq_checks" -> dqChecks,
+    "dq_k_anonymity" -> kAnonymity,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
     "events_ab_cuped" -> abCuped,
@@ -1627,6 +1675,7 @@ object Warehouse {
     "basket_lift_rules" -> basketLiftRulesSql,
     "orders_outlier_z" -> outlierZSql,
     "dq_checks" -> dqChecksSql,
+    "dq_k_anonymity" -> kAnonymitySql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
     "events_ab_cuped" -> abCupedSql,
