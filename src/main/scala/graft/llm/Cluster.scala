@@ -854,7 +854,66 @@ object Cluster {
        |FROM perc p JOIN intra i USING (cluster_id) CROSS JOIN mm
        |${graft.Det.sqlOrderBy(Seq("cluster_id")).trim}""".stripMargin
 
+  /** graph_assortativity: Newman's degree assortativity (Newman 2002,
+    * "Assortative mixing in networks") of the candidate-pair graph —
+    * the Pearson correlation of degrees across edge endpoints. For a
+    * dedup graph the sign is diagnostic: strong positive r means
+    * near-dup mass concentrates in hub-hub cliques (template/boiler-
+    * plate families), negative r means hub-leaf stars (one canonical
+    * page with many light variants) — two different cleanup
+    * strategies. Over the symmetrized edge list the estimator
+    * reduces to r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) with every sum
+    * an exact BIGINT; the one double division is shape-identical in
+    * both engines.
+    *
+    * Scale posture: degree aggregation + two broadcast-able skinny
+    * joins of the edge list against the degree table, then a 1-row
+    * total aggregate. Linear in |E|. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Dedup.candidatePairs(spark, dir).select($"d1", $"d2")
+    val sym = bothDirs(e.select($"d1".as("src"), $"d2".as("dst")))
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("degree"))
+    sym
+      .join(deg.select($"node".as("src"), $"degree".as("j")), "src")
+      .join(deg.select($"node".as("dst"), $"degree".as("k")), "dst")
+      .agg(count(lit(1)).as("m_directed"),
+        sum($"j" * $"k").as("sum_jk"), sum($"j").as("sum_j"),
+        sum($"j" * $"j").as("sum_j2"))
+      .select($"m_directed", $"sum_jk", $"sum_j", $"sum_j2",
+        (($"m_directed".cast("double") * $"sum_jk".cast("double")
+          - $"sum_j".cast("double") * $"sum_j".cast("double"))
+          / ($"m_directed".cast("double") * $"sum_j2".cast("double")
+            - $"sum_j".cast("double") * $"sum_j".cast("double")))
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |sym AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION ALL
+       |  SELECT d2, d1 FROM cand
+       |),
+       |deg AS (
+       |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+       |  FROM sym GROUP BY src
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS m_directed,
+       |  CAST(SUM(dj.degree * dk.degree) AS BIGINT) AS sum_jk,
+       |  CAST(SUM(dj.degree) AS BIGINT) AS sum_j,
+       |  CAST(SUM(dj.degree * dj.degree) AS BIGINT) AS sum_j2,
+       |  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dj.degree * dk.degree) AS DOUBLE)
+       |    - CAST(SUM(dj.degree) AS DOUBLE) * CAST(SUM(dj.degree) AS DOUBLE))
+       |  / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dj.degree * dj.degree) AS DOUBLE)
+       |    - CAST(SUM(dj.degree) AS DOUBLE) * CAST(SUM(dj.degree) AS DOUBLE))
+       |    AS assortativity
+       |FROM sym JOIN deg dj ON sym.src = dj.node
+       |JOIN deg dk ON sym.dst = dk.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> assortativity,
     "graph_modularity" -> modularity,
     "graph_kcore_peel3" -> kcorePeel,
     "graph_degree_hist" -> degreeHist,
@@ -870,6 +929,7 @@ object Cluster {
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "graph_modularity" -> modularitySql,
     "graph_kcore_peel3" -> kcorePeelSql,
     "graph_label_prop" -> labelPropSql,

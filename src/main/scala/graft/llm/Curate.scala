@@ -1176,8 +1176,95 @@ object Curate {
        |  CAST(count_if(pred = y) AS DOUBLE) / n AS accuracy
        |FROM scored GROUP BY n, sy, b0, b1, b2""".stripMargin
 
+  /** corpus_token_budget: the TOKEN-BUDGET CUT — rank every document by
+    * a quality proxy (1e4-scaled distinct-token ratio, doc_id
+    * tiebreak) and keep the best prefix whose cumulative token count
+    * fits a budget of ¼ of the corpus ("we can afford to train on 25%
+    * of what we crawled — keep the best quarter"). This is the final
+    * selection step after dedup/filtering in every compute-bound
+    * pretraining plan (the Chinchilla-style budget arrives in tokens,
+    * not documents). Output is the per-source admission scorecard:
+    * which sources survive a quality-ranked global cut.
+    *
+    * All arithmetic is integer (token counts, quantized scores,
+    * cumulative sums); the one double per source is the admitted-token
+    * share. Scale posture: a naive `Window.orderBy(score)` over every
+    * document would move the WHOLE corpus to one partition (Spark's
+    * un-partitioned WindowExec), so the prefix sum is decomposed the
+    * distributed way: (1) per-score token totals — a bounded ≤10001-row
+    * series (score is the 1e4-quantized ratio) whose exclusive running
+    * sum is the per-bucket OFFSET, computed by a window over only that
+    * tiny series; (2) a within-bucket cumulative sum via a window
+    * PARTITIONED by score (ordered by doc_id) — fully parallel, skew
+    * bounded by docs-per-score (a hot score value would nest the same
+    * offset+partition decomposition one level down on doc_id ranges).
+    * cum_tok = offset(score) + within-bucket prefix — bit-identical to
+    * the naive global window, which is exactly what the DuckDB oracle
+    * runs. Rollup is |sources| rows. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ntok",
+        """(10000 * size(array_distinct(split(text, ' '))))
+           div size(split(text, ' ')) AS score""")
+    val tot = docs.agg(sum($"ntok").as("total_tokens"))
+    // exclusive prefix of per-score totals: the window runs over the
+    // bounded score series (≤10001 rows), never over the corpus
+    val offsets = docs.groupBy($"score").agg(sum($"ntok").as("btok"))
+      .withColumn("offset", coalesce(
+        sum($"btok").over(Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"score", $"offset")
+    val within = Window.partitionBy($"score").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "score").crossJoin(broadcast(tot))
+      .withColumn("cum_tok", $"offset" + sum($"ntok").over(within))
+      .withColumn("selected", ($"cum_tok" * 4 <= $"total_tokens")
+        .cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"selected").as("n_selected"),
+        sum($"ntok").as("tokens_total"),
+        sum($"selected" * $"ntok").as("tokens_selected"))
+      .select($"source", $"n_docs", $"n_selected", $"tokens_total",
+        $"tokens_selected",
+        ($"tokens_selected".cast("double") / $"tokens_total")
+          .as("admitted_share"))
+      .orderBy($"source")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+       |    (10000 * len(list_distinct(string_split(text, ' '))))
+       |      // len(string_split(text, ' ')) AS score
+       |  FROM documents
+       |),
+       |tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS total_tokens FROM docs),
+       |cum AS (
+       |  SELECT source, ntok,
+       |    CAST(SUM(ntok) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tok,
+       |    total_tokens
+       |  FROM docs CROSS JOIN tot
+       |),
+       |flag AS (
+       |  SELECT source, ntok,
+       |    CAST(cum_tok * 4 <= total_tokens AS BIGINT) AS selected
+       |  FROM cum
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(selected) AS BIGINT) AS n_selected,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(selected * ntok) AS BIGINT) AS tokens_selected,
+       |  CAST(SUM(selected * ntok) AS DOUBLE) / SUM(ntok) AS admitted_share
+       |FROM flag GROUP BY source${sqlOrderBy(Seq("source"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_lpm" -> qualityLpm,
+    "corpus_token_budget" -> tokenBudget,
     "corpus_mw_reweight" -> mwReweight,
     "corpus_filter_verdicts" -> filterVerdicts,
     "corpus_neyman_alloc" -> neymanAlloc,
@@ -1197,6 +1284,7 @@ object Curate {
 
   val oracles: Map[String, String] = Map(
     "corpus_quality_lpm" -> qualityLpmSql,
+    "corpus_token_budget" -> tokenBudgetSql,
     "corpus_mw_reweight" -> mwReweightSql,
     "corpus_filter_verdicts" -> filterVerdictsSql,
     "corpus_neyman_alloc" -> neymanAllocSql,

@@ -191,6 +191,64 @@ object TextStats {
        |ORDER BY n_occurrences DESC NULLS LAST, word NULLS FIRST
        |LIMIT 30""".stripMargin
 
+  /** text_yule_k: Yule's characteristic K (Yule 1944, "The Statistical
+    * Study of Literary Vocabulary") per document, rolled up by
+    * language — the length-robust vocabulary-richness statistic
+    * (K = 10⁴·(Σc² − N)/N² over the per-document term-frequency
+    * spectrum). High K means a repetitive, template-like vocabulary —
+    * one of the classic boilerplate/generated-text signals a quality
+    * pipeline thresholds on. Per-doc K is a rational of exact integer
+    * moments; the per-language mean follows the house
+    * quantize-then-integer-sum rule (K quantized to 1e6 before the
+    * sum), so the rollup is exact in both engines.
+    *
+    * Scale posture: explode→(doc, term) count→per-doc moments are
+    * map-side-combined shuffles on doc_id (already the corpus's
+    * partition key); the rollup is |lang| rows. */
+  def yuleK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = graft.Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c").as("n"), sum($"c" * $"c").as("s2"))
+      .select($"doc_id", $"lang",
+        expr("""CAST(floor(CAST(10000 * (s2 - n) AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT)""").as("kq"))
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"kq").as("k_sum"),
+        min($"kq").as("k_min_q"), max($"kq").as("k_max_q"))
+      .select($"lang", $"n_docs",
+        ($"k_sum".cast("double") / $"n_docs" / lit(1e6)).as("k_mean"),
+        ($"k_min_q".cast("double") / lit(1e6)).as("k_min"),
+        ($"k_max_q".cast("double") / lit(1e6)).as("k_max"))
+      .orderBy($"lang")
+  }
+
+  val yuleKSql: String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term <> ''
+       |  GROUP BY doc_id, lang, term
+       |),
+       |pd AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(CAST(10000 * (SUM(c * c) - SUM(c)) AS DOUBLE)
+       |      / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) * 1e6
+       |      + 0.5) AS BIGINT) AS kq
+       |  FROM tc GROUP BY doc_id, lang
+       |)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(kq) AS DOUBLE) / COUNT(*) / 1e6 AS k_mean,
+       |  CAST(MIN(kq) AS DOUBLE) / 1e6 AS k_min,
+       |  CAST(MAX(kq) AS DOUBLE) / 1e6 AS k_max
+       |FROM pd GROUP BY lang${sqlOrderBy(Seq("lang"))}""".stripMargin
+
   /** text_burstiness: Church–Gale burstiness (Church & Gale 1995,
     * "Poisson mixtures") — per-term variance-to-mean ratio of the
     * per-document count across the WHOLE corpus (absent docs count 0).
@@ -1264,6 +1322,7 @@ object TextStats {
     "text_token_count" -> tokenCount,
     "text_word_topk" -> wordTopk,
     "text_burstiness" -> burstiness,
+    "text_yule_k" -> yuleK,
     "text_heavy_hitters" -> heavyHitters,
     "text_heavy_guaranteed" -> heavyGuaranteed,
     "text_fingerprint" -> fingerprint,
@@ -1289,6 +1348,7 @@ object TextStats {
     "text_token_count" -> tokenCountSql,
     "text_word_topk" -> wordTopkSql,
     "text_burstiness" -> burstinessSql,
+    "text_yule_k" -> yuleKSql,
     "text_heavy_guaranteed" -> heavyGuaranteedSql,
     "text_fingerprint" -> fingerprintSql,
     "text_winnowing" -> winnowingSql,

@@ -136,6 +136,15 @@ object ScaleRehearsal {
     stage("embed_knn_graph_autok")(graft.llm.Similarity.knnGraphAutoK(spark, dir))
     // LOF rides the auto-K knn edge list: joins+aggs over |V|·k rows
     stage("embed_outlier_lof")(graft.llm.Similarity.lofOutliers(spark, dir))
+    // round-8 continuation tier: each rides an already-measured chassis
+    // (candidate graph, auto-K cells, term dictionary, decoded pixels)
+    stage("graph_modularity")(graft.llm.Cluster.modularity(spark, dir))
+    stage("embed_triplets")(graft.llm.Similarity.triplets(spark, dir))
+    stage("text_burstiness")(graft.llm.TextStats.burstiness(spark, dir))
+    stage("corpus_quality_lpm")(graft.llm.Curate.qualityLpm(spark, dir))
+    stage("dq_k_anonymity")(graft.star.Warehouse.kAnonymity(spark, dir))
+    stage("media_channel_stats")(
+      graft.multimodal.Media.channelStatsQuery(spark, dir))
     spark.stop()
   }
 }
