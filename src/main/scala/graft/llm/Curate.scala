@@ -1071,7 +1071,10 @@ object Curate {
       .withColumn("y", lit(1L))
     val feats = Tables(spark, dir, "documents")
       .selectExpr("doc_id", "n_chars AS x1",
-        """CAST((10000 * size(array_distinct(split(text, ' '))))
+        // promote BEFORE the multiply: Spark would evaluate
+        // 10000 * size(...) in 32-bit INT and wrap silently past
+        // ~214k distinct tokens, while DuckDB computes in BIGINT
+        """CAST((10000L * CAST(size(array_distinct(split(text, ' '))) AS BIGINT))
            div size(split(text, ' ')) AS BIGINT) AS x2""")
       .join(flagged, Seq("doc_id"), "left")
       .select($"doc_id", $"x1", $"x2", coalesce($"y", lit(0L)).as("y"))
@@ -1206,7 +1209,8 @@ object Curate {
     val docs = Tables(spark, dir, "documents")
       .selectExpr("doc_id", "source",
         "CAST(size(split(text, ' ')) AS BIGINT) AS ntok",
-        """(10000 * size(array_distinct(split(text, ' '))))
+        // 64-bit multiply to match the DuckDB oracle (INT would wrap)
+        """(10000L * CAST(size(array_distinct(split(text, ' '))) AS BIGINT))
            div size(split(text, ' ')) AS score""")
     val tot = docs.agg(sum($"ntok").as("total_tokens"))
     // exclusive prefix of per-score totals: the window runs over the

@@ -920,12 +920,20 @@ object Similarity {
     val lofq = knn.join(lrd.select($"v".as("v2"), $"lrd".as("lrd_b")), "v2")
       .groupBy($"v1")
       .agg(sum(expr("CAST(floor(lrd_b * 1e6 + 0.5) AS BIGINT)")).as("slq"))
-    lrd.join(kd, "v")
+    val out = lrd.join(kd, "v")
       .join(lofq.withColumnRenamed("v1", "v"), "v")
       .select($"v".as("vec_id"), $"kdist", $"lrd",
         (($"slq".cast("double") / 1e6) / ($"cnt".cast("double") * $"lrd"))
           .as("lof"))
       .orderBy($"vec_id")
+      // the result is |V| skinny rows — eagerly localCheckpoint it so
+      // the |V|·k edge list can be unpersisted HERE instead of leaking
+      // one pinned copy per invocation in a long-lived session (the
+      // CORRECTNESS-harness path); at cluster scale the same scope
+      // discipline applies with a reliable checkpoint dir
+      .localCheckpoint(true)
+    knn.unpersist()
+    out
   }
 
   lazy val lofOutliersSql: String =

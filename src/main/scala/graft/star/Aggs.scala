@@ -1689,7 +1689,12 @@ object Aggs {
     val perm = gu
       .crossJoin(broadcast(ls.select($"lang", $"nl")))
       .crossJoin(broadcast(tot))
-      .filter($"u" * $"nn" < $"nl" * lit(4294967296L))
+      // DECIMAL(38,0) cross-multiply: u reaches 2^32-1, so u*nn wraps
+      // 64-bit LONG once n_docs exceeds ~2^31 (Spark wraps silently;
+      // DuckDB computes the oracle's compare exactly in HUGEINT) —
+      // decimal keeps both engines exact out to ~1e38
+      .filter($"u".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"nn" <
+        $"nl".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(4294967296L))
       .groupBy($"b", $"lang")
       .agg(count(lit(1)).as("n_in"), sum($"x").as("s_in"))
       .crossJoin(broadcast(tot))

@@ -1215,8 +1215,11 @@ object Warehouse {
     val pool = perUser.agg(
         count(lit(1)).as("n"),
         sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
-        sum(($"x" * $"y").cast(dec)).as("sxy"),
-        sum(($"x" * $"x").cast(dec)).as("sxx"))
+        // cast an operand BEFORE the multiply: x*y in LONG wraps for
+        // cents products near 2^63 while the oracle multiplies in
+        // HUGEINT — decimal(38,0)*decimal keeps the moment exact
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"))
       .select($"n".cast("double").as("nd"),
         $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
         $"sxy".cast("double").as("sxyd"), $"sxx".cast("double").as("sxxd"))

@@ -60,19 +60,31 @@ object AnnServeStream {
       .select($"q_id", $"rank".cast("int").as("rank"), $"vec_id", $"cosine")
   }
 
+  /** Idempotent per-epoch sink: micro-batch `epochId`'s answers land at
+    * `outDir/batch=<epochId>` with mode OVERWRITE, so a replayed epoch
+    * (micro-batch failed after the write but before the checkpoint
+    * commit) re-writes the SAME directory instead of appending
+    * duplicates — the `StreamCrashCommitSpec` recipe. Readers get
+    * `batch` back as a discovered partition column. Factored out of
+    * the foreachBatch closure so replay idempotence is directly
+    * testable (AnnServeStreamSpec calls it twice with one epochId). */
+  def writeEpoch(results: DataFrame, outDir: String, epochId: Long): Unit =
+    results.write.mode("overwrite").parquet(s"$outDir/batch=$epochId")
+
   /** Wire a streaming query-vector frame to the probe: per micro-batch
-    * exact top-k appended as parquet under `outDir`, checkpointed at
-    * `checkpointDir` (restart-safe exactly-once via the sink's batch-id
-    * dedup, the `GoldSinkSpec` contract). */
+    * exact top-k written as parquet under `outDir/batch=<epochId>`,
+    * checkpointed at `checkpointDir`. Restart-safe exactly-once comes
+    * from [[writeEpoch]]'s per-epoch overwrite — a replayed epoch is a
+    * no-op rewrite, never an append of duplicate rows. */
   def serve(spark: SparkSession, queries: DataFrame, model: DataFrame,
       members: DataFrame, outDir: String, checkpointDir: String,
       k: Int = 3): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        probeBatch(spark, batch, model, members, k)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        writeEpoch(probeBatch(spark, batch, model, members, k),
+          outDir, epochId)
         ()
       }
       .start()

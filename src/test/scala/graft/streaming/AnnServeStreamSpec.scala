@@ -49,7 +49,7 @@ class AnnServeStreamSpec extends SparkSpec {
       s"$work/out", s"$work/ckpt")
     assert(q.awaitTermination(180000), "stream did not drain")
 
-    val streamed = spark.read.parquet(s"$work/out")
+    val streamed = spark.read.parquet(s"$work/out").drop("batch")
     val batch = AnnServeStream.probeBatch(spark, queries, model, members)
     assert(streamed.count() == batch.count() && batch.count() >= 6)
     assert(streamed.exceptAll(batch).count() == 0)
@@ -62,5 +62,22 @@ class AnnServeStreamSpec extends SparkSpec {
     perQ.foreach { case (qid, n, lo, hi) =>
       assert(lo == 1 && hi == n, s"query $qid ranks not dense")
     }
+
+    // replay idempotence: re-writing an already-committed epoch (the
+    // crash-between-write-and-commit case) must not change the sink
+    val before = spark.read.parquet(s"$work/out").count()
+    val epochs = spark.read.parquet(s"$work/out")
+      .select($"batch".cast("long")).distinct()
+      .as[Long].collect().sorted
+    val qidsInEpoch = spark.read.parquet(s"$work/out")
+      .filter($"batch".cast("long") === epochs.head)
+      .select($"q_id").distinct().as[Long].collect().toSeq
+    val replayed = queries.filter($"q_id".isin(qidsInEpoch: _*))
+    AnnServeStream.writeEpoch(
+      AnnServeStream.probeBatch(spark, replayed, model, members),
+      s"$work/out", epochs.head)
+    val after = spark.read.parquet(s"$work/out")
+    assert(after.count() == before, "replayed epoch appended duplicates")
+    assert(after.drop("batch").exceptAll(batch).count() == 0)
   }
 }
