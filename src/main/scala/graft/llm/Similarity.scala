@@ -1239,38 +1239,80 @@ object Similarity {
     assignToCells(spark, Tables(spark, dir, "embeddings"),
       autoKCentroids(spark, dir))
 
-  /** Nearest-centroid assignment of arbitrary `(vec_id, embedding)`
-    * rows to a FROZEN `(cell, centroid)` table — the IVF index
-    * MAINTENANCE path: with the model held fixed, a vector's cell
-    * depends on that vector alone, so the assignment is partition-
-    * incremental (compose with `sources/Incremental.refresh` — proven
-    * in IvfIncrementalSpec: mutate one source partition, only that
-    * partition's index rows recompute). One broadcast \|N\|×K scan,
-    * decimal-exact distances, min-cell tiebreak. */
+  /** Two-level (coarse-then-fine) assignment of arbitrary
+    * `(vec_id, embedding)` rows to a FROZEN `(cell, centroid)` table —
+    * the IVF index MAINTENANCE path: with the model held fixed, a
+    * vector's cell depends on that vector alone, so the assignment is
+    * partition-incremental (compose with `sources/Incremental.refresh`
+    * — proven in IvfIncrementalSpec: mutate one source partition, only
+    * that partition's index rows recompute).
+    *
+    * The flat form this replaces scanned all K centroids per vector —
+    * N·K = N²/250 dots under the auto-K rule, the one superlinear stage
+    * the ×100 rehearsal measured (13× on 4× data). Here a coarse
+    * codebook of C = ⌈√K⌉ representative centroids (hash-bucket-minimum
+    * over the cells — deterministic, a pure function of the model)
+    * routes each vector to its nearest rep, then the exact argmin runs
+    * only over that rep's fine children (parent map = each fine
+    * centroid's nearest rep): ~2·√K dots per vector, O(N^1.5/√250)
+    * total. Standard coarse quantization (IVF-ADC family, Jégou et al.
+    * 2011) — the output keeps the (vec_id, cell) contract; cell
+    * boundaries differ from the flat scan only where the true nearest
+    * centroid's parent loses the coarse vote, exactly the recall trade
+    * every IVF probe makes, and the DuckDB oracle replays the identical
+    * two-level rule so the hash gate still proves bit-equality.
+    *
+    * Execution shape: the model materializes ONCE (K skinny rows — its
+    * lineage can be a full Lloyd pipeline and feeds four subtrees);
+    * level 1 is a ZERO-SHUFFLE map pass (reps collected to a one-row
+    * broadcast array, per-vector argmin = `array_min(transform(...))`
+    * whose struct(d, id) ordering IS min-by-distance-then-min-id);
+    * level 2 broadcast-joins the K-row children table on the chosen
+    * rep and reduces through the map-side-combined `min_by`, so the
+    * only exchange is N skinny (vec_id, cell) rows. Decimal-exact
+    * distances (‖e‖² hoisted per vector, ‖c‖² per centroid), min-id
+    * tiebreaks at both levels. A rep shadowed at distance zero by a
+    * lower-id twin wins no children; level 1 routes over reps that won
+    * at least one child, so no vector lands in an empty cell. */
   def assignToCells(spark: SparkSession, emb: DataFrame,
       cent: DataFrame): DataFrame = {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
-    // hoist the self-dots: ‖e‖² once per VECTOR (not per pair), ‖c‖²
-    // once per CENTROID — the expanded ‖e−c‖² needs only the cross
-    // term per pair. Same decimal operands in the same expression →
-    // bit-identical distances, at 1/3 the decimal-dot work of the
-    // inline form (the ×100 rehearsal's dominant remaining cost).
+    val model = cent.localCheckpoint(true)
+    val facts = model.agg(count(lit(1)).as("kk"))
+      .select(greatest(lit(2L),
+        ceil(sqrt($"kk".cast("double"))).cast("long")).as("c"))
+    val reps0 = model.crossJoin(broadcast(facts))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(cast(cell AS STRING) as binary)), 1, 8), 16, 10) as bigint)"))
+      .withColumn("bucket", $"h" % $"c")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bucket").orderBy($"h", $"cell")))
+      .filter($"rn" === 1)
+      .select($"cell".as("coarse"), $"centroid".as("ccent"),
+        expr(dotSpark("centroid", "centroid")).as("rr"))
+    val c2 = model.select($"cell", $"centroid",
+      expr(dotSpark("centroid", "centroid")).as("cc"))
+    // parent map: each fine centroid to its nearest rep (K×C, tiny)
+    val parent = c2.crossJoin(broadcast(reps0))
+      .selectExpr("cell", "coarse",
+        s"(cc - 2 * ${dotSpark("centroid", "ccent")} + rr) AS d")
+      .groupBy($"cell")
+      .agg(expr("min_by(coarse, struct(d, coarse))").as("coarse"))
+    val repsRow = reps0.join(parent.select($"coarse").distinct(), "coarse")
+      .agg(collect_list(struct($"coarse", $"ccent", $"rr")).as("reps"))
     val e2 = emb.select($"vec_id", $"embedding",
       expr(dotSpark("embedding", "embedding")).as("ee"))
-    val c2 = cent.select($"cell", $"centroid",
-      expr(dotSpark("centroid", "centroid")).as("cc"))
-    val dist = e2.crossJoin(broadcast(c2))
+    val coarseA = e2.crossJoin(broadcast(repsRow))
+      .selectExpr("vec_id", "embedding", "ee",
+        s"""array_min(transform(reps, r -> struct(
+           |  ee - 2 * ${dotSpark("embedding", "r.ccent")} + r.rr AS d,
+           |  r.coarse AS id))).id AS coarse""".stripMargin)
+    val children = c2.join(parent, "cell")
+    coarseA.join(broadcast(children), "coarse")
       .selectExpr("vec_id", "cell",
         s"(ee - 2 * ${dotSpark("embedding", "centroid")} + cc) AS d")
-    // ONE pass: min_by over (d, cell) = "closest centroid, min-cell
-    // tiebreak" — bit-identical to the min-d-agg + re-join + min-cell
-    // form this replaced, but the N×K distance stream is produced and
-    // consumed ONCE, and the map-side combine collapses each task's
-    // local N×K rows to one row per vector before the exchange (the
-    // ×100 rehearsal measured the doubled N·K pass as the dominant
-    // auto-K cost; this halves it).
-    dist.groupBy($"vec_id")
+      .groupBy($"vec_id")
       .agg(expr("min_by(cell, struct(d, cell))").as("cell"))
   }
 
@@ -1309,20 +1351,69 @@ object Similarity {
     * everything through the final assignment `a2 (vec_id, cell)`. */
   private val autoKCtes: String = {
     def dd(x: String, y: String) = dotDuck(x, y)
+    // DuckDB replay of the two-level [[assignToCells]]: coarse reps =
+    // hash-bucket-minimum over the cells (C = ⌈√K⌉), parent map = each
+    // fine centroid's nearest rep, vectors route nearest-ACTIVE-rep
+    // then exact argmin over that rep's children; row_number ORDER BY
+    // (d, id) = Spark's min_by struct(d, id) tiebreak on bit-identical
+    // decimal-dot distances.
     def assignCte(name: String, cent: String): String =
-      s"""${name}_d AS (
-         |  SELECT e.vec_id, c.cell,
-         |    (${dd("e.embedding", "e.embedding")}
-         |     - 2 * ${dd("e.embedding", "c.centroid")}
-         |     + ${dd("c.centroid", "c.centroid")}) AS d
-         |  FROM embeddings e, $cent c
+      s"""${name}_kk AS (
+         |  SELECT greatest(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS c
+         |  FROM $cent
          |),
-         |${name}_b AS (SELECT vec_id, MIN(d) AS min_d FROM ${name}_d GROUP BY vec_id),
+         |${name}_reps AS (
+         |  SELECT cell AS coarse, centroid AS ccent FROM (
+         |    SELECT cell, centroid,
+         |      row_number() OVER (PARTITION BY h % (SELECT c FROM ${name}_kk)
+         |        ORDER BY h, cell) AS rn
+         |    FROM (SELECT cell, centroid,
+         |            CAST('0x' || substr(md5(CAST(cell AS VARCHAR)), 1, 8) AS BIGINT) AS h
+         |          FROM $cent)
+         |  ) WHERE rn = 1
+         |),
+         |${name}_pd AS (
+         |  SELECT f.cell, r.coarse,
+         |    (${dd("f.centroid", "f.centroid")}
+         |     - 2 * ${dd("f.centroid", "r.ccent")}
+         |     + ${dd("r.ccent", "r.ccent")}) AS d
+         |  FROM $cent f, ${name}_reps r
+         |),
+         |${name}_pm AS (
+         |  SELECT cell, coarse FROM (
+         |    SELECT cell, coarse,
+         |      row_number() OVER (PARTITION BY cell ORDER BY d, coarse) AS rn
+         |    FROM ${name}_pd) WHERE rn = 1
+         |),
+         |${name}_cd AS (
+         |  SELECT e.vec_id, r.coarse,
+         |    (${dd("e.embedding", "e.embedding")}
+         |     - 2 * ${dd("e.embedding", "r.ccent")}
+         |     + ${dd("r.ccent", "r.ccent")}) AS d
+         |  FROM embeddings e, ${name}_reps r
+         |  WHERE r.coarse IN (SELECT DISTINCT coarse FROM ${name}_pm)
+         |),
+         |${name}_ca AS (
+         |  SELECT vec_id, coarse FROM (
+         |    SELECT vec_id, coarse,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, coarse) AS rn
+         |    FROM ${name}_cd) WHERE rn = 1
+         |),
+         |${name}_fd AS (
+         |  SELECT ca.vec_id, f.cell,
+         |    (${dd("e.embedding", "e.embedding")}
+         |     - 2 * ${dd("e.embedding", "f.centroid")}
+         |     + ${dd("f.centroid", "f.centroid")}) AS d
+         |  FROM ${name}_ca ca
+         |  JOIN embeddings e ON e.vec_id = ca.vec_id
+         |  JOIN ${name}_pm pm ON pm.coarse = ca.coarse
+         |  JOIN $cent f ON f.cell = pm.cell
+         |),
          |$name AS (
-         |  SELECT d.vec_id, MIN(d.cell) AS cell
-         |  FROM ${name}_d d JOIN ${name}_b b
-         |    ON d.vec_id = b.vec_id AND d.d = b.min_d
-         |  GROUP BY d.vec_id
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM ${name}_fd) WHERE rn = 1
          |)""".stripMargin
     s"""facts AS (
        |  SELECT COUNT(*) AS n,
