@@ -1453,6 +1453,88 @@ object Similarity {
        |FROM a2 GROUP BY a2.cell
        |${sqlOrderBy(Seq("cell")).trim}""".stripMargin
 
+  /** Bump when the assignment SEMANTICS change (e.g. the round-9 flat →
+    * two-level quantizer switch): [[ivfTopkIndexed]]'s on-disk cache is
+    * keyed by this + the corpus fingerprint, so an algorithm change
+    * invalidates stale indexes instead of serving answers the current
+    * oracle can no longer reproduce. */
+  private val IvfIndexVersion = 2
+
+  /** embed_ivf_topk_indexed: batch ANN top-3 served FROM the
+    * partition-incrementally materialized IVF index — the registered,
+    * benched form of the production claim that the inline model build
+    * ([[ivfAutoK]]'s from-scratch cost) is never paid per query. First
+    * invocation builds the frozen model + (vec_id, cell) index through
+    * `sources/Incremental.refresh` under a (algo-version, corpus-
+    * fingerprint) cache key; every later invocation fingerprints the
+    * corpus (one linear scan), sees the manifest fresh, and pays only
+    * the probe: nearest-cell assignment of the 5 query vectors against
+    * the broadcast model, one equi-join on `cell` into the index, exact
+    * decimal cosine, per-query top-3. Index == batch rebuild is proven
+    * in IvfIncrementalSpec; the DuckDB oracle runs the self-contained
+    * two-level assignment, so hash-equality here certifies the SERVED
+    * answers, not just the inline form.
+    *
+    * At 100 TB: the probe plan touches only the queried cells (the
+    * index is cell-partitioned), the model is K ≈ N/250 broadcastable
+    * centroids, and refresh cost after one mutated source partition is
+    * that partition alone — the `SCALE.md` amortization story, now a
+    * bench row instead of prose. */
+  def ivfTopkIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    // order-independent corpus fingerprint (the Incremental discipline):
+    // one bounded 1-row collect decides cache freshness
+    val fpRow = emb.agg(
+      expr("bit_xor(xxhash64(vec_id, embedding, label))").as("fp"),
+      count(lit(1)).as("n")).head()
+    val fp = java.lang.Long.toHexString(fpRow.getLong(0)) + "_" + fpRow.getLong(1)
+    val root = new java.io.File(
+      s"target/graft_ivf_cache/v$IvfIndexVersion/" +
+        java.net.URLEncoder.encode(dir, "UTF-8") + s"/fp=$fp").getAbsolutePath
+    val modelPath = s"$root/model"
+    if (!new java.io.File(s"$modelPath/_SUCCESS").exists())
+      autoKCentroids(spark, dir).write.mode("overwrite").parquet(modelPath)
+    val model = spark.read.parquet(modelPath)
+    def derive(src: DataFrame): DataFrame =
+      assignToCells(spark, src, model)
+        .join(src.select($"vec_id", $"label"), "vec_id")
+    graft.sources.Incremental.refresh(spark, emb, "label", derive,
+      s"$root/index")
+    val members = graft.sources.Incremental.read(spark, s"$root/index")
+      .select($"vec_id", $"cell")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    graft.streaming.AnnServeStream.probeBatch(spark, queries, model, members, 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ivfTopkIndexedSql: String = {
+    def dd(x: String, y: String) = dotDuck(x, y)
+    s"""WITH $autoKCtes,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 5),
+       |qc AS (SELECT q.q_id, q.q_emb, a2.cell
+       |       FROM q JOIN a2 ON a2.vec_id = q.q_id),
+       |cand AS (
+       |  SELECT qc.q_id, e.vec_id,
+       |    (${dd("qc.q_emb", "e.embedding")} /
+       |      sqrt(${dd("qc.q_emb", "qc.q_emb")} *
+       |           ${dd("e.embedding", "e.embedding")})) AS cosine
+       |  FROM qc JOIN a2 m ON m.cell = qc.cell
+       |  JOIN embeddings e ON e.vec_id = m.vec_id
+       |  WHERE m.vec_id <> qc.q_id
+       |)
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** k-NN graph bucketed by the AUTO-K IVF CELLS — the composition the
     * scale story ends on: [[knnGraph]] buckets by the static `label`
     * (Σ|bucket|² grows quadratically at fixed bucket count — the ×25
@@ -1955,6 +2037,7 @@ object Similarity {
     "embed_kmeans_assign" -> kmeansAssign,
     "embed_kmeans_update" -> kmeansUpdate,
     "embed_ivf_autok" -> ivfAutoK,
+    "embed_ivf_topk_indexed" -> ivfTopkIndexed,
     "embed_cosine_topk" -> cosineTopk,
     "embed_ivf_topk" -> ivfTopk,
     "embed_neardup_pairs" -> neardupPairs,
@@ -1982,6 +2065,7 @@ object Similarity {
     "embed_kmeans_assign" -> kmeansAssignSql,
     "embed_kmeans_update" -> kmeansUpdateSql,
     "embed_ivf_autok" -> ivfAutoKSql,
+    "embed_ivf_topk_indexed" -> ivfTopkIndexedSql,
     "embed_cosine_topk" -> cosineTopkSql,
     "embed_ivf_topk" -> ivfTopkSql,
     "embed_neardup_pairs" -> neardupPairsSql,
