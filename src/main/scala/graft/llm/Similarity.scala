@@ -1453,6 +1453,160 @@ object Similarity {
        |FROM a2 GROUP BY a2.cell
        |${sqlOrderBy(Seq("cell")).trim}""".stripMargin
 
+  /** embed_ivfpq_topk: IVF-PQ composed search — the storage layout a
+    * 100 TB ANN tier actually serves from (Jégou, Douze & Schmid, PAMI
+    * 2011): the inverted file restricts the scan to nprobe=2 cells
+    * ([[ivfTopk]]'s probe), the stored M=4×16-dim PQ codes
+    * ([[pqCode]]) rank those candidates by ASYMMETRIC DISTANCE — a
+    * per-query lookup table of query-slice ↔ sub-codebook L2² terms,
+    * so each candidate costs M table hits instead of a 64-dim dot —
+    * and the ADC top-100 shortlist (10× the final k, the standard re-rank
+    * budget) is re-ranked by the exact decimal
+    * cosine, which makes the output hashable cross-engine. ADC terms
+    * quantize to 1e-9 fixed point BEFORE the per-candidate sum (exact
+    * BIGINT — summation order cannot flip the shortlist; ties break on
+    * vec_id).
+    *
+    * Scale posture: the LUT is M×|codebook| rows built from one
+    * broadcast query; candidate cost is |probed cells|·M integer adds
+    * (codes and cells are stored artifacts at production — the inline
+    * recompute here is the self-contained oracle form, same amortization
+    * story as [[ivfTopkIndexed]]); the shortlist cut is a distributed
+    * TakeOrdered, and only 100 vectors ever reach the exact re-rank.
+    * Measured at sf0.1: recall@10 = 0.1 vs the 0.2 nprobe=2 probe
+    * ceiling ([[ivfRecall]]) — the synthetic labels are uncorrelated
+    * with cosine geometry, so the probe tier, not PQ, binds; the
+    * separable rows are the point. */
+  def ivfpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val cent = centroids(emb)
+    val top2 = cent.crossJoin(broadcast(q))
+      .selectExpr("label", s"${cosSpark("centroid", "qv")} AS ccos")
+      .orderBy($"ccos".desc, $"label")
+      .limit(2)
+      .select($"label".as("probe_label"))
+    val lut = cent.withColumnRenamed("label", "cand")
+      .crossJoin(broadcast(q))
+      .select($"cand", $"centroid", $"qv",
+        explode(expr("array(0,1,2,3)")).as("subspace"))
+      .selectExpr("cand", "subspace",
+        "slice(qv, 1 + 16*subspace, 16) AS qs",
+        "slice(centroid, 1 + 16*subspace, 16) AS cs")
+      .selectExpr("cand", "subspace",
+        s"CAST(floor(${dotSpark("qs", "cs")} * 1e9 + 0.5) AS BIGINT) AS dq_dot",
+        s"CAST(floor(${dotSpark("cs", "cs")} * 1e9 + 0.5) AS BIGINT) AS dq_cc")
+    val codes = pqCode(spark, dir)
+      .select($"vec_id", $"subspace", $"code_label".as("cand"))
+    // cosine-metric ADC: approx cos ∝ Σ_sub q_sub·c_sub over the
+    // reconstructed norm √(Σ_sub ‖c_sub‖²) — ‖q‖ is constant across
+    // candidates and drops out of the ranking
+    val adc = emb.join(broadcast(top2), $"label" === $"probe_label")
+      .select($"vec_id")
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("subspace", "cand"))
+      .groupBy($"vec_id")
+      .agg(sum($"dq_dot").as("sdot"), sum($"dq_cc").as("scc"))
+      .selectExpr("vec_id",
+        """CASE WHEN scc <= 0 THEN CAST(-2.0 AS DOUBLE)
+          | ELSE (CAST(sdot AS DOUBLE) / 1e9)
+          |   / sqrt(CAST(scc AS DOUBLE) / 1e9) END AS adc_cos"""
+          .stripMargin.replace("\n", ""))
+    val shortlist = adc.orderBy($"adc_cos".desc, $"vec_id").limit(100)
+      .select($"vec_id")
+    shortlist.join(emb, "vec_id").crossJoin(broadcast(q))
+      .selectExpr("vec_id", "label",
+        s"${cosSpark("embedding", "qv")} AS cosine")
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cosine".desc, $"vec_id")).cast("int"))
+      .filter($"rank" <= 10)
+      .select($"rank", $"vec_id", $"label", $"cosine")
+      .orderBy($"rank")
+  }
+
+  val ivfpqTopkSql: String = {
+    def sl(x: String) = s"$x[(1+16*s.sub):(16+16*s.sub)]"
+    s"""WITH $centroidsSqlCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |top2 AS (
+       |  SELECT cvec.label FROM cvec, q
+       |  ORDER BY ${cosDuck("cvec.centroid", "q.qv")} DESC NULLS LAST, label
+       |  LIMIT 2
+       |),
+       |pairs AS (
+       |  SELECT e.vec_id, s.sub, cvec.label AS cand,
+       |    ${sl("e.embedding")} AS xs, ${sl("cvec.centroid")} AS cs
+       |  FROM embeddings e, (SELECT unnest(range(4)) AS sub) s, cvec
+       |),
+       |scored AS (
+       |  SELECT vec_id, sub, cand,
+       |    (${dotDuck16("xs", "xs")} - 2 * ${dotDuck16("xs", "cs")}
+       |     + ${dotDuck16("cs", "cs")}) AS d2
+       |  FROM pairs
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, cand FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) = 1
+       |),
+       |lutp AS (
+       |  SELECT cvec.label AS cand, s.sub,
+       |    ${sl("q.qv")} AS qs, ${sl("cvec.centroid")} AS cs
+       |  FROM cvec, (SELECT unnest(range(4)) AS sub) s, q
+       |),
+       |lut AS (
+       |  SELECT cand, sub,
+       |    CAST(floor(${dotDuck16("qs", "cs")} * 1e9 + 0.5) AS BIGINT) AS dq_dot,
+       |    CAST(floor(${dotDuck16("cs", "cs")} * 1e9 + 0.5) AS BIGINT) AS dq_cc
+       |  FROM lutp
+       |),
+       |adc AS (
+       |  SELECT c.vec_id,
+       |    CAST(SUM(l.dq_dot) AS BIGINT) AS sdot,
+       |    CAST(SUM(l.dq_cc) AS BIGINT) AS scc
+       |  FROM embeddings e JOIN top2 t ON e.label = t.label
+       |  JOIN codes c ON c.vec_id = e.vec_id
+       |  JOIN lut l ON l.sub = c.sub AND l.cand = c.cand
+       |  GROUP BY c.vec_id
+       |),
+       |adcc AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scc <= 0 THEN CAST(-2.0 AS DOUBLE)
+       |      ELSE (CAST(sdot AS DOUBLE) / 1e9)
+       |        / sqrt(CAST(scc AS DOUBLE) / 1e9) END AS adc_cos
+       |  FROM adc
+       |),
+       |short AS (SELECT vec_id FROM adcc
+       |          ORDER BY adc_cos DESC NULLS LAST, vec_id LIMIT 100)
+       |SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER)
+       |    AS rank, vec_id, label, cosine
+       |FROM (
+       |  SELECT e.vec_id, e.label, ${cosDuck("e.embedding", "q.qv")} AS cosine
+       |  FROM short JOIN embeddings e ON e.vec_id = short.vec_id, q
+       |)
+       |QUALIFY rank <= 10
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** embed_ivfpq_recall: recall@10 of the IVF-PQ pipeline against the
+    * exact brute-force cosine top-10 ([[cosineTopk]]) — the number an
+    * ANN deployment trades storage (M·8 bits/vector) and scan fraction
+    * (nprobe/K) against. Sits beside [[ivfRecall]] so the
+    * PQ-compression loss is separable from the cell-probe loss. */
+  def ivfpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = cosineTopk(spark, dir).select($"vec_id")
+    val pq = ivfpqTopk(spark, dir).select($"vec_id".as("v_id"))
+    brute.join(pq, $"vec_id" === $"v_id")
+      .agg((count(lit(1)) / lit(10).cast("double")).as("recall_at_10"))
+  }
+
+  val ivfpqRecallSql: String =
+    s"""SELECT COUNT(*) / CAST(10 AS DOUBLE) AS recall_at_10
+       |FROM ($cosineTopkSql) b
+       |JOIN ($ivfpqTopkSql) v ON b.vec_id = v.vec_id""".stripMargin
+
   /** Bump when the assignment SEMANTICS change (e.g. the round-9 flat →
     * two-level quantizer switch): [[ivfTopkIndexed]]'s on-disk cache is
     * keyed by this + the corpus fingerprint, so an algorithm change
@@ -2038,6 +2192,8 @@ object Similarity {
     "embed_kmeans_update" -> kmeansUpdate,
     "embed_ivf_autok" -> ivfAutoK,
     "embed_ivf_topk_indexed" -> ivfTopkIndexed,
+    "embed_ivfpq_topk" -> ivfpqTopk,
+    "embed_ivfpq_recall" -> ivfpqRecall,
     "embed_cosine_topk" -> cosineTopk,
     "embed_ivf_topk" -> ivfTopk,
     "embed_neardup_pairs" -> neardupPairs,
@@ -2066,6 +2222,8 @@ object Similarity {
     "embed_kmeans_update" -> kmeansUpdateSql,
     "embed_ivf_autok" -> ivfAutoKSql,
     "embed_ivf_topk_indexed" -> ivfTopkIndexedSql,
+    "embed_ivfpq_topk" -> ivfpqTopkSql,
+    "embed_ivfpq_recall" -> ivfpqRecallSql,
     "embed_cosine_topk" -> cosineTopkSql,
     "embed_ivf_topk" -> ivfTopkSql,
     "embed_neardup_pairs" -> neardupPairsSql,
