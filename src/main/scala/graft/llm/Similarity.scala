@@ -1252,10 +1252,10 @@ object Similarity {
     * the ×100 rehearsal measured (13× on 4× data). Here a coarse
     * codebook of C = ⌈√K⌉ representative centroids (hash-bucket-minimum
     * over the cells — deterministic, a pure function of the model)
-    * routes each vector to its nearest rep, then the exact argmin runs
-    * only over that rep's fine children (parent map = each fine
-    * centroid's nearest rep): ~2·√K dots per vector, O(N^1.5/√250)
-    * total. Standard coarse quantization (IVF-ADC family, Jégou et al.
+    * routes each vector to its top-3 reps (multi-probe — see the
+    * inline note), then the exact argmin runs only over those reps'
+    * fine children (parent map = each fine centroid's nearest rep):
+    * ~4·√K dots per vector, O(N^1.5/√250) total. Standard coarse quantization (IVF-ADC family, Jégou et al.
     * 2011) — the output keeps the (vec_id, cell) contract; cell
     * boundaries differ from the flat scan only where the true nearest
     * centroid's parent loses the coarse vote, exactly the recall trade
@@ -1265,10 +1265,10 @@ object Similarity {
     * Execution shape: the model materializes ONCE (K skinny rows — its
     * lineage can be a full Lloyd pipeline and feeds four subtrees);
     * level 1 is a ZERO-SHUFFLE map pass (reps collected to a one-row
-    * broadcast array, per-vector argmin = `array_min(transform(...))`
-    * whose struct(d, id) ordering IS min-by-distance-then-min-id);
-    * level 2 broadcast-joins the K-row children table on the chosen
-    * rep and reduces through the map-side-combined `min_by`, so the
+    * broadcast array, per-vector top-3 = sorted `transform(...)` slice
+    * whose struct(d, id) ordering IS by-distance-then-min-id);
+    * level 2 broadcast-joins the K-row children table on the probed
+    * reps and reduces through the map-side-combined `min_by`, so the
     * only exchange is N skinny (vec_id, cell) rows. Decimal-exact
     * distances (‖e‖² hoisted per vector, ‖c‖² per centroid), min-id
     * tiebreaks at both levels. A rep shadowed at distance zero by a
@@ -1303,11 +1303,20 @@ object Similarity {
       .agg(collect_list(struct($"coarse", $"ccent", $"rr")).as("reps"))
     val e2 = emb.select($"vec_id", $"embedding",
       expr(dotSpark("embedding", "embedding")).as("ee"))
+    // MULTI-PROBE routing (P=3): the true nearest fine centroid's
+    // parent can lose the single coarse vote — on the ×100 adversarial
+    // duplicate corpus that concentrated Σ|cell|² 6× over the linear
+    // target — so each vector considers the children of its top-3 reps
+    // (IVF's nprobe answer to quantizer approximation). A fine cell has
+    // exactly one parent, so the candidate union is duplicate-free and
+    // the exact argmin below stays well-defined.
     val coarseA = e2.crossJoin(broadcast(repsRow))
       .selectExpr("vec_id", "embedding", "ee",
-        s"""array_min(transform(reps, r -> struct(
+        s"""slice(array_sort(transform(reps, r -> struct(
            |  ee - 2 * ${dotSpark("embedding", "r.ccent")} + r.rr AS d,
-           |  r.coarse AS id))).id AS coarse""".stripMargin)
+           |  r.coarse AS id))), 1, 3) AS probes""".stripMargin)
+      .select($"vec_id", $"embedding", $"ee",
+        explode(expr("transform(probes, p -> p.id)")).as("coarse"))
     val children = c2.join(parent, "cell")
     coarseA.join(broadcast(children), "coarse")
       .selectExpr("vec_id", "cell",
@@ -1397,7 +1406,7 @@ object Similarity {
          |  SELECT vec_id, coarse FROM (
          |    SELECT vec_id, coarse,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, coarse) AS rn
-         |    FROM ${name}_cd) WHERE rn = 1
+         |    FROM ${name}_cd) WHERE rn <= 3
          |),
          |${name}_fd AS (
          |  SELECT ca.vec_id, f.cell,
@@ -1608,11 +1617,11 @@ object Similarity {
        |JOIN ($ivfpqTopkSql) v ON b.vec_id = v.vec_id""".stripMargin
 
   /** Bump when the assignment SEMANTICS change (e.g. the round-9 flat →
-    * two-level quantizer switch): [[ivfTopkIndexed]]'s on-disk cache is
+    * two-level switch = v2, single→multi-probe routing = v3): [[ivfTopkIndexed]]'s on-disk cache is
     * keyed by this + the corpus fingerprint, so an algorithm change
     * invalidates stale indexes instead of serving answers the current
     * oracle can no longer reproduce. */
-  private val IvfIndexVersion = 2
+  private val IvfIndexVersion = 3
 
   /** embed_ivf_topk_indexed: batch ANN top-3 served FROM the
     * partition-incrementally materialized IVF index — the registered,
