@@ -403,6 +403,157 @@ object Curate {
        |FROM toks JOIN ns USING (w)
        |GROUP BY lang${sqlOrderBy(Seq("lang"))}""".stripMargin
 
+  /** text_unigram_em: one hard-EM (Viterbi) iteration of the
+    * unigram-LM tokenizer objective (Kudo 2018; the SentencePiece
+    * unigram trainer) over the same Zipf-bounded word dictionary the
+    * BPE leg trains on — the OTHER of the two tokenizer families a
+    * data pipeline ships. Seed inventory = every single character plus
+    * the top-20 substrings of length 2–4 by corpus weight; seed
+    * log-probs are EXACT INTEGER fixed-point base-2 logs
+    * (qlog2(c) = (b<<10) + ((c<<10)>>b) − 1024, b = ⌊log2 c⌋ via the
+    * binary-digit length — monotone, additive, and bit-identical in
+    * both engines, per the house transcendental-free rule; libm ln
+    * would break the hash gate). E-step: per dictionary word, Viterbi
+    * segmentation under the current piece scores — a bounded DP (max
+    * piece length 4, words capped at 16 chars) run as ONE zero-shuffle
+    * map expression: `aggregate` builds the per-position best
+    * (score, −m, seg) states against the broadcast piece→score map,
+    * struct ordering = max score then shortest piece, the same rule the
+    * oracle's rn=1 window states. M-step: explode each word's Viterbi
+    * segmentation, weight by word count, re-estimate piece counts.
+    * Output: (piece, seed_cnt, lp, em_cnt) — the count transfer from
+    * redundant pieces toward the pieces the Viterbi decode actually
+    * uses, which is exactly the signal SentencePiece prunes on.
+    *
+    * Scale posture: the corpus collapses to its dictionary once (the
+    * only corpus-sized shuffle, map-side combined); the DP is map-only
+    * over \|vocab\| rows with a ≤100-entry broadcast map; the M-step
+    * shuffles \|vocab\|·avg_pieces skinny rows. The DuckDB oracle
+    * unrolls the same DP as 16 prefix-length CTE steps over a running
+    * (word, pos) state union — identical scores, identical tiebreak. */
+  def unigramEm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= 16)
+      .groupBy($"w").agg(count(lit(1)).as("c_w"))
+      .localCheckpoint() // feeds seed counting AND the DP
+    val pieces = words
+      .select($"c_w", explode(expr(
+        """flatten(transform(sequence(1, 4), l ->
+          | IF(length(w) >= l,
+          |   transform(sequence(1, length(w) - l + 1), i -> substr(w, i, l)),
+          |   array())))""".stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"c_w").as("seed_cnt"))
+    val singles = pieces.filter(length($"piece") === 1)
+    val multis = pieces.filter(length($"piece") >= 2)
+      .orderBy($"seed_cnt".desc, $"piece").limit(20)
+    val inv = singles.unionAll(multis)
+    val tot = inv.agg(sum($"seed_cnt").as("c_tot"))
+    def qlog2(c: String) =
+      s"((length(bin($c)) - 1) * 1024 + (($c * 1024) div " +
+        s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1)) - 1024)"
+    val lp = inv.crossJoin(broadcast(tot))
+      .selectExpr("piece", "seed_cnt",
+        s"CAST(${qlog2("seed_cnt")} - ${qlog2("c_tot")} AS BIGINT) AS lp")
+      .localCheckpoint() // tiny; feeds the DP map, the join, the output
+    val lpRow = lp
+      .agg(map_from_entries(collect_list(struct($"piece", $"lp"))).as("lpmap"))
+    val seg = words.crossJoin(broadcast(lpRow))
+      .selectExpr("w", "c_w",
+        """aggregate(
+          |  sequence(1, length(w)),
+          |  array(named_struct('s', CAST(0 AS BIGINT), 'negm', 0, 'seg', '')),
+          |  (acc, j) -> concat(acc, array(
+          |    array_max(filter(transform(sequence(1, 4), m ->
+          |      IF(j - m >= 0
+          |          AND element_at(lpmap, substr(w, j - m + 1, m)) IS NOT NULL,
+          |        named_struct(
+          |          's', element_at(acc, j - m + 1).s
+          |            + element_at(lpmap, substr(w, j - m + 1, m)),
+          |          'negm', -m,
+          |          'seg', concat(element_at(acc, j - m + 1).seg,
+          |            chr(31), substr(w, j - m + 1, m))),
+          |        NULL)),
+          |      x -> x IS NOT NULL)))),
+          |  acc -> element_at(acc, -1).seg) AS seg""".stripMargin)
+    val emCnt = seg
+      .select($"c_w",
+        explode(split(expr("substr(seg, 2)"), "\\u001f")).as("piece"))
+      .groupBy($"piece").agg(sum($"c_w").as("em_cnt"))
+    lp.join(emCnt, Seq("piece"), "left")
+      .select($"piece", $"seed_cnt", $"lp",
+        coalesce($"em_cnt", lit(0L)).as("em_cnt"))
+      .orderBy($"piece")
+  }
+
+  val unigramEmSql: String = {
+    def qlog2(c: String) =
+      s"((length(bin($c)) - 1) * 1024 + (($c * 1024) // " +
+        s"(CAST(1 AS BIGINT) << (length(bin($c)) - 1))) - 1024)"
+    val dp = (1 to 16).map { j =>
+      s"""b$j AS (
+         |  SELECT w, c_w, s, seg FROM (
+         |    SELECT i.w, i.c_w, i.s, i.seg,
+         |      row_number() OVER (PARTITION BY i.w ORDER BY i.s DESC, i.m) AS rn
+         |    FROM (
+         |      SELECT v.w, v.c_w, m.m, b.s + l.lp AS s,
+         |        b.seg || chr(31) || substr(v.w, $j - m.m + 1, m.m) AS seg
+         |      FROM uwords v
+         |      CROSS JOIN (SELECT unnest(range(1, 5)) AS m) m
+         |      JOIN ball${j - 1} b ON b.w = v.w AND b.pos = $j - m.m
+         |      JOIN ulp l ON l.piece = substr(v.w, $j - m.m + 1, m.m)
+         |      WHERE length(v.w) >= $j AND m.m <= $j
+         |    ) i
+         |  ) WHERE rn = 1
+         |),
+         |ball$j AS MATERIALIZED (
+         |  SELECT * FROM ball${j - 1}
+         |  UNION ALL SELECT w, c_w, $j AS pos, s, seg FROM b$j
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH uwords AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS c_w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) BETWEEN 1 AND 16 GROUP BY w
+       |),
+       |upieces AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |    CAST(SUM(c_w) AS BIGINT) AS seed_cnt
+       |  FROM uwords, unnest(range(1, 5)) tl(l),
+       |    unnest(range(0, length(w) - l + 1)) ti(i)
+       |  GROUP BY 1
+       |),
+       |usingles AS (SELECT piece, seed_cnt FROM upieces WHERE length(piece) = 1),
+       |umultis AS (SELECT piece, seed_cnt FROM upieces WHERE length(piece) >= 2
+       |            ORDER BY seed_cnt DESC, piece LIMIT 20),
+       |uinv AS (SELECT * FROM usingles UNION ALL SELECT * FROM umultis),
+       |utot AS (SELECT CAST(SUM(seed_cnt) AS BIGINT) AS c_tot FROM uinv),
+       |ulp AS MATERIALIZED (
+       |  SELECT piece, seed_cnt,
+       |    CAST(${qlog2("seed_cnt")} - ${qlog2("c_tot")} AS BIGINT) AS lp
+       |  FROM uinv, utot
+       |),
+       |ball0 AS MATERIALIZED (
+       |  SELECT w, c_w, 0 AS pos, CAST(0 AS BIGINT) AS s, '' AS seg
+       |  FROM uwords),
+       |$dp,
+       |vit AS (
+       |  SELECT b.c_w, b.seg
+       |  FROM ball16 b JOIN uwords v ON v.w = b.w AND b.pos = length(v.w)
+       |),
+       |uem AS (
+       |  SELECT piece, CAST(SUM(c_w) AS BIGINT) AS em_cnt FROM (
+       |    SELECT unnest(string_split(substr(seg, 2), chr(31))) AS piece, c_w
+       |    FROM vit
+       |  ) GROUP BY piece
+       |)
+       |SELECT l.piece, l.seed_cnt, l.lp,
+       |  COALESCE(e.em_cnt, CAST(0 AS BIGINT)) AS em_cnt
+       |FROM ulp l LEFT JOIN uem e ON e.piece = l.piece
+       |ORDER BY l.piece NULLS FIRST""".stripMargin
+  }
+
   /** Cross-document duplicated-span coverage — the exact-substring dedup
     * signal (Lee et al. 2022): for every document, how much of it is
     * covered by an 8-token window that appears verbatim in at least one
@@ -1283,6 +1434,7 @@ object Curate {
     "corpus_decontam" -> decontam,
     "text_bpe_tokenize" -> bpeTokenize,
     "text_bpe_fertility" -> bpeFertility,
+    "text_unigram_em" -> unigramEm,
     "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover)
 
@@ -1303,6 +1455,7 @@ object Curate {
     "corpus_decontam" -> decontamSql,
     "text_bpe_tokenize" -> bpeTokenizeSql,
     "text_bpe_fertility" -> bpeFertilitySql,
+    "text_unigram_em" -> unigramEmSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql)
 }
