@@ -626,6 +626,89 @@ object Curate {
        |  COUNT(DISTINCT p) / CAST(ANY_VALUE(n_tok) AS DOUBLE) AS dup_fraction
        |FROM cov GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** dedup_max_span: VARIABLE-LENGTH maximal-match upgrade of
+    * [[spanCover]] — per document, the longest token span shared
+    * verbatim with some single other document (Lee et al. 2022's
+    * dedup signal at its natural granularity instead of the fixed
+    * 8-gram one). No suffix array is materialized: matching 8-gram
+    * anchors between two documents lie on a DIAGONAL (d1, d2,
+    * p1 − p2), and a maximal run of consecutive anchors along one
+    * diagonal IS a maximal shared span — overlapping 8-grams force
+    * token-exact equality across the whole window, so a run of R
+    * anchors certifies a shared span of exactly R + 7 tokens. Runs
+    * fall out of the classic gaps-and-islands window (p1 minus
+    * row_number over the diagonal).
+    *
+    * Scale posture: the anchor self-join is candidate-driven
+    * (Σ\|shingle bucket\|² pair work — the [[spanCover]]/PPJoin class,
+    * proportional to duplicated content, never all-pairs); the island
+    * window partitions by (d1, d2, diag) — millions of short
+    * partitions; the per-doc rollup is one skinny aggregation. */
+  def maxSpan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.PosShingles.register(spark)
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 8)
+    val sh = toks.selectExpr("doc_id", "pos_shingles(t, 8, ' ') AS (i, sh)")
+    val pairs = sh.select($"sh", $"doc_id".as("d1"), $"i".as("p1"))
+      .join(sh.select($"sh", $"doc_id".as("d2"), $"i".as("p2")), "sh")
+      .filter($"d1" =!= $"d2")
+      .select($"d1", $"p1", $"d2", ($"p1" - $"p2").as("diag"))
+    val w = Window.partitionBy($"d1", $"d2", $"diag").orderBy($"p1")
+    val runs = pairs
+      .withColumn("grp", $"p1" - row_number().over(w))
+      .groupBy($"d1", $"d2", $"diag", $"grp")
+      .agg(count(lit(1)).as("run"))
+    val perDoc = runs.groupBy($"d1".as("doc_id"))
+      .agg(max($"run" + 7).as("longest"), count(lit(1)).as("n_runs"))
+    Tables(spark, dir, "documents").select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"longest", lit(0L)).as("longest_dup_span"),
+        coalesce($"n_runs", lit(0L)).as("n_dup_runs"))
+      .orderBy($"doc_id")
+  }
+
+  val maxSpanSql: String =
+    s"""WITH mtoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8
+       |),
+       |mflat AS MATERIALIZED (
+       |  SELECT doc_id, s.i AS i, s.sh AS sh FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, len(t) - 7),
+       |        i -> struct_pack(i := CAST(i AS INTEGER),
+       |          sh := array_to_string(list_slice(t, i + 1, i + 8), ' '))))
+       |        AS s
+       |    FROM mtoks)
+       |),
+       |mpr AS (
+       |  SELECT a.doc_id AS d1, a.i AS p1, b.doc_id AS d2,
+       |    a.i - b.i AS diag
+       |  FROM mflat a JOIN mflat b
+       |    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |),
+       |mruns AS (
+       |  SELECT d1, COUNT(*) AS run FROM (
+       |    SELECT d1, d2, diag, p1,
+       |      p1 - row_number() OVER (PARTITION BY d1, d2, diag
+       |        ORDER BY p1) AS grp
+       |    FROM mpr
+       |  ) GROUP BY d1, d2, diag, grp
+       |),
+       |mper AS (
+       |  SELECT d1 AS doc_id, CAST(MAX(run + 7) AS BIGINT) AS longest,
+       |    CAST(COUNT(*) AS BIGINT) AS n_runs
+       |  FROM mruns GROUP BY d1
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(p.longest, CAST(0 AS BIGINT)) AS longest_dup_span,
+       |  COALESCE(p.n_runs, CAST(0 AS BIGINT)) AS n_dup_runs
+       |FROM documents d LEFT JOIN mper p USING (doc_id)
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+
   /** Benchmark DECONTAMINATION audit — the n-gram overlap check every
     * serious pretraining corpus ships (GPT-3 appendix C; The Pile;
     * FineWeb's decontamination pass): training documents sharing long
@@ -1436,7 +1519,8 @@ object Curate {
     "text_bpe_fertility" -> bpeFertility,
     "text_unigram_em" -> unigramEm,
     "text_dsir_weights" -> dsirWeights,
-    "dedup_span_cover" -> spanCover)
+    "dedup_span_cover" -> spanCover,
+    "dedup_max_span" -> maxSpan)
 
   val oracles: Map[String, String] = Map(
     "corpus_quality_lpm" -> qualityLpmSql,
@@ -1457,5 +1541,6 @@ object Curate {
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_unigram_em" -> unigramEmSql,
     "text_dsir_weights" -> dsirWeightsSql,
-    "dedup_span_cover" -> spanCoverSql)
+    "dedup_span_cover" -> spanCoverSql,
+    "dedup_max_span" -> maxSpanSql)
 }

@@ -91,4 +91,44 @@ class CurateSpec extends SparkSpec {
       assert(frac > 0 && frac <= 1.0, s"doc $doc fraction $frac out of range")
     }
   }
+
+  test("max span: equals brute-force longest common token span") {
+    import spark.implicits._
+    val got = Curate.maxSpan(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup = got.filter(_._2 > 0)
+    assert(dup.nonEmpty, "fixture has no cross-doc duplicate span")
+    // every reported span is at least one full 8-gram window
+    dup.values.foreach(v => assert(v >= 8, s"span $v below window size"))
+    // a doc's partner shares the span verbatim, so it is flagged too:
+    // brute-force DP over just the flagged docs is exact for them.
+    val toks = graft.Tables(spark, sf0001, "documents")
+      .filter($"doc_id".isin(dup.keys.toSeq: _*))
+      .select($"doc_id", split($"text", " "))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      var i = 0
+      while (i < a.length) {
+        var j = 0
+        while (j < b.length) {
+          cur(j + 1) = if (a(i) == b(j)) prev(j) + 1 else 0
+          if (cur(j + 1) > best) best = cur(j + 1)
+          j += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, cur.length)
+        i += 1
+      }
+      best
+    }
+    val ids = toks.keys.toSeq.sorted
+    for (d <- ids) {
+      val expect = ids.filter(_ != d)
+        .map(o => lcs(toks(d), toks(o))).max
+      assert(got(d) == expect.toLong,
+        s"doc $d: reported ${got(d)} vs brute-force $expect")
+    }
+  }
 }
