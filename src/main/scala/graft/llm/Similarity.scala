@@ -1279,9 +1279,26 @@ object Similarity {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
     val model = cent.localCheckpoint(true)
-    val facts = model.agg(count(lit(1)).as("kk"))
-      .select(greatest(lit(2L),
-        ceil(sqrt($"kk".cast("double"))).cast("long")).as("c"))
+    val kk = model.count()
+    val cC = math.max(2L, math.ceil(math.sqrt(kk.toDouble)).toLong)
+    // DEGENERATE REGIME short-circuit: with C ≤ P(=3) coarse reps the
+    // multi-probe union is every rep's children = every cell, so the
+    // final argmin below IS the flat global argmin — identical output
+    // (and identical to the oracle twin, which degenerates the same
+    // way). Skip the routing stages and pay the flat N·K pass, which
+    // at K ≤ 9 is the cheaper plan by several stage latencies.
+    val e2 = emb.select($"vec_id", $"embedding",
+      expr(dotSpark("embedding", "embedding")).as("ee"))
+    val c2 = model.select($"cell", $"centroid",
+      expr(dotSpark("centroid", "centroid")).as("cc"))
+    if (cC <= 3) {
+      return e2.crossJoin(broadcast(c2))
+        .selectExpr("vec_id", "cell",
+          s"(ee - 2 * ${dotSpark("embedding", "centroid")} + cc) AS d")
+        .groupBy($"vec_id")
+        .agg(expr("min_by(cell, struct(d, cell))").as("cell"))
+    }
+    val facts = spark.range(1).select(lit(cC).as("c"))
     val reps0 = model.crossJoin(broadcast(facts))
       .withColumn("h", expr(
         "cast(conv(substr(md5(cast(cast(cell AS STRING) as binary)), 1, 8), 16, 10) as bigint)"))
@@ -1291,8 +1308,6 @@ object Similarity {
       .filter($"rn" === 1)
       .select($"cell".as("coarse"), $"centroid".as("ccent"),
         expr(dotSpark("centroid", "centroid")).as("rr"))
-    val c2 = model.select($"cell", $"centroid",
-      expr(dotSpark("centroid", "centroid")).as("cc"))
     // parent map: each fine centroid to its nearest rep (K×C, tiny)
     val parent = c2.crossJoin(broadcast(reps0))
       .selectExpr("cell", "coarse",
@@ -1301,8 +1316,6 @@ object Similarity {
       .agg(expr("min_by(coarse, struct(d, coarse))").as("coarse"))
     val repsRow = reps0.join(parent.select($"coarse").distinct(), "coarse")
       .agg(collect_list(struct($"coarse", $"ccent", $"rr")).as("reps"))
-    val e2 = emb.select($"vec_id", $"embedding",
-      expr(dotSpark("embedding", "embedding")).as("ee"))
     // MULTI-PROBE routing (P=3): the true nearest fine centroid's
     // parent can lose the single coarse vote — on the ×100 adversarial
     // duplicate corpus that concentrated Σ|cell|² 6× over the linear
