@@ -70,24 +70,15 @@ object Bench {
     }
     val passes = Seq(timedPass(), timedPass(), timedPass())
     val names = passes.head.keys.toSeq.sorted
+    // per-query observations: the three timed passes, plus (for floor-
+    // gate candidates only) a confirmation re-run appended below
+    val times = scala.collection.mutable.Map[String, Seq[Double]](
+      names.map(n => n -> passes.map(_(n))): _*)
     def stats(n: String): (Double, Double, Double) = {
-      val ts = passes.map(_(n)).sorted
-      (ts(1), ts.head, ts.last) // (median-of-3, min, max)
+      val med = passes.map(_(n)).sorted.apply(1) // median of the 3 passes
+      val ts = times(n)
+      (med, ts.min, ts.max)
     }
-    val qs = names.map(n => "\"" + n + "\":" + stats(n)._1)
-      .mkString("{", ",", "}")
-    val spread = names.map { n =>
-      val (_, lo, hi) = stats(n); "\"" + n + "\":[" + lo + "," + hi + "]"
-    }.mkString("{", ",", "}")
-    val total = names.map(stats(_)._1).sum
-    // the min floor is the co-tenancy-robust statistic: additive machine
-    // load inflates medians asymmetrically (observed: 125% median rel
-    // spread under load), while the per-query min approximates the
-    // unloaded steady state — compare rounds on the floor, read the
-    // median+spread for what the machine was doing
-    val totalMin = names.map(stats(_)._2).sum
-    val failJson = failed.toSeq.sorted.map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
     // Floor-regression gate: compare each query's min floor against the
     // previous committed artifact for this SF. The floor (not the median)
     // is the comparison statistic — additive co-tenant load inflates
@@ -109,13 +100,51 @@ object Bench {
         val prevFloors = raw""""([A-Za-z0-9_]+)":\[([0-9.Ee+\-]+),"""
           .r.findAllMatchIn(prev)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        names.flatMap { n =>
-          val cur = stats(n)._2
+        def over(n: String): Option[(String, Double, Double)] =
           prevFloors.get(n).collect {
-            case p if cur > p * 1.5 && cur - p > 0.5 => (n, p, cur)
+            case p if stats(n)._2 > p * 1.5 && stats(n)._2 - p > 0.5 =>
+              (n, p, stats(n)._2)
+          }
+        val candidates = names.flatMap(over(_).map(_._1))
+        // Reproduce-before-record (round 9): a floor is three samples of
+        // a noisy machine — the round-8 artifact recorded four phantom
+        // regressions from one loaded window. Each candidate gets ONE
+        // confirmation re-run at the end of the session (the machine has
+        // had time to quiet down; the query is JIT-steady); the confirm
+        // time folds into the floor, so a candidate stays recorded only
+        // if the regression REPRODUCES.
+        if (candidates.nonEmpty) {
+          spark.catalog.clearCache()
+          candidates.foreach { n =>
+            val t0 = System.nanoTime()
+            try selected(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              failed += n
+              System.err.println(s"[bench] $n confirm failed: ${e.getMessage}")
+            }
+            times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
           }
         }
+        names.flatMap(over)
       }
+    // JSON assembly AFTER the gate so any confirmation re-run is folded
+    // into the recorded floors (a self-consistent artifact: the spread
+    // the NEXT round parses as prevFloors includes the confirm sample)
+    val qs = names.map(n => "\"" + n + "\":" + stats(n)._1)
+      .mkString("{", ",", "}")
+    val spread = names.map { n =>
+      val (_, lo, hi) = stats(n); "\"" + n + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val total = names.map(stats(_)._1).sum
+    // the min floor is the co-tenancy-robust statistic: additive machine
+    // load inflates medians asymmetrically (observed: 125% median rel
+    // spread under load), while the per-query min approximates the
+    // unloaded steady state — compare rounds on the floor, read the
+    // median+spread for what the machine was doing
+    val totalMin = names.map(stats(_)._2).sum
+    val failJson = failed.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val regJson = regressions
       .map { case (n, p, c) => "\"" + n + s"""":[$p,$c]""" }
       .mkString("{", ",", "}")
