@@ -431,12 +431,49 @@ object Curate {
     * shuffles \|vocab\|·avg_pieces skinny rows. The DuckDB oracle
     * unrolls the same DP as 16 prefix-length CTE steps over a running
     * (word, pos) state union — identical scores, identical tiebreak. */
-  def unigramEm(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact integer fixed-point base-2 log shared by the unigram-LM
+    * legs: qlog2(c) = (b<<10) + ((c<<10)>>b) − 1024 with b = ⌊log2 c⌋
+    * via the binary-digit length — monotone, additive, bit-identical
+    * cross-engine. Spark spelling. */
+  private def qlog2Spark(c: String) =
+    s"((length(bin($c)) - 1) * 1024 + (($c * 1024) div " +
+      s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1)) - 1024)"
+
+  /** The bounded Viterbi DP (max piece length 4, words ≤16 chars) as a
+    * single zero-shuffle `aggregate` expression over columns `w` and a
+    * broadcast `lpmap`; struct ordering = max score then shortest
+    * piece, the same rule the oracle's rn=1 window states. Shared by
+    * the EM train step and the corpus tokenizer apply step. */
+  private val unigramViterbiSeg: String =
+    """aggregate(
+      |  sequence(1, length(w)),
+      |  array(named_struct('s', CAST(0 AS BIGINT), 'negm', 0, 'seg', '')),
+      |  (acc, j) -> concat(acc, array(
+      |    array_max(filter(transform(sequence(1, 4), m ->
+      |      IF(j - m >= 0
+      |          AND element_at(lpmap, substr(w, j - m + 1, m)) IS NOT NULL,
+      |        named_struct(
+      |          's', element_at(acc, j - m + 1).s
+      |            + element_at(lpmap, substr(w, j - m + 1, m)),
+      |          'negm', -m,
+      |          'seg', concat(element_at(acc, j - m + 1).seg,
+      |            chr(31), substr(w, j - m + 1, m))),
+      |        NULL)),
+      |      x -> x IS NOT NULL)))),
+      |  acc -> element_at(acc, -1).seg) AS seg""".stripMargin
+
+  /** The corpus word dictionary the unigram legs train/apply over. */
+  private def unigramWords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents")
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 1 && length($"w") <= 16)
       .groupBy($"w").agg(count(lit(1)).as("c_w"))
+  }
+
+  def unigramEm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = unigramWords(spark, dir)
       .localCheckpoint() // feeds seed counting AND the DP
     val pieces = words
       .select($"c_w", explode(expr(
@@ -450,33 +487,14 @@ object Curate {
       .orderBy($"seed_cnt".desc, $"piece").limit(20)
     val inv = singles.unionAll(multis)
     val tot = inv.agg(sum($"seed_cnt").as("c_tot"))
-    def qlog2(c: String) =
-      s"((length(bin($c)) - 1) * 1024 + (($c * 1024) div " +
-        s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1)) - 1024)"
     val lp = inv.crossJoin(broadcast(tot))
       .selectExpr("piece", "seed_cnt",
-        s"CAST(${qlog2("seed_cnt")} - ${qlog2("c_tot")} AS BIGINT) AS lp")
+        s"CAST(${qlog2Spark("seed_cnt")} - ${qlog2Spark("c_tot")} AS BIGINT) AS lp")
       .localCheckpoint() // tiny; feeds the DP map, the join, the output
     val lpRow = lp
       .agg(map_from_entries(collect_list(struct($"piece", $"lp"))).as("lpmap"))
     val seg = words.crossJoin(broadcast(lpRow))
-      .selectExpr("w", "c_w",
-        """aggregate(
-          |  sequence(1, length(w)),
-          |  array(named_struct('s', CAST(0 AS BIGINT), 'negm', 0, 'seg', '')),
-          |  (acc, j) -> concat(acc, array(
-          |    array_max(filter(transform(sequence(1, 4), m ->
-          |      IF(j - m >= 0
-          |          AND element_at(lpmap, substr(w, j - m + 1, m)) IS NOT NULL,
-          |        named_struct(
-          |          's', element_at(acc, j - m + 1).s
-          |            + element_at(lpmap, substr(w, j - m + 1, m)),
-          |          'negm', -m,
-          |          'seg', concat(element_at(acc, j - m + 1).seg,
-          |            chr(31), substr(w, j - m + 1, m))),
-          |        NULL)),
-          |      x -> x IS NOT NULL)))),
-          |  acc -> element_at(acc, -1).seg) AS seg""".stripMargin)
+      .selectExpr("w", "c_w", unigramViterbiSeg)
     val emCnt = seg
       .select($"c_w",
         explode(split(expr("substr(seg, 2)"), "\\u001f")).as("piece"))
@@ -487,12 +505,69 @@ object Curate {
       .orderBy($"piece")
   }
 
-  val unigramEmSql: String = {
-    def qlog2(c: String) =
-      s"((length(bin($c)) - 1) * 1024 + (($c * 1024) // " +
-        s"(CAST(1 AS BIGINT) << (length(bin($c)) - 1))) - 1024)"
+  /** text_unigram_tokenize: the APPLY tier of the unigram-LM leg —
+    * tokenize the corpus with the post-EM model (the [[unigramEm]]
+    * train step's re-estimated piece counts, add-one smoothed so every
+    * inventory piece — in particular every single character — stays
+    * usable and coverage is total). Mirrors [[bpeTokenize]]'s contract:
+    * per document, subword token count, char count, and compression
+    * (chars per token) under the trained tokenizer — the corpus-wide
+    * statistic a tokenizer change is actually judged by.
+    *
+    * Scale posture: the model is vocab-bounded (≤ singles + 20 rows);
+    * the Viterbi re-segmentation runs once per DISTINCT dictionary
+    * word (zero-shuffle map over the broadcast piece→score map), and
+    * the corpus-sized work is one word-dictionary join + per-doc sum —
+    * the same encode-once-per-distinct-word shape as the BPE apply
+    * tier. Words outside the 1–16-char dictionary bound are excluded
+    * from both engines' counts (tokenizer training never saw them). */
+  /** Per-distinct-word (w, n_ch, n_sym) under the post-EM unigram
+    * model — the word-level core both [[unigramTokenize]] and
+    * [[tokenizerCompare]] aggregate over. */
+  private def unigramWordSyms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = unigramEm(spark, dir) // (piece, seed_cnt, lp, em_cnt)
+    val t2 = model.agg((sum($"em_cnt") + count(lit(1))).as("t_tot"))
+    val lp2 = model.crossJoin(broadcast(t2))
+      .selectExpr("piece",
+        s"CAST(${qlog2Spark("(em_cnt + 1)")} - ${qlog2Spark("t_tot")} AS BIGINT) AS lp")
+    val lpRow = lp2
+      .agg(map_from_entries(collect_list(struct($"piece", $"lp"))).as("lpmap"))
+    val seg = unigramWords(spark, dir).select($"w")
+      .crossJoin(broadcast(lpRow))
+      .selectExpr("w", unigramViterbiSeg)
+    seg.select($"w", length($"w").as("n_ch"),
+      size(split(expr("substr(seg, 2)"), "")).as("n_sym"))
+  }
+
+  def unigramTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= 16)
+    toks.join(unigramWordSyms(spark, dir), "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sym".cast("long")).as("n_tokens"),
+        sum($"n_ch".cast("long")).as("n_chars"))
+      .select($"doc_id", $"n_tokens", $"n_chars",
+        ($"n_chars".cast("double") / $"n_tokens".cast("double"))
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB spelling of [[qlog2Spark]]. */
+  private def qlog2Duck(c: String) =
+    s"((length(bin($c)) - 1) * 1024 + (($c * 1024) // " +
+      s"(CAST(1 AS BIGINT) << (length(bin($c)) - 1))) - 1024)"
+
+  /** The oracle's 16-step unrolled Viterbi DP over `uwords`, scored
+    * against `lpTable` — prefixed so the train and apply legs can each
+    * unroll their own pass in one statement. The reused running-state
+    * CTEs are MATERIALIZED: referenced twice per step, a plain CTE
+    * chain inlines 2^16 scans. */
+  private def unigramDpCtes(p: String, lpTable: String): String = {
     val dp = (1 to 16).map { j =>
-      s"""b$j AS (
+      s"""${p}b$j AS (
          |  SELECT w, c_w, s, seg FROM (
          |    SELECT i.w, i.c_w, i.s, i.seg,
          |      row_number() OVER (PARTITION BY i.w ORDER BY i.s DESC, i.m) AS rn
@@ -501,18 +576,31 @@ object Curate {
          |        b.seg || chr(31) || substr(v.w, $j - m.m + 1, m.m) AS seg
          |      FROM uwords v
          |      CROSS JOIN (SELECT unnest(range(1, 5)) AS m) m
-         |      JOIN ball${j - 1} b ON b.w = v.w AND b.pos = $j - m.m
-         |      JOIN ulp l ON l.piece = substr(v.w, $j - m.m + 1, m.m)
+         |      JOIN ${p}ball${j - 1} b ON b.w = v.w AND b.pos = $j - m.m
+         |      JOIN $lpTable l ON l.piece = substr(v.w, $j - m.m + 1, m.m)
          |      WHERE length(v.w) >= $j AND m.m <= $j
          |    ) i
          |  ) WHERE rn = 1
          |),
-         |ball$j AS MATERIALIZED (
-         |  SELECT * FROM ball${j - 1}
-         |  UNION ALL SELECT w, c_w, $j AS pos, s, seg FROM b$j
+         |${p}ball$j AS MATERIALIZED (
+         |  SELECT * FROM ${p}ball${j - 1}
+         |  UNION ALL SELECT w, c_w, $j AS pos, s, seg FROM ${p}b$j
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH uwords AS MATERIALIZED (
+    s"""${p}ball0 AS MATERIALIZED (
+       |  SELECT w, c_w, 0 AS pos, CAST(0 AS BIGINT) AS s, '' AS seg
+       |  FROM uwords),
+       |$dp""".stripMargin
+  }
+
+  /** Shared train-leg CTE chain: word dictionary, seed inventory,
+    * seed log-probs, the train DP, and the EM-re-estimated counts —
+    * everything both [[unigramEmSql]] and [[unigramTokenizeSql]]
+    * consume. */
+  private val unigramTrainCtes: String = {
+    def qlog2(c: String) = qlog2Duck(c)
+    val dp = unigramDpCtes("", "ulp")
+    s"""uwords AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS c_w FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
        |  ) WHERE length(w) BETWEEN 1 AND 16 GROUP BY w
@@ -534,9 +622,6 @@ object Curate {
        |    CAST(${qlog2("seed_cnt")} - ${qlog2("c_tot")} AS BIGINT) AS lp
        |  FROM uinv, utot
        |),
-       |ball0 AS MATERIALIZED (
-       |  SELECT w, c_w, 0 AS pos, CAST(0 AS BIGINT) AS s, '' AS seg
-       |  FROM uwords),
        |$dp,
        |vit AS (
        |  SELECT b.c_w, b.seg
@@ -547,12 +632,343 @@ object Curate {
        |    SELECT unnest(string_split(substr(seg, 2), chr(31))) AS piece, c_w
        |    FROM vit
        |  ) GROUP BY piece
-       |)
+       |)""".stripMargin
+  }
+
+  val unigramEmSql: String =
+    s"""WITH $unigramTrainCtes
        |SELECT l.piece, l.seed_cnt, l.lp,
        |  COALESCE(e.em_cnt, CAST(0 AS BIGINT)) AS em_cnt
        |FROM ulp l LEFT JOIN uem e ON e.piece = l.piece
        |ORDER BY l.piece NULLS FIRST""".stripMargin
+
+  val unigramTokenizeSql: String = {
+    val applyDp = unigramDpCtes("t", "ulp2")
+    s"""WITH $unigramTrainCtes,
+       |umodel AS (
+       |  SELECT l.piece, COALESCE(e.em_cnt, CAST(0 AS BIGINT)) AS em_cnt
+       |  FROM ulp l LEFT JOIN uem e ON e.piece = l.piece
+       |),
+       |ut2 AS (
+       |  SELECT CAST(SUM(em_cnt) + COUNT(*) AS BIGINT) AS t_tot FROM umodel
+       |),
+       |ulp2 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(${qlog2Duck("(em_cnt + 1)")} - ${qlog2Duck("t_tot")} AS BIGINT) AS lp
+       |  FROM umodel, ut2
+       |),
+       |$applyDp,
+       |tns AS (
+       |  SELECT b.w, CAST(length(b.w) AS INTEGER) AS n_ch,
+       |    CAST(len(string_split(substr(b.seg, 2), chr(31))) AS INTEGER) AS n_sym
+       |  FROM tball16 b JOIN uwords v ON v.w = b.w AND b.pos = length(v.w)
+       |),
+       |dtoks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) BETWEEN 1 AND 16
+       |)
+       |SELECT d.doc_id,
+       |  CAST(SUM(t.n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(t.n_ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(t.n_ch) AS DOUBLE) / CAST(SUM(t.n_sym) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM dtoks d JOIN tns t ON t.w = d.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id NULLS FIRST""".stripMargin
   }
+
+  /** text_lm_surprisal: CCNet-style language-model quality scoring
+    * (Wenzek et al. 2020 — the perplexity-bucket filter the LLaMA /
+    * CCNet pipelines run ahead of training): per document, the mean
+    * surprisal of its token bigrams under an add-one-smoothed bigram
+    * LM trained on the corpus itself, and the head/middle/tail
+    * tercile bucket CCNet keeps/reviews/drops. Surprisal is the exact
+    * integer fixed-point base-2 log shared with the unigram-LM leg:
+    * per bigram occurrence, qlog2(c(w1) + V) − qlog2(c(w1,w2) + 1) in
+    * 1/1024-bit units (≥ 0, additive, bit-identical cross-engine —
+    * libm ln would break the hash gate); the only doubles are the two
+    * final ratios, computed from the same exact integers in the same
+    * order in both engines.
+    *
+    * Scale posture: bigram extraction is map-only (one pass over the
+    * token arrays); the model is two hash aggregations (bigram and
+    * unigram counts — the same |tokens|-row shuffle class as TF-IDF);
+    * scoring is one shuffle join of doc-bigrams to bigram counts plus
+    * a broadcast of the |vocab|-row context counts' relevant slice via
+    * the same join. The tercile is a single window over |docs| skinny
+    * rows. No all-pairs anything. */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docBg = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+    val cW = toks.groupBy($"w".as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct($"w").as("v"))
+    val cBg = docBg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val scored = docBg
+      .join(cBg, Seq("w1", "w2"))
+      .join(cW, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .selectExpr("doc_id",
+        s"CAST(${qlog2Spark("(c1 + v)")} - ${qlog2Spark("(c12 + 1)")} AS BIGINT) AS sq")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"sq").as("surprisal_q"))
+      .select($"doc_id", $"n_bigrams", $"surprisal_q",
+        ($"surprisal_q".cast("double") / lit(1024.0) /
+          $"n_bigrams".cast("double")).as("bits_per_bigram"))
+    scored
+      .withColumn("nt", ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"bits_per_bigram", $"doc_id")))
+      .select($"doc_id", $"n_bigrams", $"surprisal_q", $"bits_per_bigram",
+        when($"nt" === 1, "head").when($"nt" === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val lmSurprisalSql: String =
+    s"""WITH ldocs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |),
+       |lbg AS MATERIALIZED (
+       |  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+       |  FROM ldocs, unnest(range(0, len(t) - 1)) ti(i)
+       |),
+       |lcw AS (
+       |  SELECT w AS w1, COUNT(*) AS c1 FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) GROUP BY 1
+       |),
+       |lv AS (
+       |  SELECT COUNT(DISTINCT w) AS v FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |),
+       |lcbg AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM lbg GROUP BY 1, 2
+       |),
+       |lsc AS (
+       |  SELECT b.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(${qlog2Duck("(c.c1 + lv.v)")}
+       |      - ${qlog2Duck("(g.c12 + 1)")}) AS BIGINT) AS surprisal_q
+       |  FROM lbg b
+       |  JOIN lcbg g ON g.w1 = b.w1 AND g.w2 = b.w2
+       |  JOIN lcw c ON c.w1 = b.w1
+       |  CROSS JOIN lv
+       |  GROUP BY b.doc_id
+       |),
+       |lrated AS (
+       |  SELECT doc_id, n_bigrams, surprisal_q,
+       |    CAST(surprisal_q AS DOUBLE) / 1024.0 / CAST(n_bigrams AS DOUBLE)
+       |      AS bits_per_bigram
+       |  FROM lsc
+       |)
+       |SELECT doc_id, n_bigrams, surprisal_q, bits_per_bigram,
+       |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |    AS ppl_bucket
+       |FROM (SELECT lrated.*,
+       |        ntile(3) OVER (ORDER BY bits_per_bigram, doc_id) AS nt
+       |      FROM lrated)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** text_tokenizer_compare: the BPE and unigram-LM apply tiers put
+    * head-to-head — per language, fertility (tokens per word) and
+    * compression (chars per token) under EACH trained tokenizer, and
+    * which one wins. This is the actual decision table a pretraining
+    * team reads when picking a tokenizer family (Kudo & Richardson
+    * 2018 report exactly this comparison); computing it inside the
+    * engine means the decision updates with every corpus refresh.
+    * Restricted to the 1–16-char dictionary both tokenizers cover so
+    * the comparison is apples-to-apples.
+    *
+    * Scale posture: both models are vocab-bounded; both word-level
+    * encoders run once per DISTINCT word; the corpus-sized work is one
+    * shared token explode joined to two tiny word maps, aggregated
+    * map-side to |langs| rows. */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir)
+    var words = unigramWords(spark, dir).select($"w")
+      .select($"w", regexp_replace($"w", "(.)", "$1").as("wseq"))
+    for (best <- merges)
+      words = words
+        .crossJoin(broadcast(best.select($"pa".as("bpa"), $"pb".as("bpb"))))
+        .select($"w", expr(
+          "replace(wseq, concat(chr(31), bpa, chr(31), bpb), " +
+            "concat(chr(31), bpa, bpb))").as("wseq"))
+    val bpeSyms = words.select($"w",
+      size(split(expr("substr(wseq, 2)"), "")).as("bpe_sym"))
+    val uniSyms = unigramWordSyms(spark, dir)
+      .select($"w", $"n_ch", $"n_sym".as("uni_sym"))
+    val toks = Tables(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= 16)
+    toks.join(bpeSyms, "w").join(uniSyms, "w")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"bpe_sym".cast("long")).as("bpe_tokens"),
+        sum($"uni_sym".cast("long")).as("uni_tokens"),
+        sum($"n_ch".cast("long")).as("n_chars"))
+      .select($"lang", $"n_words", $"bpe_tokens", $"uni_tokens",
+        ($"bpe_tokens".cast("double") / $"n_words".cast("double"))
+          .as("bpe_fertility"),
+        ($"uni_tokens".cast("double") / $"n_words".cast("double"))
+          .as("uni_fertility"),
+        ($"n_chars".cast("double") / $"bpe_tokens".cast("double"))
+          .as("bpe_chars_per_token"),
+        ($"n_chars".cast("double") / $"uni_tokens".cast("double"))
+          .as("uni_chars_per_token"),
+        when($"bpe_tokens" < $"uni_tokens", "bpe")
+          .when($"uni_tokens" < $"bpe_tokens", "unigram")
+          .otherwise("tie").as("winner"))
+      .orderBy($"lang")
+  }
+
+  val tokenizerCompareSql: String =
+    s"""WITH $bpeCtes,
+       |$unigramTrainCtes,
+       |umodel AS (
+       |  SELECT l.piece, COALESCE(e.em_cnt, CAST(0 AS BIGINT)) AS em_cnt
+       |  FROM ulp l LEFT JOIN uem e ON e.piece = l.piece
+       |),
+       |ut2 AS (
+       |  SELECT CAST(SUM(em_cnt) + COUNT(*) AS BIGINT) AS t_tot FROM umodel
+       |),
+       |ulp2 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(${qlog2Duck("(em_cnt + 1)")} - ${qlog2Duck("t_tot")} AS BIGINT) AS lp
+       |  FROM umodel, ut2
+       |),
+       |${unigramDpCtes("t", "ulp2")},
+       |tns AS (
+       |  SELECT b.w, CAST(length(b.w) AS INTEGER) AS n_ch,
+       |    CAST(len(string_split(substr(b.seg, 2), chr(31))) AS INTEGER)
+       |      AS uni_sym
+       |  FROM tball16 b JOIN uwords v ON v.w = b.w AND b.pos = length(v.w)
+       |),
+       |cw0 AS (
+       |  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS wseq
+       |  FROM uwords
+       |),
+       |${(1 to 5).map { k =>
+          s"""cw$k AS (
+             |  SELECT w, replace(wseq, chr(31) || b.pa || chr(31) || b.pb,
+             |    chr(31) || b.pa || b.pb) AS wseq
+             |  FROM cw${k - 1} CROSS JOIN best$k b
+             |)""".stripMargin
+        }.mkString(",\n")},
+       |bns AS (
+       |  SELECT w,
+       |    CAST(len(string_split(substr(wseq, 2), chr(31))) AS INTEGER)
+       |      AS bpe_sym
+       |  FROM cw5
+       |),
+       |cmptoks AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) BETWEEN 1 AND 16
+       |)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.bpe_sym) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(u.uni_sym) AS BIGINT) AS uni_tokens,
+       |  CAST(SUM(b.bpe_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS bpe_fertility,
+       |  CAST(SUM(u.uni_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS uni_fertility,
+       |  CAST(SUM(u.n_ch) AS DOUBLE) / CAST(SUM(b.bpe_sym) AS DOUBLE)
+       |    AS bpe_chars_per_token,
+       |  CAST(SUM(u.n_ch) AS DOUBLE) / CAST(SUM(u.uni_sym) AS DOUBLE)
+       |    AS uni_chars_per_token,
+       |  CASE WHEN SUM(b.bpe_sym) < SUM(u.uni_sym) THEN 'bpe'
+       |       WHEN SUM(u.uni_sym) < SUM(b.bpe_sym) THEN 'unigram'
+       |       ELSE 'tie' END AS winner
+       |FROM cmptoks t JOIN bns b ON b.w = t.w JOIN tns u ON u.w = t.w
+       |GROUP BY lang
+       |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
+
+  /** The PII detector patterns, in the Java-regex ∩ RE2 common dialect
+    * so Spark and DuckDB count identically: email, E.164-ish phone,
+    * IPv4, US-SSN shape, and long digit runs (the catch-all for
+    * account/card numbers). Order matters for [[piiRedact]]: longer /
+    * more specific shapes first so a redaction never splits a match a
+    * later pattern would have caught. */
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}",
+    "digit_run" -> "[0-9]{6,}")
+
+  /** text_pii_scan: regex PII detection — the redaction audit every
+    * publicly-released training corpus runs (C4 and The Pile document
+    * exactly this pass). Per source: document count, per-pattern match
+    * totals, and the count of documents with ANY hit. Map-only (one
+    * regexp_extract_all per pattern fused into a single projection),
+    * aggregated map-side — at 100 TB this is a single scan emitting
+    * |sources| rows. The harness corpus is PII-clean, so the oracle's
+    * assertion is that both engines count ZERO the same way — the
+    * detection direction is proven by PiiSpec's seeded-dirty frame
+    * (each pattern trips; [[piiRedact]] then drives every count back
+    * to zero), the same clean-corpus/dirty-spec split as dq_checks. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanFrame(Tables(spark, dir, "documents"))
+
+  /** [[piiScan]] over an arbitrary (source, text) frame — the spec
+    * seeds a dirty one; production pipelines point it at any stage. */
+  def piiScanFrame(docs: DataFrame): DataFrame = {
+    // column-form regexp_extract_all: the pattern rides as a literal,
+    // never through the SQL parser (whose string-literal escaping
+    // would strip the \b / \+ / \. backslashes)
+    val counts = piiPatterns.map { case (n, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0)))
+        .cast("long").as(s"n_$n")
+    }
+    val perDoc = docs.select(col("source") +: counts: _*)
+    val total = piiPatterns.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    perDoc
+      .withColumn("any_hit", (total > 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        piiPatterns.map { case (n, _) =>
+          sum(col(s"n_$n")).as(s"n_$n")
+        } :+ sum(col("any_hit")).as("n_docs_with_pii"): _*)
+      .orderBy(col("source"))
+  }
+
+  val piiScanSql: String = {
+    val cols = piiPatterns.map { case (n, p) =>
+      s"CAST(SUM(len(regexp_extract_all(text, '$p'))) AS BIGINT) AS n_$n"
+    }.mkString(",\n       |  ")
+    val anyExpr = piiPatterns.map { case (_, p) =>
+      s"len(regexp_extract_all(text, '$p'))"
+    }.mkString(" + ")
+    s"""SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  $cols,
+       |  CAST(SUM(CASE WHEN $anyExpr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_with_pii
+       |FROM documents GROUP BY source
+       |${sqlOrderBy(Seq("source")).trim}""".stripMargin
+  }
+
+  /** Redaction transform paired with [[piiScan]]: each pattern's
+    * matches replaced by a typed placeholder, applied in the same
+    * specificity order the scan counts in. Pure column expression —
+    * composable into any pipeline stage, batch or streaming. */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(text) { case (c, (n, p)) =>
+      regexp_replace(c, p, s"<$n>")
+    }
 
   /** Cross-document duplicated-span coverage — the exact-substring dedup
     * signal (Lee et al. 2022): for every document, how much of it is
@@ -1518,6 +1934,10 @@ object Curate {
     "text_bpe_tokenize" -> bpeTokenize,
     "text_bpe_fertility" -> bpeFertility,
     "text_unigram_em" -> unigramEm,
+    "text_unigram_tokenize" -> unigramTokenize,
+    "text_lm_surprisal" -> lmSurprisal,
+    "text_pii_scan" -> piiScan,
+    "text_tokenizer_compare" -> tokenizerCompare,
     "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover,
     "dedup_max_span" -> maxSpan)
@@ -1540,6 +1960,10 @@ object Curate {
     "text_bpe_tokenize" -> bpeTokenizeSql,
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_unigram_em" -> unigramEmSql,
+    "text_unigram_tokenize" -> unigramTokenizeSql,
+    "text_lm_surprisal" -> lmSurprisalSql,
+    "text_pii_scan" -> piiScanSql,
+    "text_tokenizer_compare" -> tokenizerCompareSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql,
     "dedup_max_span" -> maxSpanSql)

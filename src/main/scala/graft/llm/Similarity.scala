@@ -797,6 +797,116 @@ object Similarity {
        |  GROUP BY a.sub
        |)${sqlOrderBy(Seq("subspace"))}""".stripMargin
 
+  /** embed_pq_learned: one Lloyd refinement of the PQ sub-codebooks —
+    * the step that turns [[pqCode]]'s label-mean INIT codebooks into
+    * LEARNED ones (Jégou et al. 2011 train per-subspace k-means; this
+    * is its first iteration, the direction a vector store actually
+    * tunes): M-step recomputes each (subspace, code) centroid as the
+    * 1e12-quantized mean of its assigned slices (the [[kmeansUpdate]]
+    * fixed-point discipline — bit-identical at any partitioning),
+    * E-step re-encodes every slice against the learned codebook, and
+    * the output compares per-subspace distortion before/after — Lloyd
+    * guarantees the learned side never loses.
+    *
+    * Scale posture: assignment is the broadcast-codebook map-only
+    * argmin; the M-step shuffles |vectors|·M·16 skinny (code, pos, x)
+    * rows with map-side combine; the rollup is 4 rows. Same one-scan
+    * shape as [[pqDistortion]]. */
+  def pqLearned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val slices = Tables(spark, dir, "embeddings")
+      .select($"vec_id", explode(expr("array(0,1,2,3)")).as("subspace"),
+        $"embedding")
+      .selectExpr("vec_id", "subspace",
+        "slice(embedding, 1 + 16*subspace, 16) AS xs")
+    val codes = pqCode(spark, dir) // (vec_id, subspace, code_label, d2)
+    val newCb = codes.join(slices, Seq("vec_id", "subspace"))
+      .select($"subspace", $"code_label", posexplode($"xs").as(Seq("pos", "x")))
+      .groupBy($"subspace", $"code_label", $"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
+      .groupBy($"subspace", $"code_label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cs"))
+    val rescored = slices.join(broadcast(newCb), Seq("subspace"))
+      .selectExpr("vec_id", "subspace", "code_label",
+        s"(${dotSpark("xs", "xs")} - 2 * ${dotSpark("xs", "cs")}" +
+          s" + ${dotSpark("cs", "cs")}) AS d2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id", $"subspace").orderBy($"d2", $"code_label")
+    val learned = rescored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+    val init = codes.groupBy($"subspace")
+      .agg(graft.Det.xsum($"d2").as("sum_d2_init"))
+    learned.groupBy($"subspace")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.Det.xsum($"d2").as("sum_d2_learned"))
+      .join(init, "subspace")
+      .select($"subspace", $"n_vectors", $"sum_d2_init", $"sum_d2_learned",
+        ($"sum_d2_learned" / $"sum_d2_init").as("improvement_ratio"))
+      .orderBy($"subspace")
+  }
+
+  val pqLearnedSql: String =
+    s"""WITH $centroidsSqlCtes,
+       |pairs AS (
+       |  SELECT e.vec_id, s.sub, cvec.label AS cand,
+       |    e.embedding[(1+16*s.sub):(16+16*s.sub)] AS xs,
+       |    cvec.centroid[(1+16*s.sub):(16+16*s.sub)] AS cs
+       |  FROM embeddings e, (SELECT unnest(range(4)) AS sub) s, cvec
+       |),
+       |scored AS (
+       |  SELECT vec_id, sub, cand,
+       |    (${dotDuck16("xs", "xs")} - 2 * ${dotDuck16("xs", "cs")}
+       |     + ${dotDuck16("cs", "cs")}) AS d2
+       |  FROM pairs
+       |),
+       |assigned AS (
+       |  SELECT vec_id, sub, cand, d2 FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) = 1
+       |),
+       |sl AS (
+       |  SELECT e.vec_id, s.sub,
+       |    e.embedding[(1+16*s.sub):(16+16*s.sub)] AS xs
+       |  FROM embeddings e, (SELECT unnest(range(4)) AS sub) s
+       |),
+       |ncb0 AS (
+       |  SELECT a.sub, a.cand, i,
+       |    CAST(CAST(SUM(CAST(floor(CAST(sl.xs[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
+       |      / COUNT(*) AS c
+       |  FROM assigned a
+       |  JOIN sl ON sl.vec_id = a.vec_id AND sl.sub = a.sub,
+       |    range(1, 17) t(i)
+       |  GROUP BY a.sub, a.cand, i
+       |),
+       |ncb AS (SELECT sub, cand, list(c ORDER BY i) AS cs
+       |        FROM ncb0 GROUP BY sub, cand),
+       |rescored AS (
+       |  SELECT sl.vec_id, sl.sub, n.cand,
+       |    (${dotDuck16("sl.xs", "sl.xs")} - 2 * ${dotDuck16("sl.xs", "n.cs")}
+       |     + ${dotDuck16("n.cs", "n.cs")}) AS d2
+       |  FROM sl JOIN ncb n ON n.sub = sl.sub
+       |),
+       |lrn AS (
+       |  SELECT vec_id, sub, d2 FROM rescored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) = 1
+       |),
+       |ini AS (
+       |  SELECT sub, ${graft.Det.sqlSum("d2")} AS sum_d2_init
+       |  FROM assigned GROUP BY sub
+       |)
+       |SELECT CAST(l.sub AS INTEGER) AS subspace,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  ANY_VALUE(i.sum_d2_init) AS sum_d2_init,
+       |  ${graft.Det.sqlSum("l.d2")} AS sum_d2_learned,
+       |  ${graft.Det.sqlSum("l.d2")} / ANY_VALUE(i.sum_d2_init)
+       |    AS improvement_ratio
+       |FROM lrn l JOIN ini i ON i.sub = l.sub
+       |GROUP BY l.sub
+       |${sqlOrderBy(Seq("subspace"))}""".stripMargin
+
   /** k-NN graph build (k=3) within label buckets — the batch companion
     * to [[ivfTopk]]: ANN indexes (HNSW, disk-IVF) and graph-based dedup
     * both start from "every vector's k nearest neighbours". Buckets
@@ -2222,6 +2332,7 @@ object Similarity {
     "embed_srp_neardup" -> srpNeardup,
     "embed_pq_code" -> pqCode,
     "embed_pq_distortion" -> pqDistortion,
+    "embed_pq_learned" -> pqLearned,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
@@ -2252,5 +2363,6 @@ object Similarity {
     "embed_srp_neardup" -> srpNeardupSql,
     "embed_pq_code" -> pqCodeSql,
     "embed_pq_distortion" -> pqDistortionSql,
+    "embed_pq_learned" -> pqLearnedSql,
     "embed_quantize" -> quantizeSql)
 }

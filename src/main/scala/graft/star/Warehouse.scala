@@ -450,6 +450,54 @@ object Warehouse {
        |FROM classes GROUP BY lang, source
        |${graft.Det.sqlOrderBy(Seq("lang", "source")).trim}""".stripMargin
 
+  /** dq_l_diversity: distinct-l-diversity audit (Machanavajjhala et
+    * al. 2007) — k-anonymity's sequel: a class of identical
+    * quasi-identifiers is still unsafe if its SENSITIVE attribute is
+    * (near-)uniform, because linking any member to the class reveals
+    * the value. QI = (source, 100-char length bucket); sensitive =
+    * lang. Per source: the worst class's distinct-lang count (its
+    * l-diversity), and the fraction of documents sitting in classes
+    * with l < 3 — the review queue a release gate would hold back.
+    * Same one-scan two-aggregation shape as [[kAnonymity]]; both
+    * aggregations are map-side-combinable and the output is
+    * |sources| skinny rows at any corpus size. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val classes = graft.Tables(spark, dir, "documents")
+      .select($"source", expr("n_chars div 100").as("len_bucket"), $"lang")
+      .groupBy($"source", $"len_bucket")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"lang").as("l_div"))
+    classes.groupBy($"source")
+      .agg(sum($"class_size").as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        min($"l_div").as("l_diversity"),
+        sum(when($"l_div" < 3, $"class_size").otherwise(lit(0L)))
+          .as("n_low_l"))
+      .select($"source", $"n_docs", $"n_classes", $"l_diversity",
+        $"n_low_l",
+        ($"n_low_l".cast("double") / $"n_docs").as("at_risk_frac"))
+      .orderBy($"source")
+  }
+
+  val lDiversitySql: String =
+    s"""WITH lclasses AS (
+       |  SELECT source, n_chars // 100 AS len_bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS class_size,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_div
+       |  FROM documents GROUP BY source, len_bucket
+       |)
+       |SELECT source,
+       |  CAST(SUM(class_size) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+       |  CAST(SUM(CASE WHEN l_div < 3 THEN class_size ELSE 0 END)
+       |    AS BIGINT) AS n_low_l,
+       |  CAST(SUM(CASE WHEN l_div < 3 THEN class_size ELSE 0 END)
+       |    AS DOUBLE) / SUM(class_size) AS at_risk_frac
+       |FROM lclasses GROUP BY source
+       |${graft.Det.sqlOrderBy(Seq("source")).trim}""".stripMargin
+
   /** Data-quality audit in long form (check_name, n_violations): the
     * dbt-tests / Great-Expectations shape every warehouse runs before
     * publishing a table. All single-table checks on a table share ONE
@@ -1649,6 +1697,7 @@ object Warehouse {
     "orders_outlier_z" -> outlierZ,
     "dq_checks" -> dqChecks,
     "dq_k_anonymity" -> kAnonymity,
+    "dq_l_diversity" -> lDiversity,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
     "events_ab_cuped" -> abCuped,
@@ -1679,6 +1728,7 @@ object Warehouse {
     "orders_outlier_z" -> outlierZSql,
     "dq_checks" -> dqChecksSql,
     "dq_k_anonymity" -> kAnonymitySql,
+    "dq_l_diversity" -> lDiversitySql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
     "events_ab_cuped" -> abCupedSql,
