@@ -797,6 +797,113 @@ object Similarity {
        |  GROUP BY a.sub
        |)${sqlOrderBy(Seq("subspace"))}""".stripMargin
 
+  /** embed_binary_quant: 1-bit binary quantization serving — each
+    * 64-dim embedding collapses to a 64-bit sign bitmap (thresholded
+    * at the per-dimension corpus mean, the centering that keeps the
+    * bits balanced), packed as TWO 32-bit words so no engine ever
+    * shifts into a sign bit; candidate ranking is Hamming distance =
+    * popcount(xor) — the 64×-bandwidth trick production vector stores
+    * (FAISS binary indexes, modern vector DBs) serve first-stage
+    * retrieval from. Output: the query vector's top-10 by (hamming,
+    * vec_id). [[binaryRecall]] grades it against the exact cosine
+    * top-10.
+    *
+    * Scale posture: packing is one map-only pass against a broadcast
+    * 64-double mean vector (1e12-quantized means, the [[centroids]]
+    * fixed-point discipline — bit-identical thresholds cross-engine);
+    * ranking N packed rows is a TakeOrdered over 2×8-byte payloads —
+    * the scan the bandwidth trick exists to make cheap. */
+  def binaryQuant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val means = emb
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+        .as("mv"))
+    val packed = emb.crossJoin(broadcast(means))
+      .selectExpr("vec_id", "label",
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc + IF(embedding[i] > element_at(mv, i + 1),
+          |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))) AS b0""".stripMargin,
+        """aggregate(sequence(32, 63), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc + IF(embedding[i] > element_at(mv, i + 1),
+          |    shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT))) AS b1""".stripMargin)
+    val q = packed.filter($"vec_id" === 0)
+      .select($"b0".as("q0"), $"b1".as("q1"))
+    packed.crossJoin(broadcast(q))
+      .selectExpr("vec_id", "label",
+        "CAST(bit_count(b0 ^ q0) + bit_count(b1 ^ q1) AS INTEGER) AS hamming")
+      .orderBy($"hamming", $"vec_id")
+      .limit(10)
+  }
+
+  /** Shared CTEs: per-dim 1e12-quantized means and the packed sign
+    * bitmaps, DuckDB spelling of [[binaryQuant]]'s packing. */
+  private val binaryPackCtes: String =
+    s"""bqm AS (
+       |  SELECT list(m ORDER BY pos) AS mv FROM (
+       |    SELECT i AS pos,
+       |      CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |        AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 / COUNT(*) AS m
+       |    FROM embeddings, range(1, 65) t(i)
+       |    GROUP BY i)
+       |),
+       |bqp AS (
+       |  SELECT vec_id, label,
+       |    CAST(list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN embedding[i + 1] > mv[i + 1]
+       |        THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS b0,
+       |    CAST(list_sum(list_transform(range(32, 64), i ->
+       |      CASE WHEN embedding[i + 1] > mv[i + 1]
+       |        THEN CAST(1 AS BIGINT) << (i - 32) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS b1
+       |  FROM embeddings, bqm
+       |)""".stripMargin
+
+  val binaryQuantSql: String =
+    s"""WITH $binaryPackCtes
+       |SELECT p.vec_id, p.label,
+       |  CAST(bit_count(xor(p.b0, q.b0)) + bit_count(xor(p.b1, q.b1))
+       |    AS INTEGER) AS hamming
+       |FROM bqp p, (SELECT b0, b1 FROM bqp WHERE vec_id = 0) q
+       |ORDER BY hamming NULLS FIRST, vec_id NULLS FIRST
+       |LIMIT 10""".stripMargin
+
+  /** embed_binary_recall: recall@10 of the binary-Hamming ranking
+    * against the exact decimal cosine top-10 — the number that decides
+    * how large the binary first stage's re-rank shortlist must be. */
+  def binaryRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = cosineTopk(spark, dir).select($"vec_id")
+    val approx = binaryQuant(spark, dir).select($"vec_id")
+    approx.join(exact, "vec_id")
+      .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+      .select(lit(10).as("k"), $"recall_at_10")
+  }
+
+  val binaryRecallSql: String =
+    s"""WITH $binaryPackCtes,
+       |bqtop AS (
+       |  SELECT p.vec_id,
+       |    bit_count(xor(p.b0, q.b0)) + bit_count(xor(p.b1, q.b1)) AS hamming
+       |  FROM bqp p, (SELECT b0, b1 FROM bqp WHERE vec_id = 0) q
+       |  ORDER BY hamming, vec_id LIMIT 10
+       |),
+       |costop AS (
+       |  SELECT e.vec_id,
+       |    ${cosDuck("e.embedding", "q.embedding")} AS cosine
+       |  FROM embeddings e,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY cosine DESC, vec_id LIMIT 10
+       |)
+       |SELECT CAST(10 AS INTEGER) AS k,
+       |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+       |FROM bqtop b JOIN costop c ON c.vec_id = b.vec_id""".stripMargin
+
   /** embed_pq_learned: one Lloyd refinement of the PQ sub-codebooks —
     * the step that turns [[pqCode]]'s label-mean INIT codebooks into
     * LEARNED ones (Jégou et al. 2011 train per-subspace k-means; this
@@ -2333,6 +2440,8 @@ object Similarity {
     "embed_pq_code" -> pqCode,
     "embed_pq_distortion" -> pqDistortion,
     "embed_pq_learned" -> pqLearned,
+    "embed_binary_quant" -> binaryQuant,
+    "embed_binary_recall" -> binaryRecall,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
@@ -2364,5 +2473,7 @@ object Similarity {
     "embed_pq_code" -> pqCodeSql,
     "embed_pq_distortion" -> pqDistortionSql,
     "embed_pq_learned" -> pqLearnedSql,
+    "embed_binary_quant" -> binaryQuantSql,
+    "embed_binary_recall" -> binaryRecallSql,
     "embed_quantize" -> quantizeSql)
 }
