@@ -895,6 +895,129 @@ object Curate {
        |GROUP BY lang
        |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
 
+  /** corpus_mix_entropy: Shannon entropy of each language's SOURCE
+    * mixture — the diversity number a data-mixture dashboard tracks
+    * (a language whose corpus collapses into one domain is a
+    * fine-tuning liability long before its token count says so).
+    * Made hash-gateable by the same exact integer fixed-point log the
+    * tokenizer tier uses: H·N = Σ_s c_s·(qlog2(N) − qlog2(c_s)) in
+    * 1/1024-bit units — pure BIGINT arithmetic, bit-identical in both
+    * engines, divided once at the end into bits-per-doc. Also emits
+    * the normalized evenness H/log2(S) (1.0 = perfectly even mix).
+    *
+    * Scale posture: one |docs|-row groupBy to (lang, source) counts,
+    * then a |langs×sources|-row rollup — two map-side-combined
+    * aggregations, output |langs| rows at any corpus size. */
+  def mixEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("c_s"))
+    val perLang = cells.groupBy($"lang")
+      .agg(sum($"c_s").as("n_docs"), count(lit(1)).as("n_sources"))
+    cells.join(perLang, "lang")
+      .selectExpr("lang", "n_docs", "n_sources",
+        s"c_s * (${qlog2Spark("n_docs")} - ${qlog2Spark("c_s")}) AS hq")
+      .groupBy($"lang")
+      .agg(first($"n_docs").as("n_docs"),
+        first($"n_sources").as("n_sources"),
+        sum($"hq").as("entropy_q"))
+      .selectExpr("lang", "n_docs", "n_sources", "entropy_q",
+        "CAST(entropy_q AS DOUBLE) / 1024.0 / CAST(n_docs AS DOUBLE) AS bits_per_doc",
+        s"""CASE WHEN n_sources > 1
+           |  THEN (CAST(entropy_q AS DOUBLE) / 1024.0 / CAST(n_docs AS DOUBLE))
+           |    / (CAST(${qlog2Spark("n_sources")} AS DOUBLE) / 1024.0)
+           |  ELSE CAST(0 AS DOUBLE) END AS evenness""".stripMargin)
+      .orderBy($"lang")
+  }
+
+  val mixEntropySql: String =
+    s"""WITH mecells AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c_s
+       |  FROM documents GROUP BY lang, source
+       |),
+       |meper AS (
+       |  SELECT lang, CAST(SUM(c_s) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sources
+       |  FROM mecells GROUP BY lang
+       |)
+       |SELECT lang, n_docs, n_sources, entropy_q,
+       |  CAST(entropy_q AS DOUBLE) / 1024.0 / CAST(n_docs AS DOUBLE)
+       |    AS bits_per_doc,
+       |  CASE WHEN n_sources > 1
+       |    THEN (CAST(entropy_q AS DOUBLE) / 1024.0 / CAST(n_docs AS DOUBLE))
+       |      / (CAST(${qlog2Duck("n_sources")} AS DOUBLE) / 1024.0)
+       |    ELSE CAST(0 AS DOUBLE) END AS evenness
+       |FROM (
+       |  SELECT c.lang,
+       |    ANY_VALUE(p.n_docs) AS n_docs,
+       |    ANY_VALUE(p.n_sources) AS n_sources,
+       |    CAST(SUM(c.c_s * (${qlog2Duck("p.n_docs")} - ${qlog2Duck("c.c_s")}))
+       |      AS BIGINT) AS entropy_q
+       |  FROM mecells c JOIN meper p ON p.lang = c.lang
+       |  GROUP BY c.lang
+       |)
+       |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
+
+  /** corpus_weighted_sample: distributed weighted sampling WITHOUT
+    * replacement (Efraimidis–Spirakis 2006 A-ES, the one-pass
+    * reservoir algorithm every mixture builder at scale uses): each
+    * doc draws key u^(1/w) and the top-n keys per language stratum
+    * are the sample — here length-weighted (w = n_chars), i.e.
+    * sampling proportional-to-size for a token budget.
+    *
+    * Made exactly cross-engine: u is the salted-md5 u32 (+1, so
+    * log is defined), and instead of u^(1/w) we rank by the monotone
+    * transform −log2(u/2^32)/w in integer fixed point —
+    * neg = 32768 − qlog2(u') (1/1024-bit units, ≥ 0), key =
+    * (neg · 2^20) div w, both operands non-negative so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree. Smallest key
+    * wins (u largest ⇔ neg smallest), doc_id tiebreak.
+    *
+    * Scale posture: one map pass computes keys, then a per-stratum
+    * top-n via the rank window — which Catalyst rewrites to a partial
+    * `WindowGroupLimit` BELOW the exchange (plan-gated in PlanSpec),
+    * so each map task forwards at most n rows per stratum: that
+    * per-partition bounded heap IS the A-ES reservoir, and the
+    * shuffle carries n·|langs| rows per task, not the corpus. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 50
+    val keyed = Tables(spark, dir, "documents")
+      .select($"lang", $"doc_id", $"n_chars".as("w"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(cast(concat('aes:', cast(doc_id AS STRING)) " +
+          "as binary)), 1, 8), 16, 10) as bigint) + 1"))
+      .withColumn("neg", expr(s"32768 - ${qlog2Spark("u")}"))
+      .withColumn("k", expr("(neg * 1048576) div w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"k", $"doc_id")
+    keyed.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= n)
+      .select($"lang", $"rk", $"doc_id", $"w", $"k")
+      .orderBy($"lang", $"rk")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH wsk AS (
+       |  SELECT lang, doc_id, n_chars AS w,
+       |    CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) + 1 AS u
+       |  FROM documents
+       |),
+       |wsn AS (
+       |  SELECT lang, doc_id, w,
+       |    CAST(((32768 - ${qlog2Duck("u")}) * 1048576) // w AS BIGINT) AS k
+       |  FROM wsk
+       |),
+       |wsr AS (
+       |  SELECT lang, doc_id, w, k,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY k, doc_id)
+       |      AS INTEGER) AS rk
+       |  FROM wsn
+       |)
+       |SELECT lang, rk, doc_id, w, k FROM wsr WHERE rk <= 50
+       |${sqlOrderBy(Seq("lang", "rk")).trim}""".stripMargin
+
   /** The PII detector patterns, in the Java-regex ∩ RE2 common dialect
     * so Spark and DuckDB count identically: email, E.164-ish phone,
     * IPv4, US-SSN shape, and long digit runs (the catch-all for
@@ -1938,6 +2061,8 @@ object Curate {
     "text_lm_surprisal" -> lmSurprisal,
     "text_pii_scan" -> piiScan,
     "text_tokenizer_compare" -> tokenizerCompare,
+    "corpus_mix_entropy" -> mixEntropy,
+    "corpus_weighted_sample" -> weightedSample,
     "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover,
     "dedup_max_span" -> maxSpan)
@@ -1964,6 +2089,8 @@ object Curate {
     "text_lm_surprisal" -> lmSurprisalSql,
     "text_pii_scan" -> piiScanSql,
     "text_tokenizer_compare" -> tokenizerCompareSql,
+    "corpus_mix_entropy" -> mixEntropySql,
+    "corpus_weighted_sample" -> weightedSampleSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql,
     "dedup_max_span" -> maxSpanSql)

@@ -904,6 +904,124 @@ object Similarity {
        |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
        |FROM bqtop b JOIN costop c ON c.vec_id = b.vec_id""".stripMargin
 
+  /** embed_rrf_hybrid: reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher SIGIR'09) of a VECTOR ranking and a LEXICAL ranking —
+    * the hybrid-search shape every production retrieval stack serves
+    * (dense recall catches paraphrase, sparse recall catches exact
+    * terms; RRF composes them with no score calibration at all,
+    * which is exactly why it fuses incomparable score scales safely).
+    * Query = item 0 (the test corpus enumerates documents and their
+    * embeddings on one id space). Leg 1 ranks by exact decimal
+    * cosine; leg 2 ranks by distinct-token Jaccard vs the query doc,
+    * integer-quantized as (10^6·|∩|) div |∪| so the ordering is pure
+    * BIGINT. Each leg keeps top-50; RRF = Σ 1/(60+rank) over the
+    * lists a candidate appears in (the SIGIR'09 k=60 constant),
+    * absent legs contribute 0 via rank 0 — no NULLs, so the driver's
+    * dtype gate sees plain INTEGER ranks. Two one-step IEEE
+    * divisions and one addition → bit-stable cross-engine.
+    *
+    * Scale posture: the vector leg is the [[cosineTopk]] broadcast
+    * scan; the lexical leg joins exploded distinct tokens to the
+    * BROADCAST query-token set (|corpus tokens| map-side semi-join,
+    * no shuffle of text); both rank(≤50) windows compile to partial
+    * WindowGroupLimits, and the fusion joins two 50-row frames. At
+    * 100 TB each leg would be served from its index tier (IVF /
+    * inverted lists) — the fusion contract is unchanged. */
+  def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val vecScored = emb.crossJoin(broadcast(q))
+      .selectExpr("vec_id AS id", s"${cosSpark("embedding", "qv")} AS cosine")
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy($"cosine".desc, $"id")
+    val vecTop = vecScored.withColumn("r_vec", row_number().over(wv))
+      .filter($"r_vec" <= 50).select($"id", $"r_vec")
+    val dtok = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(array_distinct(split($"text", " ")))
+        .as("tok"))
+    val qt = dtok.filter($"doc_id" === 0).select($"tok")
+    val nq = qt.agg(count(lit(1)).as("n_q"))
+    val nt = dtok.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+    val inter = dtok.join(broadcast(qt), "tok")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_inter"))
+    val lex = nt.join(inter, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .crossJoin(broadcast(nq))
+      .selectExpr("doc_id AS id",
+        "(1000000 * n_inter) div (n_tok + n_q - n_inter) AS lex_q")
+    val wl = org.apache.spark.sql.expressions.Window
+      .orderBy($"lex_q".desc, $"id")
+    val lexTop = lex.withColumn("r_lex", row_number().over(wl))
+      .filter($"r_lex" <= 50).select($"id", $"r_lex")
+    vecTop.join(lexTop, Seq("id"), "full")
+      .na.fill(0, Seq("r_vec", "r_lex"))
+      .selectExpr("id", "r_vec", "r_lex",
+        """(CASE WHEN r_vec > 0
+          |   THEN 1e0 / (6e1 + CAST(r_vec AS DOUBLE)) ELSE 0e0 END
+          | + CASE WHEN r_lex > 0
+          |   THEN 1e0 / (6e1 + CAST(r_lex AS DOUBLE)) ELSE 0e0 END)
+          |  AS rrf""".stripMargin)
+      .orderBy($"rrf".desc, $"id")
+      .limit(10)
+  }
+
+  val rrfHybridSql: String =
+    s"""WITH rvec AS (
+       |  SELECT e.vec_id AS id,
+       |    ${cosDuck("e.embedding", "q.embedding")} AS cosine
+       |  FROM embeddings e,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |),
+       |rvtop AS (
+       |  SELECT id, r_vec FROM (
+       |    SELECT id, CAST(row_number() OVER (ORDER BY cosine DESC, id)
+       |      AS INTEGER) AS r_vec FROM rvec)
+       |  WHERE r_vec <= 50
+       |),
+       |rdtok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |),
+       |rqt AS (SELECT tok FROM rdtok WHERE doc_id = 0),
+       |rnq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_q FROM rqt),
+       |rnt AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+       |  FROM rdtok GROUP BY doc_id
+       |),
+       |rint AS (
+       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM rdtok d JOIN rqt ON rqt.tok = d.tok GROUP BY d.doc_id
+       |),
+       |rlex AS (
+       |  SELECT t.doc_id AS id,
+       |    CAST((1000000 * COALESCE(i.n_inter, 0))
+       |      // (t.n_tok + q.n_q - COALESCE(i.n_inter, 0)) AS BIGINT)
+       |      AS lex_q
+       |  FROM rnt t LEFT JOIN rint i ON i.doc_id = t.doc_id, rnq q
+       |),
+       |rltop AS (
+       |  SELECT id, r_lex FROM (
+       |    SELECT id, CAST(row_number() OVER (ORDER BY lex_q DESC, id)
+       |      AS INTEGER) AS r_lex FROM rlex)
+       |  WHERE r_lex <= 50
+       |),
+       |rfused AS (
+       |  SELECT COALESCE(v.id, l.id) AS id,
+       |    CAST(COALESCE(v.r_vec, 0) AS INTEGER) AS r_vec,
+       |    CAST(COALESCE(l.r_lex, 0) AS INTEGER) AS r_lex
+       |  FROM rvtop v FULL JOIN rltop l ON l.id = v.id
+       |)
+       |SELECT id, r_vec, r_lex,
+       |  (CASE WHEN r_vec > 0
+       |     THEN 1e0 / (6e1 + CAST(r_vec AS DOUBLE)) ELSE 0e0 END
+       |   + CASE WHEN r_lex > 0
+       |     THEN 1e0 / (6e1 + CAST(r_lex AS DOUBLE)) ELSE 0e0 END) AS rrf
+       |FROM rfused
+       |ORDER BY rrf DESC NULLS LAST, id NULLS FIRST
+       |LIMIT 10""".stripMargin
+
   /** embed_pq_learned: one Lloyd refinement of the PQ sub-codebooks —
     * the step that turns [[pqCode]]'s label-mean INIT codebooks into
     * LEARNED ones (Jégou et al. 2011 train per-subspace k-means; this
@@ -2442,6 +2560,7 @@ object Similarity {
     "embed_pq_learned" -> pqLearned,
     "embed_binary_quant" -> binaryQuant,
     "embed_binary_recall" -> binaryRecall,
+    "embed_rrf_hybrid" -> rrfHybrid,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
@@ -2475,5 +2594,6 @@ object Similarity {
     "embed_pq_learned" -> pqLearnedSql,
     "embed_binary_quant" -> binaryQuantSql,
     "embed_binary_recall" -> binaryRecallSql,
+    "embed_rrf_hybrid" -> rrfHybridSql,
     "embed_quantize" -> quantizeSql)
 }

@@ -450,6 +450,160 @@ object Warehouse {
        |FROM classes GROUP BY lang, source
        |${graft.Det.sqlOrderBy(Seq("lang", "source")).trim}""".stripMargin
 
+  /** agg_trimmed_mean: exact 10%-trimmed and winsorized means of order
+    * value per priority — the robust location estimates a revenue
+    * dashboard quotes when whale orders make the plain mean useless.
+    * Everything is count-based and integer-exact: rows rank by
+    * (cents, orderkey) inside each priority, the trim drops the
+    * bottom/top ⌊n/10⌋ ranks, winsorization clamps them to the cents
+    * value at the surviving boundary ranks — no percentile
+    * interpolation, no floating point until the single final division,
+    * so the hash gate holds at any parallelism.
+    *
+    * Scale posture: one rank window per priority partition (the same
+    * |rows\|-shuffle class as any per-key top-N), then a map-side
+    * combined aggregate; boundary values ride a tiny per-priority
+    * broadcast join. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"cents", $"o_orderkey")
+    val ranked = Tables(spark, dir, "orders")
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderkey")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_orderpriority")))
+      .withColumn("t", expr("n div 10"))
+    val kept = ranked.filter($"rk" > $"t" && $"rk" <= $"n" - $"t")
+    val bounds = kept.groupBy($"o_orderpriority")
+      .agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val trimmed = kept.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_kept"), sum($"cents").as("s_kept"))
+    val winsor = ranked.join(bounds, "o_orderpriority")
+      .select($"o_orderpriority",
+        when($"rk" <= $"t", $"lo")
+          .when($"rk" > $"n" - $"t", $"hi")
+          .otherwise($"cents").as("wc"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_all"), sum($"wc").as("s_w"))
+    trimmed.join(winsor, "o_orderpriority")
+      .select($"o_orderpriority", $"n_all", $"n_kept",
+        ($"s_kept".cast("double") / 100.0 / $"n_kept".cast("double"))
+          .as("trimmed_mean"),
+        ($"s_w".cast("double") / 100.0 / $"n_all".cast("double"))
+          .as("winsorized_mean"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val trimmedMeanSql: String =
+    s"""WITH tmr AS (
+       |  SELECT o_orderpriority,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    o_orderkey,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+       |      AS rk,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders
+       |),
+       |tmk AS (
+       |  SELECT * FROM tmr WHERE rk > n // 10 AND rk <= n - n // 10
+       |),
+       |tmb AS (
+       |  SELECT o_orderpriority, MIN(cents) AS lo, MAX(cents) AS hi,
+       |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    CAST(SUM(cents) AS BIGINT) AS s_kept
+       |  FROM tmk GROUP BY o_orderpriority
+       |),
+       |tmw AS (
+       |  SELECT r.o_orderpriority,
+       |    CAST(COUNT(*) AS BIGINT) AS n_all,
+       |    CAST(SUM(CASE WHEN r.rk <= r.n // 10 THEN b.lo
+       |      WHEN r.rk > r.n - r.n // 10 THEN b.hi
+       |      ELSE r.cents END) AS BIGINT) AS s_w
+       |  FROM tmr r JOIN tmb b ON b.o_orderpriority = r.o_orderpriority
+       |  GROUP BY r.o_orderpriority
+       |)
+       |SELECT * FROM (
+       |  SELECT b.o_orderpriority AS o_orderpriority, w.n_all, b.n_kept,
+       |    CAST(b.s_kept AS DOUBLE) / 100.0 / CAST(b.n_kept AS DOUBLE)
+       |      AS trimmed_mean,
+       |    CAST(w.s_w AS DOUBLE) / 100.0 / CAST(w.n_all AS DOUBLE)
+       |      AS winsorized_mean
+       |  FROM tmb b JOIN tmw w ON w.o_orderpriority = b.o_orderpriority
+       |)
+       |${graft.Det.sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
+
+  /** stat_gini: exact Gini coefficient of per-customer revenue within
+    * each market segment — the concentration number ("do 1% of
+    * customers carry the segment?") a revenue-risk dashboard tracks.
+    * Uses the rank identity G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    * over ascending-sorted integer-cent totals: every moment is an
+    * exact DECIMAL(38,0)/HUGEINT integer (the rk·cents product is
+    * cast BEFORE multiplying — the abCuped overflow lesson), the two
+    * final expressions are the same three IEEE ops in both engines.
+    * Ties rank deterministically by (cents, custkey); the rank
+    * identity is tie-order invariant because tied x share one value.
+    *
+    * Scale posture: per-customer rollup (one map-combined groupBy),
+    * then one rank window per segment — the same sort class as exact
+    * percentiles; numerator/denominator reduce to six numbers per
+    * segment. At 100 TB the window sorts |customers|, not |orders|. */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .join(Tables(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment").orderBy($"cents", $"c_custkey")
+    perCust.withColumn("rk", row_number().over(w))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"cents".cast(dec)).as("sx"),
+        sum($"rk".cast(dec) * $"cents".cast(dec)).as("srx"))
+      .selectExpr("c_mktsegment", "n_cust",
+        "CAST(sx AS DOUBLE) / 100.0 AS total_rev",
+        """(2.0 * CAST(srx AS DOUBLE)
+          |  - (CAST(n_cust AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+          |  / (CAST(n_cust AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini"""
+          .stripMargin)
+      .orderBy($"c_mktsegment")
+  }
+
+  val giniRevenueSql: String =
+    s"""WITH gcu AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |gck AS (
+       |  SELECT c.c_mktsegment, g.cents,
+       |    row_number() OVER (PARTITION BY c.c_mktsegment
+       |      ORDER BY g.cents, c.c_custkey) AS rk
+       |  FROM gcu g JOIN customer c ON c.c_custkey = g.o_custkey
+       |),
+       |gm AS (
+       |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |    CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(SUM(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS srx
+       |  FROM gck GROUP BY c_mktsegment
+       |)
+       |SELECT c_mktsegment, n_cust,
+       |  CAST(sx AS DOUBLE) / 100.0 AS total_rev,
+       |  (2.0 * CAST(srx AS DOUBLE)
+       |    - (CAST(n_cust AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+       |    / (CAST(n_cust AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+       |FROM gm
+       |${graft.Det.sqlOrderBy(Seq("c_mktsegment")).trim}""".stripMargin
+
   /** dq_l_diversity: distinct-l-diversity audit (Machanavajjhala et
     * al. 2007) — k-anonymity's sequel: a class of identical
     * quasi-identifiers is still unsafe if its SENSITIVE attribute is
@@ -1417,6 +1571,114 @@ object Warehouse {
        |    / CAST(COUNT(*) + 1 AS DOUBLE) AS p_value
        |FROM stats CROSS JOIN obs GROUP BY obs_diff""".stripMargin
 
+  /** stat_bootstrap_ci: Poisson-bootstrap 95% confidence interval for
+    * the per-user purchase-revenue mean — the resampling scheme built
+    * for map-reduce (each replicate's multinomial resample is
+    * approximated by INDEPENDENT per-row Poisson(1) weights, so all B
+    * replicates ride ONE scan with no per-replicate shuffle or
+    * coordination; Chamandy et al., "Estimating uncertainty for
+    * massive data streams", Google TR 2012). Weights are drawn
+    * deterministically: the salted-md5 u32 is bucketed against the
+    * Poisson(1) CDF pre-scaled to 2^32 as EXACT integer literal
+    * thresholds (computed once offline — no runtime exp/factorial, so
+    * both engines bucket bit-identically; the >k=7 tail, mass 2e-9 of
+    * 2^32, clamps to weight 8). Each replicate mean is an exact
+    * integer pair (Σw·y, Σw) divided once; the 2.5%/97.5% CI
+    * endpoints are order statistics (ranks 2 and 63 of B=64) picked
+    * by a deterministic (mean, b) sort.
+    *
+    * Scale posture: the user rollup is one map-combined groupBy; the
+    * replicate grid is B skinny rows per user with map-side partial
+    * aggregation down to B rows total — cost B×|users| arithmetic,
+    * independent of event volume, zero extra shuffles beyond the
+    * rollup (the same budget as [[permutationTest]]). */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val B = 64
+    val perUser = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        round($"value" * 100).cast("long")).otherwise(0L)).as("y"))
+    val obs = perUser.agg(
+      count(lit(1)).as("n_users"), sum($"y".cast(dec)).as("sy"))
+      .select($"n_users",
+        ($"sy".cast("double") / 100.0 / $"n_users".cast("double"))
+          .as("obs_mean"))
+    val reps = perUser
+      .select($"user_id", $"y", explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(cast(concat('boot:', cast(user_id AS STRING), " +
+          "':', cast(b AS STRING)) as binary)), 1, 8), 16, 10) as bigint)"))
+      .withColumn("w", expr(poissonBucket("u")))
+      .groupBy($"b")
+      .agg(sum($"w".cast(dec) * $"y".cast(dec)).as("swy"),
+        sum($"w".cast("long")).as("sw"))
+      .select($"b",
+        ($"swy".cast("double") / 100.0 / $"sw".cast("double")).as("m"))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy($"m", $"b")
+    val ci = reps.withColumn("rk", row_number().over(wd))
+      .filter($"rk" === 2 || $"rk" === B - 1)
+      .agg(min($"m").as("ci_lo"), max($"m").as("ci_hi"))
+    obs.crossJoin(broadcast(ci))
+      .select($"n_users", $"obs_mean", lit(B).as("n_reps"),
+        $"ci_lo", $"ci_hi")
+  }
+
+  /** The Poisson(1) inverse-CDF bucketing over a u32, shared verbatim
+    * by the Spark and DuckDB spellings (pure CASE over integer
+    * literals — floor(CDF(k)·2^32) computed offline). */
+  private def poissonBucket(u: String): String =
+    s"""CASE WHEN $u < 1580030168 THEN 0
+       | WHEN $u < 3160060337 THEN 1
+       | WHEN $u < 3950075421 THEN 2
+       | WHEN $u < 4213413783 THEN 3
+       | WHEN $u < 4279248373 THEN 4
+       | WHEN $u < 4292415291 THEN 5
+       | WHEN $u < 4294609777 THEN 6
+       | WHEN $u < 4294923276 THEN 7
+       | ELSE 8 END""".stripMargin.replace("\n", "")
+
+  val bootstrapCiSql: String =
+    s"""WITH bpu AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM events GROUP BY user_id
+       |),
+       |bobs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS DOUBLE) / 100.0
+       |      / CAST(COUNT(*) AS DOUBLE) AS obs_mean
+       |  FROM bpu
+       |),
+       |bgrid AS (
+       |  SELECT user_id, y, unnest(range(0, 64)) AS b FROM bpu
+       |),
+       |bw AS (
+       |  SELECT b, y,
+       |    ${poissonBucket(
+             "CAST('0x' || substr(md5('boot:' || CAST(user_id AS VARCHAR) " +
+               "|| ':' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT)")} AS w
+       |  FROM bgrid
+       |),
+       |bm AS (
+       |  SELECT b,
+       |    CAST(CAST(SUM(CAST(w AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+       |      / 100.0 / CAST(CAST(SUM(CAST(w AS HUGEINT)) AS HUGEINT)
+       |        AS DOUBLE) AS m
+       |  FROM bw GROUP BY b
+       |),
+       |bci AS (
+       |  SELECT MIN(m) AS ci_lo, MAX(m) AS ci_hi FROM (
+       |    SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM bm)
+       |  WHERE rk = 2 OR rk = 63
+       |)
+       |SELECT o.n_users, o.obs_mean, CAST(64 AS INTEGER) AS n_reps,
+       |  c.ci_lo, c.ci_hi
+       |FROM bobs o CROSS JOIN bci c""".stripMargin
+
   /** orders_did_lift: difference-in-differences — the workhorse
     * quasi-experimental estimator (Card & Krueger 1994 popularized it)
     * for "did the intervention move the metric beyond the trend both
@@ -1698,6 +1960,9 @@ object Warehouse {
     "dq_checks" -> dqChecks,
     "dq_k_anonymity" -> kAnonymity,
     "dq_l_diversity" -> lDiversity,
+    "agg_trimmed_mean" -> trimmedMean,
+    "stat_gini" -> giniRevenue,
+    "stat_bootstrap_ci" -> bootstrapCi,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
     "events_ab_cuped" -> abCuped,
@@ -1729,6 +1994,9 @@ object Warehouse {
     "dq_checks" -> dqChecksSql,
     "dq_k_anonymity" -> kAnonymitySql,
     "dq_l_diversity" -> lDiversitySql,
+    "agg_trimmed_mean" -> trimmedMeanSql,
+    "stat_gini" -> giniRevenueSql,
+    "stat_bootstrap_ci" -> bootstrapCiSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
     "events_ab_cuped" -> abCupedSql,

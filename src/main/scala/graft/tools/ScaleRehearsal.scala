@@ -145,6 +145,15 @@ object ScaleRehearsal {
     stage("dq_k_anonymity")(graft.star.Warehouse.kAnonymity(spark, dir))
     stage("media_channel_stats")(
       graft.multimodal.Media.channelStatsQuery(spark, dir))
+    // round 9: variable-length maximal-match dedup (candidate-driven
+    // anchor join — the amplifier's duplicate families are its worst
+    // case), bigram-LM scoring (two |tokens|-row aggs + one join), and
+    // the two tokenizer apply tiers (encode-once-per-distinct-word)
+    stage("dedup_max_span")(graft.llm.Curate.maxSpan(spark, dir))
+    stage("text_lm_surprisal")(graft.llm.Curate.lmSurprisal(spark, dir))
+    stage("text_unigram_tokenize")(
+      graft.llm.Curate.unigramTokenize(spark, dir))
+    stage("embed_binary_quant")(graft.llm.Similarity.binaryQuant(spark, dir))
     spark.stop()
   }
 }

@@ -161,6 +161,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("A-ES weighted sample's per-stratum top-n is WindowGroupLimit-bounded") {
+    // corpus_weighted_sample's scale claim: the rank(≤n) filter over the
+    // per-language key window becomes a partial WindowGroupLimit below
+    // the exchange — the bounded per-partition heap IS the A-ES
+    // reservoir, so map tasks never shuffle more than n rows per stratum
+    val p = plan("corpus_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("runtime bloom filter injects on a selective shuffle join") {
     // The 100 TB row-level runtime filter: a selective predicate on the
     // build side makes Catalyst inject bloom_filter_agg + might_contain
