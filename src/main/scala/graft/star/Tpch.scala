@@ -225,6 +225,62 @@ object Tpch {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Q5 (local supplier volume): revenue per nation from orders where
+    * the customer and the lineitem's supplier share that nation,
+    * restricted to one region and one order year — the canonical
+    * 6-table snowflake join. Revenue in exact cents×basis-points like
+    * [[q3]]; the c_nationkey = s_nationkey equality rides the join.
+    *
+    * Scale posture: region/nation broadcast (tiny dims) and the
+    * region filter prunes nations BEFORE any fact shuffles; the date
+    * window pushes to the orders scan; customer⋈orders and
+    * ⋈lineitem⋈supplier co-shuffle on their keys; output is
+    * |nations| rows. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = broadcast(
+      Tables(spark, dir, "nation")
+        .join(broadcast(Tables(spark, dir, "region"))
+          .filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name"))
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"),
+        $"c_custkey" === $"o_custkey" &&
+          $"o_orderdate" >= lit("1996-01-01").cast("date") &&
+          $"o_orderdate" < lit("1997-01-01").cast("date"))
+      .join(Tables(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(Tables(spark, dir, "supplier"),
+        $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+      .join(nations, $"s_nationkey" === $"n_nationkey")
+      .select($"n_name",
+        round($"l_extendedprice" * 100).cast("bigint").as("ec"),
+        round($"l_discount" * 100).cast("bigint").as("db"))
+      .groupBy($"n_name")
+      .agg((sum($"ec" * (lit(100L) - $"db")).cast("double") / 1e4)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |    AS DOUBLE) / 1e4 AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |  AND o_orderdate >= DATE '1996-01-01'
+       |  AND o_orderdate < DATE '1997-01-01'
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin
+
   /** Q10 (returned-item reporting): top-20 customers by revenue lost
     * to returns in one quarter — the 4-table join + aggregate + top-k
     * composite. Revenue in exact cents×basis-points; the DESC
@@ -1081,6 +1137,7 @@ object Tpch {
     "tpch_q1" -> q1,
     "tpch_q3" -> q3,
     "tpch_q4" -> q4,
+    "tpch_q5" -> q5,
     "tpch_q6" -> q6,
     "tpch_q10" -> q10,
     "tpch_q14" -> q14,
@@ -1104,6 +1161,7 @@ object Tpch {
     "tpch_q1" -> q1Sql,
     "tpch_q3" -> q3Sql,
     "tpch_q4" -> q4Sql,
+    "tpch_q5" -> q5Sql,
     "tpch_q6" -> q6Sql,
     "tpch_q10" -> q10Sql,
     "tpch_q14" -> q14Sql,
