@@ -1022,6 +1022,73 @@ object Similarity {
        |ORDER BY rrf DESC NULLS LAST, id NULLS FIRST
        |LIMIT 10""".stripMargin
 
+  /** embed_centroid_drift: embedding-distribution drift between the
+    * reference half and the current half of the corpus (vec_id
+    * parity stands in for the time split a production monitor would
+    * use) — the health check that catches a silently retrained or
+    * corrupted encoder BEFORE downstream recall collapses. Per-side
+    * per-dim means use the [[centroids]] 1e12 fixed-point discipline
+    * (bit-identical at any partitioning); the drift numbers are then
+    * mean-vector cosine and squared-L2 via the same decimal_dot
+    * identity every ANN op here uses (L2² = dot(d,d) on the
+    * assembled diff vector — one deterministic reduction, not a
+    * float sum in shuffle order), plus the max per-dim |Δ|.
+    *
+    * Scale posture: one posexplode scan → (side, pos) map-combined
+    * means (128 groups), two 64-element arrays joined into a single
+    * output row — corpus-size-independent memory, no shuffle beyond
+    * the 128-group agg. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val sides = Tables(spark, dir, "embeddings")
+      .select(($"vec_id" % 2).cast("int").as("side"),
+        posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"side", $"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy($"side")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+        .as("mv"), first($"n").as("n_vecs"))
+    val ref = sides.filter($"side" === 0)
+      .select($"mv".as("m_ref"), $"n_vecs".as("n_ref"))
+    val cur = sides.filter($"side" === 1)
+      .select($"mv".as("m_cur"), $"n_vecs".as("n_cur"))
+    ref.crossJoin(broadcast(cur))
+      .withColumn("dv", expr("zip_with(m_ref, m_cur, (a, b) -> a - b)"))
+      .selectExpr("n_ref", "n_cur",
+        s"${cosSpark("m_ref", "m_cur")} AS mean_cosine",
+        s"${dotSpark("dv", "dv")} AS l2_sq",
+        "array_max(transform(dv, v -> abs(v))) AS max_abs_delta")
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH cdm AS (
+       |  SELECT CAST(vec_id % 2 AS INTEGER) AS side, i AS pos,
+       |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 / COUNT(*) AS m,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings, range(1, 65) t(i)
+       |  GROUP BY side, i
+       |),
+       |cdv AS (
+       |  SELECT side, list(m ORDER BY pos) AS mv, ANY_VALUE(n) AS n_vecs
+       |  FROM cdm GROUP BY side
+       |),
+       |cdj AS (
+       |  SELECT r.n_vecs AS n_ref, c.n_vecs AS n_cur,
+       |    r.mv AS m_ref, c.mv AS m_cur,
+       |    list_transform(range(1, 65), i -> r.mv[i] - c.mv[i]) AS dv
+       |  FROM (SELECT * FROM cdv WHERE side = 0) r,
+       |       (SELECT * FROM cdv WHERE side = 1) c
+       |)
+       |SELECT n_ref, n_cur,
+       |  ${cosDuck("m_ref", "m_cur")} AS mean_cosine,
+       |  ${dotDuck("dv", "dv")} AS l2_sq,
+       |  list_max(list_transform(dv, v -> abs(v))) AS max_abs_delta
+       |FROM cdj""".stripMargin
+
   /** embed_pq_learned: one Lloyd refinement of the PQ sub-codebooks —
     * the step that turns [[pqCode]]'s label-mean INIT codebooks into
     * LEARNED ones (Jégou et al. 2011 train per-subspace k-means; this
@@ -2561,6 +2628,7 @@ object Similarity {
     "embed_binary_quant" -> binaryQuant,
     "embed_binary_recall" -> binaryRecall,
     "embed_rrf_hybrid" -> rrfHybrid,
+    "embed_centroid_drift" -> centroidDrift,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
@@ -2595,5 +2663,6 @@ object Similarity {
     "embed_binary_quant" -> binaryQuantSql,
     "embed_binary_recall" -> binaryRecallSql,
     "embed_rrf_hybrid" -> rrfHybridSql,
+    "embed_centroid_drift" -> centroidDriftSql,
     "embed_quantize" -> quantizeSql)
 }
