@@ -1325,6 +1325,127 @@ object Curate {
        |    THEN 'contaminated' ELSE 'clean' END AS verdict
        |FROM scored${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** corpus_pipeline_funnel: the END-TO-END curation funnel as one
+    * query — survivor counts through raw → exact dedup (keep the
+    * min-doc_id copy per content hash) → decontamination (drop the
+    * eval source itself plus every ≥25% 8-gram-overlap doc) →
+    * quality filter (the 4-rule FineWeb-style conjunction) — i.e. the
+    * number a curation run reports at each stage gate, computed by
+    * COMPOSING the registered stage operators ([[graft.llm.Dedup.exact]],
+    * [[decontam]], [[filterVerdicts]]) rather than re-stating them.
+    * Docs too short to carry an 8-gram window pass decontamination by
+    * construction (no windows → nothing can overlap), matching the
+    * stage operator's own domain.
+    *
+    * Scale posture: each stage is the already-audited operator's plan
+    * (hash groupBy / broadcast eval-shingle join / map-only rules);
+    * the funnel adds only doc_id-keyed left joins carrying one flag
+    * bit each and a single global aggregate — no new shuffle class,
+    * one wide row out. */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").select($"doc_id", $"source")
+    val evalSrc = docs.agg(min($"source").as("eval_src"))
+    val keepers = graft.llm.Dedup.exact(spark, dir)
+      .select($"keeper_doc_id".as("doc_id")).withColumn("k1", lit(1))
+    val contam = decontam(spark, dir)
+      .filter($"verdict" === "contaminated")
+      .select($"doc_id").withColumn("c1", lit(1))
+    val quality = filterVerdicts(spark, dir)
+      .filter($"keep" === 1)
+      .select($"doc_id").withColumn("q1", lit(1))
+    docs
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .crossJoin(broadcast(evalSrc))
+      .select(
+        ($"k1" === 1).as("s1"),
+        ($"k1" === 1 && $"source" =!= $"eval_src" && $"c1".isNull).as("s2"),
+        ($"k1" === 1 && $"source" =!= $"eval_src" && $"c1".isNull &&
+          $"q1" === 1).as("s3"))
+      .agg(count(lit(1)).as("n_raw"),
+        count_if($"s1").as("n_after_exact"),
+        count_if($"s2").as("n_after_decontam"),
+        count_if($"s3").as("n_after_quality"))
+      .selectExpr("n_raw", "n_after_exact", "n_after_decontam",
+        "n_after_quality",
+        "CAST(n_after_quality AS DOUBLE) / CAST(n_raw AS DOUBLE) " +
+          "AS survival_rate")
+  }
+
+  val pipelineFunnelSql: String =
+    s"""WITH pfk AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |),
+       |ev AS (SELECT MIN(source) AS eval_src FROM documents),
+       |pftoks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8
+       |),
+       |pfsh AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(0, len(t) - 7),
+       |      i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))) AS sh
+       |  FROM pftoks
+       |),
+       |pfevs AS (
+       |  SELECT DISTINCT sh, 1 AS m FROM pfsh, ev WHERE source = eval_src
+       |),
+       |pfcontam AS (
+       |  SELECT doc_id FROM (
+       |    SELECT tr.doc_id,
+       |      CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |      CAST(COUNT(pfevs.m) AS BIGINT) AS n_hit
+       |    FROM (SELECT doc_id, pfsh.sh AS sh FROM pfsh, ev
+       |          WHERE source <> eval_src) tr
+       |    LEFT JOIN pfevs USING (sh)
+       |    GROUP BY tr.doc_id)
+       |  WHERE CAST(n_hit AS DOUBLE) / CAST(n_windows AS DOUBLE) >= 0.25
+       |),
+       |pfb AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ('the', 'a', 'value', 'data'))) AS INTEGER) AS n_stop
+       |  FROM documents
+       |),
+       |pftopw AS (
+       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_word_freq FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) GROUP BY 1, 2
+       |  ) GROUP BY doc_id
+       |),
+       |pfq AS (
+       |  SELECT b.doc_id FROM pfb b JOIN pftopw t ON t.doc_id = b.doc_id
+       |  WHERE NOT (b.n_words < 30)
+       |    AND NOT (b.n_stop * 100 < b.n_words OR b.n_stop * 2 > b.n_words)
+       |    AND NOT (t.max_word_freq * 10 > b.n_words)
+       |    AND NOT ((length(b.text) - (b.n_words - 1)) < b.n_words * 2 OR
+       |             (length(b.text) - (b.n_words - 1)) > b.n_words * 12)
+       |),
+       |pfflags AS (
+       |  SELECT
+       |    k.doc_id IS NOT NULL AS s1,
+       |    k.doc_id IS NOT NULL AND d.source <> ev.eval_src
+       |      AND c.doc_id IS NULL AS s2,
+       |    k.doc_id IS NOT NULL AND d.source <> ev.eval_src
+       |      AND c.doc_id IS NULL AND q.doc_id IS NOT NULL AS s3
+       |  FROM documents d
+       |  LEFT JOIN pfk k ON k.doc_id = d.doc_id
+       |  LEFT JOIN pfcontam c ON c.doc_id = d.doc_id
+       |  LEFT JOIN pfq q ON q.doc_id = d.doc_id
+       |  CROSS JOIN ev
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+       |  CAST(COUNT(*) FILTER (s1) AS BIGINT) AS n_after_exact,
+       |  CAST(COUNT(*) FILTER (s2) AS BIGINT) AS n_after_decontam,
+       |  CAST(COUNT(*) FILTER (s3) AS BIGINT) AS n_after_quality,
+       |  CAST(COUNT(*) FILTER (s3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS survival_rate
+       |FROM pfflags""".stripMargin
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"), unigram ratio
     * form: score each document by how target-like its token
@@ -2063,6 +2184,7 @@ object Curate {
     "text_tokenizer_compare" -> tokenizerCompare,
     "corpus_mix_entropy" -> mixEntropy,
     "corpus_weighted_sample" -> weightedSample,
+    "corpus_pipeline_funnel" -> pipelineFunnel,
     "text_dsir_weights" -> dsirWeights,
     "dedup_span_cover" -> spanCover,
     "dedup_max_span" -> maxSpan)
@@ -2091,6 +2213,7 @@ object Curate {
     "text_tokenizer_compare" -> tokenizerCompareSql,
     "corpus_mix_entropy" -> mixEntropySql,
     "corpus_weighted_sample" -> weightedSampleSql,
+    "corpus_pipeline_funnel" -> pipelineFunnelSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "dedup_span_cover" -> spanCoverSql,
     "dedup_max_span" -> maxSpanSql)
