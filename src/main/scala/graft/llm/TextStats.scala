@@ -264,6 +264,89 @@ object TextStats {
     * map-side-combined shuffles on term; the corpus size N is a 1-row
     * broadcast; TakeOrdered caps the result. Vocabulary-bounded state,
     * nothing quadratic. */
+  /** text_zipf_fit: Zipf-law slope per language — the log-log OLS fit
+    * of frequency vs rank over the top-1000 terms, the corpus-health
+    * diagnostic (natural language sits near slope −1; scraped
+    * boilerplate and template spam bend it) every corpus audit plots.
+    * Stated entirely in the tokenizer tier's exact integer fixed-point
+    * base-2 logs: x=qlog2(rank), y=qlog2(freq) in 1/1024-bit units,
+    * all five OLS moments are BIGINT sums, and slope = (nΣxy−ΣxΣy) /
+    * (nΣxx−ΣxΣx) is exact-integer-numerator over exact-integer-
+    * denominator — ONE IEEE division (the 1024 scale cancels, so the
+    * slope is directly dimensionless); the intercept does the same
+    * with one more divide into log2-frequency units. No runtime
+    * ln/log anywhere.
+    *
+    * Scale posture: vocab groupBy (map-combined) → per-language
+    * rank(≤1000) window (partial WindowGroupLimit — maps forward at
+    * most 1000 terms per language) → a |langs|-row aggregate of five
+    * BIGINT moments. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = graft.Tables(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"lang").orderBy($"c".desc, $"term")
+    tf.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 1000)
+      .selectExpr("lang",
+        s"CAST(${Curate.qlog2Spark("rk")} AS BIGINT) AS x",
+        s"CAST(${Curate.qlog2Spark("c")} AS BIGINT) AS y")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .selectExpr("lang", "n_terms",
+        """CAST(n_terms * sxy - sx * sy AS DOUBLE)
+          |  / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope"""
+          .stripMargin,
+        """(CAST(sy AS DOUBLE)
+          |  - (CAST(n_terms * sxy - sx * sy AS DOUBLE)
+          |     / CAST(n_terms * sxx - sx * sx AS DOUBLE))
+          |    * CAST(sx AS DOUBLE))
+          |  / CAST(n_terms AS DOUBLE) / 1024e0 AS intercept_log2"""
+          .stripMargin)
+      .orderBy($"lang")
+  }
+
+  val zipfFitSql: String =
+    s"""WITH ztf AS (
+       |  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term <> ''
+       |  GROUP BY lang, term
+       |),
+       |zrk AS (
+       |  SELECT lang,
+       |    CAST(${Curate.qlog2Duck("rk")} AS BIGINT) AS x,
+       |    CAST(${Curate.qlog2Duck("c")} AS BIGINT) AS y
+       |  FROM (
+       |    SELECT lang, c,
+       |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, term)
+       |        AS rk
+       |    FROM ztf)
+       |  WHERE rk <= 1000
+       |),
+       |zm AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM zrk GROUP BY lang
+       |)
+       |SELECT lang, n_terms,
+       |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+       |  (CAST(sy AS DOUBLE)
+       |    - (CAST(n_terms * sxy - sx * sy AS DOUBLE)
+       |       / CAST(n_terms * sxx - sx * sx AS DOUBLE))
+       |      * CAST(sx AS DOUBLE))
+       |    / CAST(n_terms AS DOUBLE) / 1024e0 AS intercept_log2
+       |FROM zm
+       |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
+
   def burstiness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = graft.Tables(spark, dir, "documents")
@@ -1323,6 +1406,7 @@ object TextStats {
     "text_word_topk" -> wordTopk,
     "text_burstiness" -> burstiness,
     "text_yule_k" -> yuleK,
+    "text_zipf_fit" -> zipfFit,
     "text_heavy_hitters" -> heavyHitters,
     "text_heavy_guaranteed" -> heavyGuaranteed,
     "text_fingerprint" -> fingerprint,
@@ -1349,6 +1433,7 @@ object TextStats {
     "text_word_topk" -> wordTopkSql,
     "text_burstiness" -> burstinessSql,
     "text_yule_k" -> yuleKSql,
+    "text_zipf_fit" -> zipfFitSql,
     "text_heavy_guaranteed" -> heavyGuaranteedSql,
     "text_fingerprint" -> fingerprintSql,
     "text_winnowing" -> winnowingSql,

@@ -604,6 +604,62 @@ object Warehouse {
        |FROM gm
        |${graft.Det.sqlOrderBy(Seq("c_mktsegment")).trim}""".stripMargin
 
+  /** stat_hhi: Herfindahl–Hirschman concentration of revenue across
+    * customers within each market segment — the antitrust-grade
+    * concentration index that complements [[giniRevenue]] (HHI weights
+    * the HEAD of the distribution; Gini the whole curve): HHI =
+    * Σ sᵢ² = Σcᵢ² / (Σcᵢ)² over per-customer cent totals, plus the
+    * effective customer count 1/HHI. Both moments are exact
+    * DECIMAL(38,0)/HUGEINT integers (cᵢ cast before squaring), the
+    * final expressions the same two IEEE ops per engine.
+    *
+    * Scale posture: the per-customer rollup is one map-combined
+    * groupBy; the segment rollup needs NO rank window at all (unlike
+    * Gini) — two moments per segment, output |segments| rows. */
+  def hhiRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .join(Tables(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"cents".cast(dec)).as("s"),
+        sum($"cents".cast(dec) * $"cents".cast(dec)).as("sq"))
+      .selectExpr("c_mktsegment", "n_cust",
+        """CAST(sq AS DOUBLE)
+          |  / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS hhi"""
+          .stripMargin,
+        """(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+          |  / CAST(sq AS DOUBLE) AS effective_n""".stripMargin)
+      .orderBy($"c_mktsegment")
+  }
+
+  val hhiRevenueSql: String =
+    s"""WITH hcu AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |hm AS (
+       |  SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |    CAST(SUM(CAST(g.cents AS HUGEINT)) AS HUGEINT) AS s,
+       |    CAST(SUM(CAST(g.cents AS HUGEINT) * g.cents) AS HUGEINT) AS sq
+       |  FROM hcu g JOIN customer c ON c.c_custkey = g.o_custkey
+       |  GROUP BY c.c_mktsegment
+       |)
+       |SELECT c_mktsegment, n_cust,
+       |  CAST(sq AS DOUBLE)
+       |    / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS hhi,
+       |  (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       |    / CAST(sq AS DOUBLE) AS effective_n
+       |FROM hm
+       |${graft.Det.sqlOrderBy(Seq("c_mktsegment")).trim}""".stripMargin
+
   /** dq_l_diversity: distinct-l-diversity audit (Machanavajjhala et
     * al. 2007) — k-anonymity's sequel: a class of identical
     * quasi-identifiers is still unsafe if its SENSITIVE attribute is
@@ -1962,6 +2018,7 @@ object Warehouse {
     "dq_l_diversity" -> lDiversity,
     "agg_trimmed_mean" -> trimmedMean,
     "stat_gini" -> giniRevenue,
+    "stat_hhi" -> hhiRevenue,
     "stat_bootstrap_ci" -> bootstrapCi,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
@@ -1996,6 +2053,7 @@ object Warehouse {
     "dq_l_diversity" -> lDiversitySql,
     "agg_trimmed_mean" -> trimmedMeanSql,
     "stat_gini" -> giniRevenueSql,
+    "stat_hhi" -> hhiRevenueSql,
     "stat_bootstrap_ci" -> bootstrapCiSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,

@@ -34,6 +34,9 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional 3rd arg: comma-separated stage-name filter, so a new
+    // operator's growth row doesn't require re-running the whole chain
+    val onlyStages = args.lift(2).map(_.split(",").toSet)
     val dir = "target/rehearsal"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -80,6 +83,7 @@ object ScaleRehearsal {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     def stage(name: String)(df: => DataFrame): Unit = {
+      if (onlyStages.exists(!_.contains(name))) return
       val (r0, w0) = (meter.read, meter.write)
       val t0 = System.nanoTime()
       val rows = df.count()
@@ -154,6 +158,17 @@ object ScaleRehearsal {
     stage("text_unigram_tokenize")(
       graft.llm.Curate.unigramTokenize(spark, dir))
     stage("embed_binary_quant")(graft.llm.Similarity.binaryQuant(spark, dir))
+    // round 9 (second wave): the composed curation funnel (its decontam
+    // leg joins the corpus shingle stream to the broadcast eval set —
+    // the amplifier's duplicate families stress the groupBy), hybrid
+    // RRF (|tokens| broadcast semi-join + two WindowGroupLimit legs),
+    // Poisson bootstrap (B×|users| grid, event-volume-independent),
+    // and the A-ES stratified sample (WindowGroupLimit reservoir)
+    stage("corpus_pipeline_funnel")(
+      graft.llm.Curate.pipelineFunnel(spark, dir))
+    stage("embed_rrf_hybrid")(graft.llm.Similarity.rrfHybrid(spark, dir))
+    stage("corpus_weighted_sample")(
+      graft.llm.Curate.weightedSample(spark, dir))
     spark.stop()
   }
 }
