@@ -1024,7 +1024,7 @@ object Curate {
     * account/card numbers). Order matters for [[piiRedact]]: longer /
     * more specific shapes first so a redaction never splits a match a
     * later pattern would have caught. */
-  private val piiPatterns: Seq[(String, String)] = Seq(
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
     "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
