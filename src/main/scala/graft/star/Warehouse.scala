@@ -660,6 +660,138 @@ object Warehouse {
        |FROM hm
        |${graft.Det.sqlOrderBy(Seq("c_mktsegment")).trim}""".stripMargin
 
+  /** stat_skyline: the 2-D Pareto frontier (skyline operator,
+    * Börzsönyi et al. ICDE 2001) over customers — points maximizing
+    * total revenue while minimizing order count: the
+    * whale/efficiency frontier a fraud or key-account review reads.
+    * Computed in the sort-scan form the 2-D case reduces to: collapse
+    * to the best (min n_orders) point per revenue value, sort by
+    * revenue DESC, keep a point iff its n_orders is strictly below
+    * the running min of everything richer — exactly strict dominance,
+    * with ties handled by the per-revenue collapse. All integers
+    * until output.
+    *
+    * Scale posture: skyline is distributive (the frontier of a union
+    * is the frontier of per-partition frontiers), and this plan
+    * exploits it for free: the per-revenue collapse partial-aggregates
+    * map-side, and the single ordered window runs over at most
+    * |distinct revenue values| collapsed rows, not |customers| — the
+    * same sort class as exact percentiles, usually far smaller. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val perX = perCust.groupBy($"cents")
+      .agg(min($"n_orders").as("n_orders"), count(lit(1)).as("n_cust"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cents".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perX.withColumn("prev_min", min($"n_orders").over(w))
+      .filter($"prev_min".isNull || $"n_orders" < $"prev_min")
+      .select($"cents", ($"cents".cast("double") / 100.0).as("revenue"),
+        $"n_orders", $"n_cust")
+      .orderBy($"cents".desc)
+  }
+
+  val skylineSql: String =
+    s"""WITH skc AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |skx AS (
+       |  SELECT cents, CAST(MIN(n_orders) AS BIGINT) AS n_orders,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cust
+       |  FROM skc GROUP BY cents
+       |),
+       |skw AS (
+       |  SELECT cents, n_orders, n_cust,
+       |    MIN(n_orders) OVER (ORDER BY cents DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+       |  FROM skx
+       |)
+       |SELECT cents, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       |  n_orders, n_cust
+       |FROM skw
+       |WHERE prev_min IS NULL OR n_orders < prev_min
+       |ORDER BY cents DESC NULLS LAST""".stripMargin
+
+  /** orders_abc_analysis: ABC inventory-style classification of
+    * customers by cumulative revenue share — A = the head that carries
+    * the first 80% of revenue, B = the next 15%, C = the tail 5%: the
+    * standard key-account segmentation beside [[giniRevenue]]/
+    * [[hhiRevenue]]/[[skyline]]. Class boundaries are exact integer
+    * cross-multiplies (100·cumsum ≤ 80·total etc.) over cent totals —
+    * no percentage double ever compares; shares divide once at output.
+    * Customers rank deterministically by (cents DESC, custkey).
+    *
+    * Scale posture: per-customer rollup (map-combined), one global
+    * rank window over |customers| (the exact-percentile sort class),
+    * 3 output rows. The cumulative sum reuses the rank sort — one
+    * shuffle total beyond the rollup. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cents".desc, $"o_custkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = perCust.agg(sum($"cents".cast(dec)).as("total"))
+    perCust
+      .withColumn("cum", sum($"cents".cast(dec)).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when($"cum" * 100 <= $"total" * 80, "A")
+          .when($"cum" * 100 <= $"total" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"cents".cast(dec)).as("class_cents"),
+        first($"total").as("total"))
+      .select($"cls", $"n_cust",
+        ($"class_cents".cast("double") / 100.0).as("class_revenue"),
+        ($"class_cents".cast("double") / $"total".cast("double"))
+          .as("revenue_share"))
+      .orderBy($"cls")
+  }
+
+  val abcAnalysisSql: String =
+    s"""WITH abc AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |abw AS (
+       |  SELECT cents,
+       |    CAST(SUM(CAST(cents AS HUGEINT)) OVER (
+       |      ORDER BY cents DESC, o_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+       |      AS cum,
+       |    CAST((SELECT SUM(CAST(cents AS HUGEINT)) FROM abc) AS HUGEINT)
+       |      AS total
+       |  FROM abc
+       |),
+       |abcls AS (
+       |  SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+       |    WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls,
+       |    cents, total
+       |  FROM abw
+       |)
+       |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  CAST(CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+       |    / 100.0 AS class_revenue,
+       |  CAST(CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+       |    / CAST(ANY_VALUE(total) AS DOUBLE) AS revenue_share
+       |FROM abcls GROUP BY cls
+       |${graft.Det.sqlOrderBy(Seq("cls")).trim}""".stripMargin
+
   /** dq_l_diversity: distinct-l-diversity audit (Machanavajjhala et
     * al. 2007) — k-anonymity's sequel: a class of identical
     * quasi-identifiers is still unsafe if its SENSITIVE attribute is
@@ -2019,6 +2151,8 @@ object Warehouse {
     "agg_trimmed_mean" -> trimmedMean,
     "stat_gini" -> giniRevenue,
     "stat_hhi" -> hhiRevenue,
+    "stat_skyline" -> skyline,
+    "orders_abc_analysis" -> abcAnalysis,
     "stat_bootstrap_ci" -> bootstrapCi,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
@@ -2054,6 +2188,8 @@ object Warehouse {
     "agg_trimmed_mean" -> trimmedMeanSql,
     "stat_gini" -> giniRevenueSql,
     "stat_hhi" -> hhiRevenueSql,
+    "stat_skyline" -> skylineSql,
+    "orders_abc_analysis" -> abcAnalysisSql,
     "stat_bootstrap_ci" -> bootstrapCiSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
