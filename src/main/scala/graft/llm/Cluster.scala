@@ -362,6 +362,103 @@ object Cluster {
        |SELECT doc_id, COUNT(*) AS n_triangles
        |FROM m GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
 
+  /** graph_clustering_coeff: global and average-local clustering
+    * coefficients of the near-dup candidate graph (Watts & Strogatz
+    * 1998) — the one-number summary of how CLIQUE-LIKE the duplicate
+    * neighborhoods are: LSH buckets over true duplicate families
+    * produce near-cliques (CC → 1), while chained false-positive
+    * bridges drag CC down, so this is the graph-level health check
+    * beside the per-doc triangle census. Global CC = 3·triangles /
+    * wedges with both counts exact integers (wedges = Σ d(d−1)/2) and
+    * ONE final division; the average local coefficient 1e9-quantizes
+    * each vertex's 2t/(d(d−1)) before the integer sum (the house
+    * fixed-point discipline — no float sum in shuffle order).
+    *
+    * Scale posture: same Σdeg² wedge budget as [[triangles]] /
+    * [[linkPredict]] (LSH bands bound degrees); the degree rollup is
+    * map-combined; output one row. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.candidatePairs(spark, dir).select($"d1", $"d2")
+      .localCheckpoint() // 3 consumers; cut the LSH lineage
+    val deg = bothDirs(pairs.select($"d1".as("src"), $"d2".as("dst")))
+      .groupBy($"src".as("doc_id")).agg(count(lit(1)).as("d"))
+    val nTri = {
+      val e = pairs
+      val wedges = e.select($"d1".as("a"), $"d2".as("b"))
+        .join(e.select(col("d1").as("b"), col("d2").as("c")), "b")
+      wedges.join(e.select(col("d1").as("a"), col("d2").as("c")),
+        Seq("a", "c"))
+        .agg(count(lit(1)).as("n_tri"))
+    }
+    val census = triangleCensus(pairs)
+    val local = deg.filter($"d" >= 2)
+      .join(census, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(expr(
+        """CAST(floor(CAST(2 * n_triangles AS DOUBLE)
+          |  / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)) * 1e9 + 0.5)
+          |  AS BIGINT)""".stripMargin).as("qcc"))
+      .agg(count(lit(1)).as("n_deg2"), sum($"qcc").as("qsum"))
+    val tots = deg.agg(count(lit(1)).as("n_vertices"),
+      expr("sum(d * (d - 1)) div 2").as("wedges"))
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tots))
+      .crossJoin(broadcast(nTri))
+      .crossJoin(broadcast(local))
+      .select($"n_vertices", $"n_edges", $"n_tri".as("n_triangles"),
+        $"wedges".cast("long").as("n_wedges"),
+        (($"n_tri" * 3).cast("double") / $"wedges".cast("double"))
+          .as("global_cc"),
+        ($"qsum".cast("double") / 1e9 / $"n_deg2".cast("double"))
+          .as("avg_local_cc"))
+  }
+
+  val clusteringCoeffSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |ccdeg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT d1 AS doc_id FROM cand
+       |    UNION ALL SELECT d2 FROM cand)
+       |  GROUP BY doc_id
+       |),
+       |cctri0 AS (
+       |  SELECT w1.d1 AS a, w1.d2 AS b, w2.d2 AS c
+       |  FROM cand w1
+       |  JOIN cand w2 ON w2.d1 = w1.d2
+       |  JOIN cand w3 ON w3.d1 = w1.d1 AND w3.d2 = w2.d2
+       |),
+       |cctri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tri FROM cctri0),
+       |cccen AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT a AS doc_id FROM cctri0
+       |    UNION ALL SELECT b FROM cctri0
+       |    UNION ALL SELECT c FROM cctri0)
+       |  GROUP BY doc_id
+       |),
+       |cclocal AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deg2,
+       |    CAST(SUM(CAST(floor(CAST(2 * COALESCE(c.n_triangles, 0) AS DOUBLE)
+       |      / (CAST(g.d AS DOUBLE) * CAST(g.d - 1 AS DOUBLE)) * 1e9 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS qsum
+       |  FROM ccdeg g LEFT JOIN cccen c ON c.doc_id = g.doc_id
+       |  WHERE g.d >= 2
+       |),
+       |cctot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       |    CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS wedges
+       |  FROM ccdeg
+       |)
+       |SELECT t.n_vertices,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_edges,
+       |  r.n_tri AS n_triangles, t.wedges AS n_wedges,
+       |  CAST(r.n_tri * 3 AS DOUBLE) / CAST(t.wedges AS DOUBLE)
+       |    AS global_cc,
+       |  CAST(l.qsum AS DOUBLE) / 1e9 / CAST(l.n_deg2 AS DOUBLE)
+       |    AS avg_local_cc
+       |FROM cctot t, cctri r, cclocal l""".stripMargin
+
   /** Link prediction by common neighbors — the graph-completion
     * primitive over the near-dup graph: count shared LSH neighbors per
     * wedge-connected pair; a high count on a pair that is NOT itself a
@@ -925,6 +1022,7 @@ object Cluster {
     "graph_pagerank_step" -> pagerankStep,
     "graph_pagerank_iter5" -> pagerankIter,
     "graph_triangles" -> triangles,
+    "graph_clustering_coeff" -> clusteringCoeff,
     "graph_link_predict" -> linkPredict,
     "corpus_negatives" -> negatives)
 
@@ -941,6 +1039,7 @@ object Cluster {
     "graph_pagerank_step" -> pagerankStepSql,
     "graph_pagerank_iter5" -> pagerankIterSql,
     "graph_triangles" -> trianglesSql,
+    "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_link_predict" -> linkPredictSql,
     "corpus_negatives" -> negativesSql)
 }

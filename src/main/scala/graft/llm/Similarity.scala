@@ -1089,6 +1089,113 @@ object Similarity {
        |  list_max(list_transform(dv, v -> abs(v))) AS max_abs_delta
        |FROM cdj""".stripMargin
 
+  /** embed_kcenter_coreset: greedy k-center seed selection (Gonzalez
+    * 1985 — the 2-approximation farthest-point traversal), the coreset
+    * construction data-efficient training pipelines use to pick a
+    * maximally-spread representative subset (and the classic k-means++
+    * -style seeding for the k-means tier here). Three greedy rounds
+    * from seed vec_id=0: each round takes the point FARTHEST (max
+    * min-d² over the chosen set) from the selection, then the final
+    * row reports the 4-center coverage radius² — the quantity the
+    * 2-approximation bound speaks about. Distances are the exact
+    * decimal_dot composition d² = x·x − 2x·c + c·c (three IEEE ops on
+    * bit-stable dots); MIN/MAX are order-independent, argmax ties
+    * break by vec_id — fully deterministic with NO driver-side
+    * collect: each round's winner is a 1-row frame the next round
+    * broadcast-joins.
+    *
+    * Scale posture: round t scans N×t pairs against a broadcast ≤4-row
+    * center table (map-only), so k rounds cost O(k²·N) dots — the
+    * textbook greedy bound, linear in the corpus per round; each
+    * argmax is a TakeOrdered. */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    def d2(x: String, c: String) =
+      s"(${dotSpark(x, x)} - 2 * ${dotSpark(x, c)} + ${dotSpark(c, c)})"
+    def asCenters(picks: DataFrame) =
+      emb.join(picks.select($"vec_id"), "vec_id")
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    def mind(chosen: DataFrame) =
+      emb.crossJoin(broadcast(chosen))
+        .selectExpr("vec_id", s"${d2("embedding", "cemb")} AS dd")
+        .groupBy($"vec_id").agg(min($"dd").as("mind"))
+    def pick(m: DataFrame) = m.orderBy($"mind".desc, $"vec_id").limit(1)
+    val c0 = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val p1 = pick(mind(c0))
+    val c1 = c0.unionByName(asCenters(p1))
+    val p2 = pick(mind(c1))
+    val c2 = c1.unionByName(asCenters(p2))
+    val p3 = pick(mind(c2))
+    val c3 = c2.unionByName(asCenters(p3))
+    val cov = mind(c3).agg(max($"mind").as("mind"))
+    def row(t: Int, p: DataFrame) =
+      p.select(lit(t).as("sel_round"), $"vec_id", $"mind".as("radius_sq"))
+    c0.select(lit(0).as("sel_round"), $"cid".as("vec_id"),
+      lit(0e0).as("radius_sq"))
+      .unionByName(row(1, p1)).unionByName(row(2, p2))
+      .unionByName(row(3, p3))
+      .unionByName(cov.select(lit(4).as("sel_round"),
+        lit(-1L).as("vec_id"), $"mind".as("radius_sq")))
+      .orderBy($"sel_round")
+  }
+
+  val kcenterCoresetSql: String = {
+    def d2(x: String, c: String) =
+      s"(${dotDuck(x, x)} - 2 * ${dotDuck(x, c)} + ${dotDuck(c, c)})"
+    s"""WITH kc0 AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id = 0
+       |),
+       |km1 AS (
+       |  SELECT e.vec_id, MIN(${d2("e.embedding", "c.cemb")}) AS mind
+       |  FROM embeddings e, kc0 c GROUP BY e.vec_id
+       |),
+       |kp1 AS (SELECT vec_id, mind FROM km1
+       |        ORDER BY mind DESC, vec_id LIMIT 1),
+       |kc1 AS (
+       |  SELECT * FROM kc0 UNION ALL
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  JOIN kp1 p ON p.vec_id = e.vec_id
+       |),
+       |km2 AS (
+       |  SELECT e.vec_id, MIN(${d2("e.embedding", "c.cemb")}) AS mind
+       |  FROM embeddings e, kc1 c GROUP BY e.vec_id
+       |),
+       |kp2 AS (SELECT vec_id, mind FROM km2
+       |        ORDER BY mind DESC, vec_id LIMIT 1),
+       |kc2 AS (
+       |  SELECT * FROM kc1 UNION ALL
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  JOIN kp2 p ON p.vec_id = e.vec_id
+       |),
+       |km3 AS (
+       |  SELECT e.vec_id, MIN(${d2("e.embedding", "c.cemb")}) AS mind
+       |  FROM embeddings e, kc2 c GROUP BY e.vec_id
+       |),
+       |kp3 AS (SELECT vec_id, mind FROM km3
+       |        ORDER BY mind DESC, vec_id LIMIT 1),
+       |kc3 AS (
+       |  SELECT * FROM kc2 UNION ALL
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  JOIN kp3 p ON p.vec_id = e.vec_id
+       |),
+       |km4 AS (
+       |  SELECT e.vec_id, MIN(${d2("e.embedding", "c.cemb")}) AS mind
+       |  FROM embeddings e, kc3 c GROUP BY e.vec_id
+       |)
+       |SELECT CAST(0 AS INTEGER) AS sel_round, cid AS vec_id,
+       |  CAST(0 AS DOUBLE) AS radius_sq FROM kc0
+       |UNION ALL SELECT CAST(1 AS INTEGER), vec_id, mind FROM kp1
+       |UNION ALL SELECT CAST(2 AS INTEGER), vec_id, mind FROM kp2
+       |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, mind FROM kp3
+       |UNION ALL SELECT CAST(4 AS INTEGER), CAST(-1 AS BIGINT),
+       |  MAX(mind) FROM km4
+       |ORDER BY sel_round NULLS FIRST""".stripMargin
+  }
+
   /** embed_pq_learned: one Lloyd refinement of the PQ sub-codebooks —
     * the step that turns [[pqCode]]'s label-mean INIT codebooks into
     * LEARNED ones (Jégou et al. 2011 train per-subspace k-means; this
@@ -2628,6 +2735,7 @@ object Similarity {
     "embed_binary_quant" -> binaryQuant,
     "embed_binary_recall" -> binaryRecall,
     "embed_rrf_hybrid" -> rrfHybrid,
+    "embed_kcenter_coreset" -> kcenterCoreset,
     "embed_centroid_drift" -> centroidDrift,
     "embed_quantize" -> quantize)
 
@@ -2663,6 +2771,7 @@ object Similarity {
     "embed_binary_quant" -> binaryQuantSql,
     "embed_binary_recall" -> binaryRecallSql,
     "embed_rrf_hybrid" -> rrfHybridSql,
+    "embed_kcenter_coreset" -> kcenterCoresetSql,
     "embed_centroid_drift" -> centroidDriftSql,
     "embed_quantize" -> quantizeSql)
 }

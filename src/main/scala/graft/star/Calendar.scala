@@ -511,7 +511,68 @@ object Calendar {
        |    / CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE) AS acf_lag3
        |FROM dl""".stripMargin
 
+  /** orders_snaive_mase: seasonal-naive forecast backtest — predict
+    * each month's revenue as the same month one year earlier, scored
+    * by MASE (Hyndman & Koehler 2006), the scale-free forecast-quality
+    * number every demand-planning dashboard quotes (MASE < 1 beats
+    * the one-step naive). Stated in exact integer cents end-to-end:
+    * numerator = seasonal-naive absolute errors over months 13+,
+    * denominator = one-step-naive absolute errors over months 2+ (the
+    * in-sample naive MAE convention), and the ratio is computed as
+    * ONE division of two exact BIGINT cross-products
+    * (Σe₁₂·n₁)/(Σe₁·n₁₂) — no intermediate float means.
+    *
+    * Scale posture: the month rollup is a map-combined groupBy to
+    * |months| rows; the lag window sorts those |months| rows (time-
+    * bounded, not data-bounded — the Theil–Sen argument); output one
+    * row. */
+  def snaiveMase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables(spark, dir, "orders")
+      .groupBy(trunc(to_date($"o_orderdate"), "month").as("m"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"m")
+    monthly
+      .withColumn("l1", lag($"c", 1).over(w))
+      .withColumn("l12", lag($"c", 12).over(w))
+      .agg(count($"l1").as("n1"), sum(abs($"c" - $"l1")).as("e1"),
+        count($"l12").as("n12"), sum(abs($"c" - $"l12")).as("e12"))
+      .select($"n1".as("n_train"), $"n12".as("n_test"),
+        ($"e1".cast("double") / 100.0 / $"n1".cast("double"))
+          .as("mae_naive1"),
+        ($"e12".cast("double") / 100.0 / $"n12".cast("double"))
+          .as("mae_snaive"),
+        (($"e12" * $"n1").cast("double") / ($"e1" * $"n12").cast("double"))
+          .as("mase"))
+  }
+
+  val snaiveMaseSql: String =
+    s"""WITH snm AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS c
+       |  FROM orders GROUP BY 1
+       |),
+       |snl AS (
+       |  SELECT c, lag(c, 1) OVER (ORDER BY m) AS l1,
+       |    lag(c, 12) OVER (ORDER BY m) AS l12
+       |  FROM snm
+       |),
+       |sna AS (
+       |  SELECT CAST(COUNT(l1) AS BIGINT) AS n1,
+       |    CAST(SUM(abs(c - l1)) AS BIGINT) AS e1,
+       |    CAST(COUNT(l12) AS BIGINT) AS n12,
+       |    CAST(SUM(abs(c - l12)) AS BIGINT) AS e12
+       |  FROM snl
+       |)
+       |SELECT n1 AS n_train, n12 AS n_test,
+       |  CAST(e1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE) AS mae_naive1,
+       |  CAST(e12 AS DOUBLE) / 100.0 / CAST(n12 AS DOUBLE) AS mae_snaive,
+       |  CAST(e12 * n1 AS DOUBLE) / CAST(e1 * n12 AS DOUBLE) AS mase
+       |FROM sna""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_snaive_mase" -> snaiveMase,
     "orders_acf" -> ordersAcf,
     "orders_cusum" -> cusum,
     "orders_changepoint" -> changepoint,
@@ -522,6 +583,7 @@ object Calendar {
     "orders_gap_interp" -> gapInterp)
 
   val oracles: Map[String, String] = Map(
+    "orders_snaive_mase" -> snaiveMaseSql,
     "orders_cusum" -> cusumSql,
     "orders_changepoint" -> changepointSql,
     "orders_acf" -> ordersAcfSql,
