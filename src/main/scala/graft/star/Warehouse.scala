@@ -792,6 +792,105 @@ object Warehouse {
        |FROM abcls GROUP BY cls
        |${graft.Det.sqlOrderBy(Seq("cls")).trim}""".stripMargin
 
+  /** orders_rfm_segments: RFM customer segmentation — the marketing
+    * warehouse's canonical cube: every customer scored into terciles
+    * of Recency (days since last order, lower better), Frequency
+    * (order count) and Monetary (lifetime cents), rolled up to the 27
+    * (r,f,m) cells with size and average spend. Terciles come from
+    * rank cross-multiplies (t = 1 + (3·(rank−1)) div n over a
+    * deterministic (metric, custkey) order) — NOT ntile(), whose
+    * remainder distribution is engine-defined trivia we refuse to
+    * depend on; every boundary is an exact integer comparison. The
+    * recency anchor is the corpus max order date (data-derived, no
+    * wall clock).
+    *
+    * Scale posture: one per-customer rollup, three rank windows over
+    * |customers| (the exact-percentile sort class — at 100 TB these
+    * three sorts ARE the cost, and they are the textbook price of
+    * exact quantile segmentation), 27-row output. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val anchor = Tables(spark, dir, "orders")
+      .agg(max(to_date($"o_orderdate")).as("anchor"))
+    val rfm = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(anchor))
+      .select($"o_custkey", datediff($"anchor", $"last_d").as("rec_days"),
+        $"freq", $"cents")
+    val n = rfm.agg(count(lit(1)).as("n")).select($"n")
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy($"rec_days", $"o_custkey")
+    val wF = org.apache.spark.sql.expressions.Window
+      .orderBy($"freq".desc, $"o_custkey")
+    val wM = org.apache.spark.sql.expressions.Window
+      .orderBy($"cents".desc, $"o_custkey")
+    rfm
+      .withColumn("rr", row_number().over(wR))
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rm", row_number().over(wM))
+      .crossJoin(broadcast(n))
+      .selectExpr("o_custkey", "rec_days", "freq", "cents",
+        "1 + (3 * (rr - 1)) div n AS r_t",
+        "1 + (3 * (rf - 1)) div n AS f_t",
+        "1 + (3 * (rm - 1)) div n AS m_t")
+      .groupBy($"r_t", $"f_t", $"m_t")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"cents".cast(dec)).as("seg_cents"),
+        sum($"rec_days".cast("long")).as("seg_rec"),
+        sum($"freq").as("seg_freq"))
+      .select($"r_t", $"f_t", $"m_t", $"n_cust",
+        ($"seg_cents".cast("double") / 100.0 / $"n_cust".cast("double"))
+          .as("avg_monetary"),
+        ($"seg_rec".cast("double") / $"n_cust".cast("double"))
+          .as("avg_recency_days"),
+        ($"seg_freq".cast("double") / $"n_cust".cast("double"))
+          .as("avg_frequency"))
+      .orderBy($"r_t", $"f_t", $"m_t")
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH rfa AS (
+       |  SELECT CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS anchor
+       |  FROM orders
+       |),
+       |rfc AS (
+       |  SELECT o_custkey,
+       |    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)),
+       |      ANY_VALUE(a.anchor)) AS INTEGER) AS rec_days,
+       |    CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders, rfa a GROUP BY o_custkey
+       |),
+       |rfn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfc),
+       |rfr AS (
+       |  SELECT o_custkey, rec_days, freq, cents,
+       |    row_number() OVER (ORDER BY rec_days, o_custkey) AS rr,
+       |    row_number() OVER (ORDER BY freq DESC, o_custkey) AS rf,
+       |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rm
+       |  FROM rfc
+       |),
+       |rft AS (
+       |  SELECT r.*,
+       |    CAST(1 + (3 * (rr - 1)) // n AS BIGINT) AS r_t,
+       |    CAST(1 + (3 * (rf - 1)) // n AS BIGINT) AS f_t,
+       |    CAST(1 + (3 * (rm - 1)) // n AS BIGINT) AS m_t
+       |  FROM rfr r, rfn
+       |)
+       |SELECT r_t, f_t, m_t, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  CAST(CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+       |    / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_monetary,
+       |  CAST(CAST(SUM(CAST(rec_days AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_recency_days,
+       |  CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_frequency
+       |FROM rft GROUP BY r_t, f_t, m_t
+       |${graft.Det.sqlOrderBy(Seq("r_t", "f_t", "m_t")).trim}""".stripMargin
+
   /** dq_l_diversity: distinct-l-diversity audit (Machanavajjhala et
     * al. 2007) — k-anonymity's sequel: a class of identical
     * quasi-identifiers is still unsafe if its SENSITIVE attribute is
@@ -2153,6 +2252,7 @@ object Warehouse {
     "stat_hhi" -> hhiRevenue,
     "stat_skyline" -> skyline,
     "orders_abc_analysis" -> abcAnalysis,
+    "orders_rfm_segments" -> rfmSegments,
     "stat_bootstrap_ci" -> bootstrapCi,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
@@ -2190,6 +2290,7 @@ object Warehouse {
     "stat_hhi" -> hhiRevenueSql,
     "stat_skyline" -> skylineSql,
     "orders_abc_analysis" -> abcAnalysisSql,
+    "orders_rfm_segments" -> rfmSegmentsSql,
     "stat_bootstrap_ci" -> bootstrapCiSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
