@@ -1489,8 +1489,11 @@ object Curate {
       .orderBy($"doc_id")
   }
 
-  val dsirWeightsSql: String =
-    s"""WITH toks AS (
+  /** Shared DSIR CTE chain: per-doc mean target/source token-ratio as
+    * `dsw(doc_id, n_tok, dsir_weight)` — reused by the resampling
+    * composition below. */
+  private val dsirSqlCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
        |  FROM documents
        |),
@@ -1506,11 +1509,73 @@ object Curate {
        |    (CAST(COALESCE(c_t, 0) AS DOUBLE) / CAST(n_tgt AS DOUBLE))
        |      / (CAST(c_s AS DOUBLE) / CAST(n_src AS DOUBLE)) AS r
        |  FROM src LEFT JOIN tgt USING (w), totals
+       |),
+       |dsw AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok,
+       |    ${graft.Det.sqlSum("r")} / CAST(COUNT(*) AS DOUBLE) AS dsir_weight
+       |  FROM toks JOIN ratio USING (w)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+
+  val dsirWeightsSql: String =
+    s"""WITH $dsirSqlCtes
+       |SELECT doc_id, n_tok, dsir_weight
+       |FROM dsw${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+
+  /** corpus_dsir_resample: the SELECTION half of DSIR (Xie et al.
+    * 2023) — importance RESAMPLING of the corpus under the
+    * [[dsirWeights]] target-likeness weights, via the same
+    * Efraimidis–Spirakis machinery as [[weightedSample]]: each doc's
+    * weight quantizes to a ≥1 integer (floor(w·10⁶+0.5), bit-stable
+    * because the weight itself is oracle-green), key = −qlog2(u)/wq in
+    * non-negative integer fixed point, global top-200 smallest keys =
+    * the resampled, target-shifted training subset. This closes the
+    * score→resample loop the DSIR paper actually ships.
+    *
+    * Scale posture: the weight computation is [[dsirWeights]]'s two
+    * vocab-bounded aggs; the resample adds one map pass + a global
+    * rank(≤200) window that compiles to a partial WindowGroupLimit —
+    * at most 200 rows per map task reach the exchange. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = dsirWeights(spark, dir)
+      .select($"doc_id", $"dsir_weight")
+      .withColumn("wq", greatest(lit(1L),
+        expr("CAST(floor(dsir_weight * 1e6 + 0.5) AS BIGINT)")))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(cast(concat('dsir:', cast(doc_id AS STRING)) " +
+          "as binary)), 1, 8), 16, 10) as bigint) + 1"))
+      .withColumn("neg", expr(s"32768 - ${qlog2Spark("u")}"))
+      .withColumn("k", expr("(neg * 1048576) div wq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"k", $"doc_id")
+    keyed.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 200)
+      .select($"rk", $"doc_id", $"dsir_weight", $"k")
+      .orderBy($"rk")
+  }
+
+  val dsirResampleSql: String =
+    s"""WITH $dsirSqlCtes,
+       |drk AS (
+       |  SELECT doc_id, dsir_weight,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor(dsir_weight * 1e6 + 0.5) AS BIGINT)) AS wq,
+       |    CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) + 1 AS u
+       |  FROM dsw
+       |),
+       |drs AS (
+       |  SELECT doc_id, dsir_weight,
+       |    CAST(((32768 - ${qlog2Duck("u")}) * 1048576) // wq AS BIGINT) AS k
+       |  FROM drk
        |)
-       |SELECT doc_id, COUNT(*) AS n_tok,
-       |  ${graft.Det.sqlSum("r")} / CAST(COUNT(*) AS DOUBLE) AS dsir_weight
-       |FROM toks JOIN ratio USING (w)
-       |GROUP BY doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+       |SELECT rk, doc_id, dsir_weight, k FROM (
+       |  SELECT doc_id, dsir_weight, k,
+       |    CAST(row_number() OVER (ORDER BY k, doc_id) AS INTEGER) AS rk
+       |  FROM drs)
+       |WHERE rk <= 200
+       |${sqlOrderBy(Seq("rk")).trim}""".stripMargin
 
   /** Vocabulary growth curve (Heaps' law): cumulative distinct-word
     * count as the corpus grows in doc_id order — the estimator behind
@@ -2186,6 +2251,7 @@ object Curate {
     "corpus_weighted_sample" -> weightedSample,
     "corpus_pipeline_funnel" -> pipelineFunnel,
     "text_dsir_weights" -> dsirWeights,
+    "corpus_dsir_resample" -> dsirResample,
     "dedup_span_cover" -> spanCover,
     "dedup_max_span" -> maxSpan)
 
@@ -2215,6 +2281,7 @@ object Curate {
     "corpus_weighted_sample" -> weightedSampleSql,
     "corpus_pipeline_funnel" -> pipelineFunnelSql,
     "text_dsir_weights" -> dsirWeightsSql,
+    "corpus_dsir_resample" -> dsirResampleSql,
     "dedup_span_cover" -> spanCoverSql,
     "dedup_max_span" -> maxSpanSql)
 }
