@@ -169,6 +169,14 @@ object ScaleRehearsal {
     stage("embed_rrf_hybrid")(graft.llm.Similarity.rrfHybrid(spark, dir))
     stage("corpus_weighted_sample")(
       graft.llm.Curate.weightedSample(spark, dir))
+    // round 9 (third wave): greedy k-center (k rounds × N broadcast
+    // dots — the linear-per-round claim), DSIR score→resample
+    // composition (vocab-bounded aggs + WindowGroupLimit), Zipf OLS
+    // (vocab groupBy + per-lang top-1000 windows)
+    stage("embed_kcenter_coreset")(
+      graft.llm.Similarity.kcenterCoreset(spark, dir))
+    stage("corpus_dsir_resample")(graft.llm.Curate.dsirResample(spark, dir))
+    stage("text_zipf_fit")(graft.llm.TextStats.zipfFit(spark, dir))
     spark.stop()
   }
 }
