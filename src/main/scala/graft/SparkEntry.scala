@@ -38,6 +38,8 @@ object SparkEntry {
       star.SqlFeatures.queries ++
       star.ZOrder.queries ++
       star.Tpch.queries ++
+      star.Inference.queries ++
+      star.Linkage.queries ++
       llm.Dedup.queries ++
       llm.Curate.queries ++
       llm.Cluster.queries ++
@@ -71,6 +73,8 @@ object SparkEntry {
       star.SqlFeatures.oracles ++
       star.ZOrder.oracles ++
       star.Tpch.oracles ++
+      star.Inference.oracles ++
+      star.Linkage.oracles ++
       llm.Dedup.oracles ++
       llm.Curate.oracles ++
       llm.Cluster.oracles ++

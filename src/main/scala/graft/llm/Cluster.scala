@@ -1009,7 +1009,77 @@ object Cluster {
        |FROM sym JOIN deg dj ON sym.src = dj.node
        |JOIN deg dk ON sym.dst = dk.node""".stripMargin
 
+  /** graph_louvain_step: one deterministic SYNCHRONOUS sweep of the
+    * Louvain local-moving heuristic (Blondel et al. 2008) from the
+    * singleton partition over the candidate-pair graph — the first
+    * (and dominant) iteration of the community-detection method every
+    * graph stack ships. For node u with singleton neighbor communities,
+    * the modularity gain of moving u into {v} is
+    * ΔQ = w_uv/m − k_u·k_v/(2m²); with unit edge weights the argmax
+    * over neighbors is the neighbor of MINIMUM degree (2m − k_u·k_v
+    * maximized), tie-broken by id, and the move happens iff the gain
+    * is positive ⟺ 2m > k_u·k_v — ALL integer comparisons, no
+    * division anywhere (the gain's exact numerator 2m − k_u·k_v is
+    * emitted; its 2m² denominator is constant). Synchronous = every
+    * node decides against the INITIAL partition, which makes the sweep
+    * order-independent — the determinism the sequential textbook sweep
+    * lacks and the property that lets both engines agree bit-for-bit.
+    *
+    * Scale posture: one degree aggregate, one |edges|-row join to
+    * attach neighbor degrees, one min(struct) per node — the same
+    * equi-keyed shuffle class as [[pagerankStep]]. */
+  def louvainStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(
+      Dedup.candidatePairs(spark, dir).select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint() // feeds degree count AND the neighbor join
+    val m2 = edges.agg(count(lit(1)).as("m2")) // 2m (directed count)
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("k"))
+    val best = edges
+      .join(deg.select($"node".as("src"), $"k".as("k_u")), "src")
+      .join(deg.select($"node".as("dst"), $"k".as("k_v")), "dst")
+      .groupBy($"src", $"k_u")
+      .agg(min(struct($"k_v", $"dst")).as("b"))
+      .crossJoin(broadcast(m2))
+      .select($"src".as("node"), $"k_u".as("degree"),
+        $"b.dst".as("best_nbr"),
+        ($"m2" - $"k_u" * $"b.k_v").as("gain_num"),
+        ($"m2" > $"k_u" * $"b.k_v").as("moved"))
+      .withColumn("community",
+        when($"moved", $"best_nbr").otherwise($"node"))
+      .select($"node", $"degree", $"best_nbr", $"gain_num", $"moved",
+        $"community")
+      .orderBy($"node")
+    best
+  }
+
+  val louvainStepSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+       |        FROM edges GROUP BY src),
+       |cand_mv AS (
+       |  SELECT e.src, du.k AS k_u, e.dst, dv.k AS k_v,
+       |    row_number() OVER (PARTITION BY e.src ORDER BY dv.k, e.dst) AS rn
+       |  FROM edges e
+       |    JOIN deg du ON du.node = e.src
+       |    JOIN deg dv ON dv.node = e.dst
+       |)
+       |SELECT src AS node, k_u AS degree, dst AS best_nbr,
+       |  m2.m2 - k_u * k_v AS gain_num,
+       |  m2.m2 > k_u * k_v AS moved,
+       |  CASE WHEN m2.m2 > k_u * k_v THEN dst ELSE src END AS community
+       |FROM cand_mv CROSS JOIN m2 WHERE rn = 1
+       |${graft.Det.sqlOrderBy(Seq("node")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_louvain_step" -> louvainStep,
     "graph_assortativity" -> assortativity,
     "graph_modularity" -> modularity,
     "graph_kcore_peel3" -> kcorePeel,
@@ -1027,6 +1097,7 @@ object Cluster {
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
+    "graph_louvain_step" -> louvainStepSql,
     "graph_assortativity" -> assortativitySql,
     "graph_modularity" -> modularitySql,
     "graph_kcore_peel3" -> kcorePeelSql,

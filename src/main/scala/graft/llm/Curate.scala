@@ -779,6 +779,236 @@ object Curate {
        |      FROM lrated)
        |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** text_kneser_ney: interpolated Kneser–Ney bigram probabilities
+    * (Kneser & Ney 1995; Chen & Goodman 1998 — the smoothing every
+    * KenLM-style n-gram quality scorer ships) for the corpus's top-100
+    * bigrams. Where [[lmSurprisal]]'s add-one model overweights
+    * frequent unigrams, KN backs off to CONTINUATION counts: how many
+    * distinct contexts a word follows, not how often it appears.
+    *
+    *   P_KN(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *               + d·N1+(w1,·)/c(w1·) · N1+(·,w2)/B,   d = 3/4
+    *
+    * With d = 3/4 the whole expression is the exact rational
+    * [max(4·c12 − 3, 0)·B + 3·fanout(w1)·fanin(w2)] / (4·c1·B) — all
+    * BIGINT counts, ONE terminal IEEE division per row, no logs (the
+    * house transcendental-free rule). The oracle recomputes every
+    * count independently in DuckDB.
+    *
+    * Scale posture: the same |tokens|-row bigram aggregation class as
+    * [[lmSurprisal]]; continuation/fanout tables are |vocab|-row
+    * reaggregations of the bigram-type table (map-side combinable);
+    * the type total is a broadcast 1-row frame; top-100 is a
+    * TakeOrdered, never a global sort materialization. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables(spark, dir, "documents")
+      .select(split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val cBg = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds three reaggregations + the join
+    val ctx = cBg.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("fanout"))
+    val prec = cBg.groupBy($"w2").agg(count(lit(1)).as("fanin"))
+    val btypes = cBg.agg(count(lit(1)).as("b_types"))
+    cBg.join(ctx, "w1").join(prec, "w2").crossJoin(broadcast(btypes))
+      .select($"w1", $"w2", $"c12", $"c1", $"fanout", $"fanin", $"b_types",
+        ((greatest($"c12" * 4L - 3L, lit(0L)) * $"b_types"
+          + lit(3L) * $"fanout" * $"fanin").cast("double")
+          / (lit(4L) * $"c1" * $"b_types").cast("double")).as("p_kn"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(100)
+  }
+
+  val kneserNeySql: String =
+    s"""WITH kbg AS (
+       |  SELECT t[i + 1] AS w1, t[i + 2] AS w2
+       |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 2),
+       |    unnest(range(0, len(t) - 1)) ti(i)
+       |),
+       |kcbg AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM kbg GROUP BY 1, 2
+       |),
+       |kctx AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |    CAST(COUNT(*) AS BIGINT) AS fanout
+       |  FROM kcbg GROUP BY w1
+       |),
+       |kprec AS (
+       |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS fanin FROM kcbg GROUP BY w2
+       |),
+       |kb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM kcbg)
+       |SELECT g.w1, g.w2, g.c12, c.c1, c.fanout, p.fanin, kb.b_types,
+       |  CAST(greatest(g.c12 * 4 - 3, 0) * kb.b_types
+       |    + 3 * c.fanout * p.fanin AS DOUBLE)
+       |    / CAST(4 * c.c1 * kb.b_types AS DOUBLE) AS p_kn
+       |FROM kcbg g
+       |  JOIN kctx c ON g.w1 = c.w1
+       |  JOIN kprec p ON g.w2 = p.w2
+       |  CROSS JOIN kb
+       |ORDER BY g.c12 DESC, g.w1, g.w2 LIMIT 100""".stripMargin
+
+  /** text_wordpiece: the THIRD tokenizer family — WordPiece greedy
+    * longest-match-first segmentation (Wu et al. 2016, the BERT
+    * tokenizer; maximal munch with `##` continuation pieces), closing
+    * the BPE / unigram-LM / WordPiece trio a tokenizer bake-off
+    * compares. Vocabulary is derived deterministically and
+    * POSITION-AWARE, the WordPiece convention: word-initial pieces are
+    * stored raw, word-internal pieces prefixed `##`; every single
+    * character observed at each position class is included (total
+    * coverage — no UNK path), plus the top-20 multi-char pieces of
+    * length 2–4 per position class by corpus weight. Encoding walks
+    * each DISTINCT dictionary word left to right taking the LONGEST
+    * vocab piece at the cursor — a zero-shuffle `aggregate` expression
+    * against a broadcast piece set (cursor state advances ≥1 char per
+    * step, so 16 iterations cover the 16-char dictionary bound).
+    * Output mirrors [[bpeTokenize]]: per document, subword token
+    * count, char count, chars-per-token.
+    *
+    * Scale posture: same encode-once-per-distinct-word discipline as
+    * the other two tokenizer legs — corpus-sized work is one word join
+    * + per-doc sum; the greedy walk is map-only over |vocab_words|
+    * rows with a ≤ (singles + 40)-entry broadcast map. The DuckDB
+    * oracle replays the same greedy walk as 16 unrolled max-munch CTE
+    * steps — an independent formulation of the same traversal. */
+  def wordpieceTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = unigramWords(spark, dir).localCheckpoint()
+    val initMulti = words
+      .select($"c_w", explode(expr(
+        """filter(transform(sequence(2, 4), l ->
+          |  IF(length(w) >= l, substr(w, 1, CAST(l AS INT)), NULL)),
+          |  x -> x IS NOT NULL)""".stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"c_w").as("cnt"))
+      .orderBy($"cnt".desc, $"piece").limit(20)
+    val contMulti = words
+      .select($"c_w", explode(expr(
+        """flatten(transform(sequence(2, 4), l ->
+          |  IF(length(w) >= l + 1,
+          |    transform(sequence(2, length(w) - l + 1),
+          |      i -> concat('##', substr(w, CAST(i AS INT), CAST(l AS INT)))),
+          |    array())))""".stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"c_w").as("cnt"))
+      .orderBy($"cnt".desc, $"piece").limit(20)
+    val initSingle = words.select(substring($"w", 1, 1).as("piece")).distinct()
+    val contSingle = words.filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, length(w)), i -> concat('##', substr(w, CAST(i AS INT), 1)))"))
+        .as("piece")).distinct()
+    val vocab = initMulti.select($"piece")
+      .unionAll(contMulti.select($"piece"))
+      .unionAll(initSingle).unionAll(contSingle)
+      .distinct()
+    val vmapRow = vocab
+      .agg(map_from_entries(collect_list(struct($"piece", lit(1)))).as("vmap"))
+    val greedy =
+      """aggregate(
+        |  sequence(1, length(w)),
+        |  named_struct('pos', 0, 'n', CAST(0 AS BIGINT)),
+        |  (acc, j) -> IF(acc.pos = j - 1,
+        |    named_struct(
+        |      'pos', acc.pos + array_max(filter(transform(sequence(1, 4), m ->
+        |        IF(j + m - 1 <= length(w) AND element_at(vmap,
+        |             IF(j = 1, substr(w, j, CAST(m AS INT)),
+        |                concat('##', substr(w, j, CAST(m AS INT))))) IS NOT NULL,
+        |          CAST(m AS INT), NULL)), x -> x IS NOT NULL)),
+        |      'n', acc.n + 1),
+        |    acc),
+        |  acc -> acc.n) AS n_sym""".stripMargin
+    val wordSyms = words.select($"w").crossJoin(broadcast(vmapRow))
+      .selectExpr("w", greedy)
+      .select($"w", length($"w").as("n_ch"), $"n_sym")
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= 16)
+    toks.join(wordSyms, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"n_sym").as("n_tokens"),
+        sum($"n_ch".cast("long")).as("n_chars"))
+      .select($"doc_id", $"n_tokens", $"n_chars",
+        ($"n_chars".cast("double") / $"n_tokens".cast("double"))
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val wordpieceTokenizeSql: String = {
+    // 16 unrolled greedy max-munch steps; each step advances every
+    // unfinished word-state by its longest matching piece (states are
+    // MATERIALIZED — referenced twice per step)
+    val steps = (1 to 16).map { j =>
+      s"""wp$j AS MATERIALIZED (
+         |  SELECT w, pos, n FROM wp${j - 1} WHERE pos = length(w)
+         |  UNION ALL
+         |  SELECT w, pos + mbest AS pos, n + 1 AS n FROM (
+         |    SELECT s.w, s.pos, s.n, max(m.m) AS mbest
+         |    FROM wp${j - 1} s
+         |    CROSS JOIN (SELECT unnest(range(1, 5)) AS m) m
+         |    JOIN wpvocab v ON v.piece =
+         |      CASE WHEN s.pos = 0 THEN substr(s.w, 1, CAST(m.m AS INTEGER))
+         |           ELSE '##' || substr(s.w, CAST(s.pos + 1 AS INTEGER),
+         |                                CAST(m.m AS INTEGER)) END
+         |    WHERE s.pos < length(s.w) AND s.pos + m.m <= length(s.w)
+         |    GROUP BY s.w, s.pos, s.n)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wpwords AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS c_w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) BETWEEN 1 AND 16 GROUP BY w
+       |),
+       |wpim AS (
+       |  SELECT piece FROM (
+       |    SELECT substr(w, 1, CAST(l AS INTEGER)) AS piece,
+       |      CAST(SUM(c_w) AS BIGINT) AS cnt
+       |    FROM wpwords, unnest(range(2, 5)) tl(l)
+       |    WHERE length(w) >= l GROUP BY 1
+       |  ) ORDER BY cnt DESC, piece LIMIT 20
+       |),
+       |wpcm AS (
+       |  SELECT piece FROM (
+       |    SELECT '##' || substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER))
+       |      AS piece, CAST(SUM(c_w) AS BIGINT) AS cnt
+       |    FROM wpwords, unnest(range(2, 5)) tl(l),
+       |      unnest(range(2, length(w) - l + 2)) ti(i)
+       |    WHERE length(w) >= l + 1 GROUP BY 1
+       |  ) ORDER BY cnt DESC, piece LIMIT 20
+       |),
+       |wpis AS (SELECT DISTINCT substr(w, 1, 1) AS piece FROM wpwords),
+       |wpcs AS (
+       |  SELECT DISTINCT '##' || substr(w, CAST(i AS INTEGER), 1) AS piece
+       |  FROM wpwords, unnest(range(2, length(w) + 1)) ti(i)
+       |  WHERE length(w) >= 2
+       |),
+       |wpvocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT piece FROM wpim UNION ALL SELECT piece FROM wpcm
+       |    UNION ALL SELECT piece FROM wpis UNION ALL SELECT piece FROM wpcs)
+       |),
+       |wp0 AS MATERIALIZED (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS n FROM wpwords
+       |),
+       |$steps,
+       |wsyms AS (
+       |  SELECT w, length(w) AS n_ch, n AS n_sym FROM wp16
+       |),
+       |wtoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT t.doc_id,
+       |  CAST(SUM(s.n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(s.n_ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(s.n_ch) AS DOUBLE) / CAST(SUM(s.n_sym) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM wtoks t JOIN wsyms s ON t.w = s.w
+       |WHERE length(t.w) BETWEEN 1 AND 16
+       |GROUP BY t.doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+  }
+
   /** text_tokenizer_compare: the BPE and unigram-LM apply tiers put
     * head-to-head — per language, fertility (tokens per word) and
     * compression (chars per token) under EACH trained tokenizer, and
@@ -2021,7 +2251,13 @@ object Curate {
     * the moment pass is one map-side-combined aggregation to a 1-row
     * frame broadcast back for scoring. Nothing iterative, nothing
     * collected. */
-  def qualityLpm(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared LPM scoring pass behind [[qualityLpm]] and
+    * [[graft.star.Inference.brierCalibration]]: per-document label y
+    * (doc participates in ≥1 LSH candidate pair) and raw linear-
+    * probability prediction `pred_p = b0 + b1·x1 + b2·x2` from the
+    * closed-form OLS, alongside the broadcast model columns
+    * (n, sy, b0, b1, b2). SQL twin: [[lpmScoredSqlCtes]]. */
+  def lpmScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val flagged = Dedup.candidatePairs(spark, dir)
       .select($"d1".as("doc_id"))
@@ -2061,9 +2297,15 @@ object Curate {
       .selectExpr("n", "sy", "d0 / det AS b0", "d1 / det AS b1",
         "d2 / det AS b2")
     feats.crossJoin(broadcast(beta))
-      .withColumn("pred",
-        ($"b0" + $"b1" * $"x1".cast("double")
-          + $"b2" * $"x2".cast("double") >= 0.5).cast("long"))
+      .withColumn("pred_p",
+        $"b0" + $"b1" * $"x1".cast("double")
+          + $"b2" * $"x2".cast("double"))
+  }
+
+  def qualityLpm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lpmScored(spark, dir)
+      .withColumn("pred", ($"pred_p" >= 0.5).cast("long"))
       .groupBy($"n", $"sy", $"b0", $"b1", $"b2")
       .agg(
         count_if($"pred" === 1 && $"y" === 1).as("tp"),
@@ -2075,10 +2317,11 @@ object Curate {
         (($"tp" + $"tn").cast("double") / $"n").as("accuracy"))
   }
 
-  val qualityLpmSql: String =
-    s"""WITH ${Dedup.sigSqlCte},
-       |${Dedup.candSqlCte},
-       |flagged AS (
+  /** The flagged→feats→m→beta→lpm_scored DuckDB CTE chain shared by
+    * [[qualityLpmSql]] and Inference's brierCalibrationSql — callers
+    * prepend `Dedup.sigSqlCte` + `Dedup.candSqlCte`. */
+  val lpmScoredSqlCtes: String =
+    s"""flagged AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT d1 AS doc_id FROM cand UNION ALL SELECT d2 FROM cand)
        |),
@@ -2123,12 +2366,24 @@ object Curate {
        |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS b2
        |  FROM m
        |),
-       |scored AS (
-       |  SELECT f.y,
-       |    CAST(b.b0 + b.b1 * CAST(f.x1 AS DOUBLE)
-       |      + b.b2 * CAST(f.x2 AS DOUBLE) >= 0.5 AS BIGINT) AS pred,
-       |    b.n, b.sy, b.b0, b.b1, b.b2
+       |lpm_scored AS (
+       |  SELECT f.doc_id, f.y, b.n, b.sy, b.b0, b.b1, b.b2,
+       |    b.b0 + b.b1 * CAST(f.x1 AS DOUBLE)
+       |      + b.b2 * CAST(f.x2 AS DOUBLE) AS pred_p
        |  FROM feats f CROSS JOIN beta b
+       |)""".stripMargin
+
+  /** Self-contained WITH-body (sig, cand, flagged…lpm_scored) for
+    * callers outside the llm package (Dedup's CTEs are package-private). */
+  val lpmScoredSqlAll: String =
+    s"${Dedup.sigSqlCte},\n${Dedup.candSqlCte},\n$lpmScoredSqlCtes"
+
+  val qualityLpmSql: String =
+    s"""WITH $lpmScoredSqlAll,
+       |scored AS (
+       |  SELECT y, CAST(pred_p >= 0.5 AS BIGINT) AS pred,
+       |    n, sy, b0, b1, b2
+       |  FROM lpm_scored
        |)
        |SELECT n AS n_docs, sy AS n_flagged, b0, b1, b2,
        |  CAST(count_if(pred = 1 AND y = 1) AS BIGINT) AS tp,
@@ -2245,6 +2500,8 @@ object Curate {
     "text_unigram_em" -> unigramEm,
     "text_unigram_tokenize" -> unigramTokenize,
     "text_lm_surprisal" -> lmSurprisal,
+    "text_kneser_ney" -> kneserNey,
+    "text_wordpiece" -> wordpieceTokenize,
     "text_pii_scan" -> piiScan,
     "text_tokenizer_compare" -> tokenizerCompare,
     "corpus_mix_entropy" -> mixEntropy,
@@ -2275,6 +2532,8 @@ object Curate {
     "text_unigram_em" -> unigramEmSql,
     "text_unigram_tokenize" -> unigramTokenizeSql,
     "text_lm_surprisal" -> lmSurprisalSql,
+    "text_kneser_ney" -> kneserNeySql,
+    "text_wordpiece" -> wordpieceTokenizeSql,
     "text_pii_scan" -> piiScanSql,
     "text_tokenizer_compare" -> tokenizerCompareSql,
     "corpus_mix_entropy" -> mixEntropySql,

@@ -1385,6 +1385,59 @@ object Similarity {
        |) WHERE rank <= 3
        |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
 
+  /** embed_mutual_knn: MUTUAL k-NN pairs — edges (v1, v2) where each
+    * vector ranks in the OTHER's top-3 (reciprocal nearest neighbors).
+    * The symmetric core of the k-NN graph is what density-aware dedup
+    * and clustering actually trust: a hub vector appears in thousands
+    * of top-k lists, but mutuality filters hub edges to genuinely
+    * reciprocal affinity (the k-reciprocal re-ranking trick, Zhong et
+    * al. CVPR 2017; SNN clustering, Jarvis-Patrick 1973). Composes
+    * [[knnGraph]] with one self-join on the reversed edge — both
+    * ranks and the exact-decimal cosine ride along.
+    *
+    * Scale posture: the k-NN edge list is |V|·k skinny rows,
+    * localCheckpointed so the self-join's two sides share ONE build of
+    * the bucketed pair machinery; the mutual join is equi-keyed on
+    * (v1, v2) — hash-partitionable at any scale. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = knnGraph(spark, dir)
+      .select($"v1", $"v2", $"label", $"cosine", $"rank")
+      .localCheckpoint() // one build feeds both sides of the self-join
+    val back = g.select($"v1".as("m2"), $"v2".as("m1"),
+      $"rank".as("rank_back"))
+    g.join(back, $"v1" === $"m1" && $"v2" === $"m2")
+      .filter($"v1" < $"v2")
+      .select($"v1", $"v2", $"label", $"cosine",
+        $"rank".as("rank_fwd"), $"rank_back")
+      .orderBy($"v1", $"v2")
+  }
+
+  val mutualKnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, a.label, b.vec_id AS v2,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm)) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |),
+       |k AS (
+       |  SELECT * FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY v1
+       |      ORDER BY cosine DESC, v2) AS rank
+       |    FROM p
+       |  ) WHERE rank <= 3
+       |)
+       |SELECT f.v1, f.v2, f.label, f.cosine,
+       |  CAST(f.rank AS INTEGER) AS rank_fwd,
+       |  CAST(b.rank AS INTEGER) AS rank_back
+       |FROM k f JOIN k b ON f.v1 = b.v2 AND f.v2 = b.v1
+       |WHERE f.v1 < f.v2
+       |${sqlOrderBy(Seq("f.v1", "f.v2")).trim}""".stripMargin
+
   /** Local Outlier Factor (Breunig et al., SIGMOD 2000) over the k-NN
     * graph — density-based embedding outlier detection for data
     * cleaning: LOF ≈ 1 means a vector sits at its neighbors' density,
@@ -2715,6 +2768,7 @@ object Similarity {
     "embed_ivf_recall" -> ivfRecall,
     "embed_ivf_curve" -> ivfCurve,
     "embed_knn_graph" -> knnGraph,
+    "embed_mutual_knn" -> mutualKnn,
     "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
     "embed_hard_negatives" -> hardNegatives,
@@ -2751,6 +2805,7 @@ object Similarity {
     "embed_ivf_recall" -> ivfRecallSql,
     "embed_ivf_curve" -> ivfCurveSql,
     "embed_knn_graph" -> knnGraphSql,
+    "embed_mutual_knn" -> mutualKnnSql,
     "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
     "embed_hard_negatives" -> hardNegativesSql,

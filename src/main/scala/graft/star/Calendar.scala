@@ -297,6 +297,93 @@ object Calendar {
        |FROM lagged${sqlOrderBy(Seq("m"))}""".stripMargin
   }
 
+  /** orders_holt_linear: Holt's double exponential smoothing (Holt
+    * 1957) over the monthly revenue series — the level+trend
+    * forecaster a demand dashboard runs where [[ewma]] only tracks
+    * level. α = β = 1/2, so the textbook recursion
+    *   l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    *   b_t = β(l_t−l_{t−1}) + (1−β)·b_{t−1}
+    * is two exact halvings per step. The state lives in 1/1024-cent
+    * fixed point (BIGINT) and each halving is the engine-agnostic
+    * exact floor: a − ((a%2+2)%2) is even, so the following integer
+    * division is EXACT in both engines regardless of floor-vs-truncate
+    * semantics (verified: DuckDB `//` and Spark `div` both truncate;
+    * the subtraction makes the operand divisible so it cannot matter).
+    * The Spark side runs the recursion as ONE zero-shuffle `aggregate`
+    * fold over the sorted month array; the DuckDB oracle runs its own
+    * recursive CTE — two independent encodings of the identical
+    * integer recursion. Emitted per month: observation, one-step-ahead
+    * forecast f_t = l_{t−1}+b_{t−1}, the fixed-point state, and the
+    * forecast error.
+    *
+    * Scale posture: the fact scan collapses map-side to |months| rows;
+    * the fold is a bounded single-struct pass over that tiny series
+    * (the benign bounded-window class — cost independent of fact
+    * volume; per-segment series would partition the same fold by key). */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) div 2)"
+    val l2 = fdiv2("e.xq + acc.l + acc.b")
+    val b2 = fdiv2(s"$l2 - acc.l + acc.b")
+    val monthly = Tables(spark, dir, "orders")
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m").agg((sum($"cents") * 1024L).as("xq"))
+    monthly
+      .agg(sort_array(collect_list(struct($"m", $"xq"))).as("ser"))
+      .selectExpr(
+        s"""explode(aggregate(
+           |  ser,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    'init', false,
+           |    'out', CAST(array() AS
+           |      ARRAY<STRUCT<m: DATE, xq: BIGINT, fq: BIGINT,
+           |                   lq: BIGINT, bq: BIGINT>>)),
+           |  (acc, e) -> IF(NOT acc.init,
+           |    named_struct('l', e.xq, 'b', CAST(0 AS BIGINT), 'init', true,
+           |      'out', array(named_struct('m', e.m, 'xq', e.xq,
+           |        'fq', e.xq, 'lq', e.xq, 'bq', CAST(0 AS BIGINT)))),
+           |    named_struct('l', $l2, 'b', $b2, 'init', true,
+           |      'out', concat(acc.out, array(named_struct('m', e.m,
+           |        'xq', e.xq, 'fq', acc.l + acc.b,
+           |        'lq', $l2, 'bq', $b2))))),
+           |  acc -> acc.out)) AS r""".stripMargin)
+      .select($"r.m".as("m"),
+        ($"r.xq".cast("double") / 1024.0 / 100.0).as("revenue"),
+        ($"r.fq".cast("double") / 1024.0 / 100.0).as("forecast"),
+        $"r.lq".as("level_q"), $"r.bq".as("trend_q"),
+        ($"r.xq" - $"r.fq").as("err_q"))
+      .orderBy($"m")
+  }
+
+  val holtLinearSql: String = {
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) // 2)"
+    val l2 = fdiv2("n.xq + hw.lq + hw.bq")
+    val b2 = fdiv2(s"$l2 - hw.lq + hw.bq")
+    s"""WITH RECURSIVE hw_monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      * 1024 AS xq
+       |  FROM orders GROUP BY 1
+       |),
+       |hwidx AS (
+       |  SELECT m, xq, row_number() OVER (ORDER BY m) AS i FROM hw_monthly
+       |),
+       |hw(i, m, xq, fq, lq, bq) AS (
+       |  SELECT i, m, xq, xq, xq, CAST(0 AS BIGINT) FROM hwidx WHERE i = 1
+       |  UNION ALL
+       |  SELECT n.i, n.m, n.xq,
+       |    hw.lq + hw.bq,
+       |    $l2,
+       |    $b2
+       |  FROM hw JOIN hwidx n ON n.i = hw.i + 1
+       |)
+       |SELECT m, CAST(xq AS DOUBLE) / 1024.0 / 100.0 AS revenue,
+       |  CAST(fq AS DOUBLE) / 1024.0 / 100.0 AS forecast,
+       |  lq AS level_q, bq AS trend_q, xq - fq AS err_q
+       |FROM hw${sqlOrderBy(Seq("m"))}""".stripMargin
+  }
+
   /** CUSUM upward-shift detector over daily revenue — sequential
     * change detection (Page 1954) in one window pass: the textbook
     * recursion C_t = max(0, C_{t−1} + (x_t − k)) cannot run as a
@@ -577,6 +664,7 @@ object Calendar {
     "orders_cusum" -> cusum,
     "orders_changepoint" -> changepoint,
     "orders_ewma" -> ewma,
+    "orders_holt_linear" -> holtLinear,
     "orders_seasonal_index" -> seasonalIndex,
     "dim_calendar" -> dimCalendar,
     "orders_gap_fill" -> gapFill,
@@ -588,6 +676,7 @@ object Calendar {
     "orders_changepoint" -> changepointSql,
     "orders_acf" -> ordersAcfSql,
     "orders_ewma" -> ewmaSql,
+    "orders_holt_linear" -> holtLinearSql,
     "orders_seasonal_index" -> seasonalIndexSql,
     "dim_calendar" -> dimCalendarSql,
     "orders_gap_fill" -> gapFillSql,

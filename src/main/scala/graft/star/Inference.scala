@@ -1,0 +1,377 @@
+package graft.star
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det.sqlOrderBy
+
+/** Predictive-inference tier (`[EXT]`): distribution-free uncertainty
+  * and calibration diagnostics for the models the curation stack trains
+  * — split conformal prediction intervals (Vovk et al. 2005; Lei et al.
+  * 2018, JASA), Brier-score reliability binning (Brier 1950; Murphy
+  * 1973 decomposition), and t-closeness privacy audit (Li, Li,
+  * Venkatasubramanian, ICDE 2007) completing the k-anonymity /
+  * l-diversity family in [[Warehouse]].
+  *
+  * House numeric discipline throughout: every aggregate is an exact
+  * BIGINT count/sum (money in cents, probabilities in 1e-6 micro-units
+  * quantized through ONE shape-identical IEEE round), order statistics
+  * are deterministic rank-k selections, and each output double is a
+  * single terminal division of exactly-agreed integers — bit-identical
+  * across engines and across any parallelism.
+  */
+object Inference {
+
+  /** stat_conformal: split conformal prediction intervals per order
+    * priority — the distribution-free coverage guarantee (P(y ∈ Ĉ(x))
+    * ≥ 1−α for ANY data distribution, Vovk 2005) that a forecasting
+    * or labeling pipeline quotes instead of Gaussian ±2σ. Three-way
+    * deterministic split by orderkey mod 3: fold 0 trains the
+    * point model (per-priority floor-mean of cents), fold 1
+    * calibrates (the conformal radius is the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual, α = 0.1 — an EXACT order statistic, not an
+    * interpolated percentile), fold 2 measures empirical coverage.
+    * The k-th-smallest selection orders by (residual, orderkey) so the
+    * picked VALUE is engine-independent even under ties.
+    *
+    * Scale posture: one map-side-combined aggregate per fold (train
+    * means, calibration ranks, test coverage), one rank window
+    * partitioned by priority over the calibration fold only (1/3 of
+    * rows, |priority| partitions), and two broadcast joins of
+    * |priority|-row model/radius frames back onto the folds. At 100 TB
+    * the window is the only shuffle and it rides the same key as the
+    * final aggregate. */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        ($"o_orderkey" % 3).as("fold"))
+    // fold 0: per-priority floor-mean point model (exact integer)
+    val model = o.filter($"fold" === 0)
+      .groupBy($"prio")
+      .agg(expr("sum(cents) div count(*)").as("mu"),
+        count(lit(1)).as("n_train"))
+    // fold 1: conformal radius = ceil((n+1)*0.9)-th smallest |resid|
+    val calib = o.filter($"fold" === 1)
+      .join(broadcast(model), Seq("prio"))
+      .withColumn("resid", abs($"cents" - $"mu"))
+    val w = Window.partitionBy($"prio").orderBy($"resid", $"o_orderkey")
+    val radius = calib
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy($"prio")))
+      .filter($"rk" === expr("((n_cal + 1) * 9 + 9) div 10"))
+      .select($"prio", $"resid".as("q_radius"), $"n_cal")
+    // fold 2: empirical coverage of mu ± q_radius
+    o.filter($"fold" === 2)
+      .join(broadcast(model), Seq("prio"))
+      .join(broadcast(radius), Seq("prio"))
+      .groupBy($"prio", $"mu", $"n_train", $"q_radius", $"n_cal")
+      .agg(count(lit(1)).as("n_test"),
+        count_if(abs($"cents" - $"mu") <= $"q_radius").as("covered"))
+      .select($"prio".as("o_orderpriority"),
+        ($"mu".cast("double") / 100.0).as("point_pred"),
+        $"n_train", $"n_cal",
+        ($"q_radius".cast("double") / 100.0).as("conformal_radius"),
+        $"n_test", $"covered",
+        ($"covered".cast("double") / $"n_test").as("coverage"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val conformalSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderpriority AS prio,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    o_orderkey % 3 AS fold
+       |  FROM orders
+       |),
+       |model AS (
+       |  SELECT prio, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu,
+       |    CAST(COUNT(*) AS BIGINT) AS n_train
+       |  FROM o WHERE fold = 0 GROUP BY prio
+       |),
+       |calib AS (
+       |  SELECT o.prio, abs(cents - mu) AS resid, o_orderkey,
+       |    ROW_NUMBER() OVER (PARTITION BY o.prio
+       |      ORDER BY abs(cents - mu), o_orderkey) AS rk,
+       |    COUNT(*) OVER (PARTITION BY o.prio) AS n_cal
+       |  FROM o JOIN model ON o.prio = model.prio WHERE fold = 1
+       |),
+       |radius AS (
+       |  SELECT prio, resid AS q_radius, CAST(n_cal AS BIGINT) AS n_cal
+       |  FROM calib WHERE rk = ((n_cal + 1) * 9 + 9) // 10
+       |)
+       |SELECT o.prio AS o_orderpriority,
+       |  CAST(mu AS DOUBLE) / 100.0 AS point_pred,
+       |  n_train, n_cal,
+       |  CAST(q_radius AS DOUBLE) / 100.0 AS conformal_radius,
+       |  CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  CAST(COUNT(*) FILTER (WHERE abs(cents - mu) <= q_radius)
+       |    AS BIGINT) AS covered,
+       |  CAST(COUNT(*) FILTER (WHERE abs(cents - mu) <= q_radius)
+       |    AS DOUBLE) / COUNT(*) AS coverage
+       |FROM o
+       |  JOIN model ON o.prio = model.prio
+       |  JOIN radius ON o.prio = radius.prio
+       |WHERE fold = 2
+       |GROUP BY o.prio, mu, n_train, q_radius, n_cal
+       |${sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
+
+  /** Batch-trained per-event-type conformal band — the model artifact
+    * behind [[eventsConformalGate]] and the streaming
+    * [[graft.streaming.ConformalGateStream]]: fold 0 (event_id mod 3)
+    * trains the per-type floor-mean of 1e-6-quantized `value`, fold 1
+    * calibrates the rank-⌈(n+1)(1−α)⌉ absolute residual (α = 0.1).
+    * Output: (event_type, mu_q, q_radius, n_train, n_cal). */
+  def eventsConformalModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+      .select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("vq"),
+        ($"event_id" % 3).as("fold"))
+    val model = e.filter($"fold" === 0)
+      .groupBy($"event_type")
+      .agg(expr("sum(vq) div count(*)").as("mu_q"),
+        count(lit(1)).as("n_train"))
+    val w = Window.partitionBy($"event_type").orderBy($"resid", $"event_id")
+    e.filter($"fold" === 1)
+      .join(broadcast(model), Seq("event_type"))
+      .withColumn("resid", abs($"vq" - $"mu_q"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_cal",
+        count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rk" === expr("((n_cal + 1) * 9 + 9) div 10"))
+      .select($"event_type", $"mu_q", $"resid".as("q_radius"),
+        $"n_train", $"n_cal")
+  }
+
+  private[graft] val eventsConformalModelSqlCtes: String =
+    s"""ce AS (
+       |  SELECT event_id, event_type,
+       |    CAST(round(value * 1e6) AS BIGINT) AS vq,
+       |    event_id % 3 AS fold
+       |  FROM events
+       |),
+       |cmodel AS (
+       |  SELECT event_type, CAST(SUM(vq) // COUNT(*) AS BIGINT) AS mu_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n_train
+       |  FROM ce WHERE fold = 0 GROUP BY event_type
+       |),
+       |ccalib AS (
+       |  SELECT ce.event_type, abs(vq - mu_q) AS resid,
+       |    ROW_NUMBER() OVER (PARTITION BY ce.event_type
+       |      ORDER BY abs(vq - mu_q), event_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY ce.event_type) AS n_cal
+       |  FROM ce JOIN cmodel USING (event_type) WHERE fold = 1
+       |),
+       |cband AS (
+       |  SELECT c.event_type, m.mu_q, c.resid AS q_radius, m.n_train,
+       |    CAST(c.n_cal AS BIGINT) AS n_cal
+       |  FROM ccalib c JOIN cmodel m USING (event_type)
+       |  WHERE rk = ((n_cal + 1) * 9 + 9) // 10
+       |)""".stripMargin
+
+  /** events_conformal_gate: the batch scorecard of the conformal
+    * anomaly gate — fold 2 of the event stream scored against the
+    * [[eventsConformalModel]] band: per event type, how many events
+    * fall outside mu ± q (the distribution-free anomaly flag whose
+    * false-alarm rate is ≤ α by construction). The streaming twin
+    * ([[graft.streaming.ConformalGateStream]]) applies the identical
+    * verdict per event at ingest with zero state; this aggregate is
+    * what lands on the monitoring dashboard.
+    *
+    * Scale posture: same shape as [[conformal]] — fold-filtered scans,
+    * one bounded rank window over the calibration fold only, broadcast
+    * |event_type|-row band, map-side-combined final rollup. */
+  def eventsConformalGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+      .select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("vq"),
+        ($"event_id" % 3).as("fold"))
+    e.filter($"fold" === 2)
+      .join(broadcast(eventsConformalModel(spark, dir)), Seq("event_type"))
+      .groupBy($"event_type", $"mu_q", $"q_radius", $"n_train", $"n_cal")
+      .agg(count(lit(1)).as("n_scored"),
+        count_if(abs($"vq" - $"mu_q") > $"q_radius").as("n_anomalous"))
+      .select($"event_type",
+        ($"mu_q".cast("double") / 1e6).as("band_center"),
+        ($"q_radius".cast("double") / 1e6).as("band_radius"),
+        $"n_train", $"n_cal", $"n_scored", $"n_anomalous",
+        ($"n_anomalous".cast("double") / $"n_scored").as("anomaly_rate"))
+      .orderBy($"event_type")
+  }
+
+  val eventsConformalGateSql: String =
+    s"""WITH $eventsConformalModelSqlCtes
+       |SELECT ce.event_type,
+       |  CAST(mu_q AS DOUBLE) / 1e6 AS band_center,
+       |  CAST(q_radius AS DOUBLE) / 1e6 AS band_radius,
+       |  n_train, n_cal,
+       |  CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |  CAST(COUNT(*) FILTER (WHERE abs(vq - mu_q) > q_radius) AS BIGINT)
+       |    AS n_anomalous,
+       |  CAST(COUNT(*) FILTER (WHERE abs(vq - mu_q) > q_radius) AS DOUBLE)
+       |    / COUNT(*) AS anomaly_rate
+       |FROM ce JOIN cband USING (event_type)
+       |WHERE fold = 2
+       |GROUP BY ce.event_type, mu_q, q_radius, n_train, n_cal
+       |${sqlOrderBy(Seq("event_type")).trim}""".stripMargin
+
+  /** stat_brier_calibration: reliability diagram + Brier score for the
+    * [[graft.llm.Curate.qualityLpm]] near-dup screen — the calibration
+    * audit a production quality classifier ships with (a screen whose
+    * 0.8 means 80% is actionable; one whose 0.8 means 50% is not).
+    * The LPM probability is clamped to [0,1] and quantized ONCE to
+    * 1e-6 integer micro-units (both engines round the identical
+    * double expression), then every bin statistic — count, Σp̂, Σy,
+    * Σ(p̂−y)² — is exact BIGINT arithmetic in micro-units; per-bin
+    * mean-confidence / mean-outcome / Brier contribution are terminal
+    * divisions. Bins are p̂-deciles (micro-units div 100000, top bin
+    * closed).
+    *
+    * Scale posture: rides qualityLpm's one-pass moment training (the
+    * labels reuse the bucketed LSH candidate graph — no all-pairs);
+    * the scoring pass is map-only under a broadcast 1-row model, and
+    * the diagram is a 10-row aggregate. */
+  def brierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = graft.llm.Curate.lpmScored(spark, dir)
+      .withColumn("p6",
+        round(greatest(least($"pred_p", lit(1.0)), lit(0.0)) * 1e6)
+          .cast("long"))
+      .withColumn("bin", least($"p6" / 100000L, lit(9L)).cast("long"))
+    scored.groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum($"p6").as("sp6"),
+        sum($"y").as("sy"),
+        sum(($"p6" - $"y" * 1000000L) * ($"p6" - $"y" * 1000000L))
+          .as("sq12"))
+      .select($"bin", $"n",
+        ($"sp6".cast("double") / ($"n" * 1000000L).cast("double"))
+          .as("mean_confidence"),
+        ($"sy".cast("double") / $"n".cast("double")).as("mean_outcome"),
+        ($"sq12".cast("double") / ($"n".cast("double") * 1e12))
+          .as("brier_bin"))
+      .orderBy($"bin")
+  }
+
+  val brierCalibrationSql: String =
+    s"""WITH ${graft.llm.Curate.lpmScoredSqlAll},
+       |quant AS (
+       |  SELECT y,
+       |    CAST(round(greatest(least(pred_p, 1.0), 0.0) * 1e6) AS BIGINT)
+       |      AS p6
+       |  FROM lpm_scored
+       |)
+       |SELECT least(p6 // 100000, 9) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE)
+       |    AS mean_confidence,
+       |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_outcome,
+       |  CAST(SUM((p6 - y * 1000000) * (p6 - y * 1000000)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS brier_bin
+       |FROM quant GROUP BY 1${sqlOrderBy(Seq("bin"))}""".stripMargin
+
+  /** dq_t_closeness: t-closeness audit (Li et al., ICDE 2007) over the
+    * documents table — the stronger-than-l-diversity privacy test: a
+    * quasi-identifier class leaks if the DISTRIBUTION of the sensitive
+    * attribute within the class sits far from the global distribution,
+    * even when it is diverse. QI = (lang, source); sensitive = ordinal
+    * 500-char length band. For ordinal attributes the Earth-Mover
+    * Distance with unit ground distance is
+    * EMD = (1/(m−1)) · Σᵢ |F_class(i) − F_global(i)| over the m bands
+    * (the 1-D Wasserstein identity). The cumulative fractions are
+    * compared CROSS-MULTIPLIED (|cum_g·N − cum_all·n_g| — exact BIGINT)
+    * so the only doubles are the terminal division; missing bands are
+    * zero-filled through an explicit QI×band grid so both engines walk
+    * the identical support.
+    *
+    * Scale posture: counts collapse to |QI×bands| cells map-side; the
+    * grid cross join is |QI|×|bands| (hundreds of rows) and the
+    * cumulative window is per-QI over ≤ m rows — all post-aggregation.
+    * At 100 TB only the first rollup touches the corpus. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = Tables(spark, dir, "documents")
+      .select($"lang", $"source", expr("n_chars div 500").as("band"))
+    val cells = banded.groupBy($"lang", $"source", $"band")
+      .agg(count(lit(1)).as("c"))
+    val groups = cells.groupBy($"lang", $"source")
+      .agg(sum($"c").as("n_g"))
+    val bands = cells.groupBy($"band").agg(sum($"c").as("c_all"))
+    val total = banded.agg(count(lit(1)).as("n_all"),
+      countDistinct($"band").as("m"))
+    val grid = groups.crossJoin(bands).crossJoin(broadcast(total))
+      .join(cells, Seq("lang", "source", "band"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_g", sum($"c").over(w))
+      .withColumn("cum_all", sum($"c_all").over(w))
+      .groupBy($"lang", $"source", $"n_g", $"n_all", $"m")
+      .agg(sum(abs($"cum_g" * $"n_all" - $"cum_all" * $"n_g"))
+        .as("emd_num"))
+      .select($"lang", $"source", $"n_g".as("n_docs"), $"m".as("n_bands"),
+        ($"emd_num".cast("double") /
+          ($"n_g" * $"n_all" * ($"m" - 1L)).cast("double"))
+          .as("t_closeness"))
+      .orderBy($"lang", $"source")
+  }
+
+  val tClosenessSql: String =
+    s"""WITH banded AS (
+       |  SELECT lang, source, n_chars // 500 AS band FROM documents
+       |),
+       |cells AS (
+       |  SELECT lang, source, band, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM banded GROUP BY lang, source, band
+       |),
+       |groups AS (
+       |  SELECT lang, source, CAST(SUM(c) AS BIGINT) AS n_g
+       |  FROM cells GROUP BY lang, source
+       |),
+       |bands AS (
+       |  SELECT band, CAST(SUM(c) AS BIGINT) AS c_all FROM cells GROUP BY band
+       |),
+       |total AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+       |    CAST(COUNT(DISTINCT band) AS BIGINT) AS m
+       |  FROM banded
+       |),
+       |grid AS (
+       |  SELECT g.lang, g.source, b.band, g.n_g, b.c_all, t.n_all, t.m,
+       |    COALESCE(c.c, 0) AS c
+       |  FROM groups g CROSS JOIN bands b CROSS JOIN total t
+       |  LEFT JOIN cells c
+       |    ON c.lang = g.lang AND c.source = g.source AND c.band = b.band
+       |),
+       |cum AS (
+       |  SELECT lang, source, n_g, n_all, m,
+       |    SUM(c) OVER (PARTITION BY lang, source ORDER BY band
+       |      ROWS UNBOUNDED PRECEDING) AS cum_g,
+       |    SUM(c_all) OVER (PARTITION BY lang, source ORDER BY band
+       |      ROWS UNBOUNDED PRECEDING) AS cum_all
+       |  FROM grid
+       |)
+       |SELECT lang, source, n_g AS n_docs, m AS n_bands,
+       |  CAST(SUM(abs(cum_g * n_all - cum_all * n_g)) AS DOUBLE)
+       |    / CAST(n_g * n_all * (m - 1) AS DOUBLE) AS t_closeness
+       |FROM cum GROUP BY lang, source, n_g, n_all, m
+       |${sqlOrderBy(Seq("lang", "source")).trim}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_conformal" -> conformal,
+    "events_conformal_gate" -> eventsConformalGate,
+    "stat_brier_calibration" -> brierCalibration,
+    "dq_t_closeness" -> tCloseness)
+
+  val oracles: Map[String, String] = Map(
+    "stat_conformal" -> conformalSql,
+    "events_conformal_gate" -> eventsConformalGateSql,
+    "stat_brier_calibration" -> brierCalibrationSql,
+    "dq_t_closeness" -> tClosenessSql)
+}

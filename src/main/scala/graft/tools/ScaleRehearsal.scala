@@ -177,6 +177,23 @@ object ScaleRehearsal {
       graft.llm.Similarity.kcenterCoreset(spark, dir))
     stage("corpus_dsir_resample")(graft.llm.Curate.dsirResample(spark, dir))
     stage("text_zipf_fit")(graft.llm.TextStats.zipfFit(spark, dir))
+    // round 9 (fourth wave): KN smoothing (|tokens|-row bigram aggs +
+    // |bigram-types| reaggs), WordPiece apply (encode-once-per-distinct-
+    // word over a bounded vocab), synchronous Louvain (one degree agg +
+    // one edge join), t-closeness (|QI×band| grid windows), Brier bins
+    // (rides the LPM chassis), mutual kNN (self-join over |V|·k edges —
+    // rides knnGraph's fixed-label buckets, so it inherits that stage's
+    // high-copy guard)
+    stage("text_kneser_ney")(graft.llm.Curate.kneserNey(spark, dir))
+    stage("text_wordpiece")(graft.llm.Curate.wordpieceTokenize(spark, dir))
+    stage("graph_louvain_step")(graft.llm.Cluster.louvainStep(spark, dir))
+    stage("dq_t_closeness")(graft.star.Inference.tCloseness(spark, dir))
+    stage("stat_brier_calibration")(
+      graft.star.Inference.brierCalibration(spark, dir))
+    if (copies <= 10)
+      stage("embed_mutual_knn")(graft.llm.Similarity.mutualKnn(spark, dir))
+    else
+      println(s"| embed_mutual_knn | skipped at x$copies (rides the fixed-label knn, superlinear — the autoK composition is the measured path) | | | |")
     spark.stop()
   }
 }

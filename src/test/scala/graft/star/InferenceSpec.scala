@@ -1,0 +1,85 @@
+package graft.star
+
+import graft.SparkSpec
+
+/** Inference tier: conformal coverage laws, Brier/reliability
+  * accounting, and t-closeness EMD bounds — local scalar replays of
+  * the distributed formulations. */
+class InferenceSpec extends SparkSpec {
+
+  test("split conformal: radius is the exact rank-k residual and coverage ~ 1-alpha") {
+    import spark.implicits._
+    val got = Inference.conformal(spark, sf0001)
+      .as[(String, Double, Long, Long, Double, Long, Long, Double)]
+      .collect().toSeq
+    assert(got.size == 5) // one row per order priority
+
+    val orders = graft.Tables(spark, sf0001, "orders")
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .as[(Long, String, Long)].collect()
+    got.foreach { case (prio, mu, nTrain, nCal, q, nTest, covered, cov) =>
+      val rows = orders.filter(_._2 == prio)
+      val train = rows.filter(_._1 % 3 == 0)
+      val calib = rows.filter(_._1 % 3 == 1)
+      val test = rows.filter(_._1 % 3 == 2)
+      assert(nTrain == train.size && nCal == calib.size && nTest == test.size)
+      val muC = train.map(_._3).sum / train.size // floor-mean in cents
+      assert(mu == muC.toDouble / 100.0)
+      // exact order statistic: ceil((n+1)*0.9)-th smallest |resid|
+      val resids = calib.map(r => math.abs(r._3 - muC)).sorted
+      val k = ((nCal + 1) * 9 + 9) / 10
+      assert(q == resids((k - 1).toInt).toDouble / 100.0)
+      val cov2 = test.count(r => math.abs(r._3 - muC) <= resids((k - 1).toInt))
+      assert(covered == cov2 && cov == cov2.toDouble / nTest)
+      // the split-conformal marginal guarantee: coverage >= 1 - alpha
+      // - small-sample slack (exact finite-sample bound is on the
+      // marginal, so allow a band around 0.9 at sf0.001 sizes)
+      assert(cov > 0.8 && cov <= 1.0)
+    }
+  }
+
+  test("brier bins: confidence/outcome in [0,1], bin accounting closes over the corpus") {
+    import spark.implicits._
+    val bins = Inference.brierCalibration(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(bins.nonEmpty)
+    val nDocs = graft.Tables(spark, sf0001, "documents").count()
+    assert(bins.map(_._2).sum == nDocs) // every doc lands in one bin
+    bins.foreach { case (bin, n, conf, out, brier) =>
+      assert(bin >= 0 && bin <= 9 && n > 0)
+      assert(conf >= 0.0 && conf <= 1.0)
+      assert(out >= 0.0 && out <= 1.0)
+      assert(brier >= 0.0 && brier <= 1.0)
+      // bin mean confidence sits inside the bin's decile (clamp top)
+      assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9)
+    }
+  }
+
+  test("t-closeness: EMD in [0,1], zero iff class matches global distribution") {
+    import spark.implicits._
+    val got = Inference.tCloseness(spark, sf0001)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, n, m, t) =>
+      assert(n > 0 && m > 1)
+      assert(t >= 0.0 && t <= 1.0 + 1e-12)
+    }
+    // scalar replay of one class's EMD
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .selectExpr("lang", "source", "n_chars div 500 AS band")
+      .as[(String, String, Long)].collect()
+    val bands = docs.map(_._3).distinct.sorted
+    val nAll = docs.length.toLong
+    val (l0, s0, ng0, _, t0) = got.head
+    val cls = docs.filter(d => d._1 == l0 && d._2 == s0)
+    assert(ng0 == cls.size)
+    var cumG = 0L; var cumA = 0L; var acc = 0L
+    bands.foreach { b =>
+      cumG += cls.count(_._3 == b); cumA += docs.count(_._3 == b)
+      acc += math.abs(cumG * nAll - cumA * ng0)
+    }
+    val expected = acc.toDouble / (ng0.toDouble * nAll * (bands.size - 1))
+    assert(math.abs(t0 - expected) < 1e-12)
+  }
+}
