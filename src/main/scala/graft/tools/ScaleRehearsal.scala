@@ -190,7 +190,7 @@ object ScaleRehearsal {
     stage("dq_t_closeness")(graft.star.Inference.tCloseness(spark, dir))
     stage("stat_brier_calibration")(
       graft.star.Inference.brierCalibration(spark, dir))
-    if (copies <= 10)
+    if (copies <= 25)
       stage("embed_mutual_knn")(graft.llm.Similarity.mutualKnn(spark, dir))
     else
       println(s"| embed_mutual_knn | skipped at x$copies (rides the fixed-label knn, superlinear — the autoK composition is the measured path) | | | |")
