@@ -876,7 +876,10 @@ object Curate {
     * rows with a ≤ (singles + 40)-entry broadcast map. The DuckDB
     * oracle replays the same greedy walk as 16 unrolled max-munch CTE
     * steps — an independent formulation of the same traversal. */
-  def wordpieceTokenize(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-distinct-word (w, n_ch, n_sym) under the WordPiece greedy
+    * longest-match segmentation — the word-level core both
+    * [[wordpieceTokenize]] and [[tokenizerTrio]] aggregate over. */
+  private def wordpieceWordSyms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val words = unigramWords(spark, dir).localCheckpoint()
     val initMulti = words
@@ -920,13 +923,17 @@ object Curate {
         |      'n', acc.n + 1),
         |    acc),
         |  acc -> acc.n) AS n_sym""".stripMargin
-    val wordSyms = words.select($"w").crossJoin(broadcast(vmapRow))
+    words.select($"w").crossJoin(broadcast(vmapRow))
       .selectExpr("w", greedy)
       .select($"w", length($"w").as("n_ch"), $"n_sym")
+  }
+
+  def wordpieceTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val toks = Tables(spark, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 1 && length($"w") <= 16)
-    toks.join(wordSyms, "w")
+    toks.join(wordpieceWordSyms(spark, dir), "w")
       .groupBy($"doc_id")
       .agg(sum($"n_sym").as("n_tokens"),
         sum($"n_ch".cast("long")).as("n_chars"))
@@ -936,7 +943,10 @@ object Curate {
       .orderBy($"doc_id")
   }
 
-  val wordpieceTokenizeSql: String = {
+  /** The WordPiece oracle CTE fragment (vocab derivation + 16 unrolled
+    * greedy max-munch steps + word-level `wsyms`) shared by
+    * [[wordpieceTokenizeSql]] and [[tokenizerTrioSql]]. */
+  private val wordpieceCtes: String = {
     // 16 unrolled greedy max-munch steps; each step advances every
     // unfinished word-state by its longest matching piece (states are
     // MATERIALIZED — referenced twice per step)
@@ -956,7 +966,7 @@ object Curate {
          |    GROUP BY s.w, s.pos, s.n)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wpwords AS MATERIALIZED (
+    s"""wpwords AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS c_w FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
        |  ) WHERE length(w) BETWEEN 1 AND 16 GROUP BY w
@@ -995,7 +1005,11 @@ object Curate {
        |$steps,
        |wsyms AS (
        |  SELECT w, length(w) AS n_ch, n AS n_sym FROM wp16
-       |),
+       |)""".stripMargin
+  }
+
+  val wordpieceTokenizeSql: String =
+    s"""WITH $wordpieceCtes,
        |wtoks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
        |)
@@ -1007,7 +1021,6 @@ object Curate {
        |FROM wtoks t JOIN wsyms s ON t.w = s.w
        |WHERE length(t.w) BETWEEN 1 AND 16
        |GROUP BY t.doc_id${sqlOrderBy(Seq("doc_id"))}""".stripMargin
-  }
 
   /** text_tokenizer_compare: the BPE and unigram-LM apply tiers put
     * head-to-head — per language, fertility (tokens per word) and
@@ -1124,6 +1137,93 @@ object Curate {
        |FROM cmptoks t JOIN bns b ON b.w = t.w JOIN tns u ON u.w = t.w
        |GROUP BY lang
        |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
+
+  /** text_tokenizer_trio: the full three-family bake-off —
+    * [[tokenizerCompare]]'s per-language scorecard extended with the
+    * WordPiece leg, so one query answers the question a tokenizer
+    * selection actually asks: per language, token counts and
+    * fertilities under BPE, unigram-LM, and WordPiece, and which
+    * family compresses this language best (deterministic tie-break in
+    * bpe → unigram → wordpiece order). All three encoders run at the
+    * DISTINCT-WORD grain against their bounded broadcast models; the
+    * corpus-sized work is one shared token scan + three word joins.
+    *
+    * Scale posture: the union of three measured-flat stages (SCALE.md
+    * fourth wave: wordpiece FLAT ×25→×100; the bpe/unigram legs ride
+    * `text_tokenizer_compare`'s measured chassis). */
+  def tokenizerTrio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir)
+    var words = unigramWords(spark, dir).select($"w")
+      .select($"w", regexp_replace($"w", "(.)", "$1").as("wseq"))
+    for (best <- merges)
+      words = words
+        .crossJoin(broadcast(best.select($"pa".as("bpa"), $"pb".as("bpb"))))
+        .select($"w", expr(
+          "replace(wseq, concat(chr(31), bpa, chr(31), bpb), " +
+            "concat(chr(31), bpa, bpb))").as("wseq"))
+    val bpeSyms = words.select($"w",
+      size(split(expr("substr(wseq, 2)"), "")).as("bpe_sym"))
+    val uniSyms = unigramWordSyms(spark, dir)
+      .select($"w", $"n_ch", $"n_sym".as("uni_sym"))
+    val wpSyms = wordpieceWordSyms(spark, dir)
+      .select($"w", $"n_sym".as("wp_sym"))
+    val toks = Tables(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= 16)
+    toks.join(bpeSyms, "w").join(uniSyms, "w").join(wpSyms, "w")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"bpe_sym".cast("long")).as("bpe_tokens"),
+        sum($"uni_sym".cast("long")).as("uni_tokens"),
+        sum($"wp_sym").as("wp_tokens"))
+      .select($"lang", $"n_words", $"bpe_tokens", $"uni_tokens",
+        $"wp_tokens",
+        ($"bpe_tokens".cast("double") / $"n_words".cast("double"))
+          .as("bpe_fertility"),
+        ($"uni_tokens".cast("double") / $"n_words".cast("double"))
+          .as("uni_fertility"),
+        ($"wp_tokens".cast("double") / $"n_words".cast("double"))
+          .as("wp_fertility"),
+        when($"bpe_tokens" <= $"uni_tokens" &&
+          $"bpe_tokens" <= $"wp_tokens", "bpe")
+          .when($"uni_tokens" <= $"wp_tokens", "unigram")
+          .otherwise("wordpiece").as("winner"))
+      .orderBy($"lang")
+  }
+
+  val tokenizerTrioSql: String = {
+    val cmp = tokenizerCompareSql
+    // reuse the compare oracle's full CTE chain (bpe merges, unigram
+    // EM + DP, per-word bns/tns, the shared token scan) and extend it
+    // with the WordPiece fragment + the three-way final select
+    val ctesEnd = cmp.indexOf(")\nSELECT lang,")
+    require(ctesEnd > 0, "tokenizerCompareSql shape changed")
+    val ctes = cmp.substring(0, ctesEnd + 1)
+    s"""$ctes,
+       |$wordpieceCtes
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.bpe_sym) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(u.uni_sym) AS BIGINT) AS uni_tokens,
+       |  CAST(SUM(w.n_sym) AS BIGINT) AS wp_tokens,
+       |  CAST(SUM(b.bpe_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS bpe_fertility,
+       |  CAST(SUM(u.uni_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS uni_fertility,
+       |  CAST(SUM(w.n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS wp_fertility,
+       |  CASE WHEN SUM(b.bpe_sym) <= SUM(u.uni_sym)
+       |            AND SUM(b.bpe_sym) <= SUM(w.n_sym) THEN 'bpe'
+       |       WHEN SUM(u.uni_sym) <= SUM(w.n_sym) THEN 'unigram'
+       |       ELSE 'wordpiece' END AS winner
+       |FROM cmptoks t
+       |  JOIN bns b ON b.w = t.w
+       |  JOIN tns u ON u.w = t.w
+       |  JOIN wsyms w ON w.w = t.w
+       |GROUP BY lang
+       |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
+  }
 
   /** corpus_mix_entropy: Shannon entropy of each language's SOURCE
     * mixture — the diversity number a data-mixture dashboard tracks
@@ -2502,6 +2602,7 @@ object Curate {
     "text_lm_surprisal" -> lmSurprisal,
     "text_kneser_ney" -> kneserNey,
     "text_wordpiece" -> wordpieceTokenize,
+    "text_tokenizer_trio" -> tokenizerTrio,
     "text_pii_scan" -> piiScan,
     "text_tokenizer_compare" -> tokenizerCompare,
     "corpus_mix_entropy" -> mixEntropy,
@@ -2534,6 +2635,7 @@ object Curate {
     "text_lm_surprisal" -> lmSurprisalSql,
     "text_kneser_ney" -> kneserNeySql,
     "text_wordpiece" -> wordpieceTokenizeSql,
+    "text_tokenizer_trio" -> tokenizerTrioSql,
     "text_pii_scan" -> piiScanSql,
     "text_tokenizer_compare" -> tokenizerCompareSql,
     "corpus_mix_entropy" -> mixEntropySql,

@@ -951,7 +951,98 @@ object Dedup {
        |    AS n_at_or_above
        |FROM b${sqlOrderBy(Seq("bucket"))}""".stripMargin
 
+  /** dedup_url_canonical: URL canonicalization dedup — the FIRST dedup
+    * any web-crawl pipeline runs, before any content hashing: the same
+    * logical page arrives under uppercase hosts, explicit default
+    * ports, trailing slashes, fragments, tracking parameters, and
+    * reordered query strings, and naive exact-URL dedup misses all of
+    * it. Deterministic fixture: each logical page (doc_id div 4) is
+    * emitted in four syntactic variants (plain; UPPERCASE host + :443;
+    * trailing slash + reordered params + #fragment; utm_ tracking
+    * param), then canonicalized STRUCTURALLY — lowercase host with the
+    * default port stripped, path without the trailing slash, query
+    * parameters filtered of utm_* and SORTED — and grouped. Four
+    * variants per page must collapse to exactly one canonical URL
+    * (asserted in the spec); the DuckDB oracle re-derives the whole
+    * canonicalization with its own regex/list spellings, so the
+    * normalization rules themselves are cross-checked, not just the
+    * grouping.
+    *
+    * Scale posture: canonicalization is a map-only expression chain
+    * (regex extracts + array ops, all codegen'd); the only shuffle is
+    * the canonical-key groupBy — the same |corpus|-row hash-agg class
+    * as exact dedup. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "doc_id div 4 AS g", "doc_id % 4 AS v")
+      .selectExpr("doc_id",
+        """CASE v
+          |  WHEN 0 THEN concat('https://h', g % 5, '.example.com/docs/',
+          |    g, '?id=', g, '&v=2')
+          |  WHEN 1 THEN concat('https://H', g % 5, '.EXAMPLE.COM:443/docs/',
+          |    g, '?id=', g, '&v=2')
+          |  WHEN 2 THEN concat('https://h', g % 5, '.example.com/docs/',
+          |    g, '/?v=2&id=', g, '#frag')
+          |  ELSE concat('https://h', g % 5, '.example.com/docs/',
+          |    g, '?utm_source=feed&id=', g, '&v=2')
+          |END AS url""".stripMargin)
+    urls
+      .withColumn("host", regexp_replace(
+        lower(regexp_extract($"url", "^https://([^/?#]+)", 1)),
+        ":443$", ""))
+      .withColumn("path", regexp_replace(
+        regexp_extract($"url", "^https://[^/?#]+([^?#]*)", 1), "/$", ""))
+      .withColumn("params", expr(
+        "array_sort(filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), " +
+          "p -> p != '' AND p NOT LIKE 'utm_%'))"))
+      .withColumn("canonical_url",
+        concat(lit("https://"), $"host", $"path", lit("?"),
+          array_join($"params", "&")))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_variants"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"canonical_url")
+  }
+
+  val urlCanonicalSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+       |),
+       |urls AS (
+       |  SELECT doc_id,
+       |    CASE v
+       |      WHEN 0 THEN 'https://h' || (g % 5) || '.example.com/docs/'
+       |        || g || '?id=' || g || '&v=2'
+       |      WHEN 1 THEN 'https://H' || (g % 5) || '.EXAMPLE.COM:443/docs/'
+       |        || g || '?id=' || g || '&v=2'
+       |      WHEN 2 THEN 'https://h' || (g % 5) || '.example.com/docs/'
+       |        || g || '/?v=2&id=' || g || '#frag'
+       |      ELSE 'https://h' || (g % 5) || '.example.com/docs/'
+       |        || g || '?utm_source=feed&id=' || g || '&v=2'
+       |    END AS url
+       |  FROM u
+       |),
+       |canon AS (
+       |  SELECT doc_id,
+       |    'https://'
+       |    || regexp_replace(lower(regexp_extract(url, '^https://([^/?#]+)', 1)),
+       |         ':443$$', '')
+       |    || regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
+       |         '/$$', '')
+       |    || '?'
+       |    || array_to_string(list_sort(list_filter(
+       |         string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |         p -> p != '' AND p NOT LIKE 'utm_%')), '&') AS canonical_url
+       |  FROM urls
+       |)
+       |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM canon GROUP BY canonical_url
+       |${sqlOrderBy(Seq("canonical_url")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url_canonical" -> urlCanonical,
     "dedup_threshold_curve" -> thresholdCurve,
     "dedup_lsh_recall" -> lshRecall,
     "dedup_ppjoin" -> ppjoin,
@@ -970,6 +1061,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_url_canonical" -> urlCanonicalSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_lsh_recall" -> lshRecallSql,
     "dedup_ppjoin" -> ppjoinSql,

@@ -2342,6 +2342,53 @@ object Similarity {
        |) WHERE rank <= 3
        |${sqlOrderBy(Seq("v1", "rank")).trim}""".stripMargin
 
+  /** embed_mutual_knn_autok: [[mutualKnn]]'s reciprocal-edge semantics
+    * over [[knnGraphAutoK]]'s K∝N cell-bucketed graph — the SCALE PATH
+    * of the mutual-kNN tier (the label-bucketed [[mutualKnn]] twin
+    * inherits its chassis' superlinear Σ|bucket|², measured 245.7 s at
+    * ×25; this one rides the Σ|cell|² ≈ 250·N budget measured LINEAR
+    * in SCALE.md). Same one-build localCheckpoint + reversed-edge
+    * equi-join. */
+  def mutualKnnAutoK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = knnGraphAutoK(spark, dir)
+      .select($"v1", $"v2", $"cell", $"cosine", $"rank")
+      .localCheckpoint() // one build feeds both sides of the self-join
+    val back = g.select($"v1".as("m2"), $"v2".as("m1"),
+      $"rank".as("rank_back"))
+    g.join(back, $"v1" === $"m1" && $"v2" === $"m2")
+      .filter($"v1" < $"v2")
+      .select($"v1", $"v2", $"cell", $"cosine",
+        $"rank".as("rank_fwd"), $"rank_back")
+      .orderBy($"v1", $"v2")
+  }
+
+  val mutualKnnAutoKSql: String =
+    s"""WITH $autoKCtes,
+       |e AS (
+       |  SELECT emb.vec_id, a2.cell, emb.embedding,
+       |    ${dotDuck("emb.embedding", "emb.embedding")} AS nrm
+       |  FROM embeddings emb JOIN a2 ON emb.vec_id = a2.vec_id
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS v1, a.cell, b.vec_id AS v2,
+       |    (${dotDuck("a.embedding", "b.embedding")} / sqrt(a.nrm * b.nrm)) AS cosine
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |),
+       |k AS (
+       |  SELECT * FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY v1
+       |      ORDER BY cosine DESC, v2) AS rank
+       |    FROM p
+       |  ) WHERE rank <= 3
+       |)
+       |SELECT f.v1, f.v2, f.cell, f.cosine,
+       |  CAST(f.rank AS INTEGER) AS rank_fwd,
+       |  CAST(b.rank AS INTEGER) AS rank_back
+       |FROM k f JOIN k b ON f.v1 = b.v2 AND f.v2 = b.v1
+       |WHERE f.v1 < f.v2
+       |${sqlOrderBy(Seq("f.v1", "f.v2")).trim}""".stripMargin
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * prep step): for every anchor vector, the top-2 most-similar
     * vectors of a DIFFERENT label — the near-miss impostors whose
@@ -2769,6 +2816,7 @@ object Similarity {
     "embed_ivf_curve" -> ivfCurve,
     "embed_knn_graph" -> knnGraph,
     "embed_mutual_knn" -> mutualKnn,
+    "embed_mutual_knn_autok" -> mutualKnnAutoK,
     "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
     "embed_hard_negatives" -> hardNegatives,
@@ -2806,6 +2854,7 @@ object Similarity {
     "embed_ivf_curve" -> ivfCurveSql,
     "embed_knn_graph" -> knnGraphSql,
     "embed_mutual_knn" -> mutualKnnSql,
+    "embed_mutual_knn_autok" -> mutualKnnAutoKSql,
     "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
     "embed_hard_negatives" -> hardNegativesSql,

@@ -194,6 +194,8 @@ object ScaleRehearsal {
       stage("embed_mutual_knn")(graft.llm.Similarity.mutualKnn(spark, dir))
     else
       println(s"| embed_mutual_knn | skipped at x$copies (rides the fixed-label knn, superlinear — the autoK composition is the measured path) | | | |")
+    stage("embed_mutual_knn_autok")(
+      graft.llm.Similarity.mutualKnnAutoK(spark, dir))
     spark.stop()
   }
 }

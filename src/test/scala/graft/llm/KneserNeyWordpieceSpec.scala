@@ -38,6 +38,27 @@ class KneserNeyWordpieceSpec extends SparkSpec {
     assert(got.map(_._3).sliding(2).forall(s => s.head >= s.last))
   }
 
+  test("tokenizer trio: per-language totals agree with the pairwise compare and the wordpiece apply") {
+    import spark.implicits._
+    val trio = Curate.tokenizerTrio(spark, sf0001)
+      .select("lang", "n_words", "bpe_tokens", "uni_tokens", "wp_tokens",
+        "winner")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+    assert(trio.nonEmpty)
+    val pair = Curate.tokenizerCompare(spark, sf0001)
+      .select("lang", "n_words", "bpe_tokens", "uni_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    trio.foreach { case (lang, nw, bpe, uni, wp, winner) =>
+      assert(pair(lang) == ((nw, bpe, uni))) // legs agree with the 2-way op
+      assert(wp > 0 && wp >= nw) // at least one piece per word
+      val min = Seq(bpe, uni, wp).min
+      val expect = if (bpe == min) "bpe" else if (uni == min) "unigram"
+        else "wordpiece"
+      assert(winner == expect)
+    }
+  }
+
   test("wordpiece: greedy longest-match segment counts replay per document") {
     import spark.implicits._
     val got: Map[Long, (Long, Long, Double)] =

@@ -44,4 +44,17 @@ class LouvainMutualSpec extends SparkSpec {
       assert(fwd.contains((a, b)) && fwd.contains((b, a)))
     }
   }
+
+  test("mutual knn autok: same reciprocity law over the auto-K cell graph") {
+    import spark.implicits._
+    val knn = Similarity.knnGraphAutoK(spark, sf0001)
+      .select("v1", "v2").as[(Long, Long)].collect().toSeq
+    val fwd = knn.toSet
+    val expected = knn
+      .filter(e => e._1 < e._2 && fwd.contains((e._2, e._1))).toSet
+    val got = Similarity.mutualKnnAutoK(spark, sf0001)
+      .select("v1", "v2").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.toSet == expected)
+  }
 }
