@@ -363,13 +363,74 @@ object Inference {
        |FROM cum GROUP BY lang, source, n_g, n_all, m
        |${sqlOrderBy(Seq("lang", "source")).trim}""".stripMargin
 
+  /** stat_spearman: Spearman rank correlation between order value and
+    * order date per priority — "do later orders run larger?", the
+    * robust monotone-association audit (the rank twin of the
+    * Theil–Sen / OLS tier, immune to whale-order outliers). Ranks are
+    * row_number over (raw value, o_orderkey) — a TOTAL deterministic
+    * order because o_orderkey is unique, which is the load-bearing
+    * choice: the lineitem fixture carries full-duplicate rows, where
+    * no within-engine tiebreak exists and the two windows can pair
+    * duplicate rows differently across engines (observed: sd2 off by
+    * parts-per-million). With identical total orders Σd² is an exact
+    * BIGINT; ρ = 1 − 6Σd²/(n(n²−1)) with the denominator computed in
+    * DOUBLE from n (n³ would overflow BIGINT at 100 TB group sizes —
+    * the numerator Σd² stays integer-exact).
+    *
+    * Scale posture: two rank windows per priority partition (the
+    * standard |rows|-shuffle window class, both riding ONE hash
+    * partitioning on the priority), then a map-side-combined
+    * aggregate to |priorities| rows. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey",
+        $"o_totalprice", $"o_orderdate")
+    val byPrio = Window.partitionBy($"o_orderpriority")
+    val ranked = o
+      .withColumn("r1", row_number().over(
+        byPrio.orderBy($"o_totalprice", $"o_orderkey")))
+      .withColumn("r2", row_number().over(
+        byPrio.orderBy($"o_orderdate", $"o_orderkey")))
+      .withColumn("d", ($"r1" - $"r2").cast("long"))
+    ranked.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"d" * $"d").as("sd2"))
+      .select($"o_orderpriority", $"n", $"sd2",
+        (lit(1.0) - ($"sd2" * 6L).cast("double")
+          / ($"n".cast("double")
+            * ($"n".cast("double") * $"n".cast("double") - 1.0)))
+          .as("spearman_rho"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val spearmanSql: String =
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice, o_orderkey) AS r1,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_orderdate, o_orderkey) AS r2
+       |  FROM orders
+       |)
+       |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sd2,
+       |  1.0 - CAST(SUM((r1 - r2) * (r1 - r2)) * 6 AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE)
+       |      * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0))
+       |    AS spearman_rho
+       |FROM ranked GROUP BY o_orderpriority
+       |${sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_spearman" -> spearman,
     "stat_conformal" -> conformal,
     "events_conformal_gate" -> eventsConformalGate,
     "stat_brier_calibration" -> brierCalibration,
     "dq_t_closeness" -> tCloseness)
 
   val oracles: Map[String, String] = Map(
+    "stat_spearman" -> spearmanSql,
     "stat_conformal" -> conformalSql,
     "events_conformal_gate" -> eventsConformalGateSql,
     "stat_brier_calibration" -> brierCalibrationSql,

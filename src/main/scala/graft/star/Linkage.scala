@@ -98,6 +98,30 @@ object Linkage {
        |  FROM gamma g CROSS JOIN uest
        |)""".stripMargin
 
+  /** The blocked master record store in serving shape (p_brand, k2,
+    * n2, t2, s2) — the static index [[graft.streaming.ErServeStream]]
+    * probes per micro-batch. */
+  def masterIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "part")
+      .filter($"p_partkey" % 4 === 0)
+      .select($"p_brand", $"p_partkey".as("k2"), $"p_name".as("n2"),
+        $"p_type".as("t2"), $"p_size".as("s2"))
+  }
+
+  /** The frozen 1-row u-probability model (n, ua_name, ua_type,
+    * ua_size) estimated from the blocked candidate set — the model
+    * artifact the serving gate broadcasts. */
+  def uModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gamma = gammaPairs(spark, dir)
+    gamma.agg(
+      count(lit(1)).as("n"),
+      least(greatest(sum($"g_name"), lit(1L)), count(lit(1)) - 1L).as("ua_name"),
+      least(greatest(sum($"g_type"), lit(1L)), count(lit(1)) - 1L).as("ua_type"),
+      least(greatest(sum($"g_size"), lit(1L)), count(lit(1)) - 1L).as("ua_size"))
+  }
+
   /** Comparison pairs with their FS likelihood-ratio weight attached
     * (broadcast 1-row u-estimate; weight is six shape-identical IEEE
     * factors on exact integer inputs). */

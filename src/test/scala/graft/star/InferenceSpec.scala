@@ -39,6 +39,33 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("spearman: tie-broken rank correlation replays exactly; rho in [-1,1]") {
+    import spark.implicits._
+    val got = Inference.spearman(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val o = graft.Tables(spark, sf0001, "orders")
+      .selectExpr("o_orderpriority", "o_orderkey", "o_totalprice",
+        "CAST(o_orderdate AS STRING)")
+      .as[(String, Long, Double, String)].collect()
+    got.foreach { case (prio, n, sd2, rho) =>
+      val rows = o.filter(_._1 == prio)
+      assert(n == rows.length)
+      val r1 = rows.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val r2 = rows.sortBy(r => (r._4, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val d2 = rows.map { r =>
+        val d = r1(r._2) - r2(r._2); d * d
+      }.sum
+      assert(sd2 == d2)
+      val expect = 1.0 - (d2 * 6L).toDouble /
+        (n.toDouble * (n.toDouble * n.toDouble - 1.0))
+      assert(rho == expect)
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12)
+    }
+  }
+
   test("brier bins: confidence/outcome in [0,1], bin accounting closes over the corpus") {
     import spark.implicits._
     val bins = Inference.brierCalibration(spark, sf0001)
