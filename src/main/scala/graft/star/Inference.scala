@@ -118,6 +118,80 @@ object Inference {
        |GROUP BY o.prio, mu, n_train, q_radius, n_cal
        |${sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
 
+  /** stat_anova_f: one-way ANOVA F statistic for order value across
+    * the five priorities — the classic k-group mean-difference test
+    * completing the two-sample tier (Mann–Whitney, permutation test,
+    * CUPED). Everything reduces to exact integer-cent moments: per
+    * group (n_g, Σx, Σx²) in DECIMAL(38,0), then
+    * SSB = Σ_g S_g²/n_g − S²/n and SSW = Σx² − Σ_g S_g²/n_g. The
+    * between-group accumulator Σ_g S_g²/n_g is a float sum over
+    * |groups| rows — shuffle-order-dependent, so each group's term is
+    * FLOORED to an exact integer first (floor(double) is exact binary
+    * in BOTH engines — unlike round(), which Spark evaluates on the
+    * shortest decimal string) and summed in DECIMAL(38,0)/HUGEINT:
+    * order-free, identical to the true term within 1 part in ~10¹⁸.
+    * F = (SSB/(k−1))/(SSW/(n−k)) with the df as plain integers (the
+    * p-value needs the F CDF — transcendental, so the statistic and
+    * df ARE the contract, per the house rule).
+    *
+    * Scale posture: one map-side-combined moment aggregation to
+    * |groups| rows, one 1-row reduce — a 100 TB ANOVA is one scan. */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val g = Tables(spark, dir, "orders")
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_g"),
+        sum($"cents".cast(dec)).as("s_g"),
+        sum($"cents".cast(dec) * $"cents".cast(dec)).as("q_g"))
+    g.agg(
+      count(lit(1)).as("k"),
+      sum($"n_g").as("n"),
+      sum($"s_g").as("s"),
+      sum($"q_g").as("q"),
+      sum(floor(($"s_g" * $"s_g").cast("double") / $"n_g".cast("double"))
+        .cast(dec)).as("sbq"))
+      .withColumn("sb_part", $"sbq".cast("double"))
+      .select($"k", $"n",
+        ($"sb_part" - ($"s" * $"s").cast("double") / $"n".cast("double"))
+          .as("ss_between"),
+        ($"q".cast("double") - $"sb_part").as("ss_within"),
+        ((($"sb_part" - ($"s" * $"s").cast("double") / $"n".cast("double"))
+          / ($"k" - 1L).cast("double"))
+          / (($"q".cast("double") - $"sb_part")
+            / ($"n" - $"k").cast("double"))).as("f_stat"))
+  }
+
+  val anovaFSql: String =
+    s"""WITH g AS (
+       |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_g,
+       |    CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      AS HUGEINT)) AS HUGEINT) AS s_g,
+       |    CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      AS HUGEINT) * CAST(round(o_totalprice * 100) AS BIGINT))
+       |      AS HUGEINT) AS q_g
+       |  FROM orders GROUP BY o_orderpriority
+       |),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(n_g) AS BIGINT) AS n,
+       |    CAST(SUM(s_g) AS HUGEINT) AS s,
+       |    CAST(SUM(q_g) AS HUGEINT) AS q,
+       |    CAST(CAST(SUM(CAST(floor(CAST(s_g * s_g AS DOUBLE)
+       |      / CAST(n_g AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+       |      AS sb_part
+       |  FROM g
+       |)
+       |SELECT k, n,
+       |  sb_part - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS ss_between,
+       |  CAST(q AS DOUBLE) - sb_part AS ss_within,
+       |  ((sb_part - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / CAST(k - 1 AS DOUBLE))
+       |  / ((CAST(q AS DOUBLE) - sb_part) / CAST(n - k AS DOUBLE)) AS f_stat
+       |FROM m""".stripMargin
+
   /** Batch-trained per-event-type conformal band — the model artifact
     * behind [[eventsConformalGate]] and the streaming
     * [[graft.streaming.ConformalGateStream]]: fold 0 (event_id mod 3)
@@ -423,6 +497,7 @@ object Inference {
        |${sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_anova_f" -> anovaF,
     "stat_spearman" -> spearman,
     "stat_conformal" -> conformal,
     "events_conformal_gate" -> eventsConformalGate,
@@ -430,6 +505,7 @@ object Inference {
     "dq_t_closeness" -> tCloseness)
 
   val oracles: Map[String, String] = Map(
+    "stat_anova_f" -> anovaFSql,
     "stat_spearman" -> spearmanSql,
     "stat_conformal" -> conformalSql,
     "events_conformal_gate" -> eventsConformalGateSql,

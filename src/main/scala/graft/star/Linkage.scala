@@ -312,13 +312,81 @@ object Linkage {
        |GROUP BY m.entity_id
        |${sqlOrderBy(Seq("entity_id")).trim}""".stripMargin
 
+  /** er_blocking_recall: the blocking-quality audit — what fraction of
+    * TRUE high-similarity pairs does brand blocking keep (pairs
+    * completeness), and how much comparison work does it save
+    * (reduction ratio)? The ER analogue of `dedup_oph_recall`'s
+    * LSH-vs-exact-truth audit: the truth set is ALL cross-brand pairs
+    * with name JW ≥ 0.9 over a deterministic 1/20 key sample, computed
+    * by an explicit bounded all-pairs pass — like `dedup_ppjoin`, the
+    * exact ground-truth generator IS the product here, and its cost is
+    * deliberately bounded by the sample (≤ ~500 K pairs at sf0.1),
+    * never the catalog. One scorecard row: sample size, pair counts,
+    * truth size, blocked-truth size, recall, reduction ratio — all
+    * exact integers plus two terminal divisions.
+    *
+    * Scale posture: the 1/20 sample is the audit's knob — blocking
+    * quality is a property of the KEY, estimated on a sample, while
+    * the production linkage itself never runs all-pairs. */
+  def blockingRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.JaroWinkler.register(spark)
+    val p = Tables(spark, dir, "part")
+      .filter($"p_partkey" % 20 === 0)
+      .select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.select($"p_partkey".as("k1"), $"p_brand".as("b1"),
+      $"p_name".as("n1"))
+    val b = p.select($"p_partkey".as("k2"), $"p_brand".as("b2"),
+      $"p_name".as("n2"))
+    val truth = a.join(b, $"k1" < $"k2") // bounded all-pairs: the audit
+      .selectExpr("b1", "b2",
+        "CAST(cast(round(jaro_winkler(n1, n2) * 1e6) as bigint) >= 900000 AS BIGINT) AS hit")
+    val nSample = p.count() // tiny dimension-side count, audit metadata
+    truth.agg(
+      count(lit(1)).as("n_all_pairs"),
+      sum($"hit").as("n_truth"),
+      count_if($"b1" === $"b2").as("n_blocked_pairs"),
+      sum(when($"b1" === $"b2", $"hit").otherwise(lit(0L)))
+        .as("n_truth_blocked"))
+      .select(lit(nSample).as("n_sample"), $"n_all_pairs", $"n_truth",
+        $"n_blocked_pairs", $"n_truth_blocked",
+        ($"n_truth_blocked".cast("double") / $"n_truth".cast("double"))
+          .as("pairs_completeness"),
+        (lit(1.0) - $"n_blocked_pairs".cast("double")
+          / $"n_all_pairs".cast("double")).as("reduction_ratio"))
+  }
+
+  val blockingRecallSql: String =
+    s"""WITH sp AS (
+       |  SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey % 20 = 0
+       |),
+       |truth AS (
+       |  SELECT a.p_brand AS b1, b.p_brand AS b2,
+       |    CAST(CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6)
+       |      AS BIGINT) >= 900000 AS BIGINT) AS hit
+       |  FROM sp a JOIN sp b ON a.p_partkey < b.p_partkey
+       |)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sp) AS n_sample,
+       |  CAST(COUNT(*) AS BIGINT) AS n_all_pairs,
+       |  CAST(SUM(hit) AS BIGINT) AS n_truth,
+       |  CAST(COUNT(*) FILTER (WHERE b1 = b2) AS BIGINT) AS n_blocked_pairs,
+       |  CAST(SUM(CASE WHEN b1 = b2 THEN hit ELSE 0 END) AS BIGINT)
+       |    AS n_truth_blocked,
+       |  CAST(SUM(CASE WHEN b1 = b2 THEN hit ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(hit) AS DOUBLE) AS pairs_completeness,
+       |  1.0 - CAST(COUNT(*) FILTER (WHERE b1 = b2) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS reduction_ratio
+       |FROM truth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_blocking_recall" -> blockingRecall,
     "er_fellegi_sunter" -> fellegiSunter,
     "er_matched_pairs" -> matchedPairs,
     "er_entities" -> entities,
     "er_survivorship" -> survivorship)
 
   val oracles: Map[String, String] = Map(
+    "er_blocking_recall" -> blockingRecallSql,
     "er_fellegi_sunter" -> fellegiSunterSql,
     "er_matched_pairs" -> matchedPairsSql,
     "er_entities" -> entitiesSql,

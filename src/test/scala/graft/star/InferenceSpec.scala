@@ -39,6 +39,29 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("anova: F statistic replays from scalar moments; SS components nonnegative") {
+    import spark.implicits._
+    val (k, n, ssb, ssw, f) = Inference.anovaF(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double)].head()
+    val o = graft.Tables(spark, sf0001, "orders")
+      .selectExpr("o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .as[(String, Long)].collect()
+    assert(k == o.map(_._1).distinct.size && n == o.length)
+    val groups = o.groupBy(_._1).values.toSeq
+    val sbPart = groups.map { g =>
+      val s = g.map(r => BigInt(r._2)).sum
+      math.floor((s * s).toDouble / g.size).toLong
+    }.sum.toDouble
+    val s = o.map(r => BigInt(r._2)).sum
+    val q = o.map(r => BigInt(r._2) * BigInt(r._2)).sum
+    val ssb2 = sbPart - (s * s).toDouble / n
+    val ssw2 = q.toDouble - sbPart
+    assert(ssb == ssb2 && ssw == ssw2)
+    assert(f == (ssb2 / (k - 1)) / (ssw2 / (n - k)))
+    assert(ssb >= 0 && ssw >= 0 && f >= 0)
+  }
+
   test("spearman: tie-broken rank correlation replays exactly; rho in [-1,1]") {
     import spark.implicits._
     val got = Inference.spearman(spark, sf0001)

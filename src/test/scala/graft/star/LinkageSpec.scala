@@ -62,6 +62,22 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("blocking recall: accounting closes; blocked sets are subsets") {
+    import spark.implicits._
+    val (ns, nAll, nTruth, nBlocked, nTruthBlocked, pc, rr) =
+      Linkage.blockingRecall(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(nAll == ns * (ns - 1) / 2) // all unordered pairs of the sample
+    assert(nTruthBlocked <= nTruth && nTruthBlocked <= nBlocked)
+    assert(nBlocked <= nAll && nTruth <= nAll)
+    assert(pc == nTruthBlocked.toDouble / nTruth)
+    assert(rr == 1.0 - nBlocked.toDouble / nAll)
+    // 25 brands -> ~96% reduction at scale; the sf0.001 sample is only
+    // ~10 records so blocks are coarse — assert the direction, not the
+    // asymptote
+    assert(rr > 0.5)
+  }
+
   test("survivorship: one golden record per entity with modal type and exact avg cents") {
     import spark.implicits._
     val golden = Linkage.survivorship(spark, sf0001)
