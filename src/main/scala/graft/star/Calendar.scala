@@ -384,6 +384,92 @@ object Calendar {
        |FROM hw${sqlOrderBy(Seq("m"))}""".stripMargin
   }
 
+  /** orders_seasonal_decompose: the classical additive decomposition
+    * (Persons 1919; the `decompose()` every stats stack ships) of the
+    * monthly revenue series — observed = trend + seasonal + residual —
+    * in EXACT integer arithmetic end to end: the trend is the textbook
+    * centered 2×12 moving average kept in 1/24-month-cent units
+    * (trend24 = x_{t−6} + 2Σ_{t−5..t+5}x + x_{t+6}, defined only where
+    * the full 13-month window exists), the detrended series
+    * d = 24x − trend24 is integer, per-calendar-month seasonal indices
+    * are exact floor-means re-centered by their own floor-mean, and
+    * the residual is an integer subtraction. The only doubles are
+    * display conversions. Where [[seasonalIndex]] reports one
+    * multiplicative index per month-of-year, this emits the full
+    * per-month decomposition a forecasting audit plots.
+    *
+    * Scale posture: the fact scan collapses map-side to |months| rows
+    * before the bounded unpartitioned windows (the documented benign
+    * class — window cost independent of fact volume); the seasonal
+    * rollup is 12 rows broadcast back. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables(spark, dir, "orders")
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m").agg(sum($"cents").as("x"))
+    val w = Window.orderBy($"m")
+    val trended = monthly
+      .withColumn("trend24",
+        when(count($"x").over(w.rowsBetween(-6, 6)) === 13,
+          lag($"x", 6).over(w) + lead($"x", 6).over(w)
+            + lit(2L) * sum($"x").over(w.rowsBetween(-5, 5))))
+      .withColumn("d", lit(24L) * $"x" - $"trend24")
+      .withColumn("moy", month($"m"))
+    val seas = trended.filter($"d".isNotNull)
+      .groupBy($"moy").agg(expr("sum(d) div count(*)").as("s_raw"))
+    val center = seas.agg(expr("sum(s_raw) div count(*)").as("sbar"))
+    val seasonal = seas.crossJoin(broadcast(center))
+      .select($"moy", ($"s_raw" - $"sbar").as("seasonal24"))
+    trended.join(broadcast(seasonal), Seq("moy"), "left")
+      .select($"m",
+        ($"x".cast("double") / 100.0).as("revenue"),
+        ($"trend24".cast("double") / 24.0 / 100.0).as("trend"),
+        $"seasonal24",
+        ($"d" - $"seasonal24").as("residual24"))
+      .orderBy($"m")
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH sd_monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1
+       |),
+       |sd_tr AS (
+       |  SELECT m, x,
+       |    CAST(CASE WHEN COUNT(x) OVER (ORDER BY m
+       |        ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) = 13
+       |      THEN lag(x, 6) OVER (ORDER BY m) + lead(x, 6) OVER (ORDER BY m)
+       |        + 2 * SUM(x) OVER (ORDER BY m
+       |            ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+       |    END AS BIGINT) AS trend24,
+       |    CAST(month(m) AS INTEGER) AS moy
+       |  FROM sd_monthly
+       |),
+       |sd_d AS (
+       |  SELECT sd_tr.*, CAST(24 * x - trend24 AS BIGINT) AS d FROM sd_tr
+       |),
+       |sd_seas AS (
+       |  SELECT moy, CAST(SUM(d) // COUNT(*) AS BIGINT) AS s_raw
+       |  FROM sd_d WHERE d IS NOT NULL GROUP BY moy
+       |),
+       |sd_center AS (
+       |  SELECT CAST(SUM(s_raw) // COUNT(*) AS BIGINT) AS sbar FROM sd_seas
+       |),
+       |sd_seasonal AS (
+       |  SELECT moy, s_raw - sbar AS seasonal24
+       |  FROM sd_seas CROSS JOIN sd_center
+       |)
+       |SELECT d.m, CAST(d.x AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(d.trend24 AS DOUBLE) / 24.0 / 100.0 AS trend,
+       |  CAST(s.seasonal24 AS BIGINT) AS seasonal24,
+       |  CAST(d.d - s.seasonal24 AS BIGINT) AS residual24
+       |FROM sd_d d LEFT JOIN sd_seasonal s ON d.moy = s.moy
+       |${sqlOrderBy(Seq("d.m")).trim}""".stripMargin
+
   /** CUSUM upward-shift detector over daily revenue — sequential
     * change detection (Page 1954) in one window pass: the textbook
     * recursion C_t = max(0, C_{t−1} + (x_t − k)) cannot run as a
@@ -665,6 +751,7 @@ object Calendar {
     "orders_changepoint" -> changepoint,
     "orders_ewma" -> ewma,
     "orders_holt_linear" -> holtLinear,
+    "orders_seasonal_decompose" -> seasonalDecompose,
     "orders_seasonal_index" -> seasonalIndex,
     "dim_calendar" -> dimCalendar,
     "orders_gap_fill" -> gapFill,
@@ -677,6 +764,7 @@ object Calendar {
     "orders_acf" -> ordersAcfSql,
     "orders_ewma" -> ewmaSql,
     "orders_holt_linear" -> holtLinearSql,
+    "orders_seasonal_decompose" -> seasonalDecomposeSql,
     "orders_seasonal_index" -> seasonalIndexSql,
     "dim_calendar" -> dimCalendarSql,
     "orders_gap_fill" -> gapFillSql,

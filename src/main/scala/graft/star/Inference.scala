@@ -192,6 +192,94 @@ object Inference {
        |  / ((CAST(q AS DOUBLE) - sb_part) / CAST(n - k AS DOUBLE)) AS f_stat
        |FROM m""".stripMargin
 
+  /** stat_levene: Levene's variance-homogeneity test (Levene 1960,
+    * Brown–Forsythe median variant) across the five priorities — the
+    * pre-flight [[anovaF]]'s equal-variance assumption is checked
+    * with: W = the ANOVA F statistic computed on the absolute
+    * deviations |x − median_g| from each group's median. The median is
+    * an exact rank-⌈n/2⌉ order statistic (deterministic under the
+    * (cents, orderkey) tiebreak), the deviations are exact BIGINT
+    * cents, and the F assembly reuses the same floored-term
+    * DECIMAL(38,0) discipline as [[anovaF]] — no float sum anywhere
+    * before the terminal divisions.
+    *
+    * Scale posture: one rank window per priority partition for the
+    * median, a broadcast |groups|-row median join back over the scan,
+    * then the one-pass moment aggregation — two scans total at any
+    * volume. */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"), $"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"prio").orderBy($"cents", $"o_orderkey")
+    val med = o
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy($"prio")))
+      .filter($"rk" === expr("(n_g + 1) div 2"))
+      .select($"prio", $"cents".as("med"))
+    val g = o.join(broadcast(med), "prio")
+      .withColumn("z", abs($"cents" - $"med"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n_g"),
+        sum($"z".cast(dec)).as("s_g"),
+        sum($"z".cast(dec) * $"z".cast(dec)).as("q_g"))
+    g.agg(
+      count(lit(1)).as("k"),
+      sum($"n_g").as("n"),
+      sum($"s_g").as("s"),
+      sum($"q_g").as("q"),
+      sum(floor(($"s_g" * $"s_g").cast("double") / $"n_g".cast("double"))
+        .cast(dec)).as("sbq"))
+      .withColumn("sb_part", $"sbq".cast("double"))
+      .select($"k", $"n",
+        ((($"sb_part" - ($"s" * $"s").cast("double") / $"n".cast("double"))
+          / ($"k" - 1L).cast("double"))
+          / (($"q".cast("double") - $"sb_part")
+            / ($"n" - $"k").cast("double"))).as("levene_w"))
+  }
+
+  val leveneSql: String =
+    s"""WITH lo AS (
+       |  SELECT o_orderpriority AS prio, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |),
+       |lmed AS (
+       |  SELECT prio, cents AS med FROM (
+       |    SELECT prio, cents,
+       |      row_number() OVER (PARTITION BY prio
+       |        ORDER BY cents, o_orderkey) AS rk,
+       |      COUNT(*) OVER (PARTITION BY prio) AS n_g
+       |    FROM lo
+       |  ) WHERE rk = (n_g + 1) // 2
+       |),
+       |lg AS (
+       |  SELECT lo.prio, CAST(COUNT(*) AS BIGINT) AS n_g,
+       |    CAST(SUM(CAST(abs(cents - med) AS HUGEINT)) AS HUGEINT) AS s_g,
+       |    CAST(SUM(CAST(abs(cents - med) AS HUGEINT)
+       |      * abs(cents - med)) AS HUGEINT) AS q_g
+       |  FROM lo JOIN lmed ON lo.prio = lmed.prio
+       |  GROUP BY lo.prio
+       |),
+       |lm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(n_g) AS BIGINT) AS n,
+       |    CAST(SUM(s_g) AS HUGEINT) AS s,
+       |    CAST(SUM(q_g) AS HUGEINT) AS q,
+       |    CAST(CAST(SUM(CAST(floor(CAST(s_g * s_g AS DOUBLE)
+       |      / CAST(n_g AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS DOUBLE)
+       |      AS sb_part
+       |  FROM lg
+       |)
+       |SELECT k, n,
+       |  ((sb_part - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / CAST(k - 1 AS DOUBLE))
+       |  / ((CAST(q AS DOUBLE) - sb_part) / CAST(n - k AS DOUBLE))
+       |    AS levene_w
+       |FROM lm""".stripMargin
+
   /** Batch-trained per-event-type conformal band — the model artifact
     * behind [[eventsConformalGate]] and the streaming
     * [[graft.streaming.ConformalGateStream]]: fold 0 (event_id mod 3)
@@ -498,6 +586,7 @@ object Inference {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_anova_f" -> anovaF,
+    "stat_levene" -> levene,
     "stat_spearman" -> spearman,
     "stat_conformal" -> conformal,
     "events_conformal_gate" -> eventsConformalGate,
@@ -506,6 +595,7 @@ object Inference {
 
   val oracles: Map[String, String] = Map(
     "stat_anova_f" -> anovaFSql,
+    "stat_levene" -> leveneSql,
     "stat_spearman" -> spearmanSql,
     "stat_conformal" -> conformalSql,
     "events_conformal_gate" -> eventsConformalGateSql,

@@ -29,4 +29,35 @@ class HoltLinearSpec extends SparkSpec {
     assert(got.map(_._1.getTime).sliding(2).forall(s => s.head < s.last))
   }
 
+  test("seasonal decomposition: trend+seasonal+residual reassembles the observation") {
+    import spark.implicits._
+    val got = Calendar.seasonalDecompose(spark, sf0001)
+      .as[(java.sql.Date, Double, Option[Double], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got.size >= 13)
+    // edges (first/last 6 months) carry no trend; interior rows do
+    assert(got.take(6).forall(_._3.isEmpty))
+    assert(got.takeRight(6).forall(_._3.isEmpty))
+    val interior = got.drop(6).dropRight(6)
+    assert(interior.nonEmpty && interior.forall(_._3.nonEmpty))
+    // exact reassembly in 1/24-cent units:
+    // 24x = trend24 + seasonal24 + residual24
+    interior.foreach {
+      case (_, rev, Some(trend), Some(s24), Some(r24)) =>
+        val x = math.round(rev * 100)
+        val trend24 = math.round(trend * 100 * 24)
+        assert(24L * x == trend24 + s24 + r24)
+      case other => fail(s"interior row missing components: $other")
+    }
+    // one index per calendar month, constant across years; re-centered:
+    // the 12-index mean sits inside the floor-division quantum [0, 1)
+    val byMoy = interior
+      .groupBy(_._1.toLocalDate.getMonthValue).toSeq
+    byMoy.foreach { case (_, rows) =>
+      assert(rows.map(_._4.get).distinct.size == 1)
+    }
+    val seas = byMoy.map(_._2.head._4.get)
+    // truncating division leaves |residue| < 12 of either sign
+    assert(seas.size < 12 || math.abs(seas.sum) < 12)
+  }
 }

@@ -62,6 +62,32 @@ class InferenceSpec extends SparkSpec {
     assert(ssb >= 0 && ssw >= 0 && f >= 0)
   }
 
+  test("levene: Brown-Forsythe W replays from scalar medians and moments") {
+    import spark.implicits._
+    val (k, n, w) = Inference.levene(spark, sf0001)
+      .as[(Long, Long, Double)].head()
+    val o = graft.Tables(spark, sf0001, "orders")
+      .selectExpr("o_orderpriority", "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .as[(String, Long, Long)].collect()
+    assert(k == o.map(_._1).distinct.size && n == o.length)
+    val zs = o.groupBy(_._1).values.toSeq.map { g =>
+      val sorted = g.sortBy(r => (r._3, r._2))
+      val med = sorted(((g.size + 1) / 2 - 1).toInt)._3
+      g.map(r => math.abs(r._3 - med))
+    }
+    val sbPart = zs.map { z =>
+      val s = z.map(BigInt(_)).sum
+      math.floor((s * s).toDouble / z.size).toLong
+    }.sum.toDouble
+    val s = zs.flatten.map(BigInt(_)).sum
+    val q = zs.flatten.map(z => BigInt(z) * BigInt(z)).sum
+    val ssb = sbPart - (s * s).toDouble / n
+    val ssw = q.toDouble - sbPart
+    assert(w == (ssb / (k - 1)) / (ssw / (n - k)))
+    assert(w >= 0)
+  }
+
   test("spearman: tie-broken rank correlation replays exactly; rho in [-1,1]") {
     import spark.implicits._
     val got = Inference.spearman(spark, sf0001)
