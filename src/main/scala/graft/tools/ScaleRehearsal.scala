@@ -196,6 +196,11 @@ object ScaleRehearsal {
       println(s"| embed_mutual_knn | skipped at x$copies (rides the fixed-label knn, superlinear — the autoK composition is the measured path) | | | |")
     stage("embed_mutual_knn_autok")(
       graft.llm.Similarity.mutualKnnAutoK(spark, dir))
+    // round 9 (seventh wave): URL canonicalization (map-only expression
+    // chain + one canonical-key groupBy) and the three-family tokenizer
+    // bake-off (three word-grain encoders + one shared token scan)
+    stage("dedup_url_canonical")(graft.llm.Dedup.urlCanonical(spark, dir))
+    stage("text_tokenizer_trio")(graft.llm.Curate.tokenizerTrio(spark, dir))
     spark.stop()
   }
 }
