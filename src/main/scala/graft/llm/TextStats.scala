@@ -1386,7 +1386,98 @@ object TextStats {
        |FROM top t JOIN np ON t.doc_id = np.doc_id
        |${graft.Det.sqlOrderBy(Seq("t.doc_id")).trim}""".stripMargin
 
+  /** text_js_divergence: pairwise Jensen–Shannon divergence between
+    * the languages' unigram distributions — the corpus-similarity
+    * number behind mixture design ("are these two slices near-
+    * duplicate distributions?"), domain drift, and DSIR-style
+    * target-likeness, symmetric and bounded in [0,1] bit where KL is
+    * neither. Stated entirely in the house exact integer fixed-point
+    * base-2 log (qlog2): per word, P/M and Q/M are RATIOS of integer
+    * products (2·c1·N2 vs c1·N2 + c2·N1), so each log is a DIFFERENCE
+    * of two qlog2 integers, each side's sum Σ c·Δqlog2 is an exact
+    * BIGINT, and JSD = (S1/N1 + S2/N2)/2048 emerges from two terminal
+    * IEEE divisions (1024 qlog2 scale × the ½ mixture factor). Words
+    * absent from one side contribute only through the other (the c=0
+    * guard — JSD needs no smoothing, unlike KL).
+    *
+    * Scale posture: one |tokens|-row (lang, word) rollup (map-side
+    * combined, vocab-bounded output), a full-outer self-join on word
+    * within each lang pair — |langs|²/2 passes over the vocab-bounded
+    * count table, never the corpus — and a |pairs|-row rollup. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals AND the pair expansion
+    val totals = counts.groupBy($"lang").agg(sum($"c").as("n"))
+    val pairs = totals.select($"lang".as("l1"), $"n".as("n1"))
+      .crossJoin(totals.select($"lang".as("l2"), $"n".as("n2")))
+      .filter($"l1" < $"l2")
+    // bounded pair expansion: broadcast the |langs|²/2-row pair table
+    // over the vocab-bounded count table, pivot the two sides per word
+    val expanded = broadcast(pairs)
+      .join(counts, $"lang" === $"l1" || $"lang" === $"l2")
+      .groupBy($"l1", $"l2", $"n1", $"n2", $"w")
+      .agg(max(when($"lang" === $"l1", $"c")).as("c1"),
+        max(when($"lang" === $"l2", $"c")).as("c2"))
+    val t1 = s"(c1 * (${Curate.qlog2Spark("(2 * c1 * n2)")}" +
+      s" - ${Curate.qlog2Spark("(c1 * n2 + coalesce(c2, 0) * n1)")}))"
+    val t2 = s"(c2 * (${Curate.qlog2Spark("(2 * c2 * n1)")}" +
+      s" - ${Curate.qlog2Spark("(c2 * n1 + coalesce(c1, 0) * n2)")}))"
+    expanded
+      .selectExpr("l1", "l2", "n1", "n2",
+        s"CAST(IF(c1 IS NOT NULL, $t1, 0) AS BIGINT) AS s1w",
+        s"CAST(IF(c2 IS NOT NULL, $t2, 0) AS BIGINT) AS s2w")
+      .groupBy($"l1", $"l2", $"n1", $"n2")
+      .agg(sum($"s1w").as("s1q"), sum($"s2w").as("s2q"))
+      .select($"l1", $"l2", $"n1", $"n2",
+        (($"s1q".cast("double") / $"n1".cast("double")
+          + $"s2q".cast("double") / $"n2".cast("double")) / 2048.0)
+          .as("jsd_bits"))
+      .orderBy($"l1", $"l2")
+  }
+
+  val jsDivergenceSql: String = {
+    def q(e: String) = Curate.qlog2Duck(e)
+    s"""WITH jc AS MATERIALIZED (
+       |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE length(w) >= 1 GROUP BY lang, w
+       |),
+       |jt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM jc GROUP BY lang),
+       |jp AS (
+       |  SELECT a.lang AS l1, a.n AS n1, b.lang AS l2, b.n AS n2
+       |  FROM jt a CROSS JOIN jt b WHERE a.lang < b.lang
+       |),
+       |jx AS (
+       |  SELECT l1, l2, n1, n2, w,
+       |    MAX(CASE WHEN lang = l1 THEN c END) AS c1,
+       |    MAX(CASE WHEN lang = l2 THEN c END) AS c2
+       |  FROM jp JOIN jc ON lang = l1 OR lang = l2
+       |  GROUP BY l1, l2, n1, n2, w
+       |),
+       |js AS (
+       |  SELECT l1, l2, n1, n2,
+       |    CAST(SUM(CASE WHEN c1 IS NOT NULL THEN
+       |      c1 * (${q("(2 * c1 * n2)")}
+       |        - ${q("(c1 * n2 + COALESCE(c2, 0) * n1)")}) ELSE 0 END)
+       |      AS BIGINT) AS s1q,
+       |    CAST(SUM(CASE WHEN c2 IS NOT NULL THEN
+       |      c2 * (${q("(2 * c2 * n1)")}
+       |        - ${q("(c2 * n1 + COALESCE(c1, 0) * n2)")}) ELSE 0 END)
+       |      AS BIGINT) AS s2q
+       |  FROM jx GROUP BY l1, l2, n1, n2
+       |)
+       |SELECT l1, l2, n1, n2,
+       |  (CAST(s1q AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |    + CAST(s2q AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2048.0 AS jsd_bits
+       |FROM js${graft.Det.sqlOrderBy(Seq("l1", "l2"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_js_divergence" -> jsDivergence,
     "text_keyword_rake" -> keywordRake,
     "text_compression_ratio" -> compressionRatio,
     "text_bloom_audit" -> bloomAudit,
@@ -1415,6 +1506,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "text_js_divergence" -> jsDivergenceSql,
     "text_keyword_rake" -> keywordRakeSql,
     "text_bloom_audit" -> bloomAuditSql,
     "text_cms_estimate" -> cmsEstimateSql,
