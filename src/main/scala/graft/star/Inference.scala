@@ -584,7 +584,60 @@ object Inference {
        |FROM ranked GROUP BY o_orderpriority
        |${sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
 
+  /** dq_completeness_profile: the per-column profiling pass every
+    * warehouse onboarding/monitoring job runs over a new feed — for
+    * each column of `orders`: row count, non-null count, exact
+    * distinct cardinality, null fraction, and distinct ratio (the
+    * key-candidate / constant-column detector). One row per column,
+    * exact counts, two terminal divisions each.
+    *
+    * Scale posture: one aggregate over the scan; the multi-column
+    * exact COUNT(DISTINCT) plans as Spark's Expand (one row replica
+    * per distinct-aggregate) — the standard profiling trade, paid
+    * once per feed release, map-side combinable per column. The
+    * result pivots to rows driver-free via one explode of a 6-struct
+    * literal array. */
+  def completenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val row = Tables(spark, dir, "orders")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val structs = cols.map { c =>
+      s"named_struct('column_name', '$c', 'n', n, " +
+        s"'n_nonnull', nn_$c, 'n_distinct', nd_$c)"
+    }.mkString(", ")
+    row.selectExpr(s"explode(array($structs)) AS p")
+      .select($"p.column_name", $"p.n", $"p.n_nonnull", $"p.n_distinct",
+        (lit(1.0) - $"p.n_nonnull".cast("double") / $"p.n".cast("double"))
+          .as("null_frac"),
+        ($"p.n_distinct".cast("double") / $"p.n".cast("double"))
+          .as("distinct_ratio"))
+      .orderBy($"column_name")
+  }
+
+  val completenessProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  1.0 - CAST(COUNT($c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS null_frac,
+         |  CAST(COUNT(DISTINCT $c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS distinct_ratio
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name NULLS FIRST")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_completeness_profile" -> completenessProfile,
     "stat_anova_f" -> anovaF,
     "stat_levene" -> levene,
     "stat_spearman" -> spearman,
@@ -594,6 +647,7 @@ object Inference {
     "dq_t_closeness" -> tCloseness)
 
   val oracles: Map[String, String] = Map(
+    "dq_completeness_profile" -> completenessProfileSql,
     "stat_anova_f" -> anovaFSql,
     "stat_levene" -> leveneSql,
     "stat_spearman" -> spearmanSql,

@@ -39,6 +39,23 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("completeness profile: counts replay; key column detected by distinct ratio") {
+    import spark.implicits._
+    val got = Inference.completenessProfile(spark, sf0001)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 6)
+    val n = graft.Tables(spark, sf0001, "orders").count()
+    got.values.foreach { case (_, rn, nn, nd, nullFrac, dr) =>
+      assert(rn == n && nn <= n && nd <= nn)
+      assert(nullFrac == 1.0 - nn.toDouble / n)
+      assert(dr == nd.toDouble / n)
+    }
+    // o_orderkey is the key: fully distinct; priority is low-cardinality
+    assert(got("o_orderkey")._4 == n)
+    assert(got("o_orderpriority")._4 == 5)
+  }
+
   test("anova: F statistic replays from scalar moments; SS components nonnegative") {
     import spark.implicits._
     val (k, n, ssb, ssw, f) = Inference.anovaF(spark, sf0001)
