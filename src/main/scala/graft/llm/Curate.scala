@@ -435,7 +435,7 @@ object Curate {
     * legs: qlog2(c) = (b<<10) + ((c<<10)>>b) − 1024 with b = ⌊log2 c⌋
     * via the binary-digit length — monotone, additive, bit-identical
     * cross-engine. Spark spelling. */
-  private[llm] def qlog2Spark(c: String) =
+  private[graft] def qlog2Spark(c: String) =
     s"((length(bin($c)) - 1) * 1024 + (($c * 1024) div " +
       s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1)) - 1024)"
 
@@ -556,7 +556,7 @@ object Curate {
   }
 
   /** DuckDB spelling of [[qlog2Spark]]. */
-  private[llm] def qlog2Duck(c: String) =
+  private[graft] def qlog2Duck(c: String) =
     s"((length(bin($c)) - 1) * 1024 + (($c * 1024) // " +
       s"(CAST(1 AS BIGINT) << (length(bin($c)) - 1))) - 1024)"
 

@@ -163,11 +163,124 @@ object Search {
        |ORDER BY lift DESC, a NULLS FIRST, b NULLS FIRST
        |LIMIT 30""".stripMargin
 
+  /** text_dunning_llr: Dunning's log-likelihood-ratio collocation test
+    * (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    * and Coincidence") — the statistically-sound companion to
+    * [[wordPmi]]: PMI/lift over-rewards rare pairs (two hapaxes that
+    * co-occur once score maximal lift), while the G² statistic weights
+    * evidence by count, which is why LLR is the standard collocation
+    * ranker for tokenizer-merge and stop-phrase candidate lists. For
+    * each bigram (a,b) the 2×2 contingency over the bigram stream —
+    * O11 = c(ab), O12 = c(a·) − c(ab), O21 = c(·b) − c(ab),
+    * O22 = N − c(a·) − c(·b) + c(ab) — is scored as
+    * G²_q = 2·Σ_k O_k·(qlog2(O_k·N) − qlog2(R_k·C_k)), every term an
+    * exact BIGINT product of the engine-portable qlog2 fixed-point
+    * base-2 log ([[graft.llm.Curate.qlog2Spark]]); zero cells
+    * contribute exactly 0 (0·log 0 = 0). The ranking key llr_q is the
+    * exact integer; llr_bits = llr_q/1024 is the single terminal
+    * division (units: bits of evidence, = G²/(2·ln 2)).
+    *
+    * Scale posture: identical to [[wordPmi]] — map-side-combined
+    * bigram counts, the two marginal tables derive from the bigram
+    * counts (never re-scan the corpus), the ≥3 support floor prunes
+    * before the joins, and top-k is TakeOrderedAndProject. */
+  def dunningLlr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.llm.Curate.qlog2Spark _
+    val bi = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1]))""".stripMargin))
+        .as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+    val af = bi.groupBy(expr("split(bg, ' ')[0]").as("a"))
+      .agg(sum($"c_ab").as("c_af"))
+    val bs = bi.groupBy(expr("split(bg, ' ')[1]").as("b"))
+      .agg(sum($"c_ab").as("c_bs"))
+    val nBi = bi.agg(sum($"c_ab").as("n"))
+    def term(o: String, r: String, c: String) =
+      s"IF($o > 0, $o * (CAST(${q(s"($o * n)")} AS BIGINT)" +
+        s" - ${q(s"($r * $c)")}), CAST(0 AS BIGINT))"
+    bi.filter($"c_ab" >= 3)
+      .withColumn("a", expr("split(bg, ' ')[0]"))
+      .withColumn("b", expr("split(bg, ' ')[1]"))
+      .join(af, "a").join(bs, "b")
+      .crossJoin(broadcast(nBi))
+      .selectExpr("a", "b", "c_ab", "c_af", "c_bs", "n",
+        "c_af - c_ab AS o12", "c_bs - c_ab AS o21",
+        "n - c_af - c_bs + c_ab AS o22",
+        "n - c_af AS r2", "n - c_bs AS c2")
+      .selectExpr("a", "b", "c_ab", "c_af", "c_bs",
+        s"""(${term("c_ab", "c_af", "c_bs")}
+           | + ${term("o12", "c_af", "c2")}
+           | + ${term("o21", "r2", "c_bs")}
+           | + ${term("o22", "r2", "c2")}) * 2 AS llr_q""".stripMargin)
+      .withColumn("llr_bits",
+        $"llr_q".cast("double") / lit(1024.0))
+      .orderBy($"llr_q".desc, $"a", $"b")
+      .limit(20)
+  }
+
+  val dunningLlrSql: String = {
+    val q = graft.llm.Curate.qlog2Duck _
+    def term(o: String, r: String, c: String) =
+      s"CASE WHEN $o > 0 THEN $o * (CAST(${q(s"($o * n)")} AS BIGINT)" +
+        s" - ${q(s"($r * $c)")}) ELSE 0 END"
+    s"""WITH lbi AS (
+       |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM (SELECT unnest(list_transform(range(0, len(tokens) - 1),
+       |          i -> tokens[i+1] || ' ' || tokens[i+2])) AS bg
+       |        FROM (SELECT string_split(text, ' ') AS tokens FROM documents)
+       |        WHERE len(tokens) >= 2)
+       |  GROUP BY bg
+       |),
+       |laf AS (
+       |  SELECT string_split(bg, ' ')[1] AS a,
+       |    CAST(SUM(c_ab) AS BIGINT) AS c_af
+       |  FROM lbi GROUP BY 1
+       |),
+       |lbs AS (
+       |  SELECT string_split(bg, ' ')[2] AS b,
+       |    CAST(SUM(c_ab) AS BIGINT) AS c_bs
+       |  FROM lbi GROUP BY 1
+       |),
+       |ln_ AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM lbi),
+       |cells AS (
+       |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+       |    c_ab, c_af, c_bs, n,
+       |    c_af - c_ab AS o12, c_bs - c_ab AS o21,
+       |    n - c_af - c_bs + c_ab AS o22,
+       |    n - c_af AS r2, n - c_bs AS c2
+       |  FROM lbi
+       |    JOIN laf ON laf.a = string_split(bg, ' ')[1]
+       |    JOIN lbs ON lbs.b = string_split(bg, ' ')[2]
+       |    CROSS JOIN ln_
+       |  WHERE c_ab >= 3
+       |)
+       |SELECT a, b, c_ab, c_af, c_bs,
+       |  CAST((${term("c_ab", "c_af", "c_bs")}
+       |   + ${term("o12", "c_af", "c2")}
+       |   + ${term("o21", "r2", "c_bs")}
+       |   + ${term("o22", "r2", "c2")}) * 2 AS BIGINT) AS llr_q,
+       |  CAST((${term("c_ab", "c_af", "c_bs")}
+       |   + ${term("o12", "c_af", "c2")}
+       |   + ${term("o21", "r2", "c_bs")}
+       |   + ${term("o22", "r2", "c2")}) * 2 AS DOUBLE)
+       |    / CAST(1024.0 AS DOUBLE) AS llr_bits
+       |FROM cells
+       |ORDER BY llr_q DESC, a NULLS FIRST, b NULLS FIRST
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> bm25,
-    "text_word_pmi" -> wordPmi)
+    "text_word_pmi" -> wordPmi,
+    "text_dunning_llr" -> dunningLlr)
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> bm25Sql,
-    "text_word_pmi" -> wordPmiSql)
+    "text_word_pmi" -> wordPmiSql,
+    "text_dunning_llr" -> dunningLlrSql)
 }

@@ -1476,7 +1476,77 @@ object TextStats {
        |FROM js${graft.Det.sqlOrderBy(Seq("l1", "l2"))}""".stripMargin
   }
 
+  /** text_readability: Flesch reading-ease and Flesch–Kincaid grade
+    * level per language (Flesch 1948; Kincaid et al. 1975) — the
+    * classic readability pair a quality-filtering pipeline uses as a
+    * cheap complexity prior (too-low ease ⇒ boilerplate/code, too-high
+    * ⇒ fragment lists). Syllables are the standard vowel-group proxy
+    * (runs of [aeiouy] — exact regexp counts, the only portable
+    * syllable estimator); sentence count is max(1, #[.!?]) per
+    * document (the synthetic corpus carries no terminators, so each
+    * document scores as one sentence — the formula degrades to
+    * words-per-doc, stated here so the oracle contract is explicit).
+    * All three totals are exact BIGINT sums per language; the two
+    * scores are terminal IEEE assemblies with every fractional literal
+    * CAST to DOUBLE on the DuckDB side (bare decimals parse as DECIMAL
+    * there and constant-fold differently).
+    *
+    * Scale posture: pure map over documents + one |langs|-row rollup —
+    * scan-speed at 100 TB, zero joins. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables(spark, dir, "documents")
+      .selectExpr("lang",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
+        "greatest(CAST(regexp_count(text, '[.!?]') AS BIGINT), 1L) AS s",
+        "CAST(regexp_count(text, '[aeiouy]+') AS BIGINT) AS y")
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").as("n_words"), sum($"s").as("n_sentences"),
+        sum($"y").as("n_syllables"))
+      .select($"lang", $"n_docs", $"n_words", $"n_sentences",
+        $"n_syllables",
+        (lit(206.835)
+          - lit(1.015) * ($"n_words".cast("double")
+            / $"n_sentences".cast("double"))
+          - lit(84.6) * ($"n_syllables".cast("double")
+            / $"n_words".cast("double"))).as("flesch_ease"),
+        (lit(0.39) * ($"n_words".cast("double")
+          / $"n_sentences".cast("double"))
+          + lit(11.8) * ($"n_syllables".cast("double")
+            / $"n_words".cast("double"))
+          - lit(15.59)).as("fk_grade"))
+      .orderBy($"lang")
+  }
+
+  val readabilitySql: String =
+    s"""WITH rd AS (
+       |  SELECT lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |    greatest(CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT),
+       |      1) AS s,
+       |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS y
+       |  FROM documents
+       |)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(s) AS BIGINT) AS n_sentences,
+       |  CAST(SUM(y) AS BIGINT) AS n_syllables,
+       |  CAST(206.835 AS DOUBLE)
+       |    - CAST(1.015 AS DOUBLE) * (CAST(SUM(w) AS DOUBLE)
+       |      / CAST(SUM(s) AS DOUBLE))
+       |    - CAST(84.6 AS DOUBLE) * (CAST(SUM(y) AS DOUBLE)
+       |      / CAST(SUM(w) AS DOUBLE)) AS flesch_ease,
+       |  CAST(0.39 AS DOUBLE) * (CAST(SUM(w) AS DOUBLE)
+       |      / CAST(SUM(s) AS DOUBLE))
+       |    + CAST(11.8 AS DOUBLE) * (CAST(SUM(y) AS DOUBLE)
+       |      / CAST(SUM(w) AS DOUBLE))
+       |    - CAST(15.59 AS DOUBLE) AS fk_grade
+       |FROM rd GROUP BY lang
+       |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> readability,
     "text_js_divergence" -> jsDivergence,
     "text_keyword_rake" -> keywordRake,
     "text_compression_ratio" -> compressionRatio,
@@ -1506,6 +1576,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> readabilitySql,
     "text_js_divergence" -> jsDivergenceSql,
     "text_keyword_rake" -> keywordRakeSql,
     "text_bloom_audit" -> bloomAuditSql,

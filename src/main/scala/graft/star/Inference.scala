@@ -636,8 +636,170 @@ object Inference {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name NULLS FIRST")
   }
 
+  /** stat_auc_lpm: ROC-AUC of the [[graft.llm.Curate.lpmScored]]
+    * dup-risk screen — the threshold-free ranking-quality companion to
+    * [[brierCalibration]] (Brier grades the probabilities, AUC grades
+    * the ordering; a screen can be well-calibrated and still unable to
+    * rank). Computed via the Mann–Whitney identity over the DISTINCT
+    * quantized scores: p̂ is clamped and quantized once to 1e-6
+    * micro-units (the Brier quantization), per-score (pos, neg) counts
+    * collapse the corpus, and
+    * 2·U = Σ_s pos_s · (2·neg_below(s) + neg_s) — the trapezoidal
+    * tie-handling (each pos/neg tie pair counts ½) kept in exact
+    * BIGINT by carrying the doubled numerator. AUC and the Gini
+    * coefficient 2·AUC−1 are terminal IEEE assemblies.
+    *
+    * Scale posture: rides lpmScored's one-pass moment training +
+    * map-only scoring; the per-score rollup is bounded by the 1e6+1
+    * quantization grid (NOT the corpus), and the cumulative window
+    * runs over that bounded grid — a 100 TB AUC is one scan plus a
+    * ≤1e6-row window. */
+  def aucLpm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byScore = graft.llm.Curate.lpmScored(spark, dir)
+      .withColumn("p6",
+        round(greatest(least($"pred_p", lit(1.0)), lit(0.0)) * 1e6)
+          .cast("long"))
+      .groupBy($"p6")
+      .agg(count_if($"y" === 1L).as("pos"),
+        count_if($"y" === 0L).as("neg"))
+    val w = Window.orderBy($"p6")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum($"neg").over(w), lit(0L)))
+      .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+        sum($"pos" * ($"neg_below" * 2L + $"neg")).as("auc_num2"))
+      .select($"n_pos", $"n_neg", $"auc_num2",
+        ($"auc_num2".cast("double")
+          / (lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double")))
+          .as("auc"))
+      .withColumn("gini_coef", lit(2.0) * $"auc" - lit(1.0))
+  }
+
+  val aucLpmSql: String =
+    s"""WITH ${graft.llm.Curate.lpmScoredSqlAll},
+       |by_score AS (
+       |  SELECT CAST(round(greatest(least(pred_p, 1.0), 0.0) * 1e6)
+       |      AS BIGINT) AS p6,
+       |    CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS pos,
+       |    CAST(COUNT(*) FILTER (WHERE y = 0) AS BIGINT) AS neg
+       |  FROM lpm_scored GROUP BY 1
+       |),
+       |cum AS (
+       |  SELECT pos, neg,
+       |    COALESCE(SUM(neg) OVER (ORDER BY p6
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS neg_below
+       |  FROM by_score
+       |)
+       |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |  CAST(SUM(pos * (neg_below * 2 + neg)) AS BIGINT) AS auc_num2,
+       |  CAST(SUM(pos * (neg_below * 2 + neg)) AS DOUBLE)
+       |    / (CAST(2.0 AS DOUBLE) * CAST(SUM(pos) AS DOUBLE)
+       |      * CAST(SUM(neg) AS DOUBLE)) AS auc,
+       |  CAST(2.0 AS DOUBLE) * (CAST(SUM(pos * (neg_below * 2 + neg))
+       |      AS DOUBLE)
+       |    / (CAST(2.0 AS DOUBLE) * CAST(SUM(pos) AS DOUBLE)
+       |      * CAST(SUM(neg) AS DOUBLE))) - CAST(1.0 AS DOUBLE)
+       |    AS gini_coef
+       |FROM cum""".stripMargin
+
+  /** dq_mutual_info: mutual information (in bits) between order
+    * priority and order status — the nonparametric dependence audit
+    * completing the crosstab/χ²/Cramér's-V family: MI answers "how many
+    * bits does knowing the status tell you about the priority", which
+    * is the feature-redundancy number a feature store profiles. All
+    * logarithms are the engine-portable qlog2 integer fixed point
+    * (1/1024-bit units, the [[graft.llm.Curate.qlog2Spark]] identity
+    * used by the JS-divergence and Zipf legs): each cell contributes
+    * c·(qlog2(c·N) − qlog2(rt·ct)) — an exact BIGINT product of exact
+    * integers — so MI_q = Σ cells is order-free; the marginal entropies
+    * H(X)_q, H(Y)_q use the same machinery and the redundancy score
+    * 2·MI/(H_X+H_Y) is one terminal IEEE assembly. Zero cells
+    * contribute zero and are simply absent (0·log 0 = 0), so no grid
+    * zero-fill is needed — unlike χ², MI's missing cells carry no mass.
+    *
+    * Scale posture: one partial-agg exchange to |priority×status|
+    * cells; everything downstream runs on that bounded grid. The
+    * integer products cap at c·N — past ~3·10⁹ rows the qlog2 operand
+    * moves to DECIMAL(38,0)/HUGEINT with the identical identity (bin()
+    * over the decimal's long mantissa), shapes unchanged. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.llm.Curate.qlog2Spark _
+    val cells = Tables(spark, dir, "orders")
+      .groupBy($"o_orderpriority".as("a"), $"o_orderstatus".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val rowt = cells.groupBy($"a").agg(sum($"c").as("rt"))
+    val colt = cells.groupBy($"b").agg(sum($"c").as("ct"))
+    val tot = cells.agg(sum($"c").as("n"))
+    val joint = cells
+      .join(broadcast(rowt), "a").join(broadcast(colt), "b")
+      .crossJoin(broadcast(tot))
+      .selectExpr("a", "b", "c", "rt", "ct", "n",
+        s"c * (CAST(${q("(c * n)")} AS BIGINT) - ${q("(rt * ct)")}) AS miq")
+    val hx = rowt.crossJoin(broadcast(tot))
+      .selectExpr(s"rt * (CAST(${q("n")} AS BIGINT) - ${q("rt")}) AS hq")
+      .agg(sum($"hq").as("hx_q"))
+    val hy = colt.crossJoin(broadcast(tot))
+      .selectExpr(s"ct * (CAST(${q("n")} AS BIGINT) - ${q("ct")}) AS hq")
+      .agg(sum($"hq").as("hy_q"))
+    joint.groupBy($"n")
+      .agg(sum($"miq").as("mi_q"), count(lit(1)).as("n_cells"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select($"n_cells", $"mi_q", $"hx_q", $"hy_q",
+        ($"mi_q".cast("double") / ($"n" * 1024L).cast("double"))
+          .as("mi_bits"),
+        ($"hx_q".cast("double") / ($"n" * 1024L).cast("double"))
+          .as("hx_bits"),
+        ($"hy_q".cast("double") / ($"n" * 1024L).cast("double"))
+          .as("hy_bits"),
+        (lit(2.0) * $"mi_q".cast("double")
+          / ($"hx_q" + $"hy_q").cast("double")).as("redundancy"))
+  }
+
+  val mutualInfoSql: String = {
+    val q = graft.llm.Curate.qlog2Duck _
+    s"""WITH micells AS (
+       |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1, 2
+       |),
+       |mirow AS (SELECT a, CAST(SUM(c) AS BIGINT) AS rt FROM micells GROUP BY a),
+       |micol AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM micells GROUP BY b),
+       |mitot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM micells),
+       |mij AS (
+       |  SELECT CAST(SUM(c * (CAST(${q("(c * n)")} AS BIGINT)
+       |      - ${q("(rt * ct)")})) AS BIGINT) AS mi_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    MAX(n) AS n
+       |  FROM micells
+       |    JOIN mirow USING (a) JOIN micol USING (b) CROSS JOIN mitot
+       |),
+       |mihx AS (
+       |  SELECT CAST(SUM(rt * (CAST(${q("n")} AS BIGINT) - ${q("rt")}))
+       |    AS BIGINT) AS hx_q
+       |  FROM mirow CROSS JOIN mitot
+       |),
+       |mihy AS (
+       |  SELECT CAST(SUM(ct * (CAST(${q("n")} AS BIGINT) - ${q("ct")}))
+       |    AS BIGINT) AS hy_q
+       |  FROM micol CROSS JOIN mitot
+       |)
+       |SELECT n_cells, mi_q, hx_q, hy_q,
+       |  CAST(mi_q AS DOUBLE) / CAST(n * 1024 AS DOUBLE) AS mi_bits,
+       |  CAST(hx_q AS DOUBLE) / CAST(n * 1024 AS DOUBLE) AS hx_bits,
+       |  CAST(hy_q AS DOUBLE) / CAST(n * 1024 AS DOUBLE) AS hy_bits,
+       |  CAST(2.0 AS DOUBLE) * CAST(mi_q AS DOUBLE)
+       |    / CAST(hx_q + hy_q AS DOUBLE) AS redundancy
+       |FROM mij CROSS JOIN mihx CROSS JOIN mihy""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_completeness_profile" -> completenessProfile,
+    "stat_auc_lpm" -> aucLpm,
+    "dq_mutual_info" -> mutualInfo,
     "stat_anova_f" -> anovaF,
     "stat_levene" -> levene,
     "stat_spearman" -> spearman,
@@ -648,6 +810,8 @@ object Inference {
 
   val oracles: Map[String, String] = Map(
     "dq_completeness_profile" -> completenessProfileSql,
+    "stat_auc_lpm" -> aucLpmSql,
+    "dq_mutual_info" -> mutualInfoSql,
     "stat_anova_f" -> anovaFSql,
     "stat_levene" -> leveneSql,
     "stat_spearman" -> spearmanSql,

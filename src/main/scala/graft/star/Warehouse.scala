@@ -1765,6 +1765,107 @@ object Warehouse {
        |  mean_y - theta * (mean_x - xbar) AS mean_y_cuped
        |FROM bv CROSS JOIN theta${sqlOrderBy(Seq("variant"))}""".stripMargin
 
+  /** events_ab_delta_ratio: delta-method variance for the RATIO metric
+    * "purchase revenue per event" in the A/B experiment — the fix for
+    * the classic analysis-unit mismatch (Deng, Knoblich, Lu, KDD 2018
+    * "Applying the Delta Method in Metric Analytics"): the metric's
+    * denominator (events) is not the randomization unit (users), so
+    * the naive per-event variance is wrong; the correct first-order
+    * variance of R̂ = ΣY/ΣS treats per-user (Y_u, S_u) as the iid unit:
+    * Var(R̂) ≈ (σ²_Y − 2R·σ_YS + R²·σ²_S) / (n·S̄²). Per-user sums are
+    * exact integer cents / counts, all five moments accumulate in
+    * DECIMAL(38,0)/HUGEINT (map-side combinable, order-free), and the
+    * ratio, variance, and standard error are one fixed-shape terminal
+    * IEEE assembly per variant (sqrt is IEEE-correctly-rounded — the
+    * [[graft.star.Aggs]] moment-stats precedent).
+    *
+    * Scale posture: one user-keyed rollup (the experiment's natural
+    * key), then a |variants|-row moment aggregate — a 100 TB ratio
+    * metric with valid error bars is one shuffle. */
+  def abDeltaRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L)).as("y"),
+        count(lit(1)).as("s"))
+      .select(($"user_id" % 2).cast("int").as("variant"), $"y", $"s")
+    perUser.groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"y".cast(dec)).as("sy"), sum($"s".cast(dec)).as("ss"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"),
+        sum($"s".cast(dec) * $"s".cast(dec)).as("sss"),
+        sum($"y".cast(dec) * $"s".cast(dec)).as("sys"))
+      .select($"variant", $"n_users",
+        $"n_users".cast("double").as("nd"),
+        $"sy".cast("double").as("syd"), $"ss".cast("double").as("ssd"),
+        $"syy".cast("double").as("syyd"), $"sss".cast("double").as("sssd"),
+        $"sys".cast("double").as("sysd"))
+      .select($"variant", $"n_users",
+        ($"syd" / $"ssd").as("ratio_cents_per_event"),
+        ((($"nd" * $"syyd" - $"syd" * $"syd")
+          / ($"nd" * ($"nd" - lit(1.0)))
+          - lit(2.0) * ($"syd" / $"ssd")
+            * (($"nd" * $"sysd" - $"syd" * $"ssd")
+              / ($"nd" * ($"nd" - lit(1.0))))
+          + ($"syd" / $"ssd") * ($"syd" / $"ssd")
+            * (($"nd" * $"sssd" - $"ssd" * $"ssd")
+              / ($"nd" * ($"nd" - lit(1.0)))))
+          / ($"nd" * ($"ssd" / $"nd") * ($"ssd" / $"nd")))
+          .as("var_delta"),
+        sqrt((($"nd" * $"syyd" - $"syd" * $"syd")
+          / ($"nd" * ($"nd" - lit(1.0)))
+          - lit(2.0) * ($"syd" / $"ssd")
+            * (($"nd" * $"sysd" - $"syd" * $"ssd")
+              / ($"nd" * ($"nd" - lit(1.0))))
+          + ($"syd" / $"ssd") * ($"syd" / $"ssd")
+            * (($"nd" * $"sssd" - $"ssd" * $"ssd")
+              / ($"nd" * ($"nd" - lit(1.0)))))
+          / ($"nd" * ($"ssd" / $"nd") * ($"ssd" / $"nd")))
+          .as("se_delta"))
+      .orderBy($"variant")
+  }
+
+  val abDeltaRatioSql: String =
+    s"""WITH dpu AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS y,
+       |    CAST(COUNT(*) AS BIGINT) AS s
+       |  FROM events GROUP BY user_id
+       |),
+       |dm AS (
+       |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(COUNT(*) AS DOUBLE) AS nd,
+       |    CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS syd,
+       |    CAST(CAST(SUM(s) AS HUGEINT) AS DOUBLE) AS ssd,
+       |    CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+       |      AS syyd,
+       |    CAST(CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS DOUBLE)
+       |      AS sssd,
+       |    CAST(CAST(SUM(CAST(y AS HUGEINT) * s) AS HUGEINT) AS DOUBLE)
+       |      AS sysd
+       |  FROM dpu GROUP BY variant
+       |)
+       |SELECT variant, n_users,
+       |  syd / ssd AS ratio_cents_per_event,
+       |  ((nd * syyd - syd * syd) / (nd * (nd - CAST(1.0 AS DOUBLE)))
+       |    - CAST(2.0 AS DOUBLE) * (syd / ssd)
+       |      * ((nd * sysd - syd * ssd) / (nd * (nd - CAST(1.0 AS DOUBLE))))
+       |    + (syd / ssd) * (syd / ssd)
+       |      * ((nd * sssd - ssd * ssd) / (nd * (nd - CAST(1.0 AS DOUBLE)))))
+       |    / (nd * (ssd / nd) * (ssd / nd)) AS var_delta,
+       |  sqrt(((nd * syyd - syd * syd) / (nd * (nd - CAST(1.0 AS DOUBLE)))
+       |    - CAST(2.0 AS DOUBLE) * (syd / ssd)
+       |      * ((nd * sysd - syd * ssd) / (nd * (nd - CAST(1.0 AS DOUBLE))))
+       |    + (syd / ssd) * (syd / ssd)
+       |      * ((nd * sssd - ssd * ssd) / (nd * (nd - CAST(1.0 AS DOUBLE)))))
+       |    / (nd * (ssd / nd) * (ssd / nd))) AS se_delta
+       |FROM dm${sqlOrderBy(Seq("variant"))}""".stripMargin
+
   /** Permutation replicates for [[permutationTest]]. */
   private val PermB = 64
 
@@ -2257,6 +2358,7 @@ object Warehouse {
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
     "events_ab_cuped" -> abCuped,
+    "events_ab_delta_ratio" -> abDeltaRatio,
     "stat_permutation_test" -> permutationTest,
     "orders_did_lift" -> didLift,
     "events_path_markov" -> pathMarkov,
@@ -2295,6 +2397,7 @@ object Warehouse {
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
     "events_ab_cuped" -> abCupedSql,
+    "events_ab_delta_ratio" -> abDeltaRatioSql,
     "stat_permutation_test" -> permutationTestSql,
     "orders_did_lift" -> didLiftSql,
     "events_path_markov" -> pathMarkovSql,
