@@ -40,6 +40,7 @@ object SparkEntry {
       star.Tpch.queries ++
       star.Inference.queries ++
       star.Linkage.queries ++
+      star.Attribution.queries ++
       llm.Dedup.queries ++
       llm.Curate.queries ++
       llm.Cluster.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       star.Tpch.oracles ++
       star.Inference.oracles ++
       star.Linkage.oracles ++
+      star.Attribution.oracles ++
       llm.Dedup.oracles ++
       llm.Curate.oracles ++
       llm.Cluster.oracles ++
