@@ -1078,7 +1078,82 @@ object Cluster {
        |FROM cand_mv CROSS JOIN m2 WHERE rn = 1
        |${graft.Det.sqlOrderBy(Seq("node")).trim}""".stripMargin
 
+  /** graph_bfs_layers: breadth-first layer census from the highest-
+    * degree document of the LSH candidate graph — the "how far does
+    * the template family spread" diagnostic (layer 1 = direct
+    * near-dups of the hub, layer 2 = dups-of-dups …), and the
+    * small-diameter health check that tells a dedup run whether its
+    * clusters are tight cliques (everything within 1–2 hops) or
+    * drifting chains. Seed = max-degree node, ties to the smallest
+    * doc_id; four synchronous frontier expansions (Pregel supersteps),
+    * each frontier = distinct neighbors minus already-visited (the
+    * anti-join guarantees first-visit = shortest-path layer). Output:
+    * per-layer node count + doc_id checksum.
+    *
+    * Scale posture: each superstep is one frontier⋈edges hash join on
+    * the node key + one distinct + one anti join against the visited
+    * set — all equi-joins riding the same partitioning;
+    * localCheckpoint truncates the per-iteration lineage (the
+    * [[components]] discipline). Work per step is O(edges touched by
+    * the frontier); 4 fixed steps. The DuckDB oracle walks the same
+    * graph with a depth-bounded recursive CTE and takes MIN(layer)
+    * per node — identical to first-visit BFS. */
+  def bfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(
+      Dedup.candidatePairs(spark, dir)
+        .select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint()
+    val seed = edges.groupBy($"src").agg(count(lit(1)).as("dg"))
+      .orderBy($"dg".desc, $"src").limit(1)
+      .select($"src".as("node"), lit(0).as("layer"))
+    var visited = seed.localCheckpoint()
+    var frontier = visited
+    for (l <- 1 to 4) {
+      frontier = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select($"dst".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("layer", lit(l))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited.groupBy($"layer")
+      .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_doc_id"))
+      .orderBy($"layer")
+  }
+
+  val bfsLayersSql: String =
+    s"""WITH RECURSIVE ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |seed AS (
+       |  SELECT src AS node FROM (
+       |    SELECT src, COUNT(*) AS dg FROM edges GROUP BY src
+       |  ) ORDER BY dg DESC, src LIMIT 1
+       |),
+       |bfs(node, layer) AS (
+       |  SELECT node, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, b.layer + 1
+       |  FROM bfs b JOIN edges e ON e.src = b.node
+       |  WHERE b.layer < 4
+       |),
+       |firstv AS (
+       |  SELECT node, CAST(MIN(layer) AS INTEGER) AS layer
+       |  FROM bfs GROUP BY node
+       |)
+       |SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(node) AS BIGINT) AS sum_doc_id
+       |FROM firstv GROUP BY layer
+       |${graft.Det.sqlOrderBy(Seq("layer")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_layers" -> bfsLayers,
     "graph_louvain_step" -> louvainStep,
     "graph_assortativity" -> assortativity,
     "graph_modularity" -> modularity,
@@ -1097,6 +1172,7 @@ object Cluster {
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
+    "graph_bfs_layers" -> bfsLayersSql,
     "graph_louvain_step" -> louvainStepSql,
     "graph_assortativity" -> assortativitySql,
     "graph_modularity" -> modularitySql,
