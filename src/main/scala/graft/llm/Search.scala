@@ -274,13 +274,113 @@ object Search {
        |LIMIT 20""".stripMargin
   }
 
+  /** text_textrank: TextRank keyword extraction (Mihalcea & Tarau,
+    * EMNLP 2004) — weighted PageRank over the corpus word
+    * co-occurrence graph (edge weight = adjacency count, the window-1
+    * form), the graph-centrality complement to frequency-based RAKE
+    * and the df-based TF-IDF: a word ranks high when it co-occurs
+    * with other high-ranking words, which surfaces topic hubs rather
+    * than merely frequent tokens. Three damped iterations
+    * (d = 0.85) in the engine-exact rank_ppb discipline of
+    * `graph_pagerank_iter5`: ranks start 1e9/N, inflow sums
+    * r·0.85·w/W(v) through [[graft.Det.xsum]] (DECIMAL(28,5) — one
+    * deterministic reduction, never a shuffle-order float sum), and
+    * the DuckDB oracle unrolls the identical three steps. Top-20 by
+    * (rank desc, word).
+    *
+    * Scale posture: the corpus collapses to its bigram counts
+    * map-side; every structure after is VOCABULARY-bounded (Zipf: the
+    * distinct-adjacency table grows sublinearly in corpus size), the
+    * per-iteration join is an equi hash join on the word key, and
+    * top-k is TakeOrderedAndProject. */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bi = Tables(spark, dir, "documents")
+      .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |          i -> named_struct('a', tokens[i], 'b', tokens[i+1]))"""
+          .stripMargin)).as("p"))
+      .filter($"p.a" =!= $"p.b")
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val edges = bi.select($"a".as("src"), $"b".as("dst"), $"c")
+      .union(bi.select($"b".as("src"), $"a".as("dst"), $"c"))
+      .groupBy($"src", $"dst").agg(sum($"c").as("wgt"))
+      .localCheckpoint() // feeds wout + 3 iteration joins
+    val wout = edges.groupBy($"src").agg(sum($"wgt").as("wv"))
+    val nodes = edges.select($"src".as("word")).distinct()
+      .localCheckpoint()
+    val nRow = nodes.agg(count(lit(1)).as("nn"))
+    var rank = nodes.crossJoin(broadcast(nRow))
+      .select($"word", (lit(1e9) / $"nn").as("r"))
+    for (_ <- 1 to 3) {
+      val inflow = edges.join(wout, "src")
+        .join(rank.withColumnRenamed("word", "src"), "src")
+        .groupBy($"dst")
+        .agg(graft.Det.xsum($"r" * lit(0.85) * $"wgt" / $"wv").as("inflow"))
+        .withColumnRenamed("dst", "word")
+      rank = nodes.crossJoin(broadcast(nRow))
+        .join(inflow, Seq("word"), "left")
+        .select($"word",
+          (lit(1.5e8) / $"nn" + coalesce($"inflow", lit(0.0))).as("r"))
+    }
+    rank.select($"word", $"r".as("rank_ppb"))
+      .orderBy($"rank_ppb".desc, $"word")
+      .limit(20)
+  }
+
+  val textrankSql: String = {
+    val iters = (1 to 3).map { k =>
+      s"""trrank$k AS (
+         |  SELECT trnodes.word,
+         |    (1.5e8 / nn) + COALESCE(inf.inflow, 0.0) AS r
+         |  FROM trnodes CROSS JOIN trn LEFT JOIN (
+         |    SELECT dst AS word,
+         |      ${graft.Det.sqlSum(s"r * 0.85 * wgt / wv")} AS inflow
+         |    FROM tredges JOIN trwout USING (src)
+         |    JOIN trrank${k - 1} rk ON rk.word = src
+         |    GROUP BY dst) inf ON inf.word = trnodes.word
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH trbi AS (
+       |  SELECT p['a'] AS a, p['b'] AS b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_transform(range(0, len(tokens) - 1),
+       |          i -> {'a': tokens[i+1], 'b': tokens[i+2]})) AS p
+       |        FROM (SELECT string_split(text, ' ') AS tokens FROM documents)
+       |        WHERE len(tokens) >= 2)
+       |  WHERE p['a'] <> p['b']
+       |  GROUP BY 1, 2
+       |),
+       |tredges AS (
+       |  SELECT src, dst, CAST(SUM(c) AS BIGINT) AS wgt FROM (
+       |    SELECT a AS src, b AS dst, c FROM trbi
+       |    UNION ALL
+       |    SELECT b, a, c FROM trbi
+       |  ) GROUP BY src, dst
+       |),
+       |trwout AS (
+       |  SELECT src, CAST(SUM(wgt) AS BIGINT) AS wv FROM tredges GROUP BY src
+       |),
+       |trnodes AS (SELECT DISTINCT src AS word FROM tredges),
+       |trn AS (SELECT COUNT(*) AS nn FROM trnodes),
+       |trrank0 AS (SELECT word, 1e9 / nn AS r FROM trnodes CROSS JOIN trn),
+       |$iters
+       |SELECT word, r AS rank_ppb FROM trrank3
+       |ORDER BY rank_ppb DESC, word NULLS FIRST
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> bm25,
     "text_word_pmi" -> wordPmi,
-    "text_dunning_llr" -> dunningLlr)
+    "text_dunning_llr" -> dunningLlr,
+    "text_textrank" -> textrank)
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> bm25Sql,
     "text_word_pmi" -> wordPmiSql,
-    "text_dunning_llr" -> dunningLlrSql)
+    "text_dunning_llr" -> dunningLlrSql,
+    "text_textrank" -> textrankSql)
 }
