@@ -1123,13 +1123,21 @@ object Cluster {
       .orderBy($"layer")
   }
 
+  // NOTE: under WITH RECURSIVE, DuckDB reinterprets EVERY CTE whose
+  // body is a top-level UNION as (initial ∪ recursive) branches and
+  // stops deduplicating across them — candSqlCte's UNION silently
+  // becomes UNION ALL (observed at sf0.1: 827 rows vs 593 distinct),
+  // inflating degrees. The edges CTE therefore dedups EXPLICITLY via
+  // DISTINCT over UNION ALL, which the recursive prefix cannot touch.
   val bfsLayersSql: String =
     s"""WITH RECURSIVE ${Dedup.sigSqlCte},
        |${Dedup.candSqlCte},
        |edges AS (
-       |  SELECT d1 AS src, d2 AS dst FROM cand
-       |  UNION
-       |  SELECT d2, d1 FROM cand
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT d1 AS src, d2 AS dst FROM cand
+       |    UNION ALL
+       |    SELECT d2, d1 FROM cand
+       |  )
        |),
        |seed AS (
        |  SELECT src AS node FROM (
