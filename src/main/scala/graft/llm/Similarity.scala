@@ -2803,6 +2803,101 @@ object Similarity {
        |FROM p JOIN m ma ON ma.d = dim_i JOIN m mb ON mb.d = dim_j
        |${sqlOrderBy(Seq("dim_i", "dim_j")).trim}""".stripMargin
 
+  /** 16 fixed ±1 Johnson–Lindenstrauss projection rows (64-d), LCG
+    * seed distinct from [[srpPlanes]] — same literals-in-both-plans
+    * determinism trick. Achlioptas (2003): ±1 entries satisfy the JL
+    * distance-preservation guarantee with the same constants as
+    * Gaussian entries. */
+  private val jlPlanes: Seq[Seq[Double]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if ((s >>> 63) == 1L) 1.0 else -1.0
+    }
+    Seq.fill(16)(Seq.fill(64)(next()))
+  }
+
+  /** embed_jl_distortion: Johnson–Lindenstrauss projection audit —
+    * project 64-d embeddings to 16-d with the fixed ±1 matrix (scaled
+    * 1/√16, so E‖y_a−y_b‖² = ‖x_a−x_b‖²) and measure, over a
+    * systematic pair sample (each vector with its id-successor), the
+    * squared-distance ratio r = ‖y_a−y_b‖²/‖x_a−x_b‖². The JL lemma
+    * says r concentrates near 1; this scorecard (n, mean, min, max,
+    * share within [½, 2]) is the go/no-go check before a pipeline
+    * swaps full vectors for a 4× cheaper sketch in a coarse ANN or
+    * dedup stage. Every dot product is the codegen'd `decimal_dot`
+    * (floor-scaled-long exact form), the projected distance is a
+    * fixed 16-term unrolled sum of squared dot DIFFERENCES — one IEEE
+    * shape both engines state verbatim — and the mean accumulates
+    * 1e9-quantized ratios in exact BIGINT (the χ² trick) so summation
+    * order cannot flip the hash.
+    *
+    * Scale posture: the successor self-join is an equi-join on
+    * vec_id+1 (co-partitioned by the id key, linear pairs — never a
+    * pair explosion), the 33 decimal_dot calls per pair are map-side,
+    * and the output is ONE row. At 100 TB this is a scan with a
+    * narrow shuffle on the id key. */
+  def jlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.select($"vec_id", $"embedding".as("e1"))
+    val b = e.select(($"vec_id" - 1L).as("vec_id"), $"embedding".as("e2"))
+    val dys = jlPlanes.map { p =>
+      val pl = planeSpark(p)
+      s"(${dotSpark("e1", pl)} - ${dotSpark("e2", pl)})"
+    }
+    val dproj = dys.map(d => s"($d * $d)").mkString("(", " + ", ")")
+    a.join(b, Seq("vec_id"))
+      .selectExpr(
+        s"(${dotSpark("e1", "e1")} - 2.0D * ${dotSpark("e1", "e2")}" +
+          s" + ${dotSpark("e2", "e2")}) AS d2",
+        s"$dproj AS p2")
+      .filter($"d2" > 0.0)
+      .select((($"p2" / lit(16.0)) / $"d2").as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor($"ratio" * 1e9 + 0.5).cast("long")).as("rq"),
+        min($"ratio").as("min_ratio"), max($"ratio").as("max_ratio"),
+        count_if($"ratio" >= 0.5 && $"ratio" <= 2.0).as("n_within"))
+      .select($"n_pairs",
+        ($"rq".cast("double") / (lit(1e9) * $"n_pairs".cast("double")))
+          .as("mean_ratio"),
+        $"min_ratio", $"max_ratio", $"n_within",
+        ($"n_within".cast("double") / $"n_pairs".cast("double"))
+          .as("frac_within_2x"))
+  }
+
+  val jlDistortionSql: String = {
+    val dys = jlPlanes.map { p =>
+      val pl = planeDuck(p)
+      s"(${dotDuck("e1", pl)} - ${dotDuck("e2", pl)})"
+    }
+    val dproj = dys.map(d => s"($d * $d)").mkString("(", " + ", ")")
+    s"""WITH jlp AS (
+       |  SELECT (${dotDuck("e1", "e1")} - CAST(2.0 AS DOUBLE) * ${dotDuck("e1", "e2")}
+       |      + ${dotDuck("e2", "e2")}) AS d2,
+       |    $dproj AS p2
+       |  FROM (SELECT vec_id, embedding AS e1 FROM embeddings) a
+       |  JOIN (SELECT vec_id - 1 AS vec_id, embedding AS e2
+       |        FROM embeddings) b USING (vec_id)
+       |),
+       |jlr AS (
+       |  SELECT (p2 / CAST(16.0 AS DOUBLE)) / d2 AS ratio
+       |  FROM jlp WHERE d2 > CAST(0.0 AS DOUBLE)
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(CAST(SUM(CAST(floor(ratio * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE)
+       |    / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_ratio,
+       |  MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+       |  CAST(COUNT(*) FILTER (WHERE ratio >= CAST(0.5 AS DOUBLE)
+       |    AND ratio <= CAST(2.0 AS DOUBLE)) AS BIGINT) AS n_within,
+       |  CAST(COUNT(*) FILTER (WHERE ratio >= CAST(0.5 AS DOUBLE)
+       |    AND ratio <= CAST(2.0 AS DOUBLE)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS frac_within_2x
+       |FROM jlr""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_covariance" -> covariance,
     "dedup_method_agreement" -> methodAgreement,
@@ -2839,6 +2934,7 @@ object Similarity {
     "embed_rrf_hybrid" -> rrfHybrid,
     "embed_kcenter_coreset" -> kcenterCoreset,
     "embed_centroid_drift" -> centroidDrift,
+    "embed_jl_distortion" -> jlDistortion,
     "embed_quantize" -> quantize)
 
   val oracles: Map[String, String] = Map(
@@ -2877,5 +2973,6 @@ object Similarity {
     "embed_rrf_hybrid" -> rrfHybridSql,
     "embed_kcenter_coreset" -> kcenterCoresetSql,
     "embed_centroid_drift" -> centroidDriftSql,
+    "embed_jl_distortion" -> jlDistortionSql,
     "embed_quantize" -> quantizeSql)
 }

@@ -1866,6 +1866,99 @@ object Warehouse {
        |    / (nd * (ssd / nd) * (ssd / nd))) AS se_delta
        |FROM dm${sqlOrderBy(Seq("variant"))}""".stripMargin
 
+  /** events_ab_power: the experiment sizing scorecard — two-proportion
+    * conversion readout with the minimum detectable effect at the
+    * CURRENT sample size and the required per-arm n for the OBSERVED
+    * effect (α = 0.05 two-sided, power = 0.80 — the industry default
+    * pair). The normal quantiles are compile-time literals
+    * (z₀.₉₇₅ = 1.959963984540054, z₀.₈ = 0.8416212335729143) stated
+    * identically in both engines — the house transcendental-free rule:
+    * the CDF inversion happens once in the source text, never at run
+    * time. Conversion = user has ≥1 purchase; counts are exact BIGINT;
+    * MDE = (z_α/2+z_β)·√(p̄(1−p̄)(1/n₀+1/n₁)) and
+    * n_req = (z_α/2+z_β)²·2·p̄(1−p̄)/Δ² are terminal IEEE assemblies,
+    * with the degenerate cases (p̄ ∈ {0,1} or Δ = 0, where the formula
+    * divides by zero) guarded to NULL by the same CASE in both
+    * engines.
+    *
+    * Scale posture: one user-keyed rollup then a 2-row variant
+    * aggregate folded to ONE row — a 100 TB power analysis is one
+    * scan. */
+  def abPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase").cast("long")).as("conv"))
+      .select(($"user_id" % 2).cast("int").as("variant"), $"conv")
+    perUser.agg(
+      count_if($"variant" === 0).as("n0"),
+      count_if($"variant" === 1).as("n1"),
+      sum(when($"variant" === 0, $"conv").otherwise(0L)).as("c0"),
+      sum(when($"variant" === 1, $"conv").otherwise(0L)).as("c1"))
+      .select($"n0", $"n1", $"c0", $"c1",
+        ($"c0".cast("double") / $"n0".cast("double")).as("p0"),
+        ($"c1".cast("double") / $"n1".cast("double")).as("p1"),
+        (($"c0" + $"c1").cast("double") / ($"n0" + $"n1").cast("double"))
+          .as("p_pool"))
+      .withColumn("diff", $"p1" - $"p0")
+      .withColumn("mde_abs",
+        lit(zSum) * sqrt($"p_pool" * (lit(1.0) - $"p_pool")
+          * (lit(1.0) / $"n0".cast("double")
+            + lit(1.0) / $"n1".cast("double"))))
+      .withColumn("n_req_per_arm",
+        when($"diff" === 0.0 || $"p_pool" === 0.0 || $"p_pool" === 1.0,
+          lit(null).cast("double"))
+          .otherwise(lit(zSum2) * lit(2.0)
+            * $"p_pool" * (lit(1.0) - $"p_pool")
+            / ($"diff" * $"diff")))
+  }
+
+  /** z₀.₉₇₅ + z₀.₈ and its square, combined ONCE in Scala doubles and
+    * embedded as the identical shortest-repr literal in both engines
+    * (a DuckDB DECIMAL-exact literal sum would round differently by
+    * 1 ulp). */
+  private val zSum: Double = 1.959963984540054 + 0.8416212335729143
+  private val zSum2: Double = zSum * zSum
+
+  val abPowerSql: String = {
+    s"""WITH pwu AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END) AS conv
+       |  FROM events GROUP BY user_id
+       |),
+       |pwm AS (
+       |  SELECT
+       |    CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS n0,
+       |    CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS c0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS c1
+       |  FROM pwu
+       |),
+       |pwr AS (
+       |  SELECT n0, n1, c0, c1,
+       |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+       |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       |    CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_pool
+       |  FROM pwm
+       |)
+       |SELECT n0, n1, c0, c1, p0, p1, p_pool,
+       |  p1 - p0 AS diff,
+       |  CAST('$zSum' AS DOUBLE)
+       |    * sqrt(p_pool * (CAST(1.0 AS DOUBLE) - p_pool)
+       |      * (CAST(1.0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       |        + CAST(1.0 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS mde_abs,
+       |  CASE WHEN p1 - p0 = CAST(0.0 AS DOUBLE)
+       |      OR p_pool = CAST(0.0 AS DOUBLE)
+       |      OR p_pool = CAST(1.0 AS DOUBLE) THEN NULL
+       |    ELSE CAST('$zSum2' AS DOUBLE)
+       |      * CAST(2.0 AS DOUBLE) * p_pool * (CAST(1.0 AS DOUBLE) - p_pool)
+       |      / ((p1 - p0) * (p1 - p0)) END AS n_req_per_arm
+       |FROM pwr""".stripMargin
+  }
+
   /** Permutation replicates for [[permutationTest]]. */
   private val PermB = 64
 
@@ -2359,6 +2452,7 @@ object Warehouse {
     "events_ab_srm" -> abSrm,
     "events_ab_cuped" -> abCuped,
     "events_ab_delta_ratio" -> abDeltaRatio,
+    "events_ab_power" -> abPower,
     "stat_permutation_test" -> permutationTest,
     "orders_did_lift" -> didLift,
     "events_path_markov" -> pathMarkov,
@@ -2398,6 +2492,7 @@ object Warehouse {
     "events_ab_srm" -> abSrmSql,
     "events_ab_cuped" -> abCupedSql,
     "events_ab_delta_ratio" -> abDeltaRatioSql,
+    "events_ab_power" -> abPowerSql,
     "stat_permutation_test" -> permutationTestSql,
     "orders_did_lift" -> didLiftSql,
     "events_path_markov" -> pathMarkovSql,
