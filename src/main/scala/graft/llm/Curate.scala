@@ -1957,6 +1957,113 @@ object Curate {
        |    AS vocab_size
        |FROM b${sqlOrderBy(Seq("bucket"))}""".stripMargin
 
+  /** text_heaps_fit: Heaps'-law fit V(N) = K·N^β over the
+    * [[vocabGrowth]] curve — the β that answers "how much bigger must
+    * the tokenizer vocabulary be at 10× data" as ONE number (β ≈ 0.5
+    * typical for natural text; β → 1 means the feed keeps minting
+    * novel strings — an id-leak/boilerplate smell). The growth points
+    * are the same first-occurrence buckets as vocabGrowth, extended
+    * with cumulative BIGRAM token counts; both coordinates go through
+    * the engine-portable qlog2 integer fixed point, the five OLS
+    * moments are exact BIGINT over the bounded bucket series, and
+    * β = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) is one terminal IEEE assembly
+    * (the 1024 fixed-point scale cancels in the slope — the
+    * `text_zipf_fit` identity); the intercept is reported in qlog2
+    * units (log₂K·1024) rather than K itself (2^x is transcendental).
+    *
+    * Scale posture: two corpus-collapsing aggregates (first-occurrence
+    * per bigram, tokens per bucket), then every window/join/OLS runs
+    * on the |buckets|-row series. */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = qlog2Spark _
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", (size($"t") - 1).cast("long").as("nb"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("w"))
+    val bucketTok = toks
+      .groupBy($"doc_id", $"nb").agg(count(lit(1)).as("chk"))
+      .groupBy(expr("doc_id div 50").as("bucket"))
+      .agg(sum($"nb").as("toks"))
+    val bucketNew = toks
+      .groupBy($"w").agg(min($"doc_id").as("fd"))
+      .groupBy(expr("fd div 50").as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = bucketTok.join(bucketNew, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_words"))
+      .withColumn("n_cum", sum($"toks").over(w))
+      .withColumn("v_cum", sum($"new_words").over(w))
+      .selectExpr(s"CAST(${q("n_cum")} AS BIGINT) AS x",
+        s"CAST(${q("v_cum")} AS BIGINT) AS y")
+    pts.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"n".cast("double").as("nd"),
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"sxy".cast("double").as("sxyd"), $"sxx".cast("double").as("sxxd"),
+        $"n".as("n_points"))
+      .select($"n_points",
+        (($"nd" * $"sxyd" - $"sxd" * $"syd")
+          / ($"nd" * $"sxxd" - $"sxd" * $"sxd")).as("heaps_beta"),
+        (($"syd" - ($"nd" * $"sxyd" - $"sxd" * $"syd")
+          / ($"nd" * $"sxxd" - $"sxd" * $"sxd") * $"sxd")
+          / $"nd").as("intercept_qlog2"))
+  }
+
+  val heapsFitSql: String = {
+    val q = qlog2Duck _
+    s"""WITH hft AS (
+       |  SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS nb,
+       |    unnest(list_transform(range(0, len(t) - 1),
+       |      i -> t[i+1] || ' ' || t[i+2])) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 2
+       |),
+       |hbt AS (
+       |  SELECT doc_id // 50 AS bucket, CAST(SUM(nb) AS BIGINT) AS toks
+       |  FROM (SELECT doc_id, nb, COUNT(*) AS chk FROM hft
+       |        GROUP BY doc_id, nb)
+       |  GROUP BY 1
+       |),
+       |hbn AS (
+       |  SELECT fd // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_words
+       |  FROM (SELECT w, MIN(doc_id) AS fd FROM hft GROUP BY w)
+       |  GROUP BY 1
+       |),
+       |hpts AS (
+       |  SELECT CAST(${q("n_cum")} AS BIGINT) AS x,
+       |    CAST(${q("v_cum")} AS BIGINT) AS y
+       |  FROM (
+       |    SELECT
+       |      CAST(SUM(toks) OVER (ORDER BY hbt.bucket
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS n_cum,
+       |      CAST(SUM(COALESCE(new_words, 0)) OVER (ORDER BY hbt.bucket
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS v_cum
+       |    FROM hbt LEFT JOIN hbn ON hbt.bucket = hbn.bucket
+       |  )
+       |),
+       |hm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    CAST(COUNT(*) AS DOUBLE) AS nd,
+       |    CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sxd,
+       |    CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS syd,
+       |    CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxyd,
+       |    CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxxd
+       |  FROM hpts
+       |)
+       |SELECT n_points,
+       |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS heaps_beta,
+       |  (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+       |    / nd AS intercept_qlog2
+       |FROM hm""".stripMargin
+  }
+
   /** Temperature-scaled language mixing (the mT5/DoReMi re-balancing
     * step): raw per-language document counts are re-weighted as
     * count^T with T = 0.5, flattening the head language's dominance
@@ -2590,6 +2697,7 @@ object Curate {
     "corpus_epoch_order" -> epochOrder,
     "corpus_lang_temperature" -> langTemperature,
     "corpus_vocab_growth" -> vocabGrowth,
+    "text_heaps_fit" -> heapsFit,
     "corpus_source_cap" -> sourceCap,
     "corpus_quality_buckets" -> qualityBuckets,
     "text_bpe_pairs" -> bpePairs,
@@ -2623,6 +2731,7 @@ object Curate {
     "corpus_epoch_order" -> epochOrderSql,
     "corpus_lang_temperature" -> langTemperatureSql,
     "corpus_vocab_growth" -> vocabGrowthSql,
+    "text_heaps_fit" -> heapsFitSql,
     "corpus_source_cap" -> sourceCapSql,
     "corpus_quality_buckets" -> qualityBucketsSql,
     "text_bpe_pairs" -> bpePairsSql,

@@ -524,8 +524,12 @@ object Media {
     hashed.toDF().orderBy($"doc_id")
   }
 
-  val phashQuerySql: String =
-    s"""WITH d AS (
+  /** The decode-free relational phash recomputation (fixture rule →
+    * pixels → luma blocks → 64-bit hash) as a reusable CTE chain
+    * ending in `ph(doc_id, width, height, phash_hi, phash_lo)` —
+    * shared by [[phashQuerySql]] and the cluster composition. */
+  private[graft] val phashSqlCtes: String =
+    s"""d AS (
        |  SELECT doc_id, 16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 64 AS h
        |  FROM documents
        |),
@@ -552,8 +556,8 @@ object Media {
        |  SELECT doc_id, CAST(SUM(sl) AS BIGINT) AS st,
        |    CAST(SUM(c) AS BIGINT) AS ct
        |  FROM blocks GROUP BY doc_id
-       |)
-       |SELECT * FROM (
+       |),
+       |ph AS (
        |  SELECT blocks.doc_id AS doc_id, CAST(w AS INTEGER) AS width,
        |    CAST(h AS INTEGER) AS height,
        |    CAST(SUM(CASE WHEN b >= 32 AND sl * ct > st * c
@@ -562,7 +566,122 @@ object Media {
        |      THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS phash_lo
        |  FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
        |  GROUP BY blocks.doc_id, w, h
-       |)${sqlOrderBy(Seq("doc_id"))}""".stripMargin
+       |)""".stripMargin
+
+  val phashQuerySql: String =
+    s"""WITH $phashSqlCtes
+       |SELECT doc_id, width, height, phash_hi, phash_lo FROM ph
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+
+  /** media_phash_clusters: image near-duplicate clusters — the full
+    * image-dedup composition a multimodal training pipeline runs:
+    * REAL decode → [[phashQuery]]'s 64-bit content hash → 4×16-bit
+    * Hamming LSH bands (pairs compared only within a shared band —
+    * the SimHash/pigeonhole argument: ≤3 differing bands ⇒ some band
+    * identical) → exact popcount(xor) verification → large-star/
+    * small-star connected components ([[graft.llm.Cluster.components]]).
+    * The fixture lake carries no true image near-dups, so the Hamming
+    * cut (≤20) is calibrated to the fixture's similarity structure and
+    * grade the MACHINERY end to end — banding, verification, closure,
+    * singleton handling — against an oracle that recomputes pixels
+    * relationally and re-derives the clustering via recursive closure
+    * (the independent-formulation rule of `dedup_clusters`).
+    *
+    * Scale posture: decode is batched map-only; the candidate stage is
+    * 4 equi self-joins on 16-bit band keys (Σ|bucket|² work, never
+    * all-pairs); verification is one codegen'd popcount per candidate;
+    * components is O(log n) rounds of hash joins. */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = phashQuery(spark, dir).localCheckpoint()
+    val sig = ph.selectExpr("doc_id", "phash_hi", "phash_lo",
+      "CAST(phash_lo & 65535 AS INT) AS b0",
+      "CAST(shiftright(phash_lo, 16) & 65535 AS INT) AS b1",
+      "CAST(phash_hi & 65535 AS INT) AS b2",
+      "CAST(shiftright(phash_hi, 16) & 65535 AS INT) AS b3")
+    val a = sig.select($"doc_id".as("d1"), $"phash_hi".as("h1"),
+      $"phash_lo".as("l1"), $"b0".as("a0"), $"b1".as("a1"),
+      $"b2".as("a2"), $"b3".as("a3"))
+    val b = sig.select($"doc_id".as("d2"), $"phash_hi".as("h2"),
+      $"phash_lo".as("l2"), $"b0".as("c0"), $"b1".as("c1"),
+      $"b2".as("c2"), $"b3".as("c3"))
+    val cols = Seq($"d1", $"d2", $"h1", $"l1", $"h2", $"l2")
+    val cand = Seq(
+      a.join(b, $"a0" === $"c0" && $"d1" < $"d2").select(cols: _*),
+      a.join(b, $"a1" === $"c1" && $"d1" < $"d2").select(cols: _*),
+      a.join(b, $"a2" === $"c2" && $"d1" < $"d2").select(cols: _*),
+      a.join(b, $"a3" === $"c3" && $"d1" < $"d2").select(cols: _*))
+      .reduce(_ union _).distinct()
+    val verified = cand
+      .filter(expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2) <= 20"))
+      .select($"d1", $"d2")
+    val assign = graft.llm.Cluster.components(verified)
+      .select($"src".as("doc_id"), $"dst".as("cid"))
+    val labeled = ph.select($"doc_id")
+      .join(assign, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cid", $"doc_id").as("cluster_id"))
+    val sizes = labeled.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  val phashClustersSql: String =
+    s"""WITH RECURSIVE $phashSqlCtes,
+       |psig AS (
+       |  SELECT doc_id, phash_hi, phash_lo,
+       |    phash_lo & 65535 AS b0, (phash_lo >> 16) & 65535 AS b1,
+       |    phash_hi & 65535 AS b2, (phash_hi >> 16) & 65535 AS b3
+       |  FROM ph
+       |),
+       |pcand AS (
+       |  SELECT DISTINCT d1, d2, h1, l1, h2, l2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2, a.phash_hi AS h1,
+       |      a.phash_lo AS l1, b.phash_hi AS h2, b.phash_lo AS l2
+       |    FROM psig a JOIN psig b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id, a.phash_hi, a.phash_lo,
+       |      b.phash_hi, b.phash_lo
+       |    FROM psig a JOIN psig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id, a.phash_hi, a.phash_lo,
+       |      b.phash_hi, b.phash_lo
+       |    FROM psig a JOIN psig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id, a.phash_hi, a.phash_lo,
+       |      b.phash_hi, b.phash_lo
+       |    FROM psig a JOIN psig b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
+       |  )
+       |),
+       |pver AS (
+       |  SELECT d1, d2 FROM pcand
+       |  WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 20
+       |),
+       |pe AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT d1 AS a, d2 AS b FROM pver
+       |    UNION ALL
+       |    SELECT d2, d1 FROM pver
+       |  )
+       |),
+       |preach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM ph
+       |  UNION
+       |  SELECT e.b, preach.r FROM preach JOIN pe e ON e.a = preach.node
+       |),
+       |pcomp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM preach GROUP BY node
+       |),
+       |psz AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM pcomp GROUP BY cluster_id
+       |)
+       |SELECT c.doc_id, c.cluster_id, psz.cluster_size,
+       |  c.doc_id = c.cluster_id AS is_keeper
+       |FROM pcomp c JOIN psz USING (cluster_id)
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
 
   // ------------------------------------------------------------------
   // Audio modality (round 6): genuine RIFF/WAVE fixtures + the JDK's
@@ -1138,6 +1257,7 @@ object Media {
     "media_meta" -> metaQuery,
     "media_frames" -> framesQuery,
     "media_phash" -> phashQuery,
+    "media_phash_clusters" -> phashClusters,
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
@@ -1152,5 +1272,6 @@ object Media {
     "media_meta" -> metaQuerySql,
     "media_frames" -> framesQuerySql,
     "media_phash" -> phashQuerySql,
+    "media_phash_clusters" -> phashClustersSql,
     "media_dedup" -> dedupQuerySql)
 }

@@ -2158,7 +2158,86 @@ object Aggs {
        |FROM dau JOIN wau ON dau.day = wau.day
        |ORDER BY dau.day NULLS FIRST""".stripMargin
 
+  /** stat_hill_tail: Hill estimator of the Pareto tail index of
+    * per-customer revenue (Hill 1975) — the quantitative form of the
+    * whale-customer question beside Gini/HHI/Zipf: α ≈ 1 means a few
+    * customers ARE the revenue (infinite-variance regime, where
+    * mean-based forecasts and A/B tests misbehave); α > 2 means the
+    * tail is tame. α̂⁻¹ = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍k₊₁₎) over the k = 200
+    * largest customer revenues, computed in the engine-portable qlog2
+    * integer fixed point: the sum of log-RATIOS is an exact BIGINT
+    * Σ(qlog2 xᵢ − qlog2 x₍k₊₁₎), converted to nats by one ln2 literal
+    * multiply, with the degenerate all-ties case (sum = 0) guarded to
+    * NULL identically in both engines.
+    *
+    * Scale posture: one customer-keyed rollup, then a top-(k+1) rank
+    * window that compiles to a partial WindowGroupLimit below the
+    * exchange (each partition forwards k+1 rows), then a k-row
+    * aggregate — a 100 TB tail fit is one shuffle plus k rows. */
+  def statHillTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.llm.Curate.qlog2Spark _
+    val rev = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val ranked = rev
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cents".desc, $"o_custkey")))
+      .filter($"rk" <= 51)
+    val xk1 = ranked.filter($"rk" === 51)
+      .select($"cents".as("xk1_cents"))
+    ranked.filter($"rk" <= 50)
+      .crossJoin(broadcast(xk1))
+      .selectExpr("xk1_cents",
+        s"(CAST(${q("cents")} AS BIGINT) - ${q("xk1_cents")}) AS dq")
+      .groupBy($"xk1_cents")
+      .agg(count(lit(1)).as("k"), sum($"dq").as("hill_sum_q"))
+      .select($"k", $"xk1_cents", $"hill_sum_q",
+        when($"hill_sum_q" === 0L, lit(null).cast("double"))
+          .otherwise($"hill_sum_q".cast("double")
+            / (lit(1024.0) * $"k".cast("double"))
+            * lit(0.6931471805599453)).as("inv_alpha"),
+        when($"hill_sum_q" === 0L, lit(null).cast("double"))
+          .otherwise((lit(1024.0) * $"k".cast("double"))
+            / $"hill_sum_q".cast("double")
+            / lit(0.6931471805599453)).as("pareto_alpha"))
+  }
+
+  val statHillTailSql: String = {
+    val q = graft.llm.Curate.qlog2Duck _
+    s"""WITH hrev AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |hrk AS (
+       |  SELECT cents,
+       |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+       |  FROM hrev
+       |),
+       |hk1 AS (SELECT cents AS xk1_cents FROM hrk WHERE rk = 51),
+       |hq AS (
+       |  SELECT xk1_cents,
+       |    CAST(${q("cents")} AS BIGINT) - ${q("xk1_cents")} AS dq
+       |  FROM hrk CROSS JOIN hk1 WHERE rk <= 50
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS k, xk1_cents,
+       |  CAST(SUM(dq) AS BIGINT) AS hill_sum_q,
+       |  CASE WHEN SUM(dq) = 0 THEN NULL
+       |    ELSE CAST(SUM(dq) AS DOUBLE)
+       |      / (CAST(1024.0 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+       |      * CAST('0.6931471805599453' AS DOUBLE) END AS inv_alpha,
+       |  CASE WHEN SUM(dq) = 0 THEN NULL
+       |    ELSE (CAST(1024.0 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+       |      / CAST(SUM(dq) AS DOUBLE)
+       |      / CAST('0.6931471805599453' AS DOUBLE) END AS pareto_alpha
+       |FROM hq GROUP BY xk1_cents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_hill_tail" -> statHillTail,
     "agg_mode" -> modeQuantity,
     "events_dau_wau" -> dauWau,
     "stat_crosstab" -> statCrosstab,
@@ -2206,6 +2285,7 @@ object Aggs {
 
   val oracles: Map[String, String] = Map(
     "agg_mode" -> modeQuantitySql,
+    "stat_hill_tail" -> statHillTailSql,
     "events_dau_wau" -> dauWauSql,
     "stat_crosstab" -> statCrosstabSql,
     "stat_chi2" -> statChi2Sql,

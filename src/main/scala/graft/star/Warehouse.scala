@@ -1913,6 +1913,91 @@ object Warehouse {
             / ($"diff" * $"diff")))
   }
 
+  /** stat_effect_sizes: standardized effect size of the A/B revenue
+    * difference — Cohen's d over per-user purchase revenue with the
+    * Hedges' g small-sample correction (Hedges 1981, the exact-ratio
+    * approximation g = d·(1 − 3/(4N−9))) — the magnitude readout that
+    * makes experiment results comparable across metrics and scales,
+    * beside the significance ([[permutationTest]]) and sizing
+    * ([[abPower]]) legs. All five moments are exact
+    * DECIMAL(38,0)/HUGEINT integer cents; the pooled SD, d, and g are
+    * one fixed-shape terminal IEEE assembly.
+    *
+    * Scale posture: one user-keyed rollup, one 2-row variant moment
+    * aggregate, one output row. */
+  def effectSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val m = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        round($"value" * 100).cast("long")).otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).cast("int").as("variant"), $"y")
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"y".cast(dec)).as("s"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("ss"))
+    m.agg(
+      max(when($"variant" === 0, $"n")).as("n0"),
+      max(when($"variant" === 1, $"n")).as("n1"),
+      max(when($"variant" === 0, $"s".cast("double"))).as("s0"),
+      max(when($"variant" === 1, $"s".cast("double"))).as("s1"),
+      max(when($"variant" === 0, $"ss".cast("double"))).as("q0"),
+      max(when($"variant" === 1, $"ss".cast("double"))).as("q1"))
+      .select($"n0", $"n1",
+        ($"s0" / $"n0".cast("double")).as("mean0_cents"),
+        ($"s1" / $"n1".cast("double")).as("mean1_cents"),
+        sqrt(((($"q0" - $"s0" * $"s0" / $"n0".cast("double"))
+          + ($"q1" - $"s1" * $"s1" / $"n1".cast("double")))
+          / ($"n0" + $"n1" - 2L).cast("double"))).as("sd_pool_cents"))
+      .withColumn("cohens_d",
+        ($"mean1_cents" - $"mean0_cents") / $"sd_pool_cents")
+      .withColumn("hedges_g",
+        $"cohens_d" * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * ($"n0" + $"n1").cast("double") - lit(9.0))))
+  }
+
+  val effectSizesSql: String =
+    s"""WITH esu AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM events GROUP BY user_id
+       |),
+       |esm AS (
+       |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS s,
+       |    CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+       |      AS ss
+       |  FROM esu GROUP BY variant
+       |),
+       |esw AS (
+       |  SELECT
+       |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+       |    MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+       |    MAX(CASE WHEN variant = 0 THEN ss END) AS q0,
+       |    MAX(CASE WHEN variant = 1 THEN ss END) AS q1
+       |  FROM esm
+       |),
+       |esd AS (
+       |  SELECT n0, n1,
+       |    s0 / CAST(n0 AS DOUBLE) AS mean0_cents,
+       |    s1 / CAST(n1 AS DOUBLE) AS mean1_cents,
+       |    sqrt(((q0 - s0 * s0 / CAST(n0 AS DOUBLE))
+       |      + (q1 - s1 * s1 / CAST(n1 AS DOUBLE)))
+       |      / CAST(n0 + n1 - 2 AS DOUBLE)) AS sd_pool_cents
+       |  FROM esw
+       |)
+       |SELECT n0, n1, mean0_cents, mean1_cents, sd_pool_cents,
+       |  (mean1_cents - mean0_cents) / sd_pool_cents AS cohens_d,
+       |  (mean1_cents - mean0_cents) / sd_pool_cents
+       |    * (CAST(1.0 AS DOUBLE) - CAST(3.0 AS DOUBLE)
+       |      / (CAST(4.0 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE)
+       |        - CAST(9.0 AS DOUBLE))) AS hedges_g
+       |FROM esd""".stripMargin
+
   /** z₀.₉₇₅ + z₀.₈ and its square, combined ONCE in Scala doubles and
     * embedded as the identical shortest-repr literal in both engines
     * (a DuckDB DECIMAL-exact literal sum would round differently by
@@ -2453,6 +2538,7 @@ object Warehouse {
     "events_ab_cuped" -> abCuped,
     "events_ab_delta_ratio" -> abDeltaRatio,
     "events_ab_power" -> abPower,
+    "stat_effect_sizes" -> effectSizes,
     "stat_permutation_test" -> permutationTest,
     "orders_did_lift" -> didLift,
     "events_path_markov" -> pathMarkov,
@@ -2493,6 +2579,7 @@ object Warehouse {
     "events_ab_cuped" -> abCupedSql,
     "events_ab_delta_ratio" -> abDeltaRatioSql,
     "events_ab_power" -> abPowerSql,
+    "stat_effect_sizes" -> effectSizesSql,
     "stat_permutation_test" -> permutationTestSql,
     "orders_did_lift" -> didLiftSql,
     "events_path_markov" -> pathMarkovSql,

@@ -201,6 +201,20 @@ object ScaleRehearsal {
     // bake-off (three word-grain encoders + one shared token scan)
     stage("dedup_url_canonical")(graft.llm.Dedup.urlCanonical(spark, dir))
     stage("text_tokenizer_trio")(graft.llm.Curate.tokenizerTrio(spark, dir))
+    // round 10: collocation LLR + TextRank (both bounded by the bigram
+    // vocabulary, which Heaps-grows sublinearly), readability (map-only
+    // rollup), AUC (rides the LPM chassis + the bounded quantized-score
+    // grid), Heaps fit (the vocabGrowth chassis + |buckets| OLS),
+    // BFS layers (4 frontier equi-joins over the candidate graph),
+    // JL distortion (linear successor-pair equi-join, 33 dots/pair)
+    stage("text_dunning_llr")(graft.llm.Search.dunningLlr(spark, dir))
+    stage("text_textrank")(graft.llm.Search.textrank(spark, dir))
+    stage("text_readability")(graft.llm.TextStats.readability(spark, dir))
+    stage("stat_auc_lpm")(graft.star.Inference.aucLpm(spark, dir))
+    stage("text_heaps_fit")(graft.llm.Curate.heapsFit(spark, dir))
+    stage("graph_bfs_layers")(graft.llm.Cluster.bfsLayers(spark, dir))
+    stage("embed_jl_distortion")(
+      graft.llm.Similarity.jlDistortion(spark, dir))
     spark.stop()
   }
 }
