@@ -1977,18 +1977,19 @@ object Curate {
   def heapsFit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val q = qlog2Spark _
-    val toks = Tables(spark, dir, "documents")
+    val docs = Tables(spark, dir, "documents")
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 2)
-      .select($"doc_id", (size($"t") - 1).cast("long").as("nb"),
-        explode(expr(
-          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
-          .as("w"))
-    val bucketTok = toks
-      .groupBy($"doc_id", $"nb").agg(count(lit(1)).as("chk"))
+    // token totals need no explode — one map-side rollup of per-doc
+    // bigram counts; only the first-occurrence pass pays the explode
+    val bucketTok = docs
+      .select($"doc_id", (size($"t") - 1).cast("long").as("nb"))
       .groupBy(expr("doc_id div 50").as("bucket"))
       .agg(sum($"nb").as("toks"))
-    val bucketNew = toks
+    val bucketNew = docs
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("w"))
       .groupBy($"w").agg(min($"doc_id").as("fd"))
       .groupBy(expr("fd div 50").as("bucket"))
       .agg(count(lit(1)).as("new_words"))
@@ -2016,23 +2017,23 @@ object Curate {
 
   val heapsFitSql: String = {
     val q = qlog2Duck _
-    s"""WITH hft AS (
-       |  SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS nb,
-       |    unnest(list_transform(range(0, len(t) - 1),
-       |      i -> t[i+1] || ' ' || t[i+2])) AS w
+    s"""WITH hbt AS (
+       |  SELECT doc_id // 50 AS bucket,
+       |    CAST(SUM(CAST(len(t) - 1 AS BIGINT)) AS BIGINT) AS toks
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
        |  WHERE len(t) >= 2
-       |),
-       |hbt AS (
-       |  SELECT doc_id // 50 AS bucket, CAST(SUM(nb) AS BIGINT) AS toks
-       |  FROM (SELECT doc_id, nb, COUNT(*) AS chk FROM hft
-       |        GROUP BY doc_id, nb)
        |  GROUP BY 1
        |),
        |hbn AS (
        |  SELECT fd // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_words
-       |  FROM (SELECT w, MIN(doc_id) AS fd FROM hft GROUP BY w)
-       |  GROUP BY 1
+       |  FROM (
+       |    SELECT w, MIN(doc_id) AS fd FROM (
+       |      SELECT doc_id, unnest(list_transform(range(0, len(t) - 1),
+       |        i -> t[i+1] || ' ' || t[i+2])) AS w
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |      WHERE len(t) >= 2
+       |    ) GROUP BY w
+       |  ) GROUP BY 1
        |),
        |hpts AS (
        |  SELECT CAST(${q("n_cum")} AS BIGINT) AS x,

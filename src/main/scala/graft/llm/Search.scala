@@ -195,6 +195,11 @@ object Search {
           |          i -> concat_ws(' ', tokens[i], tokens[i+1]))""".stripMargin))
         .as("bg"))
       .groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+      // vocabulary-bounded counts feed FOUR consumers (marginals, the
+      // total, the scored pairs) — checkpoint or the corpus-sized
+      // explode+groupBy replays once per consumer (measured 109 s →
+      // one pass at ×25)
+      .localCheckpoint()
     val af = bi.groupBy(expr("split(bg, ' ')[0]").as("a"))
       .agg(sum($"c_ab").as("c_af"))
     val bs = bi.groupBy(expr("split(bg, ' ')[1]").as("b"))
@@ -305,6 +310,7 @@ object Search {
       .filter($"p.a" =!= $"p.b")
       .groupBy($"p.a".as("a"), $"p.b".as("b"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-bounded; feeds both union branches
     val edges = bi.select($"a".as("src"), $"b".as("dst"), $"c")
       .union(bi.select($"b".as("src"), $"a".as("dst"), $"c"))
       .groupBy($"src", $"dst").agg(sum($"c").as("wgt"))

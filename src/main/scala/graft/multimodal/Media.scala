@@ -488,40 +488,45 @@ object Media {
     * Scale posture: identical to [[decode]] — batched `mapPartitions`
     * over the binary lake, one row out per image, no shuffle before
     * the harness order. */
+  /** The per-batch decode→block-luma→hash kernel, shared by the batch
+    * query and the streaming gate ([[graft.streaming.PhashGateStream]])
+    * — map-only, so it runs identically on a bounded Dataset and on a
+    * micro-batch (bit-identical hashes asserted in the gate's spec). */
+  private[graft] def hashBatch(batch: Iterator[MediaFile]): Iterator[MediaPhash] =
+    batch.map { m =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.content))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val sums = Array.ofDim[Long](64)
+      val cnts = Array.ofDim[Long](64)
+      var i = 0
+      while (i < px.length) {
+        val x = i % w; val y = i / w
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        val p = px(i) & 0xffffff
+        sums(b) += 299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        cnts(b) += 1L
+        i += 1
+      }
+      val totalSum = sums.sum; val totalCnt = cnts.sum
+      var hi = 0L; var lo = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b) * totalCnt > totalSum * cnts(b)) {
+          if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+        }
+        b += 1
+      }
+      MediaPhash(m.doc_id, w, h, hi, lo)
+    }
+
   def phashQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashed = spark.read.parquet(writeImages(spark, dir)).as[MediaFile]
-      .mapPartitions { batch =>
-        batch.map { m =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.content))
-          val (w, h) = (img.getWidth, img.getHeight)
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          val sums = Array.ofDim[Long](64)
-          val cnts = Array.ofDim[Long](64)
-          var i = 0
-          while (i < px.length) {
-            val x = i % w; val y = i / w
-            val b = (y * 8 / h) * 8 + (x * 8 / w)
-            val p = px(i) & 0xffffff
-            sums(b) += 299L * ((p >> 16) & 0xff) +
-              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
-            cnts(b) += 1L
-            i += 1
-          }
-          val totalSum = sums.sum; val totalCnt = cnts.sum
-          var hi = 0L; var lo = 0L
-          var b = 0
-          while (b < 64) {
-            if (sums(b) * totalCnt > totalSum * cnts(b)) {
-              if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
-            }
-            b += 1
-          }
-          MediaPhash(m.doc_id, w, h, hi, lo)
-        }
-      }
-    hashed.toDF().orderBy($"doc_id")
+    spark.read.parquet(writeImages(spark, dir)).as[MediaFile]
+      .mapPartitions(hashBatch)
+      .toDF().orderBy($"doc_id")
   }
 
   /** The decode-free relational phash recomputation (fixture rule →
@@ -591,14 +596,19 @@ object Media {
     * 4 equi self-joins on 16-bit band keys (Σ|bucket|² work, never
     * all-pairs); verification is one codegen'd popcount per candidate;
     * components is O(log n) rounds of hash joins. */
-  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ph = phashQuery(spark, dir).localCheckpoint()
-    val sig = ph.selectExpr("doc_id", "phash_hi", "phash_lo",
+  /** 4×16-bit Hamming LSH band keys over a (…, phash_hi, phash_lo)
+    * frame — shared by [[phashClusters]] and the streaming gate. */
+  private[graft] def phashBands(df: DataFrame): DataFrame =
+    df.selectExpr("*",
       "CAST(phash_lo & 65535 AS INT) AS b0",
       "CAST(shiftright(phash_lo, 16) & 65535 AS INT) AS b1",
       "CAST(phash_hi & 65535 AS INT) AS b2",
       "CAST(shiftright(phash_hi, 16) & 65535 AS INT) AS b3")
+
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = phashQuery(spark, dir).localCheckpoint()
+    val sig = phashBands(ph.select($"doc_id", $"phash_hi", $"phash_lo"))
     val a = sig.select($"doc_id".as("d1"), $"phash_hi".as("h1"),
       $"phash_lo".as("l1"), $"b0".as("a0"), $"b1".as("a1"),
       $"b2".as("a2"), $"b3".as("a3"))

@@ -796,8 +796,86 @@ object Inference {
        |FROM mij CROSS JOIN mihx CROSS JOIN mihy""".stripMargin
   }
 
+  /** stat_median_ci: distribution-free confidence interval for the
+    * median order value per priority — the binomial order-statistic
+    * interval (the sign-test inversion: P(X₍l₎ ≤ m ≤ X₍u₎) ≥ 95% for
+    * ANY continuous distribution, normal-approximated ranks
+    * l = ⌈(n − z√n)/2⌉, u = n + 1 − l with z₀.₉₇₅ a source literal) —
+    * the right error bar for the skewed, whale-heavy revenue
+    * distributions where a mean ± 2σ band is meaningless. Rank
+    * selection is deterministic under the (cents, orderkey) total
+    * order; the only IEEE ops are z√n and the two floor/ceil rank
+    * assemblies, stated identically in both engines.
+    *
+    * Scale posture: one rank window per priority partition (single
+    * hash partitioning serves window + rollup), |priorities| rows out.
+    * At 100 TB the exact ranks come from the same window; a sketch
+    * variant would quote ±ε ranks with the identical interval form. */
+  def medianCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z = 1.959963984540054
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderpriority".as("prio"), $"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"prio").orderBy($"cents", $"o_orderkey")
+    o.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"prio")))
+      .withColumn("l_rk", greatest(lit(1L),
+        ceil(($"n".cast("double") - lit(z) * sqrt($"n".cast("double")))
+          / lit(2.0)).cast("long")))
+      .withColumn("u_rk", $"n" + 1L - $"l_rk")
+      .withColumn("m_rk", expr("(n + 1) div 2"))
+      .filter($"rk" === $"l_rk" || $"rk" === $"u_rk" || $"rk" === $"m_rk")
+      .groupBy($"prio", $"n", $"l_rk", $"u_rk")
+      .agg(
+        (max(when($"rk" === $"m_rk", $"cents")).cast("double") / 100.0)
+          .as("median"),
+        (max(when($"rk" === $"l_rk", $"cents")).cast("double") / 100.0)
+          .as("ci_lo"),
+        (max(when($"rk" === $"u_rk", $"cents")).cast("double") / 100.0)
+          .as("ci_hi"))
+      .select($"prio".as("o_orderpriority"), $"n", $"l_rk", $"u_rk",
+        $"median", $"ci_lo", $"ci_hi")
+      .orderBy($"o_orderpriority")
+  }
+
+  val medianCiSql: String =
+    s"""WITH mco AS (
+       |  SELECT o_orderpriority AS prio, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |),
+       |mcr AS (
+       |  SELECT prio, cents,
+       |    row_number() OVER (PARTITION BY prio
+       |      ORDER BY cents, o_orderkey) AS rk,
+       |    COUNT(*) OVER (PARTITION BY prio) AS n
+       |  FROM mco
+       |),
+       |mcb AS (
+       |  SELECT prio, cents, rk, CAST(n AS BIGINT) AS n,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(ceil((CAST(n AS DOUBLE)
+       |        - CAST('1.959963984540054' AS DOUBLE)
+       |          * sqrt(CAST(n AS DOUBLE))) / CAST(2.0 AS DOUBLE))
+       |        AS BIGINT)) AS l_rk
+       |  FROM mcr
+       |)
+       |SELECT prio AS o_orderpriority, n, l_rk, n + 1 - l_rk AS u_rk,
+       |  CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS DOUBLE)
+       |    / 100.0 AS median,
+       |  CAST(MAX(CASE WHEN rk = l_rk THEN cents END) AS DOUBLE)
+       |    / 100.0 AS ci_lo,
+       |  CAST(MAX(CASE WHEN rk = n + 1 - l_rk THEN cents END) AS DOUBLE)
+       |    / 100.0 AS ci_hi
+       |FROM mcb
+       |WHERE rk = l_rk OR rk = n + 1 - l_rk OR rk = (n + 1) // 2
+       |GROUP BY prio, n, l_rk
+       |${sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_completeness_profile" -> completenessProfile,
+    "stat_median_ci" -> medianCi,
     "stat_auc_lpm" -> aucLpm,
     "dq_mutual_info" -> mutualInfo,
     "stat_anova_f" -> anovaF,
@@ -810,6 +888,7 @@ object Inference {
 
   val oracles: Map[String, String] = Map(
     "dq_completeness_profile" -> completenessProfileSql,
+    "stat_median_ci" -> medianCiSql,
     "stat_auc_lpm" -> aucLpmSql,
     "dq_mutual_info" -> mutualInfoSql,
     "stat_anova_f" -> anovaFSql,
