@@ -733,6 +733,109 @@ object Curate {
       .orderBy($"doc_id")
   }
 
+  /** text_lm_gap: train/held-out surprisal gap — the memorization
+    * (generalization-gap) probe of the corpus LM quality signal: the
+    * add-one-smoothed bigram model is trained on the EVEN doc_id fold
+    * only, then both folds are scored under it; a held-out mean
+    * surprisal far above train means the model memorizes fold-specific
+    * strings (id leaks, boilerplate) rather than learning the
+    * language — exactly the diagnostic run before trusting
+    * [[lmSurprisal]]'s buckets as a quality filter. Unseen events are
+    * the add-one floor by construction (c₁₂→0, c₁→0 under the LEFT
+    * joins), so held-out scoring needs no special casing. Same qlog2
+    * discipline: per-fold Σ surprisal is an exact BIGINT, the two
+    * means and the gap are terminal IEEE assemblies.
+    *
+    * Scale posture: identical to [[lmSurprisal]] — two vocab-bounded
+    * count tables behind one corpus pass each, the scoring join rides
+    * the bigram key, output is ONE row. */
+  def lmGap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docBg = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", ($"doc_id" % 2).as("fold"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select($"doc_id", $"fold", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val trainToks = Tables(spark, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select(explode(split($"text", " ")).as("w"))
+    val cW = trainToks.groupBy($"w".as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = trainToks.agg(countDistinct($"w").as("v"))
+    val cBg = docBg.filter($"fold" === 0)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val byFold = docBg
+      .join(cBg, Seq("w1", "w2"), "left")
+      .join(cW, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .selectExpr("fold",
+        s"CAST(${qlog2Spark("(coalesce(c1, 0) + v)")}" +
+          s" - ${qlog2Spark("(coalesce(c12, 0) + 1)")} AS BIGINT) AS sq")
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("nb"), sum($"sq").as("sque"))
+    byFold.agg(
+      max(when($"fold" === 0, $"nb")).as("n_train_bigrams"),
+      max(when($"fold" === 1, $"nb")).as("n_heldout_bigrams"),
+      max(when($"fold" === 0,
+        $"sque".cast("double") / lit(1024.0) / $"nb".cast("double")))
+        .as("train_bits"),
+      max(when($"fold" === 1,
+        $"sque".cast("double") / lit(1024.0) / $"nb".cast("double")))
+        .as("heldout_bits"))
+      .withColumn("gap_bits", $"heldout_bits" - $"train_bits")
+  }
+
+  val lmGapSql: String =
+    s"""WITH gdocs AS (
+       |  SELECT doc_id, doc_id % 2 AS fold, string_split(text, ' ') AS t
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |),
+       |gbg AS MATERIALIZED (
+       |  SELECT doc_id, fold, t[i + 1] AS w1, t[i + 2] AS w2
+       |  FROM gdocs, unnest(range(0, len(t) - 1)) ti(i)
+       |),
+       |gcw AS (
+       |  SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE doc_id % 2 = 0
+       |  ) GROUP BY 1
+       |),
+       |gv AS (
+       |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE doc_id % 2 = 0)
+       |),
+       |gcbg AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM gbg WHERE fold = 0 GROUP BY 1, 2
+       |),
+       |gfold AS (
+       |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS nb,
+       |    CAST(SUM(CAST(${qlog2Duck("(COALESCE(c.c1, 0) + gv.v)")}
+       |      - ${qlog2Duck("(COALESCE(g.c12, 0) + 1)")} AS BIGINT))
+       |      AS BIGINT) AS sque
+       |  FROM gbg b
+       |    LEFT JOIN gcbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+       |    LEFT JOIN gcw c ON b.w1 = c.w1
+       |    CROSS JOIN gv
+       |  GROUP BY fold
+       |)
+       |SELECT
+       |  MAX(CASE WHEN fold = 0 THEN nb END) AS n_train_bigrams,
+       |  MAX(CASE WHEN fold = 1 THEN nb END) AS n_heldout_bigrams,
+       |  MAX(CASE WHEN fold = 0 THEN CAST(sque AS DOUBLE)
+       |    / CAST(1024.0 AS DOUBLE) / CAST(nb AS DOUBLE) END) AS train_bits,
+       |  MAX(CASE WHEN fold = 1 THEN CAST(sque AS DOUBLE)
+       |    / CAST(1024.0 AS DOUBLE) / CAST(nb AS DOUBLE) END)
+       |    AS heldout_bits,
+       |  MAX(CASE WHEN fold = 1 THEN CAST(sque AS DOUBLE)
+       |    / CAST(1024.0 AS DOUBLE) / CAST(nb AS DOUBLE) END)
+       |  - MAX(CASE WHEN fold = 0 THEN CAST(sque AS DOUBLE)
+       |    / CAST(1024.0 AS DOUBLE) / CAST(nb AS DOUBLE) END) AS gap_bits
+       |FROM gfold""".stripMargin
+
   val lmSurprisalSql: String =
     s"""WITH ldocs AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2709,6 +2812,7 @@ object Curate {
     "text_unigram_em" -> unigramEm,
     "text_unigram_tokenize" -> unigramTokenize,
     "text_lm_surprisal" -> lmSurprisal,
+    "text_lm_gap" -> lmGap,
     "text_kneser_ney" -> kneserNey,
     "text_wordpiece" -> wordpieceTokenize,
     "text_tokenizer_trio" -> tokenizerTrio,
@@ -2743,6 +2847,7 @@ object Curate {
     "text_unigram_em" -> unigramEmSql,
     "text_unigram_tokenize" -> unigramTokenizeSql,
     "text_lm_surprisal" -> lmSurprisalSql,
+    "text_lm_gap" -> lmGapSql,
     "text_kneser_ney" -> kneserNeySql,
     "text_wordpiece" -> wordpieceTokenizeSql,
     "text_tokenizer_trio" -> tokenizerTrioSql,
