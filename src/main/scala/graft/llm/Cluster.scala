@@ -1160,8 +1160,77 @@ object Cluster {
        |FROM firstv GROUP BY layer
        |${graft.Det.sqlOrderBy(Seq("layer")).trim}""".stripMargin
 
+  /** dedup_cluster_purity: label-purity audit of the near-dup
+    * clustering — within each multi-document cluster, what fraction of
+    * members share the majority language? True near-duplicates are
+    * same-language by construction, so low purity means the LSH
+    * banding is merging unrelated documents (threshold too loose) and
+    * high purity means the clusters are semantically coherent — the
+    * external-validation number (à la cluster purity in Manning et
+    * al., IIR ch.16) a dedup run reports next to its recall audits.
+    * Exact integers end to end: per-cluster majority counts are max
+    * over (cluster, lang) count cells, macro purity is ONE division
+    * Σ majority / Σ size, and the all-members-agree count is an
+    * integer comparison.
+    *
+    * Scale posture: rides the star-contraction clustering (O(log n)
+    * rounds); this adds one lang join + two bounded rollups over the
+    * |multi-cluster member| rows. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val multi = clusters(spark, dir)
+      .filter($"cluster_size" > 1)
+      .join(graft.Tables(spark, dir, "documents")
+        .select($"doc_id", $"lang"), "doc_id")
+    val perCluster = multi.groupBy($"cluster_id", $"cluster_size")
+      .agg(count(lit(1)).as("n_members"))
+    val majority = multi.groupBy($"cluster_id", $"lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"cluster_id").agg(max($"c").as("majority"))
+    perCluster.join(majority, "cluster_id")
+      .agg(count(lit(1)).as("n_multi_clusters"),
+        sum($"n_members").as("n_docs_in_multi"),
+        sum($"majority").as("sum_majority"),
+        count_if($"majority" === $"n_members").as("n_pure_clusters"))
+      .select($"n_multi_clusters", $"n_docs_in_multi", $"sum_majority",
+        $"n_pure_clusters",
+        ($"sum_majority".cast("double") / $"n_docs_in_multi".cast("double"))
+          .as("macro_purity"),
+        ($"n_pure_clusters".cast("double")
+          / $"n_multi_clusters".cast("double")).as("pure_fraction"))
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH cpm AS (
+       |  SELECT c.cluster_id, c.cluster_size, d.lang
+       |  FROM ($clustersSql) c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  WHERE c.cluster_size > 1
+       |),
+       |cpc AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM cpm GROUP BY cluster_id
+       |),
+       |cpj AS (
+       |  SELECT cluster_id, CAST(MAX(c) AS BIGINT) AS majority FROM (
+       |    SELECT cluster_id, lang, COUNT(*) AS c
+       |    FROM cpm GROUP BY cluster_id, lang
+       |  ) GROUP BY cluster_id
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+       |  CAST(SUM(n_members) AS BIGINT) AS n_docs_in_multi,
+       |  CAST(SUM(majority) AS BIGINT) AS sum_majority,
+       |  CAST(COUNT(*) FILTER (WHERE majority = n_members) AS BIGINT)
+       |    AS n_pure_clusters,
+       |  CAST(SUM(majority) AS DOUBLE) / CAST(SUM(n_members) AS DOUBLE)
+       |    AS macro_purity,
+       |  CAST(COUNT(*) FILTER (WHERE majority = n_members) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS pure_fraction
+       |FROM cpc JOIN cpj USING (cluster_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_layers" -> bfsLayers,
+    "dedup_cluster_purity" -> clusterPurity,
     "graph_louvain_step" -> louvainStep,
     "graph_assortativity" -> assortativity,
     "graph_modularity" -> modularity,
@@ -1181,6 +1250,7 @@ object Cluster {
 
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> bfsLayersSql,
+    "dedup_cluster_purity" -> clusterPuritySql,
     "graph_louvain_step" -> louvainStepSql,
     "graph_assortativity" -> assortativitySql,
     "graph_modularity" -> modularitySql,

@@ -470,6 +470,84 @@ object Calendar {
        |FROM sd_d d LEFT JOIN sd_seasonal s ON d.moy = s.moy
        |${sqlOrderBy(Seq("d.m")).trim}""".stripMargin
 
+  /** orders_seasonal_anomaly: robust anomaly flags over the
+    * [[seasonalDecompose]] residuals — the composed alert a revenue
+    * monitor actually pages on: a month is anomalous when its
+    * detrended, deseasonalized residual sits more than 2 MADs from the
+    * residual median (the robust fence that one whale month cannot
+    * widen, unlike a σ fence). Median and MAD are exact rank-⌈n/2⌉
+    * order statistics over the residual months ((value, m) tiebreak),
+    * the flag |r − med| > 2·MAD is a pure integer comparison in the
+    * decomposition's exact 1/24-cent units, and the DuckDB oracle
+    * re-derives the whole composition — decomposition chain included.
+    *
+    * Scale posture: everything after the monthly rollup runs on the
+    * |months|-bounded series (two rank windows + one broadcast of a
+    * 1-row med/mad frame). */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val res = seasonalDecompose(spark, dir)
+      .filter($"residual24".isNotNull)
+      .select($"m", $"revenue", $"residual24")
+      .localCheckpoint() // |months| rows; feeds two rank passes + output
+    val wMed = Window.orderBy($"residual24", $"m")
+    val med = res
+      .withColumn("rk", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over())
+      .filter($"rk" === expr("(n + 1) div 2"))
+      .select($"residual24".as("med"))
+    val devs = res.crossJoin(broadcast(med))
+      .withColumn("adev", abs($"residual24" - $"med"))
+    val wMad = Window.orderBy($"adev", $"m")
+    val mad = devs
+      .withColumn("rk", row_number().over(wMad))
+      .withColumn("n", count(lit(1)).over())
+      .filter($"rk" === expr("(n + 1) div 2"))
+      .select($"adev".as("mad"))
+    devs.crossJoin(broadcast(mad))
+      .select($"m", $"revenue", $"residual24", $"med", $"mad",
+        ($"adev" > $"mad" * 2L).as("is_anomaly"))
+      .orderBy($"m")
+  }
+
+  val seasonalAnomalySql: String = {
+    val decomp = seasonalDecomposeSql
+      .replaceFirst("(?s)SELECT d\\.m.*$", "")
+      .stripSuffix("\n")
+    s"""${decomp.trim}
+       |, sa_res AS (
+       |  SELECT d.m, CAST(d.x AS DOUBLE) / 100.0 AS revenue,
+       |    CAST(d.d - s.seasonal24 AS BIGINT) AS residual24
+       |  FROM sd_d d JOIN sd_seasonal s ON d.moy = s.moy
+       |  WHERE d.d IS NOT NULL
+       |),
+       |sa_med AS (
+       |  SELECT residual24 AS med FROM (
+       |    SELECT residual24,
+       |      row_number() OVER (ORDER BY residual24, m) AS rk,
+       |      COUNT(*) OVER () AS n
+       |    FROM sa_res
+       |  ) WHERE rk = (n + 1) // 2
+       |),
+       |sa_dev AS (
+       |  SELECT m, revenue, residual24, med,
+       |    abs(residual24 - med) AS adev
+       |  FROM sa_res CROSS JOIN sa_med
+       |),
+       |sa_mad AS (
+       |  SELECT adev AS mad FROM (
+       |    SELECT adev, row_number() OVER (ORDER BY adev, m) AS rk,
+       |      COUNT(*) OVER () AS n
+       |    FROM sa_dev
+       |  ) WHERE rk = (n + 1) // 2
+       |)
+       |SELECT m, revenue, residual24, med, mad,
+       |  adev > mad * 2 AS is_anomaly
+       |FROM sa_dev CROSS JOIN sa_mad
+       |${sqlOrderBy(Seq("m")).trim}""".stripMargin
+  }
+
   /** CUSUM upward-shift detector over daily revenue — sequential
     * change detection (Page 1954) in one window pass: the textbook
     * recursion C_t = max(0, C_{t−1} + (x_t − k)) cannot run as a
@@ -752,6 +830,7 @@ object Calendar {
     "orders_ewma" -> ewma,
     "orders_holt_linear" -> holtLinear,
     "orders_seasonal_decompose" -> seasonalDecompose,
+    "orders_seasonal_anomaly" -> seasonalAnomaly,
     "orders_seasonal_index" -> seasonalIndex,
     "dim_calendar" -> dimCalendar,
     "orders_gap_fill" -> gapFill,
@@ -765,6 +844,7 @@ object Calendar {
     "orders_ewma" -> ewmaSql,
     "orders_holt_linear" -> holtLinearSql,
     "orders_seasonal_decompose" -> seasonalDecomposeSql,
+    "orders_seasonal_anomaly" -> seasonalAnomalySql,
     "orders_seasonal_index" -> seasonalIndexSql,
     "dim_calendar" -> dimCalendarSql,
     "orders_gap_fill" -> gapFillSql,

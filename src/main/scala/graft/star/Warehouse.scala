@@ -1998,6 +1998,77 @@ object Warehouse {
        |        - CAST(9.0 AS DOUBLE))) AS hedges_g
        |FROM esd""".stripMargin
 
+  /** dq_dp_release: ε-differentially-private count release for the
+    * documents lang×source histogram (Dwork et al. 2006) — the
+    * privacy-family capstone beside k-anonymity/l-diversity/
+    * t-closeness: counts are published with Laplace(1/ε) noise
+    * (ε = 1, sensitivity 1 for a unit-count histogram). The Laplace
+    * draw is the inverse-CDF transform of a SALTED-md5 uniform —
+    * deterministic here so the release is testable cross-engine
+    * (production swaps the salt for secure randomness; every other
+    * shape is production-true). The transform stays in the
+    * engine-portable qlog2 fixed point: with h ∈ [0, 2³²) the
+    * integer tail-mass d = |2h − 2³²| + 1 ∈ [1, 2³²] gives
+    * ln(d/2³²) = (qlog2(d) − 32·1024)·ln2/1024 — an exact BIGINT
+    * difference scaled by two source literals; no libm log ever runs
+    * (libm last-ulp divergence is exactly what the hash gate
+    * cannot tolerate), with the tail mass d = max(1, 2³² − |2h − 2³²|)
+    * (the 1−2|u−½| of the two-sided inverse CDF, zero-clamped).
+    * Released count = true + sgn·b·(−ln tail).
+    *
+    * Scale posture: one map-side-combined cell rollup; the noise is a
+    * per-cell map expression — a 100 TB DP release is one scan. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.llm.Curate.qlog2Spark _
+    val ln2 = "0.6931471805599453"
+    val cells = Tables(spark, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n_true"))
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(concat('dp:', lang, '/', source)), 1, 8)," +
+          " 16, 10) AS BIGINT)"))
+      .withColumn("d",
+        greatest(lit(1L), lit(4294967296L) - abs($"h" * 2L - 4294967296L)))
+      .withColumn("sgn",
+        when($"h" * 2L >= 4294967296L, 1.0).otherwise(-1.0))
+    cells
+      .withColumn("neg_ln_tail", expr(
+        s"CAST((32768 - ${q("d")}) AS DOUBLE) * CAST('$ln2' AS DOUBLE)" +
+          " / CAST(1024.0 AS DOUBLE)"))
+      .select($"lang", $"source", $"n_true",
+        ($"n_true".cast("double") + $"sgn" * $"neg_ln_tail")
+          .as("n_released"),
+        ($"sgn" * $"neg_ln_tail").as("noise"),
+        lit(1.0).as("epsilon"))
+      .orderBy($"lang", $"source")
+  }
+
+  val dpReleaseSql: String = {
+    val q = graft.llm.Curate.qlog2Duck _
+    val ln2 = "0.6931471805599453"
+    s"""WITH dpc AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true,
+       |    CAST('0x' || substr(md5('dp:' || lang || '/' || source), 1, 8)
+       |      AS BIGINT) AS h
+       |  FROM documents GROUP BY lang, source
+       |),
+       |dpn AS (
+       |  SELECT lang, source, n_true,
+       |    greatest(1, 4294967296 - abs(h * 2 - 4294967296)) AS d,
+       |    CASE WHEN h * 2 >= 4294967296 THEN CAST(1.0 AS DOUBLE)
+       |      ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+       |  FROM dpc
+       |)
+       |SELECT lang, source, n_true,
+       |  CAST(n_true AS DOUBLE) + sgn * (CAST(32768 - ${q("d")} AS DOUBLE)
+       |    * CAST('$ln2' AS DOUBLE) / CAST(1024.0 AS DOUBLE)) AS n_released,
+       |  sgn * (CAST(32768 - ${q("d")} AS DOUBLE)
+       |    * CAST('$ln2' AS DOUBLE) / CAST(1024.0 AS DOUBLE)) AS noise,
+       |  CAST(1.0 AS DOUBLE) AS epsilon
+       |FROM dpn
+       |${sqlOrderBy(Seq("lang", "source")).trim}""".stripMargin
+  }
+
   /** z₀.₉₇₅ + z₀.₈ and its square, combined ONCE in Scala doubles and
     * embedded as the identical shortest-repr literal in both engines
     * (a DuckDB DECIMAL-exact literal sum would round differently by
@@ -2539,6 +2610,7 @@ object Warehouse {
     "events_ab_delta_ratio" -> abDeltaRatio,
     "events_ab_power" -> abPower,
     "stat_effect_sizes" -> effectSizes,
+    "dq_dp_release" -> dpRelease,
     "stat_permutation_test" -> permutationTest,
     "orders_did_lift" -> didLift,
     "events_path_markov" -> pathMarkov,
@@ -2580,6 +2652,7 @@ object Warehouse {
     "events_ab_delta_ratio" -> abDeltaRatioSql,
     "events_ab_power" -> abPowerSql,
     "stat_effect_sizes" -> effectSizesSql,
+    "dq_dp_release" -> dpReleaseSql,
     "stat_permutation_test" -> permutationTestSql,
     "orders_did_lift" -> didLiftSql,
     "events_path_markov" -> pathMarkovSql,
