@@ -215,6 +215,13 @@ object ScaleRehearsal {
     stage("graph_bfs_layers")(graft.llm.Cluster.bfsLayers(spark, dir))
     stage("embed_jl_distortion")(
       graft.llm.Similarity.jlDistortion(spark, dir))
+    // round 10, late wave: LM gap (two vocab-bounded count tables +
+    // one bigram-key scoring join), DP release (|cells| map), cluster
+    // purity (rides the measured star-contraction chassis)
+    stage("text_lm_gap")(graft.llm.Curate.lmGap(spark, dir))
+    stage("dq_dp_release")(graft.star.Warehouse.dpRelease(spark, dir))
+    stage("dedup_cluster_purity")(
+      graft.llm.Cluster.clusterPurity(spark, dir))
     spark.stop()
   }
 }
