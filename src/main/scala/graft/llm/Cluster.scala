@@ -1228,9 +1228,59 @@ object Cluster {
        |    / CAST(COUNT(*) AS DOUBLE) AS pure_fraction
        |FROM cpc JOIN cpj USING (cluster_id)""".stripMargin
 
+  /** corpus_dedup_savings: the storage/compute savings scorecard of
+    * running dedup, per source — documents removed (non-keepers of
+    * multi-doc clusters), exact characters removed, and the
+    * percentage saved — the line item that justifies the dedup stage
+    * in a pipeline cost review ([[dupRateBySource]] counts documents;
+    * this prices them in bytes, which is what storage and token
+    * budgets are billed in). Exact BIGINT character sums, one terminal
+    * division per source.
+    *
+    * Scale posture: rides the star-contraction clustering; adds one
+    * doc-keyed join + a |sources|-row rollup. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusters(spark, dir)
+      .join(graft.Tables(spark, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if($"is_keeper").as("n_kept"),
+        count_if(!$"is_keeper").as("n_removed"),
+        sum($"n_chars").as("chars_total"),
+        sum(when(!$"is_keeper", $"n_chars").otherwise(0L))
+          .as("chars_removed"))
+      .select($"source", $"n_docs", $"n_kept", $"n_removed",
+        $"chars_total", $"chars_removed",
+        ($"chars_removed".cast("double") * 100.0
+          / $"chars_total".cast("double")).as("savings_pct"))
+      .orderBy($"source")
+  }
+
+  val dedupSavingsSql: String =
+    s"""WITH dsc AS (
+       |  SELECT c.doc_id, c.cluster_id, d.source, d.n_chars,
+       |    c.doc_id = c.cluster_id AS is_keeper
+       |  FROM ($clustersSql) c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) FILTER (WHERE is_keeper) AS BIGINT) AS n_kept,
+       |  CAST(COUNT(*) FILTER (WHERE NOT is_keeper) AS BIGINT) AS n_removed,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN NOT is_keeper THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS chars_removed,
+       |  CAST(SUM(CASE WHEN NOT is_keeper THEN n_chars ELSE 0 END)
+       |      AS DOUBLE) * CAST(100.0 AS DOUBLE)
+       |    / CAST(SUM(n_chars) AS DOUBLE) AS savings_pct
+       |FROM dsc GROUP BY source
+       |${sqlOrderBy(Seq("source")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_layers" -> bfsLayers,
     "dedup_cluster_purity" -> clusterPurity,
+    "corpus_dedup_savings" -> dedupSavings,
     "graph_louvain_step" -> louvainStep,
     "graph_assortativity" -> assortativity,
     "graph_modularity" -> modularity,
@@ -1251,6 +1301,7 @@ object Cluster {
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> bfsLayersSql,
     "dedup_cluster_purity" -> clusterPuritySql,
+    "corpus_dedup_savings" -> dedupSavingsSql,
     "graph_louvain_step" -> louvainStepSql,
     "graph_assortativity" -> assortativitySql,
     "graph_modularity" -> modularitySql,

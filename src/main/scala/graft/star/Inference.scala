@@ -873,8 +873,86 @@ object Inference {
        |GROUP BY prio, n, l_rk
        |${sqlOrderBy(Seq("o_orderpriority")).trim}""".stripMargin
 
+  /** stat_screen_prf: the full confusion-matrix scorecard of the LPM
+    * dup-risk screen — precision, recall, F1, and the Matthews
+    * correlation coefficient (the balanced single number that stays
+    * honest under class imbalance, where accuracy and even F1
+    * flatter a majority-class screen) — completing the screen-quality
+    * triptych: [[brierCalibration]] grades the probabilities,
+    * [[aucLpm]] the ranking, this the 0.5-threshold decisions. The
+    * four cells are exact BIGINT counts; P/R/F1 are terminal
+    * divisions and MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    * is assembled in doubles cast from the exact cells (the BIGINT
+    * product would overflow at ~10⁵ docs per cell pair), sqrt
+    * correctly rounded in both engines.
+    *
+    * Scale posture: rides the qualityLpm chassis — one moment pass,
+    * map-only scoring, a 1-row rollup. */
+  def screenPrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.llm.Curate.qualityLpm(spark, dir)
+      .select($"tp", $"fp", $"tn", $"fn")
+      .select($"tp", $"fp", $"tn", $"fn",
+        // every denominator can be zero on a degenerate screen (tiny
+        // SFs never cross the 0.5 cut) — NULL-guard identically in
+        // both engines (Spark ANSI raises on /0; DuckDB does not)
+        when($"tp" + $"fp" === 0L, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / ($"tp" + $"fp").cast("double"))
+          .as("precision"),
+        when($"tp" + $"fn" === 0L, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / ($"tp" + $"fn").cast("double"))
+          .as("recall"),
+        when($"tp" * 2L + $"fp" + $"fn" === 0L, lit(null).cast("double"))
+          .otherwise(lit(2.0) * $"tp".cast("double")
+            / (lit(2.0) * $"tp".cast("double")
+              + $"fp".cast("double") + $"fn".cast("double"))).as("f1"),
+        when(($"tp" + $"fp") * ($"tp" + $"fn")
+            * ($"tn" + $"fp") * ($"tn" + $"fn") === 0L,
+          lit(null).cast("double"))
+          .otherwise(($"tp".cast("double") * $"tn".cast("double")
+            - $"fp".cast("double") * $"fn".cast("double"))
+            / sqrt(($"tp" + $"fp").cast("double")
+              * ($"tp" + $"fn").cast("double")
+              * ($"tn" + $"fp").cast("double")
+              * ($"tn" + $"fn").cast("double"))).as("mcc"))
+  }
+
+  val screenPrfSql: String =
+    s"""WITH ${graft.llm.Curate.lpmScoredSqlAll},
+       |prf AS (
+       |  SELECT
+       |    CAST(COUNT(*) FILTER (WHERE pred_p >= CAST(0.5 AS DOUBLE)
+       |      AND y = 1) AS BIGINT) AS tp,
+       |    CAST(COUNT(*) FILTER (WHERE pred_p >= CAST(0.5 AS DOUBLE)
+       |      AND y = 0) AS BIGINT) AS fp,
+       |    CAST(COUNT(*) FILTER (WHERE pred_p < CAST(0.5 AS DOUBLE)
+       |      AND y = 0) AS BIGINT) AS tn,
+       |    CAST(COUNT(*) FILTER (WHERE pred_p < CAST(0.5 AS DOUBLE)
+       |      AND y = 1) AS BIGINT) AS fn
+       |  FROM lpm_scored
+       |)
+       |SELECT tp, fp, tn, fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+       |    AS precision,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       |  CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+       |    ELSE CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+       |      / (CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+       |        + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS f1,
+       |  CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+       |    THEN NULL
+       |    ELSE (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END
+       |    AS mcc
+       |FROM prf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_completeness_profile" -> completenessProfile,
+    "stat_screen_prf" -> screenPrf,
     "stat_median_ci" -> medianCi,
     "stat_auc_lpm" -> aucLpm,
     "dq_mutual_info" -> mutualInfo,
@@ -888,6 +966,7 @@ object Inference {
 
   val oracles: Map[String, String] = Map(
     "dq_completeness_profile" -> completenessProfileSql,
+    "stat_screen_prf" -> screenPrfSql,
     "stat_median_ci" -> medianCiSql,
     "stat_auc_lpm" -> aucLpmSql,
     "dq_mutual_info" -> mutualInfoSql,
