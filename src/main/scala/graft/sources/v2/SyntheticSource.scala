@@ -13,6 +13,8 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
   SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -53,7 +55,8 @@ class SyntheticProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SyntheticTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("parts")).map(_.toInt).getOrElse(4))
+      Option(properties.get("parts")).map(_.toInt).getOrElse(4),
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(100L))
 }
 
 object SyntheticTable {
@@ -68,17 +71,20 @@ object SyntheticTable {
   def labelOf(id: Long): String = "L" + (id % 7)
 }
 
-class SyntheticTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class SyntheticTable(rows: Long, parts: Int, batchRows: Long = 100L)
+    extends Table with SupportsRead {
   override def name(): String = s"synthetic($rows rows)"
   override def schema(): StructType = SyntheticTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, parts)
+    new SyntheticScanBuilder(rows, parts, batchRows)
 }
 
-class SyntheticScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+class SyntheticScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -160,7 +166,7 @@ class SyntheticScanBuilder(rows: Long, parts: Int) extends ScanBuilder
 
   override def build(): Scan =
     if (aggs.nonEmpty) new SyntheticAggScan(lo, hi, aggs)
-    else new SyntheticScan(lo, hi, parts, required)
+    else new SyntheticScan(lo, hi, parts, required, batchRows)
 }
 
 /** O(1) scan for completely-pushed ungrouped aggregates: one partition,
@@ -203,22 +209,87 @@ class SyntheticAggReaderFactory(values: Array[Any])
 
 case class SyntheticRange(lo: Long, hi: Long) extends InputPartition
 
-class SyntheticScan(lo: Long, hi: Long, parts: Int, required: StructType)
-    extends Scan with Batch {
+class SyntheticScan(lo: Long, hi: Long, parts: Int, required: StructType,
+    batchRows: Long = 100L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SyntheticScan[range=[$lo,$hi), cols=${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    SyntheticScan.splitRange(lo, hi, parts)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new SyntheticMicroBatchStream(lo, hi, parts, batchRows, required)
+}
+
+object SyntheticScan {
+  def splitRange(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
     val span = math.max(0L, hi - lo)
     val per = math.max(1L, (span + parts - 1) / parts)
     (lo until hi by per).map(s =>
       SyntheticRange(s, math.min(s + per, hi)): InputPartition).toArray
   }
+}
+
+/** Streaming offset: the next row id to emit. */
+case class SynthOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** The WRITE-side of the source tier already proves the V2 batch
+  * write half (LineSink); this is the STREAMING READ half: the
+  * synthetic range served as a rate-limited micro-batch stream with
+  * real offset tracking. Offsets are row positions; admission control
+  * caps each trigger at `batchRows` (ReadMaxRows — the engine can
+  * override per trigger), `reportLatestOffset` exposes the true end so
+  * `processAllAvailable`/AvailableNow know when the range is drained,
+  * and partition planning reuses the batch splitter over
+  * [start, end). Exactly-once falls out of the V2 contract: the engine
+  * checkpoints committed offsets, a restarted query resumes from the
+  * checkpoint, and `planInputPartitions(start, end)` regenerates any
+  * uncommitted batch IDENTICALLY (generation is a pure function of the
+  * id range) — asserted across a mid-stream kill in
+  * SyntheticStreamSpec. */
+class SyntheticMicroBatchStream(lo: Long, hi: Long, parts: Int,
+    batchRows: Long, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].pos
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => batchRows
+    }
+    SynthOffset(math.min(hi, s + math.max(1L, step)))
+  }
+
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    SyntheticScan.splitRange(start.asInstanceOf[SynthOffset].pos,
+      end.asInstanceOf[SynthOffset].pos, parts)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class SyntheticReaderFactory(required: StructType)
