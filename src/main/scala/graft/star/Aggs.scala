@@ -2185,6 +2185,9 @@ object Aggs {
       .withColumn("rk", row_number().over(
         Window.orderBy($"cents".desc, $"o_custkey")))
       .filter($"rk" <= 51)
+      // 51 rows feeding TWO consumers (x_{k+1} + the top-k sum) —
+      // checkpoint or the rollup + rank window replays per consumer
+      .localCheckpoint()
     val xk1 = ranked.filter($"rk" === 51)
       .select($"cents".as("xk1_cents"))
     ranked.filter($"rk" <= 50)

@@ -66,12 +66,14 @@ object Attribution {
       .na.fill(0L, Seq("mask"))
       .filter($"converted" === 1)
       .groupBy($"mask").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤2ⁿ coalition rows; ends the corpus lineage
     val subsets = nchan.select($"n",
       explode(expr("sequence(CAST(0 AS BIGINT)," +
         " shiftleft(CAST(1 AS BIGINT), n) - 1)")).as("s"))
     val vS = subsets.join(conv, (conv("mask").bitwiseAND(subsets("s")))
         === conv("mask"), "left")
       .groupBy($"s", $"n").agg(coalesce(sum($"c"), lit(0L)).as("v"))
+      .localCheckpoint() // 2ⁿ rows feeding THREE consumers
     val marg = chan.crossJoin(broadcast(nchan))
       .join(vS.select($"s", $"v".as("v_s")),
         expr("(s & shiftleft(CAST(1 AS BIGINT), bit)) = 0"))

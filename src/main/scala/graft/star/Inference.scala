@@ -126,10 +126,13 @@ object Inference {
     * SSB = Σ_g S_g²/n_g − S²/n and SSW = Σx² − Σ_g S_g²/n_g. The
     * between-group accumulator Σ_g S_g²/n_g is a float sum over
     * |groups| rows — shuffle-order-dependent, so each group's term is
-    * FLOORED to an exact integer first (floor(double) is exact binary
-    * in BOTH engines — unlike round(), which Spark evaluates on the
-    * shortest decimal string) and summed in DECIMAL(38,0)/HUGEINT:
-    * order-free, identical to the true term within 1 part in ~10¹⁸.
+    * taken as the EXACT integer quotient ⌊S_g²/n_g⌋ via the
+    * remainder identity (S_g² − S_g² mod n_g)/n_g entirely in
+    * DECIMAL(38,0)/HUGEINT and summed the same way: order-free and
+    * overflow-free (the earlier floor(double) form returned LONG on
+    * the Spark side and wrapped silently once a term crossed 2⁶³ —
+    * observed at sf0.1, where S_g²/n_g ≈ 1.9·10¹⁹ flipped SSB
+    * negative), identical to the true term within 1 part in ~10¹⁸.
     * F = (SSB/(k−1))/(SSW/(n−k)) with the df as plain integers (the
     * p-value needs the F CDF — transcendental, so the statistic and
     * df ARE the contract, per the house rule).
@@ -151,8 +154,9 @@ object Inference {
       sum($"n_g").as("n"),
       sum($"s_g").as("s"),
       sum($"q_g").as("q"),
-      sum(floor(($"s_g" * $"s_g").cast("double") / $"n_g".cast("double"))
-        .cast(dec)).as("sbq"))
+      sum(expr("CAST(((s_g * s_g) - ((s_g * s_g) %" +
+        " CAST(n_g AS DECIMAL(38,0)))) / CAST(n_g AS DECIMAL(38,0))" +
+        " AS DECIMAL(38,0))")).as("sbq"))
       .withColumn("sb_part", $"sbq".cast("double"))
       .select($"k", $"n",
         ($"sb_part" - ($"s" * $"s").cast("double") / $"n".cast("double"))
@@ -179,17 +183,23 @@ object Inference {
        |    CAST(SUM(n_g) AS BIGINT) AS n,
        |    CAST(SUM(s_g) AS HUGEINT) AS s,
        |    CAST(SUM(q_g) AS HUGEINT) AS q,
-       |    CAST(CAST(SUM(CAST(floor(CAST(s_g * s_g AS DOUBLE)
-       |      / CAST(n_g AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS DOUBLE)
-       |      AS sb_part
+       |    -- HUGEINT→DOUBLE via VARCHAR: DuckDB's direct conversion
+       |    -- double-rounds past 2⁶⁴ (observed 1-ulp drift at sf0.1);
+       |    -- the string parse is correctly rounded, matching Spark's
+       |    -- Decimal.toDouble
+       |    CAST(CAST(CAST(SUM(CAST((s_g * s_g) // n_g AS HUGEINT))
+       |      AS HUGEINT) AS VARCHAR) AS DOUBLE) AS sb_part
        |  FROM g
        |)
        |SELECT k, n,
-       |  sb_part - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS ss_between,
-       |  CAST(q AS DOUBLE) - sb_part AS ss_within,
-       |  ((sb_part - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+       |  sb_part - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+       |    / CAST(n AS DOUBLE) AS ss_between,
+       |  CAST(CAST(q AS VARCHAR) AS DOUBLE) - sb_part AS ss_within,
+       |  ((sb_part - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+       |      / CAST(n AS DOUBLE))
        |    / CAST(k - 1 AS DOUBLE))
-       |  / ((CAST(q AS DOUBLE) - sb_part) / CAST(n - k AS DOUBLE)) AS f_stat
+       |  / ((CAST(CAST(q AS VARCHAR) AS DOUBLE) - sb_part)
+       |    / CAST(n - k AS DOUBLE)) AS f_stat
        |FROM m""".stripMargin
 
   /** stat_levene: Levene's variance-homogeneity test (Levene 1960,
@@ -199,7 +209,7 @@ object Inference {
     * deviations |x − median_g| from each group's median. The median is
     * an exact rank-⌈n/2⌉ order statistic (deterministic under the
     * (cents, orderkey) tiebreak), the deviations are exact BIGINT
-    * cents, and the F assembly reuses the same floored-term
+    * cents, and the F assembly reuses the same exact-quotient
     * DECIMAL(38,0) discipline as [[anovaF]] — no float sum anywhere
     * before the terminal divisions.
     *
@@ -230,8 +240,9 @@ object Inference {
       sum($"n_g").as("n"),
       sum($"s_g").as("s"),
       sum($"q_g").as("q"),
-      sum(floor(($"s_g" * $"s_g").cast("double") / $"n_g".cast("double"))
-        .cast(dec)).as("sbq"))
+      sum(expr("CAST(((s_g * s_g) - ((s_g * s_g) %" +
+        " CAST(n_g AS DECIMAL(38,0)))) / CAST(n_g AS DECIMAL(38,0))" +
+        " AS DECIMAL(38,0))")).as("sbq"))
       .withColumn("sb_part", $"sbq".cast("double"))
       .select($"k", $"n",
         ((($"sb_part" - ($"s" * $"s").cast("double") / $"n".cast("double"))
@@ -268,16 +279,16 @@ object Inference {
        |    CAST(SUM(n_g) AS BIGINT) AS n,
        |    CAST(SUM(s_g) AS HUGEINT) AS s,
        |    CAST(SUM(q_g) AS HUGEINT) AS q,
-       |    CAST(CAST(SUM(CAST(floor(CAST(s_g * s_g AS DOUBLE)
-       |      / CAST(n_g AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS DOUBLE)
-       |      AS sb_part
+       |    CAST(CAST(CAST(SUM(CAST((s_g * s_g) // n_g AS HUGEINT))
+       |      AS HUGEINT) AS VARCHAR) AS DOUBLE) AS sb_part
        |  FROM lg
        |)
        |SELECT k, n,
-       |  ((sb_part - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+       |  ((sb_part - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+       |      / CAST(n AS DOUBLE))
        |    / CAST(k - 1 AS DOUBLE))
-       |  / ((CAST(q AS DOUBLE) - sb_part) / CAST(n - k AS DOUBLE))
-       |    AS levene_w
+       |  / ((CAST(CAST(q AS VARCHAR) AS DOUBLE) - sb_part)
+       |    / CAST(n - k AS DOUBLE)) AS levene_w
        |FROM lm""".stripMargin
 
   /** Batch-trained per-event-type conformal band — the model artifact
