@@ -68,7 +68,7 @@ class InferenceSpec extends SparkSpec {
     val groups = o.groupBy(_._1).values.toSeq
     val sbPart = groups.map { g =>
       val s = g.map(r => BigInt(r._2)).sum
-      math.floor((s * s).toDouble / g.size).toLong
+      (s * s) / g.size // exact integer quotient (the overflow-safe form)
     }.sum.toDouble
     val s = o.map(r => BigInt(r._2)).sum
     val q = o.map(r => BigInt(r._2) * BigInt(r._2)).sum
@@ -95,7 +95,7 @@ class InferenceSpec extends SparkSpec {
     }
     val sbPart = zs.map { z =>
       val s = z.map(BigInt(_)).sum
-      math.floor((s * s).toDouble / z.size).toLong
+      (s * s) / z.size // exact integer quotient (the overflow-safe form)
     }.sum.toDouble
     val s = zs.flatten.map(BigInt(_)).sum
     val q = zs.flatten.map(z => BigInt(z) * BigInt(z)).sum
