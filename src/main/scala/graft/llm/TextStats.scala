@@ -1545,7 +1545,78 @@ object TextStats {
        |FROM rd GROUP BY lang
        |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
 
+  /** text_bigram_entropy: per-language word-bigram entropy rate —
+    * H = Σ −p·log₂p over the language's bigram distribution, the
+    * information-density number that separates genuine language from
+    * templated boilerplate (low H = the same transitions repeat = the
+    * compressibility signal `text_compression_ratio` measures
+    * byte-wise, here in interpretable bits). Shannon's estimator in
+    * the engine-portable qlog2 fixed point: each bigram type
+    * contributes c·(qlog2(N) − qlog2(c)) — exact BIGINT — so H_q sums
+    * order-free; bits-per-bigram and the evenness ratio
+    * H/log₂(types) are terminal IEEE assemblies.
+    *
+    * Scale posture: one map-side-combined (lang, bigram) rollup (the
+    * vocabulary-bounded table every tokenizer leg rides), a broadcast
+    * |lang|-row totals join, |langs| rows out. */
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.llm.Curate.qlog2Spark _
+    val cells = Tables(spark, dir, "documents")
+      .select($"lang", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"lang", explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bg"))
+      .groupBy($"lang", $"bg").agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy($"lang")
+      .agg(sum($"c").as("n"), count(lit(1)).as("types"))
+    cells.join(broadcast(tot), "lang")
+      .selectExpr("lang", "n", "types",
+        s"c * (CAST(${q("n")} AS BIGINT) - ${q("c")}) AS hq")
+      .groupBy($"lang", $"n", $"types")
+      .agg(sum($"hq").as("h_q"))
+      .select($"lang", $"n".as("n_bigrams"), $"types".as("n_types"),
+        $"h_q",
+        ($"h_q".cast("double") / (lit(1024.0) * $"n".cast("double")))
+          .as("entropy_bits"),
+        (($"h_q".cast("double") / (lit(1024.0) * $"n".cast("double")))
+          / (expr(s"CAST(${q("types")} AS BIGINT)").cast("double")
+            / lit(1024.0))).as("evenness"))
+      .orderBy($"lang")
+  }
+
+  val bigramEntropySql: String = {
+    val q = graft.llm.Curate.qlog2Duck _
+    s"""WITH becells AS (
+       |  SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT lang, unnest(list_transform(range(0, len(t) - 1),
+       |      i -> t[i+1] || ' ' || t[i+2])) AS bg
+       |    FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+       |    WHERE len(t) >= 2
+       |  ) GROUP BY lang, bg
+       |),
+       |betot AS (
+       |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS types
+       |  FROM becells GROUP BY lang
+       |)
+       |SELECT lang, n AS n_bigrams, types AS n_types,
+       |  CAST(SUM(c * (CAST(${q("n")} AS BIGINT) - ${q("c")})) AS BIGINT)
+       |    AS h_q,
+       |  CAST(SUM(c * (CAST(${q("n")} AS BIGINT) - ${q("c")})) AS DOUBLE)
+       |    / (CAST(1024.0 AS DOUBLE) * CAST(n AS DOUBLE)) AS entropy_bits,
+       |  (CAST(SUM(c * (CAST(${q("n")} AS BIGINT) - ${q("c")})) AS DOUBLE)
+       |    / (CAST(1024.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+       |    / (CAST(CAST(${q("types")} AS BIGINT) AS DOUBLE)
+       |      / CAST(1024.0 AS DOUBLE)) AS evenness
+       |FROM becells JOIN betot USING (lang)
+       |GROUP BY lang, n, types
+       |${sqlOrderBy(Seq("lang")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_entropy" -> bigramEntropy,
     "text_readability" -> readability,
     "text_js_divergence" -> jsDivergence,
     "text_keyword_rake" -> keywordRake,
@@ -1576,6 +1647,7 @@ object TextStats {
     "corpus_prep" -> corpusPrep)
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_entropy" -> bigramEntropySql,
     "text_readability" -> readabilitySql,
     "text_js_divergence" -> jsDivergenceSql,
     "text_keyword_rake" -> keywordRakeSql,
