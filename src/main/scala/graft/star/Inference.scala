@@ -961,8 +961,81 @@ object Inference {
        |    AS mcc
        |FROM prf""".stripMargin
 
+  /** stat_cohens_kappa: chance-corrected agreement (Cohen 1960)
+    * between the two independent document screens the curation stack
+    * runs — the LPM dup-risk flag (pred ≥ 0.5) and the 4-rule quality
+    * filter's reject verdict. Raw percent-agreement flatters two
+    * screens that both pass almost everything; κ subtracts the
+    * agreement their marginal rates would produce by chance, which is
+    * the number that tells a pipeline whether a second screen adds
+    * signal or just re-counts the first. Entirely exact integers via
+    * the cross-multiplied form κ = (n·(n₁₁+n₀₀) − pe_num)/(n² − pe_num)
+    * with pe_num = a₁·b₁ + (n−a₁)(n−b₁) — ONE terminal division
+    * (past ~3·10⁹ docs the n² products move to DECIMAL(38,0)/HUGEINT,
+    * shapes unchanged).
+    *
+    * Scale posture: rides the lpmScored chassis + the map-only rule
+    * flags; one doc-keyed join, a 1-row rollup. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = graft.llm.Curate.lpmScored(spark, dir)
+      .select($"doc_id", ($"pred_p" >= 0.5).cast("long").as("fa"))
+    val b = graft.llm.Curate.filterVerdicts(spark, dir)
+      .select($"doc_id", (lit(1L) - $"keep").as("fb"))
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        count_if($"fa" === 1L && $"fb" === 1L).as("n11"),
+        count_if($"fa" === 0L && $"fb" === 0L).as("n00"),
+        sum($"fa").as("a1"), sum($"fb").as("b1"))
+      .select($"n", $"n11", $"n00", $"a1".as("flag_lpm"),
+        $"b1".as("flag_rules"),
+        (($"n11" + $"n00").cast("double") / $"n".cast("double")).as("po"),
+        (($"a1" * $"b1" + ($"n" - $"a1") * ($"n" - $"b1")).cast("double")
+          / ($"n" * $"n").cast("double")).as("pe"),
+        when($"n" * $"n" ===
+          $"a1" * $"b1" + ($"n" - $"a1") * ($"n" - $"b1"),
+          lit(null).cast("double"))
+          .otherwise(($"n" * ($"n11" + $"n00")
+            - ($"a1" * $"b1" + ($"n" - $"a1") * ($"n" - $"b1")))
+            .cast("double")
+            / ($"n" * $"n"
+              - ($"a1" * $"b1" + ($"n" - $"a1") * ($"n" - $"b1")))
+              .cast("double")).as("kappa"))
+  }
+
+  val cohensKappaSql: String =
+    s"""WITH ${graft.llm.Curate.lpmScoredSqlAll},
+       |cka AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN pred_p >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END
+       |      AS BIGINT) AS fa
+       |  FROM lpm_scored
+       |),
+       |ckb AS (
+       |  SELECT doc_id, CAST(1 - keep AS BIGINT) AS fb
+       |  FROM (${graft.llm.Curate.filterVerdictsSql.replace("\n", "\n  ")}) fv
+       |),
+       |ckm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(*) FILTER (WHERE fa = 1 AND fb = 1) AS BIGINT) AS n11,
+       |    CAST(COUNT(*) FILTER (WHERE fa = 0 AND fb = 0) AS BIGINT) AS n00,
+       |    CAST(SUM(fa) AS BIGINT) AS a1, CAST(SUM(fb) AS BIGINT) AS b1
+       |  FROM cka JOIN ckb USING (doc_id)
+       |)
+       |SELECT n, n11, n00, a1 AS flag_lpm, b1 AS flag_rules,
+       |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |  CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+       |    / CAST(n * n AS DOUBLE) AS pe,
+       |  CASE WHEN n * n = a1 * b1 + (n - a1) * (n - b1) THEN NULL
+       |    ELSE CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))
+       |        AS DOUBLE)
+       |      / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) END
+       |    AS kappa
+       |FROM ckm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_completeness_profile" -> completenessProfile,
+    "stat_cohens_kappa" -> cohensKappa,
     "stat_screen_prf" -> screenPrf,
     "stat_median_ci" -> medianCi,
     "stat_auc_lpm" -> aucLpm,
@@ -977,6 +1050,7 @@ object Inference {
 
   val oracles: Map[String, String] = Map(
     "dq_completeness_profile" -> completenessProfileSql,
+    "stat_cohens_kappa" -> cohensKappaSql,
     "stat_screen_prf" -> screenPrfSql,
     "stat_median_ci" -> medianCiSql,
     "stat_auc_lpm" -> aucLpmSql,
