@@ -113,6 +113,36 @@ class Round10OpsSpec extends SparkSpec {
     assert(jl._2 > 0.7, s"JL 2x-band share too low: ${jl._2}")
   }
 
+  test("events_attrib_credit conserves credit: per-user ppm sums land within the integer-division remainder") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, sf0001, "events")
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"user_id").distinct().as[Long].collect().toSet
+    val journeys = ev.filter($"event_type" =!= "purchase")
+      .filter($"user_id".isin(conv.toSeq: _*))
+      .groupBy($"user_id").agg(count(lit(1)).as("j"))
+      .as[(Long, Long)].collect()
+    assert(journeys.nonEmpty)
+    // channel-level sums from the operator
+    val got = Attribution.creditAttribution(spark, sf0001)
+      .select($"linear_ppm", $"ushape_ppm", $"first_touch", $"last_touch")
+      .as[(Long, Long, Long, Long)].collect()
+    val (linTot, ushTot, ft, lt) =
+      got.foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), r) =>
+        (a + r._1, b + r._2, c + r._3, d + r._4) }
+    val nUsers = journeys.length.toLong
+    // each user contributes 1e6 ppm minus a sub-J integer-div remainder
+    val linLoss = journeys.map { case (_, j) => 1000000L - (1000000L / j) * j }.sum
+    assert(linTot == nUsers * 1000000L - linLoss,
+      s"linear ppm $linTot != ${nUsers * 1000000L - linLoss}")
+    val ushLoss = journeys.map { case (_, j) =>
+      if (j <= 2) 0L else 200000L - (200000L / (j - 2)) * (j - 2) }.sum
+    assert(ushTot == nUsers * 1000000L - ushLoss,
+      s"ushape ppm $ushTot != ${nUsers * 1000000L - ushLoss}")
+    // exactly one first and one last touch per converting journey
+    assert(ft == nUsers && lt == nUsers)
+  }
+
   test("media_phash_clusters is a consistent partition: one row per image, keepers = clusters, sizes add up") {
     import spark.implicits._
     val cl = graft.multimodal.Media.phashClusters(spark, sf0001)
