@@ -72,12 +72,27 @@ object Cluster {
     var e = edges.toDF("src", "dst")
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
+    // Convergence is a fixed point of distinct edge SETS. Per round the
+    // cheap candidate test is one aggregation job — (count, xor of
+    // per-edge hashes), order-free over the set — against the cached
+    // signature of the previous round; the exact (shuffling)
+    // set-difference check runs ONLY at the candidate round to rule
+    // out a checksum collision. Was 3 jobs per round (two counts + an
+    // except), now 1 + a one-time confirmation.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eSig = sig(e)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nSig = sig(next)
+      converged = nSig == eSig && next.except(e).isEmpty
       e = next
+      eSig = nSig
       rounds += 1
     }
     // the alternation converges monotonically (SoCC'14, Thm 2) — 25
