@@ -67,7 +67,16 @@ object Cluster {
   /** Connected components of an undirected edge list. Returns star
     * edges (member, component_min) for every non-root member; isolated
     * vertices (those not in `edges`) are absent and are their own
-    * component. */
+    * component.
+    *
+    * The 1-job checksum convergence test below is inherited by EVERY
+    * components() consumer — `media_phash_clusters`
+    * (multimodal/Media.scala), the SemDeDup closure
+    * (llm/Similarity.scala), `dedup_clusters` / `graph_components` /
+    * the token-graph components in this file, and `er_entities`
+    * (star/Linkage.scala) — none of them runs its own convergence
+    * loop, so the driver-round-trip count per iteration is 1 + the
+    * localCheckpoint job for all of them. */
   def components(edges: DataFrame): DataFrame = {
     var e = edges.toDF("src", "dst")
       .where(col("src") =!= col("dst")).distinct()
@@ -1243,6 +1252,141 @@ object Cluster {
        |    / CAST(COUNT(*) AS DOUBLE) AS pure_fraction
        |FROM cpc JOIN cpj USING (cluster_id)""".stripMargin
 
+  /** dedup_cluster_nmi_ari: normalized mutual information + adjusted
+    * Rand index of the near-dup clustering against the language
+    * labels — the two external-validation companions of
+    * [[clusterPurity]] (Manning, Raghavan, Schütze IIR ch.16; Hubert &
+    * Arabie 1985 for ARI) over the SAME cluster×language contingency
+    * (members of multi-document clusters): purity alone rewards
+    * shattering into tiny clusters, NMI charges for the clustering's
+    * own entropy, and ARI corrects pairwise agreement for chance —
+    * together they close the clustering-eval family.
+    *
+    * Exactness: every input is an integer count (contingency cells
+    * n_ck, cluster sizes a_c, class sizes b_l, total n). NMI rides the
+    * qlog2 integer fixed point — I_q = Σ n_ck·(qlog2(n·n_ck) −
+    * qlog2(a_c·b_l)), H_Cq = Σ a_c·(qlog2 n − qlog2 a_c), likewise
+    * H_Lq — and because nmi = 2I/(H_C+H_L) is a RATIO of entropies the
+    * ln2/1024/n factors cancel: nmi = 2·I_q/(H_Cq+H_Lq), one terminal
+    * division of exact BIGINTs (qlog2 is the fixed log contract, so
+    * this IS the reported statistic, not an approximation of another
+    * one). ARI is pure pair counting: with S_ck = ΣC(n_ck,2),
+    * S_a = ΣC(a_c,2), S_b = ΣC(b_l,2), T = C(n,2),
+    * ari = 2(T·S_ck − S_a·S_b) / (T·(S_a+S_b) − 2·S_a·S_b) — the
+    * cross-multiplies run in DECIMAL(38,0) (Spark) / HUGEINT routed
+    * through VARCHAR to DOUBLE (DuckDB) so both engines stay exact
+    * past 2^63 (the statBhFdr discipline).
+    *
+    * Scale posture: rides the star-contraction clustering; one lang
+    * join + one (cluster, lang) rollup over multi-cluster members,
+    * then every frame (contingency, margins, the five pair sums) is
+    * bounded by |clusters|·|langs|, not the corpus. */
+  def clusterNmiAri(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def q(c: String) = Curate.qlog2Spark(c)
+    val ct = clusters(spark, dir)
+      .filter($"cluster_size" > 1)
+      .join(graft.Tables(spark, dir, "documents")
+        .select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"cluster_id", $"lang").agg(count(lit(1)).as("nck"))
+      .localCheckpoint() // bounded contingency; feeds every frame below
+    val ac = ct.groupBy($"cluster_id").agg(sum($"nck").as("a"))
+    val bl = ct.groupBy($"lang").agg(sum($"nck").as("b"))
+    val nn = ct.agg(sum($"nck").as("n"))
+    val iq = ct.join(ac, "cluster_id").join(bl, "lang")
+      .crossJoin(broadcast(nn))
+      .selectExpr(s"nck * (${q("(n * nck)")} - ${q("(a * b)")}) AS t")
+      .agg(sum($"t").as("i_q"))
+    val hc = ac.crossJoin(broadcast(nn))
+      .selectExpr(s"a * (${q("n")} - ${q("a")}) AS t")
+      .agg(sum($"t").as("hc_q"), count(lit(1)).as("n_clusters"))
+    val hl = bl.crossJoin(broadcast(nn))
+      .selectExpr(s"b * (${q("n")} - ${q("b")}) AS t")
+      .agg(sum($"t").as("hl_q"), count(lit(1)).as("n_langs"))
+    val sck = ct.agg(sum(expr("nck * (nck - 1) div 2")).as("s_ck"))
+    val sa = ac.agg(sum(expr("a * (a - 1) div 2")).as("s_a"))
+    val sb = bl.agg(sum(expr("b * (b - 1) div 2")).as("s_b"))
+    nn.crossJoin(hc).crossJoin(hl).crossJoin(iq)
+      .crossJoin(sck).crossJoin(sa).crossJoin(sb)
+      .selectExpr("n AS n_docs", "n_clusters", "n_langs",
+        "i_q", "hc_q", "hl_q",
+        "CASE WHEN hc_q + hl_q > 0 THEN CAST(2 * i_q AS DOUBLE)" +
+          " / CAST(hc_q + hl_q AS DOUBLE) END AS nmi",
+        "s_ck", "s_a", "s_b",
+        "CAST(n * (n - 1) div 2 AS BIGINT) AS t_pairs",
+        """CASE WHEN (CAST(n * (n - 1) div 2 AS DECIMAL(19,0))
+          |      * (CAST(s_a AS DECIMAL(19,0)) + CAST(s_b AS DECIMAL(19,0)))
+          |    - 2 * CAST(s_a AS DECIMAL(19,0)) * CAST(s_b AS DECIMAL(19,0)))
+          |    <> 0 THEN
+          |  CAST(CAST(2 AS DECIMAL(19,0))
+          |    * (CAST(n * (n - 1) div 2 AS DECIMAL(19,0))
+          |        * CAST(s_ck AS DECIMAL(19,0))
+          |      - CAST(s_a AS DECIMAL(19,0)) * CAST(s_b AS DECIMAL(19,0)))
+          |    AS DOUBLE)
+          |  / CAST(CAST(n * (n - 1) div 2 AS DECIMAL(19,0))
+          |      * (CAST(s_a AS DECIMAL(19,0)) + CAST(s_b AS DECIMAL(19,0)))
+          |    - 2 * CAST(s_a AS DECIMAL(19,0)) * CAST(s_b AS DECIMAL(19,0))
+          |    AS DOUBLE)
+          |END AS ari""".stripMargin)
+  }
+
+  val clusterNmiAriSql: String = {
+    def q(c: String) = Curate.qlog2Duck(c)
+    s"""WITH nmct AS (
+       |  SELECT c.cluster_id, d.lang, CAST(COUNT(*) AS BIGINT) AS nck
+       |  FROM ($clustersSql) c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  WHERE c.cluster_size > 1
+       |  GROUP BY 1, 2
+       |),
+       |nmac AS (SELECT cluster_id, CAST(SUM(nck) AS BIGINT) AS a
+       |         FROM nmct GROUP BY 1),
+       |nmbl AS (SELECT lang, CAST(SUM(nck) AS BIGINT) AS b
+       |         FROM nmct GROUP BY 1),
+       |nmn AS (SELECT CAST(SUM(nck) AS BIGINT) AS n FROM nmct),
+       |nmiq AS (
+       |  SELECT CAST(SUM(nck * (${q("(n * nck)")} - ${q("(a * b)")}))
+       |    AS BIGINT) AS i_q
+       |  FROM nmct JOIN nmac USING (cluster_id) JOIN nmbl USING (lang)
+       |  CROSS JOIN nmn
+       |),
+       |nmhc AS (
+       |  SELECT CAST(SUM(a * (${q("n")} - ${q("a")})) AS BIGINT) AS hc_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |  FROM nmac CROSS JOIN nmn
+       |),
+       |nmhl AS (
+       |  SELECT CAST(SUM(b * (${q("n")} - ${q("b")})) AS BIGINT) AS hl_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n_langs
+       |  FROM nmbl CROSS JOIN nmn
+       |),
+       |nmsck AS (SELECT CAST(SUM(nck * (nck - 1) // 2) AS BIGINT) AS s_ck
+       |          FROM nmct),
+       |nmsa AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS s_a
+       |         FROM nmac),
+       |nmsb AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS s_b
+       |         FROM nmbl)
+       |SELECT n AS n_docs, n_clusters, n_langs, i_q, hc_q, hl_q,
+       |  CASE WHEN hc_q + hl_q > 0 THEN CAST(2 * i_q AS DOUBLE)
+       |    / CAST(hc_q + hl_q AS DOUBLE) END AS nmi,
+       |  s_ck, s_a, s_b,
+       |  CAST(n * (n - 1) // 2 AS BIGINT) AS t_pairs,
+       |  CASE WHEN (CAST(n * (n - 1) // 2 AS HUGEINT)
+       |        * (CAST(s_a AS HUGEINT) + CAST(s_b AS HUGEINT))
+       |      - 2 * CAST(s_a AS HUGEINT) * CAST(s_b AS HUGEINT)) <> 0 THEN
+       |    CAST(CAST(CAST(2 AS HUGEINT)
+       |      * (CAST(n * (n - 1) // 2 AS HUGEINT) * CAST(s_ck AS HUGEINT)
+       |        - CAST(s_a AS HUGEINT) * CAST(s_b AS HUGEINT))
+       |      AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(CAST(n * (n - 1) // 2 AS HUGEINT)
+       |        * (CAST(s_a AS HUGEINT) + CAST(s_b AS HUGEINT))
+       |      - 2 * CAST(s_a AS HUGEINT) * CAST(s_b AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE)
+       |  END AS ari
+       |FROM nmn CROSS JOIN nmhc CROSS JOIN nmhl CROSS JOIN nmiq
+       |CROSS JOIN nmsck CROSS JOIN nmsa CROSS JOIN nmsb""".stripMargin
+  }
+
   /** corpus_dedup_savings: the storage/compute savings scorecard of
     * running dedup, per source — documents removed (non-keepers of
     * multi-doc clusters), exact characters removed, and the
@@ -1295,6 +1439,7 @@ object Cluster {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_layers" -> bfsLayers,
     "dedup_cluster_purity" -> clusterPurity,
+    "dedup_cluster_nmi_ari" -> clusterNmiAri,
     "corpus_dedup_savings" -> dedupSavings,
     "graph_louvain_step" -> louvainStep,
     "graph_assortativity" -> assortativity,
@@ -1316,6 +1461,7 @@ object Cluster {
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> bfsLayersSql,
     "dedup_cluster_purity" -> clusterPuritySql,
+    "dedup_cluster_nmi_ari" -> clusterNmiAriSql,
     "corpus_dedup_savings" -> dedupSavingsSql,
     "graph_louvain_step" -> louvainStepSql,
     "graph_assortativity" -> assortativitySql,

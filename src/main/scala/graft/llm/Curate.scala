@@ -746,6 +746,15 @@ object Curate {
     * discipline: per-fold Σ surprisal is an exact BIGINT, the two
     * means and the gap are terminal IEEE assemblies.
     *
+    * Fixed contract: the denominator count c₁ is the RAW train
+    * unigram count (every token, including document-final tokens and
+    * tokens of <2-token docs), NOT the bigram-history count
+    * Σ_w₂ c₁₂(w₁,·) — so P(w₂|w₁) does not normalize to exactly 1
+    * over w₂. This is the deliberate engine-portable contract (both
+    * engines compute the identical quantity); it slightly inflates
+    * every surprisal uniformly and cancels in the train/held-out GAP,
+    * which is the statistic this query reports.
+    *
     * Scale posture: identical to [[lmSurprisal]] — two vocab-bounded
     * count tables behind one corpus pass each, the scoring join rides
     * the bigram key, output is ONE row. */

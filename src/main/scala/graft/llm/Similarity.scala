@@ -2389,6 +2389,157 @@ object Similarity {
        |WHERE f.v1 < f.v2
        |${sqlOrderBy(Seq("f.v1", "f.v2")).trim}""".stripMargin
 
+  /** embed_intrinsic_dim: Facco two-NN intrinsic-dimension estimator
+    * (Facco, d'Errico, Rodriguez, Laio 2017) — the embedding-health
+    * diagnostic beside `embed_dim_stats`/`embed_pca_power`: how many
+    * effective degrees of freedom the embedding cloud actually uses
+    * (an ID far below the ambient 64 means the model collapsed;
+    * near-ambient means the space is saturated). Per point, the ratio
+    * μ = d₂/d₁ of its two nearest-neighbor distances follows
+    * F(μ) = 1 − μ^(−d) under local uniformity, so d is both the
+    * through-origin slope of (ln μ, −ln(1−F̂)) on the empirical CDF
+    * and the MLE n/Σ ln μ — this query reports BOTH.
+    *
+    * Neighbors are mined WITHIN the auto-K IVF cells (the
+    * [[knnGraphAutoK]] posture — a 1-NN/2-NN is by definition nearby,
+    * so cell-local search is the right recall/cost point, and the
+    * oracle replays the identical cell rule). Engine-portable
+    * exactness: squared distances quantize to the shared 1e-14 grid
+    * (d_int = floor(dsq·1e14 + 0.5) — the same IEEE assembly both
+    * sides, so ranks agree bit-for-bit; exact-duplicate points,
+    * d₁ ≤ 0 on the grid, are discarded per Facco §Methods, as are
+    * points with <2 cell neighbors); ln μ = ln2·(qlog2 d₂ − qlog2 d₁)
+    * /2048 rides the integer qlog2 fixed point (the `text_zipf_fit`
+    * discipline), the CDF position of point r of n contributes
+    * y_q = qlog2(n) − qlog2(n−r) (r = n dropped — its −ln(1−F) is
+    * infinite), and both Σx_q·y_q and Σx_q² are exact BIGINTs; the
+    * 1024-grid and ln2 factors cancel so id_cdf = 2·Σxy/Σxx and
+    * id_mle = 2048·n/(ln2·Σx_q) are terminal IEEE assemblies of
+    * exactly-agreed integers.
+    *
+    * Scale posture: phase 1 pre-ranks skinny double-cosine rows per
+    * cell (vectors dropped before the sort; the 1e-9 slop band keeps
+    * every pair the exact top-2 could admit), phase 2 rescores only
+    * survivors with the decimal dot — Σ|cell|² ≈ 250·N measured-linear
+    * pair budget. The global CDF rank is TWO-LEVEL: a per-x_q
+    * partitioned row_number plus a cumulative count over the DISTINCT
+    * x_q frame, which is bounded by the qlog2 range (≤ ~50k values
+    * independent of N) — no N-row global sort window anywhere. */
+  def intrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    graft.functions.DoubleDot.register(spark)
+    val raw = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val emb = raw.join(autoKAssign(spark, dir), "vec_id")
+    val a = emb.select($"vec_id".as("v1"), $"cell", $"embedding".as("e1"),
+      $"nrm".as("n1"))
+    val b = emb.select($"vec_id".as("v2"), $"cell".as("cell_b"),
+      $"embedding".as("e2"), $"nrm".as("n2"))
+    val byV1 = Window.partitionBy($"cell", $"v1")
+    val pairsD = a.join(b, $"cell" === $"cell_b" && $"v1" =!= $"v2")
+      .selectExpr("v1", "cell", "v2",
+        "(n1 - 2 * double_dot(e1, e2) + n2) AS dsq_d")
+      .withColumn("rd", row_number().over(byV1.orderBy($"dsq_d", $"v2")))
+      .withColumn("second", max(when($"rd" === 2, $"dsq_d")).over(byV1))
+      .filter($"rd" <= 8 || $"second".isNull ||
+        $"dsq_d" <= $"second" + lit(1e-9))
+      .select($"v1", $"v2")
+    val exact = pairsD
+      .join(raw.select($"vec_id", $"embedding".as("e1"), $"nrm".as("n1")),
+        $"v1" === $"vec_id").drop("vec_id")
+      .join(raw.select($"vec_id", $"embedding".as("e2"), $"nrm".as("n2")),
+        $"v2" === $"vec_id").drop("vec_id")
+      .selectExpr("v1", "v2",
+        s"CAST(floor((n1 - 2 * ${dotSpark("e1", "e2")} + n2) * 1e14 + 0.5)" +
+          " AS BIGINT) AS d_int")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"v1").orderBy($"d_int", $"v2")))
+      .filter($"rk" <= 2)
+    val dd = exact.groupBy($"v1")
+      .agg(max(when($"rk" === 1, $"d_int")).as("d1"),
+        max(when($"rk" === 2, $"d_int")).as("d2"))
+      .filter($"d1" > 0 && $"d2".isNotNull)
+      .selectExpr("v1",
+        s"CAST(${Curate.qlog2Spark("d2")} - ${Curate.qlog2Spark("d1")}" +
+          " AS BIGINT) AS xq")
+      .localCheckpoint() // skinny (v1, xq); feeds rank + both sums
+    val nRow = dd.agg(count(lit(1)).as("nn"), sum($"xq").as("sum_xq"))
+    val grp = dd.groupBy($"xq").agg(count(lit(1)).as("c"))
+    val cum = grp.withColumn("cum", sum($"c").over(
+      Window.orderBy($"xq") // bounded: ≤ qlog2-range distinct values
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = dd.withColumn("lr",
+        row_number().over(Window.partitionBy($"xq").orderBy($"v1")))
+      .join(cum, "xq")
+      .withColumn("r", $"cum" - $"c" + $"lr")
+    val sums = ranked.crossJoin(broadcast(nRow))
+      .filter($"r" < $"nn")
+      .selectExpr("xq",
+        s"CAST(${Curate.qlog2Spark("nn")} - ${Curate.qlog2Spark("(nn - r)")}" +
+          " AS BIGINT) AS yq")
+      .agg(sum(expr("xq * yq")).as("sxy"), sum(expr("xq * xq")).as("sxx"))
+    nRow.crossJoin(sums)
+      .selectExpr("nn AS n_points", "sum_xq", "sxx", "sxy",
+        "CASE WHEN sxx > 0 THEN (CAST(2 AS DOUBLE) * CAST(sxy AS DOUBLE))" +
+          " / CAST(sxx AS DOUBLE) END AS id_cdf",
+        "CASE WHEN sum_xq > 0 THEN (CAST(2048 AS DOUBLE) * CAST(nn AS DOUBLE))" +
+          " / (CAST(0.6931471805599453 AS DOUBLE) * CAST(sum_xq AS DOUBLE))" +
+          " END AS id_mle")
+  }
+
+  val intrinsicDimSql: String = {
+    def q(c: String) = graft.llm.Curate.qlog2Duck(c)
+    s"""WITH $autoKCtes,
+       |ide AS (
+       |  SELECT emb.vec_id, a2.cell, emb.embedding,
+       |    ${dotDuck("emb.embedding", "emb.embedding")} AS nrm
+       |  FROM embeddings emb JOIN a2 ON emb.vec_id = a2.vec_id
+       |),
+       |idp AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    CAST(floor((a.nrm - 2 * ${dotDuck("a.embedding", "b.embedding")}
+       |      + b.nrm) * 1e14 + 0.5) AS BIGINT) AS d_int
+       |  FROM ide a JOIN ide b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |),
+       |idr AS (
+       |  SELECT * FROM (
+       |    SELECT v1, d_int, row_number() OVER (PARTITION BY v1
+       |      ORDER BY d_int, v2) AS rk
+       |    FROM idp
+       |  ) WHERE rk <= 2
+       |),
+       |idd AS (
+       |  SELECT v1, CAST(${q("d2")} - ${q("d1")} AS BIGINT) AS xq FROM (
+       |    SELECT v1,
+       |      MAX(CASE WHEN rk = 1 THEN d_int END) AS d1,
+       |      MAX(CASE WHEN rk = 2 THEN d_int END) AS d2
+       |    FROM idr GROUP BY v1
+       |  ) WHERE d1 > 0 AND d2 IS NOT NULL
+       |),
+       |idn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+       |               CAST(SUM(xq) AS BIGINT) AS sum_xq FROM idd),
+       |idrank AS (
+       |  SELECT xq, row_number() OVER (ORDER BY xq, v1) AS r FROM idd
+       |),
+       |idsums AS (
+       |  SELECT CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+       |    CAST(SUM(xq * xq) AS BIGINT) AS sxx
+       |  FROM (
+       |    SELECT xq, CAST(${q("nn")} - ${q("(nn - r)")} AS BIGINT) AS yq
+       |    FROM idrank CROSS JOIN idn WHERE r < nn
+       |  )
+       |)
+       |SELECT nn AS n_points, sum_xq, sxx, sxy,
+       |  CASE WHEN sxx > 0 THEN (CAST(2 AS DOUBLE) * CAST(sxy AS DOUBLE))
+       |    / CAST(sxx AS DOUBLE) END AS id_cdf,
+       |  CASE WHEN sum_xq > 0 THEN (CAST(2048 AS DOUBLE) * CAST(nn AS DOUBLE))
+       |    / (CAST(0.6931471805599453 AS DOUBLE) * CAST(sum_xq AS DOUBLE))
+       |    END AS id_mle
+       |FROM idn CROSS JOIN idsums""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * prep step): for every anchor vector, the top-2 most-similar
     * vectors of a DIFFERENT label — the near-miss impostors whose
@@ -2914,6 +3065,7 @@ object Similarity {
     "embed_mutual_knn_autok" -> mutualKnnAutoK,
     "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
+    "embed_intrinsic_dim" -> intrinsicDim,
     "embed_hard_negatives" -> hardNegatives,
     "embed_triplets" -> triplets,
     "embed_kmeans_assign" -> kmeansAssign,
@@ -2953,6 +3105,7 @@ object Similarity {
     "embed_mutual_knn_autok" -> mutualKnnAutoKSql,
     "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
+    "embed_intrinsic_dim" -> intrinsicDimSql,
     "embed_hard_negatives" -> hardNegativesSql,
     "embed_triplets" -> tripletsSql,
     "embed_kmeans_assign" -> kmeansAssignSql,

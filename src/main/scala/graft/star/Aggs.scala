@@ -1748,7 +1748,8 @@ object Aggs {
        |  SELECT b, lang, CAST(COUNT(*) AS BIGINT) AS n_in,
        |    CAST(SUM(x) AS BIGINT) AS s_in
        |  FROM gu CROSS JOIN ls CROSS JOIN tot
-       |  WHERE u * nn < nl * 4294967296
+       |  WHERE CAST(u AS HUGEINT) * CAST(nn AS HUGEINT)
+       |      < CAST(nl AS HUGEINT) * CAST(4294967296 AS HUGEINT)
        |  GROUP BY b, lang
        |),
        |perm AS (
@@ -2163,7 +2164,7 @@ object Aggs {
     * whale-customer question beside Gini/HHI/Zipf: α ≈ 1 means a few
     * customers ARE the revenue (infinite-variance regime, where
     * mean-based forecasts and A/B tests misbehave); α > 2 means the
-    * tail is tame. α̂⁻¹ = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍k₊₁₎) over the k = 200
+    * tail is tame. α̂⁻¹ = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍k₊₁₎) over the k = 50
     * largest customer revenues, computed in the engine-portable qlog2
     * integer fixed point: the sum of log-RATIOS is an exact BIGINT
     * Σ(qlog2 xᵢ − qlog2 x₍k₊₁₎), converted to nats by one ln2 literal

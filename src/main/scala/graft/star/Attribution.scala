@@ -239,11 +239,198 @@ object Attribution {
        |FROM cred GROUP BY channel
        |${sqlOrderBy(Seq("channel")).trim}""".stripMargin
 
+  /** events_attrib_removal: Markov removal-effect attribution (Anderl,
+    * Becker, von Wangenheim, Schumann 2016) — the third standard
+    * attribution model beside the heuristic credits and exact Shapley:
+    * build the first-order journey chain (START → channel touches →
+    * absorbing CONV at the first `purchase`, absorbing NULL for users
+    * who never convert), compute the chain's conversion probability
+    * from START, then recompute it with each channel i REMOVED (every
+    * transition into i redirected to NULL — the Anderl et al. rule);
+    * channel i's removal effect is 1 − P_conv(−i)/P_conv(full) and its
+    * credit is its share of Σ removal effects.
+    *
+    * Absorption probability a(s) = P(absorb in CONV | start at s)
+    * solves a = R_conv + Q·a; both engines run the SAME T = 8
+    * truncated power-iteration rounds from a⁰ = 0 in parts-per-billion
+    * integers, every term floor(p·x + 0.5) quantized back to ppb (the
+    * `events_markov_stationary` schedule, unrolled round by round in
+    * the oracle), so eight compounded rounds stay hash-exact. T is a
+    * fixed contract: both the full and every removed chain truncate
+    * identically, so the RATIO the removal effect takes is meaningful
+    * while the absolute a(START) is the 8-step absorption mass.
+    * Removal monotonicity (each removed-chain term sums over a subset
+    * of the full chain's terms, floor is monotone) makes every
+    * re_ppb ≥ 0 by induction, so credits are a true distribution. The
+    * credit denominator Σ re_ppb is an exact BIGINT sum; removal
+    * effect and credit are terminal IEEE divisions. Scenario sentinel
+    * names START/CONV/NULL/FULL are disjoint from the fixture's event
+    * types by contract.
+    *
+    * Scale posture: one user-keyed window pass builds the journey
+    * transitions (the corpus-sized stage); everything after the
+    * localCheckpoint is (K+1)·K² bounded rows — K = |channels| — for
+    * the scenario frame and 8 rounds of broadcastable K-row joins. */
+  def removalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ranked = Tables(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w))
+    val firstP = ranked.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"rn").as("prn"))
+    val journey = ranked.join(firstP, Seq("user_id"), "left")
+      .filter($"prn".isNull || $"rn" <= $"prn")
+      .select($"user_id", $"rn", $"prn",
+        when($"rn" === $"prn", lit("CONV"))
+          .otherwise($"event_type").as("state"))
+    val w2 = Window.partitionBy($"user_id").orderBy($"rn")
+    val seq = journey
+      .withColumn("prev", coalesce(lag($"state", 1).over(w2), lit("START")))
+      .select($"prev", $"state".as("next"))
+    val ends = journey.filter($"prn".isNull)
+      .groupBy($"user_id")
+      .agg(expr("max_by(state, rn)").as("prev"))
+      .select($"prev", lit("NULL").as("next"))
+    val trans = seq.unionByName(ends)
+      .groupBy($"prev", $"next").agg(count(lit(1)).as("n"))
+    val fromTot = trans.groupBy($"prev").agg(sum($"n").as("n_from"))
+    val pr = trans.join(fromTot, "prev")
+      .select($"prev", $"next",
+        ($"n".cast("double") / $"n_from".cast("double")).as("p"))
+      .localCheckpoint() // K×K bounded; ends the corpus lineage
+    val chans = pr.select($"prev".as("channel"))
+      .filter($"channel" =!= "START").distinct()
+    val scen = chans.select($"channel".as("scenario"))
+      .unionByName(spark.range(1).select(lit("FULL").as("scenario")))
+    val st = scen.crossJoin(pr).filter($"prev" =!= $"scenario")
+      .localCheckpoint() // (K+1)·K² rows feed all 8 rounds
+    var a = st.select($"scenario", $"prev".as("st")).distinct()
+      .withColumn("a_ppb", lit(0L))
+    for (_ <- 1 to 8) {
+      a = st.join(a.select($"scenario", $"st".as("next"), $"a_ppb"),
+          Seq("scenario", "next"), "left")
+        .selectExpr("scenario", "prev",
+          """CAST(floor(p * CASE
+            |  WHEN next = 'CONV' THEN CAST(1000000000 AS DOUBLE)
+            |  WHEN next = 'NULL' OR next = scenario THEN CAST(0 AS DOUBLE)
+            |  ELSE CAST(coalesce(a_ppb, CAST(0 AS BIGINT)) AS DOUBLE)
+            |  END + 0.5) AS BIGINT) AS term""".stripMargin)
+        .groupBy($"scenario", $"prev").agg(sum($"term").as("a_ppb"))
+        .select($"scenario", $"prev".as("st"), $"a_ppb")
+    }
+    val res = a.filter($"st" === "START").select($"scenario", $"a_ppb")
+    val full = res.filter($"scenario" === "FULL")
+      .select($"a_ppb".as("full_conv_ppb"))
+    val rem = chans.join(res, $"channel" === $"scenario")
+      .select($"channel", $"a_ppb".as("removal_conv_ppb"))
+      .crossJoin(broadcast(full))
+      .withColumn("re_ppb", $"full_conv_ppb" - $"removal_conv_ppb")
+    val tot = rem.agg(sum($"re_ppb").as("sum_re"))
+    rem.crossJoin(broadcast(tot))
+      .select($"channel", $"removal_conv_ppb", $"full_conv_ppb", $"re_ppb",
+        when($"full_conv_ppb" > 0,
+          $"re_ppb".cast("double") / $"full_conv_ppb".cast("double"))
+          .as("removal_effect"),
+        when($"sum_re" > 0,
+          $"re_ppb".cast("double") / $"sum_re".cast("double")).as("credit"))
+      .orderBy($"channel")
+  }
+
+  val removalAttributionSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""ra$i AS (
+         |  SELECT x.scenario, x.prev AS st,
+         |    CAST(SUM(CAST(floor(x.p * CASE
+         |      WHEN x.next = 'CONV' THEN CAST(1000000000 AS DOUBLE)
+         |      WHEN x.next = 'NULL' OR x.next = x.scenario
+         |        THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(COALESCE(a.a_ppb, CAST(0 AS BIGINT)) AS DOUBLE)
+         |      END + 0.5) AS BIGINT)) AS BIGINT) AS a_ppb
+         |  FROM rstx x LEFT JOIN ra${i - 1} a
+         |    ON a.scenario = x.scenario AND a.st = x.next
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rke AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |),
+       |rfp AS (
+       |  SELECT user_id, MIN(rn) AS prn FROM rke
+       |  WHERE event_type = 'purchase' GROUP BY 1
+       |),
+       |rjny AS (
+       |  SELECT r.user_id, r.rn, f.prn,
+       |    CASE WHEN r.rn = f.prn THEN 'CONV' ELSE r.event_type END AS state
+       |  FROM rke r LEFT JOIN rfp f USING (user_id)
+       |  WHERE f.prn IS NULL OR r.rn <= f.prn
+       |),
+       |rsq AS (
+       |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id
+       |      ORDER BY rn), 'START') AS prev,
+       |    state AS next
+       |  FROM rjny
+       |),
+       |ren AS (
+       |  SELECT state AS prev, 'NULL' AS next FROM (
+       |    SELECT state, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY rn DESC) AS rr
+       |    FROM rjny WHERE prn IS NULL)
+       |  WHERE rr = 1
+       |),
+       |rtr AS (
+       |  SELECT prev, next, COUNT(*) AS n FROM (
+       |    SELECT * FROM rsq UNION ALL SELECT * FROM ren)
+       |  GROUP BY 1, 2
+       |),
+       |rtt AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS n_from
+       |        FROM rtr GROUP BY 1),
+       |rpr AS (
+       |  SELECT rtr.prev, rtr.next,
+       |    CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+       |  FROM rtr JOIN rtt USING (prev)
+       |),
+       |rch AS (SELECT DISTINCT prev AS channel FROM rpr
+       |        WHERE prev <> 'START'),
+       |rsc AS (SELECT channel AS scenario FROM rch
+       |        UNION ALL SELECT 'FULL'),
+       |rstx AS (
+       |  SELECT s.scenario, rpr.prev, rpr.next, rpr.p
+       |  FROM rsc s CROSS JOIN rpr WHERE rpr.prev <> s.scenario
+       |),
+       |ra0 AS (SELECT scenario, prev AS st, CAST(0 AS BIGINT) AS a_ppb
+       |        FROM rstx GROUP BY 1, 2),
+       |$rounds,
+       |rres AS (SELECT scenario, a_ppb FROM ra8 WHERE st = 'START'),
+       |rfull AS (SELECT a_ppb AS full_conv_ppb FROM rres
+       |          WHERE scenario = 'FULL'),
+       |rrem AS (
+       |  SELECT rch.channel, r.a_ppb AS removal_conv_ppb, full_conv_ppb,
+       |    CAST(full_conv_ppb - r.a_ppb AS BIGINT) AS re_ppb
+       |  FROM rch JOIN rres r ON r.scenario = rch.channel
+       |  CROSS JOIN rfull
+       |),
+       |rtot AS (SELECT CAST(SUM(re_ppb) AS BIGINT) AS sum_re FROM rrem)
+       |SELECT channel, removal_conv_ppb, full_conv_ppb, re_ppb,
+       |  CASE WHEN full_conv_ppb > 0 THEN
+       |    CAST(re_ppb AS DOUBLE) / CAST(full_conv_ppb AS DOUBLE) END
+       |    AS removal_effect,
+       |  CASE WHEN sum_re > 0 THEN
+       |    CAST(re_ppb AS DOUBLE) / CAST(sum_re AS DOUBLE) END AS credit
+       |FROM rrem CROSS JOIN rtot
+       |${sqlOrderBy(Seq("channel")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_shapley_attrib" -> shapleyAttribution,
-    "events_attrib_credit" -> creditAttribution)
+    "events_attrib_credit" -> creditAttribution,
+    "events_attrib_removal" -> removalAttribution)
 
   val oracles: Map[String, String] = Map(
     "events_shapley_attrib" -> shapleyAttributionSql,
-    "events_attrib_credit" -> creditAttributionSql)
+    "events_attrib_credit" -> creditAttributionSql,
+    "events_attrib_removal" -> removalAttributionSql)
 }

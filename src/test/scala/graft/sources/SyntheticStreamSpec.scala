@@ -17,15 +17,24 @@ class SyntheticStreamSpec extends SparkSpec {
     import spark.implicits._
     val outDir = Files.createTempDirectory("synthst_out").toFile.getAbsolutePath
     val ckpt = Files.createTempDirectory("synthst_ck").toFile.getAbsolutePath
-    def start() = spark.readStream.format(fmt)
-      .option("rows", "1000").option("batchRows", "137").option("parts", "3")
-      .load()
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .start()
+    def start(trigger: Option[org.apache.spark.sql.streaming.Trigger]) = {
+      val w = spark.readStream.format(fmt)
+        .option("rows", "1000").option("batchRows", "137").option("parts", "3")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+      trigger.fold(w)(w.trigger).start()
+    }
 
-    // phase 1: let a few rate-limited batches commit, then stop mid-stream
-    val q1 = start()
+    // phase 1: let a few rate-limited batches commit, then stop
+    // mid-stream. The 1 s processing-time trigger makes the stop
+    // deterministic: draining all 1000 rows needs >= 8 trigger
+    // intervals (~8 s) while the 200 ms poll observes the second
+    // committed batch at ~2 s — the fast path can never complete
+    // before the stop fires (the unthrottled variant raced: all 8
+    // 137-row micro-batches could commit before the poll saw two).
+    val q1 = start(Some(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
     val deadline = System.currentTimeMillis() + 120000
     while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
       System.currentTimeMillis() < deadline) Thread.sleep(200)
@@ -35,8 +44,8 @@ class SyntheticStreamSpec extends SparkSpec {
     assert(afterStop > 0 && afterStop < 1000,
       s"expected a genuine mid-stream stop, got $afterStop rows")
 
-    // phase 2: restart from the checkpoint and drain
-    val q2 = start()
+    // phase 2: restart from the checkpoint and drain (unthrottled)
+    val q2 = start(None)
     q2.processAllAvailable()
     q2.stop()
     q2.awaitTermination()
