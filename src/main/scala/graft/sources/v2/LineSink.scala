@@ -11,6 +11,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write,
   WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
   StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,6 +49,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object LineSink {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions._
+
+  /** Fault-injection point for V2StreamingWriteSpec: invoked from
+    * [[LineStreamingWrite.commit]] on the driver with
+    * ("before-epoch-commit" | "before-epoch-marker", epochId). Tests
+    * swap in a throwing hook to kill the query at a precise commit
+    * step; production value is a no-op. */
+  @volatile var streamCrashHook: (String, Long) => Unit = (_, _) => ()
+
+  /** Rows of every COMMITTED epoch (an `epoch=<id>` directory whose
+    * `_COMMITTED` marker exists) as raw text lines — the read
+    * contract of the streaming sink: an epoch missing its marker is
+    * invisible, so readers see old-or-new, never a torn epoch. */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val dirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        new java.io.File(f, "_COMMITTED").isFile)
+      .map(f => s"${f.getAbsolutePath}/part-*")
+    if (dirs.isEmpty) spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", StringType))))
+    else spark.read.text(dirs: _*)
+  }
 
   private def fingerprint(dir: String): String = {
     val entries = Option(new java.io.File(dir).listFiles())
@@ -133,13 +159,16 @@ class LineSinkTable(schema: StructType, path: String)
   override def name(): String = s"line_sink($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new LineBatchWrite(info.schema(), path)
+        override def toStreaming: StreamingWrite =
+          new LineStreamingWrite(info.schema(), path)
       }
     }
 }
@@ -180,10 +209,90 @@ class LineWriterFactory(schema: StructType, path: String)
     new LineDataWriter(schema, path, partitionId, taskId)
 }
 
+/** The STREAMING half of the V2 write protocol — the epoch-id analogue
+  * of the `batch=<epochId>` idempotent-sink recipe, expressed through
+  * Spark's own commit coordination instead of foreachBatch:
+  *
+  *  - task writers stage to `_tmp/epoch-<e>-part-<p>-<t>` (the same
+  *    never-the-final-name rule as the batch writer);
+  *  - `commit(epochId, msgs)` REPLACES `epoch=<epochId>/` wholesale
+  *    (delete → move staged files in → `_COMMITTED` marker LAST), so a
+  *    post-crash replay of epoch N — which Spark re-runs with the SAME
+  *    epoch id from its write-ahead log — rewrites rather than
+  *    re-appends N's rows: exactly-once end to end;
+  *  - a reader ([[LineSink.readCommitted]]) counts only marker-bearing
+  *    epochs, so a crash between move and marker leaves the torn
+  *    epoch invisible (old-or-new, never partial);
+  *  - `abort` deletes the failed attempt's staging; leftover staged
+  *    files from a crashed attempt are swept by the prefix cleanup on
+  *    the eventual successful commit.
+  *
+  * Fault injection: [[LineSink.streamCrashHook]] fires before the
+  * epoch move and before the marker write; V2StreamingWriteSpec kills
+  * the query at each point and proves old-or-new visibility plus
+  * exactly-once resume through the V2 protocol (the StreamCrashCommit
+  * discipline, one layer down). */
+class LineStreamingWrite(schema: StructType, path: String)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LineStreamWriterFactory(schema, path)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    LineSink.streamCrashHook("before-epoch-commit", epochId)
+    val root = Paths.get(path)
+    val epochDir = root.resolve(s"epoch=$epochId")
+    deleteTree(epochDir) // replay of epoch N replaces N, never appends
+    Files.createDirectories(epochDir)
+    messages.foreach {
+      case LineTaskCommit(staged) =>
+        val src = Paths.get(staged)
+        // strip the epoch staging prefix so committed files carry the
+        // same part-* names as the batch sink's
+        val dest = src.getFileName.toString.stripPrefix(s"epoch-$epochId-")
+        Files.move(src, epochDir.resolve(dest),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      case _ => ()
+    }
+    LineSink.streamCrashHook("before-epoch-marker", epochId)
+    // marker LAST: presence == every task file of the epoch is in place
+    Files.write(epochDir.resolve("_COMMITTED"), Array.emptyByteArray)
+    // sweep staged leftovers of crashed attempts of THIS epoch only
+    val tmp = root.resolve("_tmp")
+    if (Files.exists(tmp))
+      Files.list(tmp)
+        .filter(p => p.getFileName.toString.startsWith(s"epoch-$epochId-"))
+        .forEach(p => Files.deleteIfExists(p))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LineTaskCommit(staged) => Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+}
+
+class LineStreamWriterFactory(schema: StructType, path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LineDataWriter(schema, path, partitionId, taskId,
+      Some(f"epoch-$epochId-part-$partitionId%05d-$taskId"))
+}
+
 class LineDataWriter(schema: StructType, path: String, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
-  private val staged =
-    Paths.get(path, "_tmp", f"part-$partitionId%05d-$taskId")
+    taskId: Long, stagedName: Option[String] = None)
+    extends DataWriter[InternalRow] {
+  private val staged = Paths.get(path, "_tmp",
+    stagedName.getOrElse(f"part-$partitionId%05d-$taskId"))
   Files.createDirectories(staged.getParent)
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
 
