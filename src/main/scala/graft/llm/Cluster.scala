@@ -78,16 +78,22 @@ object Cluster {
     * loop, so the driver-round-trip count per iteration is 1 + the
     * localCheckpoint job for all of them. */
   def components(edges: DataFrame): DataFrame = {
+    // LAZY checkpoints throughout: the signature aggregation that
+    // immediately follows each round is the materializing action, so
+    // lineage truncation rides the job the loop must run anyway —
+    // ONE driver job per round total (was two: an eager-checkpoint
+    // job plus the signature job; at small edge counts the fixed
+    // per-job latency of the 6-shuffle round lineage dominated the
+    // whole operator).
     var e = edges.toDF("src", "dst")
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Convergence is a fixed point of distinct edge SETS. Per round the
     // cheap candidate test is one aggregation job — (count, xor of
     // per-edge hashes), order-free over the set — against the cached
     // signature of the previous round; the exact (shuffling)
     // set-difference check runs ONLY at the candidate round to rule
-    // out a checksum collision. Was 3 jobs per round (two counts + an
-    // except), now 1 + a one-time confirmation.
+    // out a checksum collision.
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         expr("bit_xor(xxhash64(src, dst))")).head()
@@ -97,7 +103,7 @@ object Cluster {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nSig = sig(next)
       converged = nSig == eSig && next.except(e).isEmpty
       e = next
