@@ -1442,8 +1442,124 @@ object Cluster {
        |FROM dsc GROUP BY source
        |${sqlOrderBy(Seq("source")).trim}""".stripMargin
 
+  /** graph_hits_bipartite: HITS hubs and authorities (Kleinberg 1999)
+    * over the customer→part purchase graph — the classic bipartite
+    * centrality that powers "influential buyer / flagship product"
+    * rankings: a customer is a good HUB if they buy authoritative
+    * parts, a part is a good AUTHORITY if high-hub customers buy it —
+    * the mutually-recursive refinement of the raw degree counts the
+    * warehouse tier already reports. Three alternating rounds of
+    * a ∝ Aᵀh, h ∝ A·a over lineitem-count edge weights, L1-normalized
+    * to parts-per-billion each half-step.
+    *
+    * Exactness: scores live in ppb integers; each half-step's
+    * numerator Σ w·s is an exact DECIMAL(38,0)/HUGEINT sum, and the
+    * normalization s′ = ⌊num·1e9 / Σnum⌋ is the exact integer
+    * quotient via the remainder identity (num·1e9 − mod)/tot — the
+    * stat_anova_f discipline, overflow-free past 2^63 — so three
+    * compounded rounds stay hash-exact against the round-by-round
+    * unrolled oracle. h⁰ = ⌊1e9/|customers|⌋ uniformly (the < |C| ppb
+    * init deficit is erased by the first normalization; no global
+    * rank window needed). Round count is a fixed contract (the
+    * pagerank_iter5 rule).
+    *
+    * Scale posture: the expensive stage — building the weighted edge
+    * list from orders⋈lineitem — happens ONCE behind a
+    * localCheckpoint; each half-step is one broadcastable score-vector
+    * equi-join against the edge list plus one map-side-combined
+    * rollup to the customer or part grain. Output is top-100 per side
+    * (rank window partitioned by entity type). */
+  def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val e = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables(spark, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // one build feeds all six half-step joins
+    val custs = e.select($"c").distinct()
+    val nc = custs.agg(count(lit(1)).as("ncust"))
+    def normalize(num: DataFrame, key: String): DataFrame = {
+      val tot = num.agg(sum($"num").as("tot"))
+      num.crossJoin(broadcast(tot))
+        .selectExpr(key,
+          s"""CAST(((num * CAST(1000000000 AS $dec))
+             |  - ((num * CAST(1000000000 AS $dec)) % tot)) / tot
+             |  AS BIGINT) AS s""".stripMargin)
+    }
+    var h = custs.crossJoin(broadcast(nc))
+      .selectExpr("c", "CAST(1000000000 div ncust AS BIGINT) AS s")
+    var a: DataFrame = null
+    for (_ <- 1 to 3) {
+      a = normalize(
+        e.join(h, "c").groupBy($"p")
+          .agg(sum(($"w".cast(dec)) * $"s").as("num")), "p")
+      h = normalize(
+        e.join(a, "p").groupBy($"c")
+          .agg(sum(($"w".cast(dec)) * $"s").as("num")), "c")
+    }
+    val out = h.select(lit("customer").as("entity"), $"c".as("id"), $"s")
+      .unionByName(a.select(lit("part").as("entity"), $"p".as("id"), $"s"))
+    out.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"entity").orderBy($"s".desc, $"id")))
+      .filter($"rk" <= 100)
+      .select($"entity", $"rk".cast("int").as("rank"),
+        $"id", $"s".as("score_ppb"))
+      .orderBy($"entity", $"rank")
+  }
+
+  val hitsBipartiteSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""hban$i AS (
+         |  SELECT p, CAST(SUM(CAST(w AS HUGEINT) * s) AS HUGEINT) AS num
+         |  FROM hbe JOIN hbh${i - 1} USING (c) GROUP BY p
+         |),
+         |hba$i AS (
+         |  SELECT p, CAST((num * CAST(1000000000 AS HUGEINT))
+         |    // (SELECT SUM(num) FROM hban$i) AS BIGINT) AS s
+         |  FROM hban$i
+         |),
+         |hbhn$i AS (
+         |  SELECT c, CAST(SUM(CAST(w AS HUGEINT) * s) AS HUGEINT) AS num
+         |  FROM hbe JOIN hba$i USING (p) GROUP BY c
+         |),
+         |hbh$i AS (
+         |  SELECT c, CAST((num * CAST(1000000000 AS HUGEINT))
+         |    // (SELECT SUM(num) FROM hbhn$i) AS BIGINT) AS s
+         |  FROM hbhn$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hbe AS (
+       |  SELECT o_custkey AS c, l_partkey AS p,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |),
+       |hbc AS (SELECT DISTINCT c FROM hbe),
+       |hbn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncust FROM hbc),
+       |hbh0 AS (SELECT c, CAST(1000000000 // ncust AS BIGINT) AS s
+       |         FROM hbc CROSS JOIN hbn),
+       |$rounds,
+       |hbout AS (
+       |  SELECT 'customer' AS entity, c AS id, s FROM hbh3
+       |  UNION ALL
+       |  SELECT 'part', p, s FROM hba3
+       |)
+       |SELECT entity, CAST(rk AS INTEGER) AS rank, id, s AS score_ppb
+       |FROM (
+       |  SELECT entity, id, s, row_number() OVER (PARTITION BY entity
+       |    ORDER BY s DESC, id) AS rk
+       |  FROM hbout
+       |) WHERE rk <= 100
+       |${sqlOrderBy(Seq("entity", "rank")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_layers" -> bfsLayers,
+    "graph_hits_bipartite" -> hitsBipartite,
     "dedup_cluster_purity" -> clusterPurity,
     "dedup_cluster_nmi_ari" -> clusterNmiAri,
     "corpus_dedup_savings" -> dedupSavings,
@@ -1466,6 +1582,7 @@ object Cluster {
 
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> bfsLayersSql,
+    "graph_hits_bipartite" -> hitsBipartiteSql,
     "dedup_cluster_purity" -> clusterPuritySql,
     "dedup_cluster_nmi_ari" -> clusterNmiAriSql,
     "corpus_dedup_savings" -> dedupSavingsSql,

@@ -822,9 +822,86 @@ object Calendar {
        |  CAST(e12 * n1 AS DOUBLE) / CAST(e1 * n12 AS DOUBLE) AS mase
        |FROM sna""".stripMargin
 
+  /** orders_mann_kendall: Mann–Kendall trend test on the monthly
+    * revenue series (Mann 1945; Kendall 1975) — the nonparametric "is
+    * revenue actually trending" answer beside the CUSUM/changepoint
+    * detectors: S = Σ_{i<j} sgn(x_j − x_i) over all month pairs, with
+    * the tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ_g t(t−1)
+    * (2t+5) and the continuity-corrected z = (S∓1)/√Var. Robust to
+    * outliers and any monotone transform — the reason hydrology and
+    * ops dashboards prefer it to an OLS slope t-test.
+    *
+    * Exactness: monthly revenues are exact integer cents, S is an
+    * integer sum of CASE sgn terms over the bounded month×month grid
+    * (the dense-grid crossJoin class — |months|² pairs, not data²),
+    * the tie term and 18·Var are exact BIGINTs, and z is one terminal
+    * IEEE assembly (divide by √(var18/18)) stated identically in both
+    * engines.
+    *
+    * Scale posture: one month-grain rollup (map-side combined), then
+    * every frame is |months|-bounded; a 100 TB trend test is one scan
+    * plus an O(84²) grid. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables(spark, dir, "orders")
+      .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("mo"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+      .select((($"y" * 12) + $"mo").as("t"), $"x")
+      .localCheckpoint() // |months| rows feed pairs + ties + count
+    val pairs = m.select($"t".as("t1"), $"x".as("x1"))
+      .crossJoin(m.select($"t".as("t2"), $"x".as("x2")))
+      .filter($"t1" < $"t2")
+      .agg(sum(expr("CASE WHEN x2 > x1 THEN 1 WHEN x2 < x1 THEN -1" +
+        " ELSE 0 END")).as("s_stat"))
+    val ties = m.groupBy($"x").agg(count(lit(1)).as("tt"))
+      .agg(count(lit(1)).as("n_value_groups"),
+        sum(expr("tt * (tt - 1) * (2 * tt + 5)")).as("tie_term"))
+    m.agg(count(lit(1)).as("n")).crossJoin(pairs).crossJoin(ties)
+      .selectExpr("n AS n_months", "s_stat", "n_value_groups",
+        "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18",
+        """CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+          |  / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+          |         / CAST(18 AS DOUBLE))
+          |WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+          |  / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+          |         / CAST(18 AS DOUBLE))
+          |ELSE CAST(0 AS DOUBLE) END AS z""".stripMargin)
+  }
+
+  val mannKendallSql: String =
+    s"""WITH mkm AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) * 12
+       |      + CAST(month(o_orderdate) AS INTEGER) AS t,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS x
+       |  FROM orders GROUP BY 1
+       |),
+       |mkp AS (
+       |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+       |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM mkm a JOIN mkm b ON a.t < b.t
+       |),
+       |mkt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_value_groups,
+       |    CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_term
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM mkm GROUP BY x)
+       |),
+       |mkn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mkm)
+       |SELECT n AS n_months, s_stat, n_value_groups,
+       |  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+       |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+       |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+       |           / CAST(18 AS DOUBLE))
+       |  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+       |    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+       |           / CAST(18 AS DOUBLE))
+       |  ELSE CAST(0 AS DOUBLE) END AS z
+       |FROM mkn CROSS JOIN mkp CROSS JOIN mkt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_snaive_mase" -> snaiveMase,
     "orders_acf" -> ordersAcf,
+    "orders_mann_kendall" -> mannKendall,
     "orders_cusum" -> cusum,
     "orders_changepoint" -> changepoint,
     "orders_ewma" -> ewma,
@@ -841,6 +918,7 @@ object Calendar {
     "orders_cusum" -> cusumSql,
     "orders_changepoint" -> changepointSql,
     "orders_acf" -> ordersAcfSql,
+    "orders_mann_kendall" -> mannKendallSql,
     "orders_ewma" -> ewmaSql,
     "orders_holt_linear" -> holtLinearSql,
     "orders_seasonal_decompose" -> seasonalDecomposeSql,

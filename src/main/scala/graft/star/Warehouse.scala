@@ -1635,6 +1635,93 @@ object Warehouse {
     * Scale posture: one distinct-user aggregation (map-side partial
     * over (variant, user) pairs) collapsing to 2 rows, then scalar
     * arithmetic. */
+  /** events_ab_sprt: Wald's sequential probability ratio test (Wald
+    * 1945) monitoring the B arm's conversion rate day by day — the
+    * always-valid sequential companion of the fixed-horizon A/B tier
+    * (SRM, CUPED, power): H₀ p = 1/2 vs H₁ p = 3/5, α = β = 1/20,
+    * stop the day the cumulative log-likelihood ratio leaves
+    * (ln(1/19), ln(19)). The peeking-safe monitor a dashboard shows
+    * while a fixed-horizon test is still collecting.
+    *
+    * The entire test is INTEGER arithmetic in the qlog2 fixed point:
+    * with rational hypotheses, per-user increments are ln(6/5) for a
+    * conversion and ln(4/5) for a miss, so
+    * llr_q = k·(qlog2 6 − qlog2 5) + (n−k)·(qlog2 4 − qlog2 5) is an
+    * exact BIGINT of exact cumulative counts, and both decision
+    * boundaries are ±ln 19 — the SAME ln2/1024 grid — so the stopping
+    * rule is the integer comparison |llr_q| ≥ qlog2 19. No
+    * transcendental is ever evaluated on data (the reported
+    * double `llr` is one terminal ln2-literal assembly per row).
+    *
+    * Scale posture: one user rollup (arrival day, converted), one
+    * |days|-row rollup, then a cumulative window over the bounded day
+    * series — a 100 TB sequential test is one scan. */
+  def abSprt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def q(c: String) = graft.llm.Curate.qlog2Spark(c)
+    val u = Tables(spark, dir, "events")
+      .filter($"user_id" % 2 === 1)
+      .groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("day"),
+        max(($"event_type" === "purchase").cast("int")).as("conv"))
+    val byDay = u.groupBy($"day")
+      .agg(count(lit(1)).as("n_d"), sum($"conv").as("k_d"))
+    val w = Window.orderBy($"day") // bounded |days| series
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .select($"day", sum($"n_d").over(w).as("n_cum"),
+        sum($"k_d").over(w).as("k_cum"))
+      .selectExpr("day", "n_cum", "k_cum",
+        s"CAST(k_cum * (${q("6")} - ${q("5")})" +
+          s" + (n_cum - k_cum) * (${q("4")} - ${q("5")}) AS BIGINT) AS llr_q",
+        s"""CASE WHEN k_cum * (${q("6")} - ${q("5")})
+           |  + (n_cum - k_cum) * (${q("4")} - ${q("5")}) >= ${q("19")}
+           |  THEN 'accept_h1'
+           |WHEN k_cum * (${q("6")} - ${q("5")})
+           |  + (n_cum - k_cum) * (${q("4")} - ${q("5")}) <= -${q("19")}
+           |  THEN 'accept_h0'
+           |ELSE 'continue' END AS decision""".stripMargin,
+        "CAST(0.6931471805599453 AS DOUBLE)" +
+          s" * CAST(k_cum * (${q("6")} - ${q("5")})" +
+          s" + (n_cum - k_cum) * (${q("4")} - ${q("5")}) AS DOUBLE)" +
+          " / CAST(1024 AS DOUBLE) AS llr")
+      .orderBy($"day")
+  }
+
+  val abSprtSql: String = {
+    def q(c: String) = graft.llm.Curate.qlog2Duck(c)
+    val llrQ = s"k_cum * (${q("6")} - ${q("5")})" +
+      s" + (n_cum - k_cum) * (${q("4")} - ${q("5")})"
+    s"""WITH spu AS (
+       |  SELECT user_id, CAST(MIN(ts) AS DATE) AS day,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS conv
+       |  FROM events WHERE user_id % 2 = 1 GROUP BY 1
+       |),
+       |spd AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_d,
+       |    CAST(SUM(conv) AS BIGINT) AS k_d
+       |  FROM spu GROUP BY 1
+       |),
+       |spc AS (
+       |  SELECT day,
+       |    CAST(SUM(n_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+       |    CAST(SUM(k_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND CURRENT ROW) AS BIGINT) AS k_cum
+       |  FROM spd
+       |)
+       |SELECT day, n_cum, k_cum,
+       |  CAST($llrQ AS BIGINT) AS llr_q,
+       |  CASE WHEN $llrQ >= ${q("19")} THEN 'accept_h1'
+       |  WHEN $llrQ <= -${q("19")} THEN 'accept_h0'
+       |  ELSE 'continue' END AS decision,
+       |  CAST(0.6931471805599453 AS DOUBLE) * CAST($llrQ AS DOUBLE)
+       |    / CAST(1024 AS DOUBLE) AS llr
+       |FROM spc
+       |${sqlOrderBy(Seq("day")).trim}""".stripMargin
+  }
+
   def abSrm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byVariant = Tables(spark, dir, "events")
@@ -2606,6 +2693,7 @@ object Warehouse {
     "stat_bootstrap_ci" -> bootstrapCi,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
+    "events_ab_sprt" -> abSprt,
     "events_ab_cuped" -> abCuped,
     "events_ab_delta_ratio" -> abDeltaRatio,
     "events_ab_power" -> abPower,
@@ -2648,6 +2736,7 @@ object Warehouse {
     "stat_bootstrap_ci" -> bootstrapCiSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
+    "events_ab_sprt" -> abSprtSql,
     "events_ab_cuped" -> abCupedSql,
     "events_ab_delta_ratio" -> abDeltaRatioSql,
     "events_ab_power" -> abPowerSql,

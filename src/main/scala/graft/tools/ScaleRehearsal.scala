@@ -76,9 +76,23 @@ object ScaleRehearsal {
           .as("embedding"),
         $"label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events: each copy is an independent user population (ids offset,
+    // histories preserved) — journey counts grow linearly while the
+    // K×K transition/scenario structures the attribution tier iterates
+    // on stay FIXED, which is exactly the scale claim to rehearse
+    spark.read.parquet(s"$srcDir/events.parquet")
+      .select($"*", k)
+      .select(
+        ($"event_id" + $"k" * 1000000000L).as("event_id"),
+        $"ts",
+        ($"user_id" + $"k" * 10000000L).as("user_id"),
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    println(s"amplified: $nDocs docs, $nVecs vectors (x$copies from $srcDir)")
+    val nEvts = spark.read.parquet(s"$dir/events.parquet").count()
+    println(s"amplified: $nDocs docs, $nVecs vectors, $nEvts events " +
+      s"(x$copies from $srcDir)")
 
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
@@ -222,6 +236,21 @@ object ScaleRehearsal {
     stage("dq_dp_release")(graft.star.Warehouse.dpRelease(spark, dir))
     stage("dedup_cluster_purity")(
       graft.llm.Cluster.clusterPurity(spark, dir))
+    // round 11: attribution tier over the amplified events (one
+    // user-keyed window pass; all iteration on K-bounded frames),
+    // the NMI/ARI companion on the star-contraction chassis, the
+    // two-NN intrinsic dimension on the auto-K cells, and the full
+    // image-dedup composition (decode + LSH + 1-job-per-round CC)
+    stage("events_shapley_attrib")(
+      graft.star.Attribution.shapleyAttribution(spark, dir))
+    stage("events_attrib_removal")(
+      graft.star.Attribution.removalAttribution(spark, dir))
+    stage("dedup_cluster_nmi_ari")(
+      graft.llm.Cluster.clusterNmiAri(spark, dir))
+    stage("embed_intrinsic_dim")(
+      graft.llm.Similarity.intrinsicDim(spark, dir))
+    stage("media_phash_clusters")(
+      graft.multimodal.Media.phashClusters(spark, dir))
     spark.stop()
   }
 }
