@@ -2540,6 +2540,100 @@ object Similarity {
        |FROM idn CROSS JOIN idsums""".stripMargin
   }
 
+  /** embed_ann_mrr: reciprocal-rank audit of the IVF index — WHERE in
+    * the approximate ranking the true nearest neighbor lands, per
+    * probe query: `embed_ivf_recall` answers "is the true NN in the
+    * candidate set at all", this answers "and at what rank", the
+    * metric that separates a nearly-exact index from one that merely
+    * doesn't lose the answer (MRR is the standard first-relevant-rank
+    * statistic, Voorhees TREC-8 1999). For each probe (vec_id < 5):
+    * the TRUE 1-NN by brute-force decimal-exact cosine over the whole
+    * corpus (min-id tiebreak), then its position in the auto-K
+    * cell-restricted top-10 cosine ranking, or NULL if the cell probe
+    * lost it. The reciprocal rank is carried as the exact integer
+    * 2520/rank (2520 = lcm(1..10)(k = 10) — so a downstream MRR is an
+    * exact BIGINT sum, never an order-dependent float accumulation).
+    *
+    * Scale posture: the brute-force leg is |probes|·N map work behind
+    * a broadcast of the 5 probe vectors (at 100 TB the probe set stays
+    * bounded and the scan is one pass); the approx leg rides the same
+    * Σ|cell|²-bounded cell join as every IVF query. */
+  def annMrr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
+    val truth = emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .selectExpr("q_id", "vec_id",
+        s"(${dotSpark("embedding", "q_emb")} / sqrt(nrm * q_nrm)) AS cosine")
+      .groupBy($"q_id")
+      .agg(expr("max_by(vec_id, struct(cosine, -vec_id))").as("true_nn"))
+    val cells = autoKAssign(spark, dir)
+    val qc = q.join(cells.withColumnRenamed("vec_id", "q_id"), "q_id")
+    val approx = qc
+      .join(cells.select($"vec_id".as("m_id"), $"cell"), "cell")
+      .filter($"m_id" =!= $"q_id")
+      .join(emb.select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
+        $"nrm".as("m_nrm")), "m_id")
+      .selectExpr("q_id", "m_id",
+        s"(${dotSpark("m_emb", "q_emb")} / sqrt(m_nrm * q_nrm)) AS cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cosine".desc, $"m_id")))
+      .filter($"rank" <= 10)
+    truth.join(approx,
+        truth("q_id") === approx("q_id") &&
+          truth("true_nn") === approx("m_id"), "left")
+      .select(truth("q_id"), $"true_nn",
+        $"rank".cast("int").as("approx_rank"),
+        coalesce(expr("CAST(2520 AS BIGINT) div rank"), lit(0L))
+          .as("rr_2520"))
+      .orderBy($"q_id")
+  }
+
+  val annMrrSql: String =
+    s"""WITH $autoKCtes,
+       |mre AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |mrq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM mre WHERE vec_id < 5
+       |),
+       |mrtruth AS (
+       |  SELECT q_id, vec_id AS true_nn FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        (${dotDuck("e.embedding", "q.q_emb")}
+       |          / sqrt(e.nrm * q.q_nrm)) DESC, e.vec_id) AS rn
+       |    FROM mre e CROSS JOIN mrq q WHERE e.vec_id <> q.q_id
+       |  ) WHERE rn = 1
+       |),
+       |mrapx AS (
+       |  SELECT * FROM (
+       |    SELECT q.q_id, m.vec_id AS m_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        (${dotDuck("e.embedding", "q.q_emb")}
+       |          / sqrt(e.nrm * q.q_nrm)) DESC, m.vec_id) AS rank
+       |    FROM mrq q
+       |    JOIN a2 qa ON qa.vec_id = q.q_id
+       |    JOIN a2 m ON m.cell = qa.cell AND m.vec_id <> q.q_id
+       |    JOIN mre e ON e.vec_id = m.vec_id
+       |  ) WHERE rank <= 10
+       |)
+       |SELECT t.q_id, t.true_nn, CAST(a.rank AS INTEGER) AS approx_rank,
+       |  COALESCE(CAST(2520 AS BIGINT) // a.rank, CAST(0 AS BIGINT))
+       |    AS rr_2520
+       |FROM mrtruth t LEFT JOIN mrapx a
+       |  ON a.q_id = t.q_id AND a.m_id = t.true_nn
+       |${sqlOrderBy(Seq("t.q_id")).trim}""".stripMargin
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * prep step): for every anchor vector, the top-2 most-similar
     * vectors of a DIFFERENT label — the near-miss impostors whose
@@ -3066,6 +3160,7 @@ object Similarity {
     "embed_outlier_lof" -> lofOutliers,
     "embed_knn_graph_autok" -> knnGraphAutoK,
     "embed_intrinsic_dim" -> intrinsicDim,
+    "embed_ann_mrr" -> annMrr,
     "embed_hard_negatives" -> hardNegatives,
     "embed_triplets" -> triplets,
     "embed_kmeans_assign" -> kmeansAssign,
@@ -3106,6 +3201,7 @@ object Similarity {
     "embed_outlier_lof" -> lofOutliersSql,
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
     "embed_intrinsic_dim" -> intrinsicDimSql,
+    "embed_ann_mrr" -> annMrrSql,
     "embed_hard_negatives" -> hardNegativesSql,
     "embed_triplets" -> tripletsSql,
     "embed_kmeans_assign" -> kmeansAssignSql,

@@ -608,7 +608,28 @@ object Media {
   def phashClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ph = phashQuery(spark, dir).localCheckpoint()
-    val sig = phashBands(ph.select($"doc_id", $"phash_hi", $"phash_lo"))
+    val sig0 = ph.select($"doc_id", $"phash_hi", $"phash_lo")
+    // IDENTICAL-HASH CONTRACTION (×100 rehearsal finding): Hamming
+    // distance is a pure function of the hash VALUE, so hash-equal
+    // documents are mutual near-dups (distance 0 ≤ 20) and every
+    // verified pair transfers between them — band-join only the
+    // min-doc representative per DISTINCT hash and reattach the other
+    // members as star edges into the component build. The resulting
+    // components are EXACTLY the ones the all-pairs form yields (the
+    // oracle's recursive closure over all pairs still gates this),
+    // while a planted duplicate family of f identical images (meme
+    // reposts at 100 TB; the amplifier's image copies at ×100, which
+    // filled the disk with C(f,2) candidate pairs before this fix)
+    // costs f−1 identity edges instead of C(f,2) band pairs.
+    val reps = sig0.groupBy($"phash_hi", $"phash_lo")
+      .agg(min($"doc_id").as("doc_id"))
+      .localCheckpoint() // distinct-hash frame feeds 4 band joins
+    val identity = sig0
+      .join(reps.select($"phash_hi", $"phash_lo", $"doc_id".as("rep")),
+        Seq("phash_hi", "phash_lo"))
+      .filter($"doc_id" =!= $"rep")
+      .select($"doc_id".as("d1"), $"rep".as("d2"))
+    val sig = phashBands(reps)
     val a = sig.select($"doc_id".as("d1"), $"phash_hi".as("h1"),
       $"phash_lo".as("l1"), $"b0".as("a0"), $"b1".as("a1"),
       $"b2".as("a2"), $"b3".as("a3"))
@@ -625,7 +646,8 @@ object Media {
     val verified = cand
       .filter(expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2) <= 20"))
       .select($"d1", $"d2")
-    val assign = graft.llm.Cluster.components(verified)
+    val assign = graft.llm.Cluster.components(
+      verified.unionByName(identity))
       .select($"src".as("doc_id"), $"dst".as("cid"))
     val labeled = ph.select($"doc_id")
       .join(assign, Seq("doc_id"), "left")

@@ -384,6 +384,113 @@ object Calendar {
        |FROM hw${sqlOrderBy(Seq("m"))}""".stripMargin
   }
 
+  /** orders_holt_winters: additive Holt–Winters triple exponential
+    * smoothing (Holt 1957; Winters 1960) of monthly revenue — the
+    * seasonal completion of the forecasting family ([[holtLinear]]
+    * level+trend, [[seasonalDecompose]]'s static indices,
+    * `orders_snaive_mase`'s benchmark): level, trend AND a 12-slot
+    * seasonal state updated every month, with the one-step-ahead
+    * forecast f_t = l + b + s_{t−12} emitted before each update.
+    * α = β = γ = 1/2 keeps every update an EXACT floored halving in
+    * 1/1024-cent integers (the [[holtLinear]] fdiv2 discipline):
+    * l_t = ⌊(x_t − s_old + l + b)/2⌋, b_t = ⌊(l_t − l + b)/2⌋,
+    * s_t = ⌊(x_t − l_t + s_old)/2⌋ — the recursion the oracle replays
+    * month by month through a recursive CTE carrying the 12-element
+    * seasonal list, so every compounded state is hash-exact.
+    * Initialization contract: month 1 sets l = x₁, b = 0, s ≡ 0 (the
+    * first year's updates LEARN the seasonal profile rather than
+    * presetting it — deterministic and engine-portable, unlike
+    * decompose-based seeding).
+    *
+    * Scale posture: the fact scan collapses map-side to |months| rows;
+    * the inherently sequential smoothing then runs as a single
+    * `aggregate` fold over the collected bounded series — the
+    * [[holtLinear]] rule: sequential state over a bounded frame, never
+    * over the corpus. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) div 2)"
+    val sOld = "element_at(acc.s, CAST((acc.i % 12) + 1 AS INT))"
+    val l2 = fdiv2(s"e.xq - $sOld + acc.l + acc.b")
+    val b2 = fdiv2(s"$l2 - acc.l + acc.b")
+    val s2 = fdiv2(s"e.xq - $l2 + $sOld")
+    val monthly = Tables(spark, dir, "orders")
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m").agg((sum($"cents") * 1024L).as("xq"))
+    monthly
+      .agg(sort_array(collect_list(struct($"m", $"xq"))).as("ser"))
+      .selectExpr(
+        s"""explode(aggregate(
+           |  ser,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    'i', CAST(0 AS BIGINT),
+           |    's', array_repeat(CAST(0 AS BIGINT), 12), 'init', false,
+           |    'out', CAST(array() AS
+           |      ARRAY<STRUCT<m: DATE, xq: BIGINT, fq: BIGINT,
+           |                   lq: BIGINT, bq: BIGINT, sq: BIGINT>>)),
+           |  (acc, e) -> IF(NOT acc.init,
+           |    named_struct('l', e.xq, 'b', CAST(0 AS BIGINT),
+           |      'i', CAST(1 AS BIGINT), 's', acc.s, 'init', true,
+           |      'out', array(named_struct('m', e.m, 'xq', e.xq,
+           |        'fq', e.xq, 'lq', e.xq, 'bq', CAST(0 AS BIGINT),
+           |        'sq', CAST(0 AS BIGINT)))),
+           |    named_struct('l', $l2, 'b', $b2, 'i', acc.i + 1,
+           |      's', transform(sequence(0, 11),
+           |        j -> IF(j = CAST(acc.i % 12 AS INT), $s2,
+           |          element_at(acc.s, j + 1))),
+           |      'init', true,
+           |      'out', concat(acc.out, array(named_struct('m', e.m,
+           |        'xq', e.xq, 'fq', acc.l + acc.b + $sOld,
+           |        'lq', $l2, 'bq', $b2, 'sq', $s2))))),
+           |  acc -> acc.out)) AS r""".stripMargin)
+      .select($"r.m".as("m"),
+        ($"r.xq".cast("double") / 1024.0 / 100.0).as("revenue"),
+        ($"r.fq".cast("double") / 1024.0 / 100.0).as("forecast"),
+        $"r.lq".as("level_q"), $"r.bq".as("trend_q"),
+        $"r.sq".as("seasonal_q"),
+        ($"r.xq" - $"r.fq").as("err_q"))
+      .orderBy($"m")
+  }
+
+  val holtWintersSql: String = {
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) // 2)"
+    val sOld = "hws.sl[CAST((hws.i % 12) + 1 AS INT)]"
+    val l2 = fdiv2(s"n.xq - $sOld + hws.lq + hws.bq")
+    val b2 = fdiv2(s"$l2 - hws.lq + hws.bq")
+    val s2 = fdiv2(s"n.xq - $l2 + $sOld")
+    s"""WITH RECURSIVE hws_monthly AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      * 1024 AS xq
+       |  FROM orders GROUP BY 1
+       |),
+       |hwsidx AS (
+       |  SELECT m, xq, row_number() OVER (ORDER BY m) AS i
+       |  FROM hws_monthly
+       |),
+       |hws(i, m, xq, fq, lq, bq, sq, sl) AS (
+       |  SELECT i, m, xq, xq, xq, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    list_transform(range(0, 12), j -> CAST(0 AS BIGINT))
+       |  FROM hwsidx WHERE i = 1
+       |  UNION ALL
+       |  SELECT n.i, n.m, n.xq,
+       |    hws.lq + hws.bq + $sOld,
+       |    $l2,
+       |    $b2,
+       |    $s2,
+       |    list_transform(range(0, 12),
+       |      j -> CASE WHEN j = hws.i % 12 THEN $s2
+       |        ELSE hws.sl[CAST(j + 1 AS INT)] END)
+       |  FROM hws JOIN hwsidx n ON n.i = hws.i + 1
+       |)
+       |SELECT m, CAST(xq AS DOUBLE) / 1024.0 / 100.0 AS revenue,
+       |  CAST(fq AS DOUBLE) / 1024.0 / 100.0 AS forecast,
+       |  lq AS level_q, bq AS trend_q, sq AS seasonal_q,
+       |  xq - fq AS err_q
+       |FROM hws${sqlOrderBy(Seq("m"))}""".stripMargin
+  }
+
   /** orders_seasonal_decompose: the classical additive decomposition
     * (Persons 1919; the `decompose()` every stats stack ships) of the
     * monthly revenue series — observed = trend + seasonal + residual —
@@ -902,6 +1009,7 @@ object Calendar {
     "orders_snaive_mase" -> snaiveMase,
     "orders_acf" -> ordersAcf,
     "orders_mann_kendall" -> mannKendall,
+    "orders_holt_winters" -> holtWinters,
     "orders_cusum" -> cusum,
     "orders_changepoint" -> changepoint,
     "orders_ewma" -> ewma,
@@ -919,6 +1027,7 @@ object Calendar {
     "orders_changepoint" -> changepointSql,
     "orders_acf" -> ordersAcfSql,
     "orders_mann_kendall" -> mannKendallSql,
+    "orders_holt_winters" -> holtWintersSql,
     "orders_ewma" -> ewmaSql,
     "orders_holt_linear" -> holtLinearSql,
     "orders_seasonal_decompose" -> seasonalDecomposeSql,
