@@ -669,6 +669,104 @@ object Cluster {
        |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
   }
 
+  /** graph_ppr_seeded: PERSONALIZED PageRank (random walk with
+    * restart; Jeh & Widom 2003, "Scaling personalized web search")
+    * over the LSH candidate graph, seeded by the EVAL-SET documents
+    * (the decontamination convention: eval source = MIN(source), the
+    * same held-out suite `text_contamination` screens against) — the
+    * "contamination neighborhood" ranking that completes the
+    * centrality family (PageRank, HITS, label-prop, Louvain, k-core,
+    * BFS): where global PageRank scores connectivity to EVERYWHERE,
+    * RWR scores proximity to the seeds, so a high-rank non-seed doc is
+    * one the near-dup graph pulls toward the eval suite — exactly the
+    * "quarantine ring" a decontamination pass reviews after removing
+    * verbatim hits. Teleport mass (0.15) returns to the seed
+    * distribution (uniform over seeds) instead of all nodes; damping,
+    * round count (5, the `graph_pagerank_iter5` fixed-iteration
+    * contract), ppb units, and the per-inflow scale-5 decimal
+    * quantization schedule are identical to [[pagerankIter]], stated
+    * identically in the oracle's unrolled CTEs (built by the same
+    * Scala loop) so both engines round in lockstep.
+    *
+    * Scale posture: the edge list builds ONCE behind a localCheckpoint
+    * and feeds deg + all 5 rounds; each round is one equi-join + one
+    * map-side-combined rollup; each round's rank frame is LAZILY
+    * localCheckpoint-ed (the institutionalized hitsBipartite fix —
+    * lineage truncation rides the terminal action, zero extra driver
+    * jobs) so the compounded plan never replays earlier rounds. Seeds
+    * ride the node frame as an is_seed 0/1 column — no separate seed
+    * join inside the loop. */
+  def pprSeeded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(
+      Dedup.candidatePairs(spark, dir).select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint() // edges feed deg + 5 iteration joins
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("dg"))
+    val ed = edges.join(deg, "src")
+    val docs = graft.Tables(spark, dir, "documents")
+    val evalSrc = docs.agg(min($"source").as("eval_src"))
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .crossJoin(broadcast(evalSrc))
+      .select($"doc_id", ($"source" === $"eval_src").cast("int").as("is_seed"))
+      .localCheckpoint()
+    val nsRow = nodes.agg(sum($"is_seed").cast("long").as("ns"))
+    var rank = nodes.crossJoin(broadcast(nsRow))
+      .select($"doc_id", $"is_seed", (lit(1e9) * $"is_seed" / $"ns").as("r"))
+    for (_ <- 1 to 5) {
+      val inflow = ed
+        .join(rank.select($"doc_id".as("src"), $"r"), "src")
+        .groupBy($"dst")
+        .agg(graft.Det.xsum($"r" * lit(0.85) / $"dg").as("inflow"))
+        .withColumnRenamed("dst", "doc_id")
+      rank = nodes.crossJoin(broadcast(nsRow))
+        .join(inflow, Seq("doc_id"), "left")
+        .select($"doc_id", $"is_seed",
+          (lit(1.5e8) * $"is_seed" / $"ns" + coalesce($"inflow", lit(0.0)))
+            .as("r"))
+        .localCheckpoint(false) // lazy: rides the terminal action
+    }
+    rank.select($"doc_id", $"is_seed", $"r".as("rank_ppb"))
+      .orderBy($"doc_id")
+  }
+
+  val pprSeededSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""pprrank$k AS (
+         |  SELECT nodes.doc_id, nodes.is_seed,
+         |    (1.5e8 * nodes.is_seed / ns) + COALESCE(inf.inflow, 0.0) AS r
+         |  FROM nodes CROSS JOIN nsd LEFT JOIN (
+         |    SELECT dst AS doc_id,
+         |      ${graft.Det.sqlSum(s"r * 0.85 / dg")} AS inflow
+         |    FROM edges JOIN deg USING (src)
+         |    JOIN pprrank${k - 1} rk ON rk.doc_id = src
+         |    GROUP BY dst) inf ON inf.doc_id = nodes.doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand
+       |),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
+       |ev AS (SELECT MIN(source) AS eval_src FROM documents),
+       |nodes AS (
+       |  SELECT n.doc_id, CAST(d.source = ev.eval_src AS INTEGER) AS is_seed
+       |  FROM (SELECT DISTINCT src AS doc_id FROM edges) n
+       |  JOIN documents d ON d.doc_id = n.doc_id
+       |  CROSS JOIN ev
+       |),
+       |nsd AS (SELECT CAST(SUM(is_seed) AS BIGINT) AS ns FROM nodes),
+       |pprrank0 AS (
+       |  SELECT doc_id, is_seed, 1e9 * is_seed / ns AS r
+       |  FROM nodes CROSS JOIN nsd),
+       |$iters
+       |SELECT doc_id, is_seed, r AS rank_ppb FROM pprrank5
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+  }
+
   /** Quality-based canonical selection: within each multi-document
     * duplicate cluster, keep the HIGHEST-quality member (type-token
     * ratio, doc_id tiebreak) instead of [[clusters]]' min-id keeper —
@@ -1270,9 +1368,15 @@ object Cluster {
     *
     * Exactness: every input is an integer count (contingency cells
     * n_ck, cluster sizes a_c, class sizes b_l, total n). NMI rides the
-    * qlog2 integer fixed point — I_q = Σ n_ck·(qlog2(n·n_ck) −
-    * qlog2(a_c·b_l)), H_Cq = Σ a_c·(qlog2 n − qlog2 a_c), likewise
-    * H_Lq — and because nmi = 2I/(H_C+H_L) is a RATIO of entropies the
+    * qlog2 integer fixed point in DECOMPOSED form — I_q =
+    * Σ n_ck·((qlog2 n + qlog2 n_ck) − (qlog2 a_c + qlog2 b_l)),
+    * H_Cq = Σ a_c·(qlog2 n − qlog2 a_c), likewise H_Lq — every qlog2
+    * argument is a single count ≤ n, so nothing overflows 2^63 at any
+    * corpus size (the product forms n·n_ck / a_c·b_l would silently
+    * wrap in Spark and error in DuckDB past n ≈ 3·10⁹; qlog2 is
+    * defined per-argument, so the sum-of-logs spelling IS the fixed
+    * contract, identically on both engines) — and because
+    * nmi = 2I/(H_C+H_L) is a RATIO of entropies the
     * ln2/1024/n factors cancel: nmi = 2·I_q/(H_Cq+H_Lq), one terminal
     * division of exact BIGINTs (qlog2 is the fixed log contract, so
     * this IS the reported statistic, not an approximation of another
@@ -1301,7 +1405,8 @@ object Cluster {
     val nn = ct.agg(sum($"nck").as("n"))
     val iq = ct.join(ac, "cluster_id").join(bl, "lang")
       .crossJoin(broadcast(nn))
-      .selectExpr(s"nck * (${q("(n * nck)")} - ${q("(a * b)")}) AS t")
+      .selectExpr(
+        s"nck * ((${q("n")} + ${q("nck")}) - (${q("a")} + ${q("b")})) AS t")
       .agg(sum($"t").as("i_q"))
     val hc = ac.crossJoin(broadcast(nn))
       .selectExpr(s"a * (${q("n")} - ${q("a")}) AS t")
@@ -1351,7 +1456,8 @@ object Cluster {
        |         FROM nmct GROUP BY 1),
        |nmn AS (SELECT CAST(SUM(nck) AS BIGINT) AS n FROM nmct),
        |nmiq AS (
-       |  SELECT CAST(SUM(nck * (${q("(n * nck)")} - ${q("(a * b)")}))
+       |  SELECT CAST(SUM(nck * ((${q("n")} + ${q("nck")})
+       |      - (${q("a")} + ${q("b")})))
        |    AS BIGINT) AS i_q
        |  FROM nmct JOIN nmac USING (cluster_id) JOIN nmbl USING (lang)
        |  CROSS JOIN nmn
@@ -1467,8 +1573,18 @@ object Cluster {
     * list from orders⋈lineitem — happens ONCE behind a
     * localCheckpoint; each half-step is one broadcastable score-vector
     * equi-join against the edge list plus one map-side-combined
-    * rollup to the customer or part grain. Output is top-100 per side
-    * (rank window partitioned by entity type). */
+    * rollup to the customer or part grain. Each half-step's numerator
+    * frame is LAZILY localCheckpoint-ed (the components() pattern at
+    * :80) and the Σnum broadcast aggregation that immediately follows
+    * is its materializing action — so `num` is computed ONCE per
+    * half-step (the tot leg and the quotient leg share the
+    * checkpointed RDD) and every subsequent half-step's plan starts
+    * from a LogicalRDD instead of replaying the full join chain.
+    * Without this the 3-round plan replays ~90 edge-list joins
+    * (each normalize consumes its input twice, compounding per
+    * round) — measured 11.1 s at sf0.1 vs ~1.7 s for pagerank.
+    * Output is top-100 per side (rank window partitioned by entity
+    * type). */
   def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"
@@ -1481,7 +1597,11 @@ object Cluster {
       .localCheckpoint() // one build feeds all six half-step joins
     val custs = e.select($"c").distinct()
     val nc = custs.agg(count(lit(1)).as("ncust"))
-    def normalize(num: DataFrame, key: String): DataFrame = {
+    def normalize(num0: DataFrame, key: String): DataFrame = {
+      // Lazy checkpoint; the tot broadcast aggregation below is the
+      // materializing action, so lineage truncation rides a job each
+      // half-step must run anyway (one driver job per half-step).
+      val num = num0.localCheckpoint(false)
       val tot = num.agg(sum($"num").as("tot"))
       num.crossJoin(broadcast(tot))
         .selectExpr(key,
@@ -1560,6 +1680,7 @@ object Cluster {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_layers" -> bfsLayers,
     "graph_hits_bipartite" -> hitsBipartite,
+    "graph_ppr_seeded" -> pprSeeded,
     "dedup_cluster_purity" -> clusterPurity,
     "dedup_cluster_nmi_ari" -> clusterNmiAri,
     "corpus_dedup_savings" -> dedupSavings,
@@ -1583,6 +1704,7 @@ object Cluster {
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> bfsLayersSql,
     "graph_hits_bipartite" -> hitsBipartiteSql,
+    "graph_ppr_seeded" -> pprSeededSql,
     "dedup_cluster_purity" -> clusterPuritySql,
     "dedup_cluster_nmi_ari" -> clusterNmiAriSql,
     "corpus_dedup_savings" -> dedupSavingsSql,

@@ -1041,7 +1041,105 @@ object Dedup {
        |FROM canon GROUP BY canonical_url
        |${sqlOrderBy(Seq("canonical_url")).trim}""".stripMargin
 
+  /** dq_lsh_preflight: the go/no-go gate a 100 TB pairwise-LSH dedup
+    * run checks BEFORE shuffling — per-band bucket second moment
+    * (Σ|bucket|²), hot-bucket max size, and predicted candidate-pair
+    * volume (Σ C(|bucket|,2)) over BOTH LSH families this engine
+    * bands: the text minhash bands ([[minhashSig]]'s band_a/band_b)
+    * and the 4×16-bit media phash bands (over the DISTINCT-hash frame,
+    * i.e. after the identical-hash contraction — the population the
+    * production band join actually faces). Productizes the ×100
+    * image-dedup root-cause (SCALE.md "media_phash_clusters at ×100:
+    * the hash-degenerate regime"): there, one 16-bit band value held
+    * 48 K of 500 K images (Σ|bucket|² ≈ 3.4·10⁹ per band) and the
+    * pairwise run filled the disk — this query IS the pre-flight
+    * number that predicts it. A band whose cand_pairs is
+    * output-quadratic against the corpus size routes the run to the
+    * coarse contract (identical-hash contraction +
+    * `media_phash_semdedup` cell grouping) instead of pairwise
+    * banding.
+    *
+    * Exactness: pure integer counting — bucket sizes are exact
+    * BIGINTs; the second moment and pair counts accumulate in
+    * DECIMAL(38,0)/HUGEINT (a degenerate 100 TB corpus can push
+    * Σ|bucket|² past 2^63) and cast to BIGINT at the edge.
+    *
+    * Scale posture: one map-side-combined groupBy per band family
+    * (bucket histogram), then a |buckets|-bounded rollup — strictly
+    * cheaper than the FIRST shuffle of the dedup run it gates; the
+    * phash side reuses the distinct-hash contraction frame, so the
+    * gate measures exactly the join population. */
+  def lshPreflight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "DECIMAL(38,0)"
+    val text = minhashSig(spark, dir)
+      .selectExpr("stack(2, 'band_a', band_a, 'band_b', band_b) AS (band, v)")
+      .withColumn("family", lit("text_minhash"))
+    val reps = graft.multimodal.Media.phashQuery(spark, dir)
+      .select($"phash_hi", $"phash_lo").distinct()
+    val media = graft.multimodal.Media.phashBands(reps)
+      .selectExpr(
+        """stack(4, 'b0', CAST(b0 AS STRING), 'b1', CAST(b1 AS STRING),
+          |         'b2', CAST(b2 AS STRING), 'b3', CAST(b3 AS STRING))
+          |  AS (band, v)""".stripMargin)
+      .withColumn("family", lit("media_phash"))
+    text.unionByName(media)
+      .groupBy($"family", $"band", $"v").agg(count(lit(1)).as("cnt"))
+      .groupBy($"family", $"band")
+      .agg(sum($"cnt").as("n_keys"),
+        count(lit(1)).as("n_buckets"),
+        max($"cnt").as("max_bucket"),
+        sum(expr(s"CAST(cnt AS $dec) * cnt")).as("ss"),
+        sum(expr(s"CAST(cnt AS $dec) * (cnt - 1)")).as("cp2"))
+      .selectExpr("family", "band",
+        "CAST(n_keys AS BIGINT) AS n_keys",
+        "CAST(n_buckets AS BIGINT) AS n_buckets",
+        "CAST(max_bucket AS BIGINT) AS max_bucket",
+        "CAST(ss AS BIGINT) AS sum_sq",
+        // cp2 = Σ cnt·(cnt−1) is even; exact halving via the remainder
+        // identity (the floor(double) wrap trap — house rule)
+        s"CAST((cp2 - (cp2 % 2)) / 2 AS BIGINT) AS cand_pairs")
+      .orderBy($"family", $"band")
+  }
+
+  val lshPreflightSql: String =
+    s"""WITH $sigSqlCte,
+       |${graft.multimodal.Media.phashSqlCtes},
+       |pfreps AS (SELECT DISTINCT phash_hi, phash_lo FROM ph),
+       |pfkeys AS (
+       |  SELECT 'text_minhash' AS family, 'band_a' AS band, band_a AS v
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT 'text_minhash', 'band_b', band_b FROM sig
+       |  UNION ALL
+       |  SELECT 'media_phash', 'b0',
+       |    CAST(phash_lo & 65535 AS VARCHAR) FROM pfreps
+       |  UNION ALL
+       |  SELECT 'media_phash', 'b1',
+       |    CAST((phash_lo >> 16) & 65535 AS VARCHAR) FROM pfreps
+       |  UNION ALL
+       |  SELECT 'media_phash', 'b2',
+       |    CAST(phash_hi & 65535 AS VARCHAR) FROM pfreps
+       |  UNION ALL
+       |  SELECT 'media_phash', 'b3',
+       |    CAST((phash_hi >> 16) & 65535 AS VARCHAR) FROM pfreps
+       |),
+       |pfbkt AS (
+       |  SELECT family, band, v, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM pfkeys GROUP BY 1, 2, 3
+       |)
+       |SELECT family, band,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_keys,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+       |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS sum_sq,
+       |  CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) // 2 AS BIGINT)
+       |    AS cand_pairs
+       |FROM pfbkt GROUP BY family, band
+       |${sqlOrderBy(Seq("family", "band")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_lsh_preflight" -> lshPreflight,
     "dedup_url_canonical" -> urlCanonical,
     "dedup_threshold_curve" -> thresholdCurve,
     "dedup_lsh_recall" -> lshRecall,
@@ -1061,6 +1159,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dq_lsh_preflight" -> lshPreflightSql,
     "dedup_url_canonical" -> urlCanonicalSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_lsh_recall" -> lshRecallSql,

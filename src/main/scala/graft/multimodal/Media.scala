@@ -724,6 +724,81 @@ object Media {
        |FROM pcomp c JOIN psz USING (cluster_id)
        |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
 
+  /** media_phash_semdedup: the COARSE image-dedup contract for
+    * hash-degenerate corpora — the documented fallback the ×100
+    * rehearsal prescribed (SCALE.md "the hash-degenerate regime") for
+    * the regime where [[phashClusters]]' pairwise banding is
+    * output-quadratic (measured there: one 16-bit band value holding
+    * ~10% of the corpus, the near-dup pair graph itself ~10⁹ edges).
+    * `dq_lsh_preflight`'s band second moment is the gate that routes a
+    * run here. The composition is the SemDeDup cell-grouping chassis
+    * ([[graft.llm.Similarity.semDedup]], Abbas et al. 2023) applied to
+    * phash space with both prescribed tiers:
+    *
+    *  1. IDENTICAL-HASH CONTRACTION — hash-equal images (true
+    *     duplicates, Hamming 0) collapse to a min-doc representative
+    *     family first, so a planted family of f meme reposts costs ONE
+    *     row downstream, never C(f,2) anything;
+    *  2. CELL GROUPING — each DISTINCT hash is assigned to a coarse
+    *     quantizer cell (the top-16-bit prefix, hash bits 48–63: a
+    *     lattice quantizer with 2^16 implicit centroids — the Hamming
+    *     analogue of an IVF coarse assignment, and deliberately the
+    *     same key as band b3 so the preflight's per-band histogram
+    *     predicts this operator's cell sizes exactly), and the cell IS
+    *     the cluster: one keeper (min doc) survives per cell.
+    *
+    * Coarser than pairwise verification by construction (cell-mates
+    * share a 16-bit prefix rather than passing a popcount cut) — that
+    * is the CONTRACT: in the degenerate regime the pairwise answer is
+    * unmaterializable, and prefix-cell grouping is the standard
+    * SemDeDup trade (cluster granularity for linear output).
+    *
+    * Scale posture: one decode pass (shared fixture), one
+    * distinct-hash rollup (map-side combined), one ≤2^16-row cell
+    * rollup, and a BROADCAST join to label members — every frame after
+    * the contraction is bounded by distinct hashes or 2^16; output is
+    * one row per document. No stage is ever pairwise, so the ×100
+    * corpus that filled the disk under banding runs in one linear
+    * sweep. */
+  def phashSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = phashQuery(spark, dir).localCheckpoint()
+    val cellOf = "CAST(shiftright(phash_hi, 16) & 65535 AS INT)"
+    val fams = ph.select($"doc_id", $"phash_hi", $"phash_lo")
+      .groupBy($"phash_hi", $"phash_lo")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("n_copies"))
+    val cellAgg = fams
+      .selectExpr(s"$cellOf AS cell", "rep", "n_copies")
+      .groupBy($"cell")
+      .agg(min($"rep").as("cluster_id"),
+        sum($"n_copies").as("cluster_size"),
+        count(lit(1)).as("n_distinct_hashes"))
+    ph.selectExpr("doc_id", s"$cellOf AS cell")
+      .join(broadcast(cellAgg), "cell")
+      .select($"doc_id", $"cell", $"cluster_id", $"cluster_size",
+        $"n_distinct_hashes", ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  val phashSemDedupSql: String =
+    s"""WITH $phashSqlCtes,
+       |sdfam AS (
+       |  SELECT phash_hi, phash_lo, (phash_hi >> 16) & 65535 AS cell,
+       |    MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_copies
+       |  FROM ph GROUP BY 1, 2, 3
+       |),
+       |sdcell AS (
+       |  SELECT cell, MIN(rep) AS cluster_id,
+       |    CAST(SUM(n_copies) AS BIGINT) AS cluster_size,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_hashes
+       |  FROM sdfam GROUP BY cell
+       |)
+       |SELECT p.doc_id, CAST(c.cell AS INTEGER) AS cell, c.cluster_id,
+       |  c.cluster_size, c.n_distinct_hashes,
+       |  p.doc_id = c.cluster_id AS is_keeper
+       |FROM ph p JOIN sdcell c ON ((p.phash_hi >> 16) & 65535) = c.cell
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+
   // ------------------------------------------------------------------
   // Audio modality (round 6): genuine RIFF/WAVE fixtures + the JDK's
   // real audio decoder, closing the audio column of the multimodal
@@ -1299,6 +1374,7 @@ object Media {
     "media_frames" -> framesQuery,
     "media_phash" -> phashQuery,
     "media_phash_clusters" -> phashClusters,
+    "media_phash_semdedup" -> phashSemDedup,
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
@@ -1314,5 +1390,6 @@ object Media {
     "media_frames" -> framesQuerySql,
     "media_phash" -> phashQuerySql,
     "media_phash_clusters" -> phashClustersSql,
+    "media_phash_semdedup" -> phashSemDedupSql,
     "media_dedup" -> dedupQuerySql)
 }

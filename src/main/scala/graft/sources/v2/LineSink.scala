@@ -197,9 +197,12 @@ class LineBatchWrite(schema: StructType, path: String) extends BatchWrite {
     deleteTree(Paths.get(path).resolve("_tmp"))
 
   private def deleteTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }
 
 class LineWriterFactory(schema: StructType, path: String)
@@ -243,28 +246,55 @@ class LineStreamingWrite(schema: StructType, path: String)
     LineSink.streamCrashHook("before-epoch-commit", epochId)
     val root = Paths.get(path)
     val epochDir = root.resolve(s"epoch=$epochId")
-    deleteTree(epochDir) // replay of epoch N replaces N, never appends
-    Files.createDirectories(epochDir)
+    // Replaying an epoch whose marker ALREADY landed (crash after the
+    // marker write but before Spark recorded the batch in its commit
+    // log): the old in-place rebuild deleted the live dir first, so
+    // committed rows transiently vanished for concurrent readers.
+    // Instead, stage the replacement beside the live dir (a `_`-prefix
+    // name, invisible to readCommitted's `epoch=` glob) and swap via
+    // rename — committed visibility never regresses past the instant
+    // of the rename pair. A marker-LESS torn dir was never visible, so
+    // it is still rebuilt in place.
+    val live = Files.exists(epochDir.resolve("_COMMITTED"))
+    val target =
+      if (live) root.resolve(s"_staged-epoch=$epochId") else epochDir
+    deleteTree(target) // replay of epoch N replaces N, never appends
+    Files.createDirectories(target)
     messages.foreach {
       case LineTaskCommit(staged) =>
         val src = Paths.get(staged)
         // strip the epoch staging prefix so committed files carry the
         // same part-* names as the batch sink's
         val dest = src.getFileName.toString.stripPrefix(s"epoch-$epochId-")
-        Files.move(src, epochDir.resolve(dest),
+        Files.move(src, target.resolve(dest),
           StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
       case _ => ()
     }
     LineSink.streamCrashHook("before-epoch-marker", epochId)
     // marker LAST: presence == every task file of the epoch is in place
-    Files.write(epochDir.resolve("_COMMITTED"), Array.emptyByteArray)
-    // sweep staged leftovers of crashed attempts of THIS epoch only
+    // (for the staged-replay path the marker completes the staged copy
+    // BEFORE the swap, so a crash here leaves the old epoch intact and
+    // visible — old-or-new still holds)
+    Files.write(target.resolve("_COMMITTED"), Array.emptyByteArray)
+    if (live) {
+      val old = root.resolve(s"_old-epoch=$epochId")
+      deleteTree(old)
+      Files.move(epochDir, old)
+      Files.move(target, epochDir)
+      deleteTree(old)
+    }
+    // sweep staged leftovers of crashed attempts of THIS epoch only —
+    // close the directory stream (a long-running stream commits one
+    // epoch per trigger; a leaked fd per commit exhausts the process)
     val tmp = root.resolve("_tmp")
-    if (Files.exists(tmp))
-      Files.list(tmp)
+    if (Files.exists(tmp)) {
+      val s = Files.list(tmp)
+      try s
         .filter(p => p.getFileName.toString.startsWith(s"epoch-$epochId-"))
         .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 
   override def abort(epochId: Long,
@@ -275,9 +305,12 @@ class LineStreamingWrite(schema: StructType, path: String)
     }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }
 
 class LineStreamWriterFactory(schema: StructType, path: String)

@@ -2403,6 +2403,158 @@ object Warehouse {
        |  c.ci_lo, c.ci_hi
        |FROM bobs o CROSS JOIN bci c""".stripMargin
 
+  /** events_ab_bayes: Bayesian A/B readout — P(B beats A) and the
+    * expected loss of shipping either arm — for the conversion-rate
+    * pair [[abWilson]] reads out, completing the fixed-horizon
+    * (Wilson/SRM/CUPED) / sequential (SPRT) / BAYESIAN inference
+    * triptych. Posteriors are Beta(x+1, n−x+1) (uniform prior on each
+    * arm's conversion rate); the decision integrals are Monte Carlo
+    * over B=64 deterministic replicate draws (the `stat_bootstrap_ci`
+    * machinery re-aimed): p_b_gt_a = #[p_B > p_A]/64,
+    * exp_loss_choose_b = E[max(p_A − p_B, 0)] — the regret of shipping
+    * B when A was better — and symmetrically for A.
+    *
+    * Exactness (the transcendental-free Beta sampler): a Beta(k, m+1−k)
+    * draw is the k-th ORDER STATISTIC of m i.i.d. uniforms, so each
+    * replicate's posterior draw is the (x+1)-th smallest of n+1
+    * salted-md5 u32 integers — exact integer selection, no inverse-CDF
+    * or gamma transcendentals, bit-identical cross-engine (the
+    * bootstrap's salted-u32 discipline). Replicate comparisons and
+    * loss numerators stay in INTEGER u32 space (Σ max(uA−uB, 0) is an
+    * exact BIGINT); the only doubles are the four terminal divisions
+    * by 2^32 and B, performed identically on both sides.
+    *
+    * Scale posture: one user-keyed distinct rollup, then a B×|users|
+    * draw grid (map-generated, same budget as the bootstrap); the
+    * order-statistic selection is a row_number window over 2·B
+    * partitions of n+1 rows each — at extreme n the selection becomes
+    * the two-level rank (the `embed_intrinsic_dim` CDF pattern), with
+    * the draw grid unchanged. All post-selection frames are ≤ 2·B
+    * rows. */
+  def abBayes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 64
+    val users = Tables(spark, dir, "events")
+      .select(($"user_id" % 2).cast("int").as("variant"), $"user_id",
+        ($"event_type" === "purchase").cast("int").as("is_p"))
+      .groupBy($"variant", $"user_id")
+      .agg(max($"is_p").as("conv"))
+      .localCheckpoint(false) // feeds the arm agg AND the draw grid
+    val agg = users.groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"conv").cast("long").as("x"))
+    def u32(salt: String, tail: String) =
+      s"CAST(conv(substr(md5(CAST(concat('$salt', CAST(variant AS STRING)," +
+        s" ':', CAST(b AS STRING)$tail) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    val userDraws = users
+      .select($"variant", $"user_id",
+        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .selectExpr("variant", "b",
+        s"${u32("bayes:", ", ':', CAST(user_id AS STRING)")} AS u")
+    // the n+1-th uniform of each (arm, replicate): one extra draw
+    // keyed by the replicate alone
+    val extraDraws = agg
+      .select($"variant", explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .selectExpr("variant", "b", s"${u32("bayes0:", "")} AS u")
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"variant", $"b").orderBy($"u")
+    val sel = userDraws.unionByName(extraDraws)
+      .join(broadcast(agg.select($"variant", $"x")), "variant")
+      .withColumn("rn", row_number().over(wnd))
+      .filter($"rn" === $"x" + 1) // the (x+1)-th order statistic
+      .select($"variant", $"b", $"u")
+    val reps = sel.groupBy($"b").agg(
+      max(when($"variant" === 0, $"u")).as("ua"),
+      max(when($"variant" === 1, $"u")).as("ub"))
+    val sc = reps.agg(
+      sum(($"ub" > $"ua").cast("long")).as("n_b_gt_a"),
+      sum(greatest($"ua" - $"ub", lit(0L))).as("loss_b_num"),
+      sum(greatest($"ub" - $"ua", lit(0L))).as("loss_a_num"))
+    val wide = agg.agg(
+      sum(when($"variant" === 0, $"n")).as("n_a"),
+      sum(when($"variant" === 0, $"x")).as("x_a"),
+      sum(when($"variant" === 1, $"n")).as("n_b"),
+      sum(when($"variant" === 1, $"x")).as("x_b"))
+    wide.crossJoin(broadcast(sc))
+      .selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a", "CAST(x_a AS BIGINT) AS x_a",
+        "CAST(n_b AS BIGINT) AS n_b", "CAST(x_b AS BIGINT) AS x_b",
+        "CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a",
+        "CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b",
+        s"CAST($B AS INT) AS n_draws",
+        s"CAST(n_b_gt_a AS DOUBLE) / CAST($B AS DOUBLE) AS p_b_gt_a",
+        s"CAST(loss_a_num AS DOUBLE) / CAST(4294967296 AS DOUBLE)" +
+          s" / CAST($B AS DOUBLE) AS exp_loss_choose_a",
+        s"CAST(loss_b_num AS DOUBLE) / CAST(4294967296 AS DOUBLE)" +
+          s" / CAST($B AS DOUBLE) AS exp_loss_choose_b")
+  }
+
+  val abBayesSql: String =
+    s"""WITH abu AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant, user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1, 2
+       |),
+       |aba AS (
+       |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(conv) AS BIGINT) AS x
+       |  FROM abu GROUP BY variant
+       |),
+       |abd AS (
+       |  SELECT variant, b,
+       |    CAST('0x' || substr(md5('bayes:' || CAST(variant AS VARCHAR)
+       |      || ':' || CAST(b AS VARCHAR) || ':'
+       |      || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS u
+       |  FROM (SELECT variant, user_id, unnest(range(0, 64)) AS b FROM abu)
+       |  UNION ALL
+       |  SELECT variant, b,
+       |    CAST('0x' || substr(md5('bayes0:' || CAST(variant AS VARCHAR)
+       |      || ':' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) AS u
+       |  FROM (SELECT variant, unnest(range(0, 64)) AS b FROM aba)
+       |),
+       |absel AS (
+       |  SELECT variant, b, u FROM (
+       |    SELECT d.variant, d.b, d.u, a.x,
+       |      row_number() OVER (PARTITION BY d.variant, d.b ORDER BY d.u)
+       |        AS rn
+       |    FROM abd d JOIN aba a USING (variant)
+       |  ) WHERE rn = x + 1
+       |),
+       |abrep AS (
+       |  SELECT b, MAX(CASE WHEN variant = 0 THEN u END) AS ua,
+       |    MAX(CASE WHEN variant = 1 THEN u END) AS ub
+       |  FROM absel GROUP BY b
+       |),
+       |absc AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN ub > ua THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b_gt_a,
+       |    CAST(SUM(GREATEST(ua - ub, 0)) AS BIGINT) AS loss_b_num,
+       |    CAST(SUM(GREATEST(ub - ua, 0)) AS BIGINT) AS loss_a_num
+       |  FROM abrep
+       |),
+       |abw AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+       |      AS x_a,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+       |      AS x_b
+       |  FROM aba
+       |)
+       |SELECT n_a, x_a, n_b, x_b,
+       |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       |  CAST(64 AS INTEGER) AS n_draws,
+       |  CAST(n_b_gt_a AS DOUBLE) / CAST(64 AS DOUBLE) AS p_b_gt_a,
+       |  CAST(loss_a_num AS DOUBLE) / CAST(4294967296 AS DOUBLE)
+       |    / CAST(64 AS DOUBLE) AS exp_loss_choose_a,
+       |  CAST(loss_b_num AS DOUBLE) / CAST(4294967296 AS DOUBLE)
+       |    / CAST(64 AS DOUBLE) AS exp_loss_choose_b
+       |FROM abw CROSS JOIN absc""".stripMargin
+
   /** orders_did_lift: difference-in-differences — the workhorse
     * quasi-experimental estimator (Card & Krueger 1994 popularized it)
     * for "did the intervention move the metric beyond the trend both
@@ -2691,6 +2843,7 @@ object Warehouse {
     "orders_abc_analysis" -> abcAnalysis,
     "orders_rfm_segments" -> rfmSegments,
     "stat_bootstrap_ci" -> bootstrapCi,
+    "events_ab_bayes" -> abBayes,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
     "events_ab_sprt" -> abSprt,
@@ -2734,6 +2887,7 @@ object Warehouse {
     "orders_abc_analysis" -> abcAnalysisSql,
     "orders_rfm_segments" -> rfmSegmentsSql,
     "stat_bootstrap_ci" -> bootstrapCiSql,
+    "events_ab_bayes" -> abBayesSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
     "events_ab_sprt" -> abSprtSql,

@@ -25,8 +25,13 @@ class Round11OpsSpec extends SparkSpec {
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .orderBy($"user_id", $"ts", $"event_id")
       .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    // Sort by full-precision Timestamp (compareTo covers nanos), then
+    // event_id — matching the operator's (ts, event_id) ordering so a
+    // future sub-millisecond fixture can't order differently here.
+    val tsOrd: Ordering[java.sql.Timestamp] = (a, b) => a.compareTo(b)
     val byUser = ev.groupBy(_._1).view.mapValues(
-      _.sortBy(e => (e._2.getTime, e._3)).map(_._4).toList)
+      _.sortBy(e => (e._2, e._3))(Ordering.Tuple2(tsOrd, Ordering.Long))
+        .map(_._4).toList)
     val transitions = scala.collection.mutable.Map
       .empty[(String, String), Long].withDefaultValue(0L)
     byUser.foreach { case (_, types) =>
@@ -174,8 +179,11 @@ class Round11OpsSpec extends SparkSpec {
     val ac = members.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val bl = members.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val n = members.length.toLong
+    // Decomposed sum-of-logs form: every qlog2 argument is a single
+    // count <= n, so the reference stays in Long at any corpus size
+    // (product forms n*nck / a*b overflow past n ~ 3e9).
     val iq = ct.map { case ((c, l), nck) =>
-      nck * (qlog2(n * nck) - qlog2(ac(c) * bl(l))) }.sum
+      nck * ((qlog2(n) + qlog2(nck)) - (qlog2(ac(c)) + qlog2(bl(l)))) }.sum
     val hcq = ac.values.map(a => a * (qlog2(n) - qlog2(a))).sum
     val hlq = bl.values.map(b => b * (qlog2(n) - qlog2(b))).sum
     def c2(x: Long): BigInt = BigInt(x) * (x - 1) / 2
