@@ -72,6 +72,118 @@ object Dedup {
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
     minhashSig(spark, dir).orderBy("doc_id")
 
+  /** [[minhashSig]]'s codegen explode/groupBy formulation over an
+    * ARBITRARY document frame (same salted-md5 algorithm, so signature
+    * VALUES are identical to both [[minhashSig]] and the HOF form in
+    * `streaming/NeardupStream.signatures`), carrying `source` through
+    * the aggregate — the derivation [[lshIndexed]] hands to
+    * `sources/Incremental.refresh` (a doc's signature depends on that
+    * doc alone, so per-source partition-incremental recompute is
+    * valid) and applies inline to the probe delta. */
+  private[graft] def sigOf(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    def h(j: Int) = md5(concat(lit(s"$j:"), $"shingle").cast("binary"))
+    docs
+      .withColumn("tokens", split($"text", " "))
+      .filter(size($"tokens") >= 3)
+      .select($"doc_id", $"source", explode(expr(
+        """transform(sequence(0, size(tokens) - 3),
+          |          i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+        .as("shingle"))
+      .groupBy($"doc_id", $"source")
+      .agg(min(h(0)).as("sig0"), min(h(1)).as("sig1"),
+        min(h(2)).as("sig2"), min(h(3)).as("sig3"))
+      .withColumn("band_a", md5(concat($"sig0", $"sig1").cast("binary")))
+      .withColumn("band_b", md5(concat($"sig2", $"sig3").cast("binary")))
+  }
+
+  /** Bump when the signature algorithm changes: invalidates the cached
+    * on-disk index (the algo-version half of the cache key). */
+  val SigIndexVersion: Int = 1
+
+  /** dedup_lsh_indexed: the DAILY-DELTA dedup workflow, served FROM
+    * the partition-incrementally materialized signature index — the
+    * text twin of `embed_ivf_topk_indexed`: new documents (the
+    * MAX(source) feed, standing in for today's crawl) are probed
+    * against the STANDING corpus's band index without ever
+    * recomputing standing signatures. First invocation builds the
+    * index through `sources/Incremental.refresh` under a
+    * (algo-version, corpus-fingerprint) cache key; later invocations
+    * fingerprint the corpus (one linear scan), see the manifest fresh,
+    * and pay only the probe: delta signatures ([[sigOf]], codegen'd)
+    * band-joined into the index, 4-hash Jaccard estimate per
+    * collision, both bands unioned + distinct (the
+    * `streaming/NeardupStream.detect` contract, batch form).
+    * Index == batch rebuild and one-partition refresh cost are proven
+    * in IncrementalIndexSpec; the DuckDB oracle recomputes everything
+    * self-contained, so hash-equality certifies the SERVED pairs.
+    *
+    * At 100 TB: signature maintenance cost ∝ changed source
+    * partitions, never the corpus (the SCALE.md amortization story);
+    * the probe shuffles |delta| signatures against band-bucketed index
+    * rows — the standing corpus is touched only through the index. */
+  def lshIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    // order-independent corpus fingerprint: one bounded 1-row collect
+    // decides cache freshness (the Incremental discipline)
+    val fpRow = docs.agg(
+      expr("bit_xor(xxhash64(doc_id, text, source))").as("fp"),
+      count(lit(1)).as("n")).head()
+    val fp = java.lang.Long.toHexString(fpRow.getLong(0)) + "_" + fpRow.getLong(1)
+    val root = new java.io.File(
+      s"target/graft_sig_cache/v$SigIndexVersion/" +
+        java.net.URLEncoder.encode(dir, "UTF-8") + s"/fp=$fp").getAbsolutePath
+    graft.sources.Incremental.refresh(spark, docs, "source", sigOf,
+      s"$root/index")
+    val index = graft.sources.Incremental.read(spark, s"$root/index")
+    val mx = docs.agg(max($"source").as("ms"))
+    val delta = docs.join(broadcast(mx), $"source" === $"ms").drop("ms")
+    val s = sigOf(delta)
+    val idx = index.join(broadcast(mx), $"source" =!= $"ms").select(
+      $"doc_id".as("dup_of"),
+      $"sig0".as("i0"), $"sig1".as("i1"),
+      $"sig2".as("i2"), $"sig3".as("i3"),
+      $"band_a".as("iba"), $"band_b".as("ibb"))
+    val est = (($"sig0" === $"i0").cast("int") + ($"sig1" === $"i1").cast("int") +
+      ($"sig2" === $"i2").cast("int") + ($"sig3" === $"i3").cast("int")) /
+      lit(4).cast("double")
+    def hit(band: String, ib: String) =
+      s.join(idx, col(band) === col(ib))
+        .select($"doc_id", $"dup_of", est.as("est_jaccard"))
+    hit("band_a", "iba").union(hit("band_b", "ibb"))
+      .distinct()
+      .orderBy($"doc_id", $"dup_of")
+  }
+
+  // lazy: sigSqlCte is declared later in the file (initialization order)
+  lazy val lshIndexedSql: String =
+    s"""WITH $sigSqlCte,
+       |lximx AS (SELECT MAX(source) AS ms FROM documents),
+       |lxisg AS (
+       |  SELECT s.doc_id, d.source, s.sig0, s.sig1, s.sig2, s.sig3,
+       |    s.band_a, s.band_b
+       |  FROM sig s JOIN documents d USING (doc_id)
+       |),
+       |lxid AS (SELECT g.* FROM lxisg g, lximx WHERE g.source = ms),
+       |lxii AS (SELECT g.* FROM lxisg g, lximx WHERE g.source <> ms),
+       |lxip AS (
+       |  SELECT n.doc_id, i.doc_id AS dup_of,
+       |    (CAST(n.sig0 = i.sig0 AS INTEGER) + CAST(n.sig1 = i.sig1 AS INTEGER)
+       |     + CAST(n.sig2 = i.sig2 AS INTEGER)
+       |     + CAST(n.sig3 = i.sig3 AS INTEGER)) / CAST(4 AS DOUBLE)
+       |      AS est_jaccard
+       |  FROM lxid n JOIN lxii i ON n.band_a = i.band_a
+       |  UNION
+       |  SELECT n.doc_id, i.doc_id,
+       |    (CAST(n.sig0 = i.sig0 AS INTEGER) + CAST(n.sig1 = i.sig1 AS INTEGER)
+       |     + CAST(n.sig2 = i.sig2 AS INTEGER)
+       |     + CAST(n.sig3 = i.sig3 AS INTEGER)) / CAST(4 AS DOUBLE)
+       |  FROM lxid n JOIN lxii i ON n.band_b = i.band_b
+       |)
+       |SELECT * FROM lxip${sqlOrderBy(Seq("doc_id", "dup_of"))}""".stripMargin
+
   /** DuckDB twin of [[minhashSig]] as a CTE named `sig`. */
   private[llm] val sigSqlCte: String = {
     def sig(j: Int) =
@@ -1140,6 +1252,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_lsh_preflight" -> lshPreflight,
+    "dedup_lsh_indexed" -> lshIndexed,
     "dedup_url_canonical" -> urlCanonical,
     "dedup_threshold_curve" -> thresholdCurve,
     "dedup_lsh_recall" -> lshRecall,
@@ -1160,6 +1273,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dq_lsh_preflight" -> lshPreflightSql,
+    "dedup_lsh_indexed" -> lshIndexedSql,
     "dedup_url_canonical" -> urlCanonicalSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_lsh_recall" -> lshRecallSql,

@@ -2634,6 +2634,234 @@ object Similarity {
        |  ON a.q_id = t.q_id AND a.m_id = t.true_nn
        |${sqlOrderBy(Seq("t.q_id")).trim}""".stripMargin
 
+  /** NDCG@10 position weights in 1e-9 fixed point — w(r) =
+    * ⌊1e9/log₂(r+1) + 0.5⌋, computed ONCE here in Scala and embedded
+    * as integer literals in BOTH engines' plans, so no runtime libm
+    * log is ever on the comparison path (the qlog2 discipline, but for
+    * a 10-constant table there is nothing to compute at all). */
+  private val ndcgW: Seq[Long] = (1 to 10).map(r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Ideal DCG@10 for graded gains 10,9,…,1 — the per-probe
+    * normalizer, an exact BIGINT constant. */
+  private val ndcgIdcg: Long =
+    (1 to 10).map(i => (11 - i).toLong * ndcgW(i - 1)).sum
+
+  /** embed_ann_ndcg: NDCG@10 audit of the IVF index — the FULL-LIST
+    * companion to [[annMrr]]'s first-relevant-rank readout: MRR only
+    * sees where the single true NN lands, NDCG grades the whole
+    * retrieved ranking against the whole true ranking (Järvelin &
+    * Kekäläinen 2002), so an index that returns the right neighborhood
+    * in the wrong order is separated from one that returns the wrong
+    * neighborhood. Per probe (vec_id < 5): the TRUE top-10 by
+    * brute-force decimal-exact cosine defines graded relevance
+    * rel(m) = 11 − true_rank(m) (0 outside the true 10); the auto-K
+    * cell-restricted top-10 is the retrieved list; DCG accumulates
+    * rel·w(rank) as an exact BIGINT with the fixed-point weight table
+    * [[ndcgW]], and ndcg = DCG/[[ndcgIdcg]] is one final division —
+    * both engines sum the same integers in any order.
+    *
+    * Scale posture: the truth leg is the [[annMrr]] broadcast-probes
+    * one-pass scan (|probes| bounded at 100 TB); the retrieved leg
+    * rides the same Σ|cell|²-bounded cell join as every IVF query;
+    * the DCG rollup is |probes|·10 rows. */
+  def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val wArr = s"array(${ndcgW.mkString("L, ")}L)"
+    val emb = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotSpark("embedding", "embedding")} AS nrm")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"))
+    val truth = emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .selectExpr("q_id", "vec_id AS m_id",
+        s"(${dotSpark("embedding", "q_emb")} / sqrt(nrm * q_nrm)) AS cosine")
+      .withColumn("trn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cosine".desc, $"m_id")))
+      .filter($"trn" <= 10)
+      .select($"q_id", $"m_id", (lit(11) - $"trn").cast("long").as("rel"))
+    val cells = autoKAssign(spark, dir)
+    val qc = q.join(cells.withColumnRenamed("vec_id", "q_id"), "q_id")
+    val approx = qc
+      .join(cells.select($"vec_id".as("m_id"), $"cell"), "cell")
+      .filter($"m_id" =!= $"q_id")
+      .join(emb.select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
+        $"nrm".as("m_nrm")), "m_id")
+      .selectExpr("q_id", "m_id",
+        s"(${dotSpark("m_emb", "q_emb")} / sqrt(m_nrm * q_nrm)) AS cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cosine".desc, $"m_id")))
+      .filter($"rank" <= 10)
+    val scored = approx.join(truth, Seq("q_id", "m_id"), "left")
+      .selectExpr("q_id",
+        "CAST(rel IS NOT NULL AS INT) AS hit",
+        s"COALESCE(rel, 0) * element_at($wArr, CAST(rank AS INT)) AS g")
+      .groupBy($"q_id")
+      .agg(sum($"hit").as("true10_hits"), sum($"g").as("dcg_q"))
+    q.select($"q_id").join(scored, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"true10_hits", lit(0L)).as("true10_hits"),
+        coalesce($"dcg_q", lit(0L)).as("dcg_q"),
+        (coalesce($"dcg_q", lit(0L)).cast("double") /
+          lit(ndcgIdcg).cast("double")).as("ndcg"))
+      .orderBy($"q_id")
+  }
+
+  val annNdcgSql: String = {
+    val wArr = s"[${ndcgW.mkString(", ")}]"
+    s"""WITH $autoKCtes,
+       |nde AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |ndq AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM nde WHERE vec_id < 5
+       |),
+       |ndtruth AS (
+       |  SELECT q_id, m_id, CAST(11 - trn AS BIGINT) AS rel FROM (
+       |    SELECT q.q_id, e.vec_id AS m_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        (${dotDuck("e.embedding", "q.q_emb")}
+       |          / sqrt(e.nrm * q.q_nrm)) DESC, e.vec_id) AS trn
+       |    FROM nde e CROSS JOIN ndq q WHERE e.vec_id <> q.q_id
+       |  ) WHERE trn <= 10
+       |),
+       |ndapx AS (
+       |  SELECT * FROM (
+       |    SELECT q.q_id, m.vec_id AS m_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        (${dotDuck("e.embedding", "q.q_emb")}
+       |          / sqrt(e.nrm * q.q_nrm)) DESC, m.vec_id) AS rank
+       |    FROM ndq q
+       |    JOIN a2 qa ON qa.vec_id = q.q_id
+       |    JOIN a2 m ON m.cell = qa.cell AND m.vec_id <> q.q_id
+       |    JOIN nde e ON e.vec_id = m.vec_id
+       |  ) WHERE rank <= 10
+       |),
+       |ndagg AS (
+       |  SELECT a.q_id,
+       |    CAST(SUM(CAST(t.rel IS NOT NULL AS INTEGER)) AS BIGINT)
+       |      AS true10_hits,
+       |    CAST(SUM(COALESCE(t.rel, 0)
+       |      * ($wArr)[CAST(a.rank AS INTEGER)]) AS BIGINT) AS dcg_q
+       |  FROM ndapx a LEFT JOIN ndtruth t
+       |    ON t.q_id = a.q_id AND t.m_id = a.m_id
+       |  GROUP BY a.q_id
+       |)
+       |SELECT q.q_id,
+       |  COALESCE(g.true10_hits, 0) AS true10_hits,
+       |  COALESCE(g.dcg_q, 0) AS dcg_q,
+       |  CAST(COALESCE(g.dcg_q, 0) AS DOUBLE)
+       |    / CAST($ndcgIdcg AS DOUBLE) AS ndcg
+       |FROM ndq q LEFT JOIN ndagg g ON g.q_id = q.q_id
+       |${sqlOrderBy(Seq("q.q_id")).trim}""".stripMargin
+  }
+
+  /** embed_silhouette: simplified silhouette per label (Hruschka et
+    * al. 2004 — the centroid form of Rousseeuw 1987) — the INTERNAL
+    * cluster-quality readout beside the EXTERNAL ones
+    * (`dedup_cluster_purity`, `dedup_cluster_nmi_ari` need true
+    * labels; silhouette does not): per vector, a = euclidean distance
+    * to its OWN label centroid, b = the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1]; a label whose mean s ≤ 0 is a
+    * cluster the embedding geometry does not actually support. The
+    * full Rousseeuw form is all-pairs (O(N²) — unmaterializable at
+    * corpus scale); the centroid simplification is the standard
+    * linear-cost trade and the one production pipelines run. Centroids
+    * and squared distances are the [[kmeansAssign]] fixed-point-exact
+    * forms (d = ‖v‖² − 2v·c + ‖c‖², every dot decimal-exact, so
+    * d ≥ 0 exactly and sqrt/division are single IEEE ops); per-vector
+    * s is quantized at 1e-9 (the hq discipline) so per-label means are
+    * exact integer sums in both engines.
+    *
+    * Scale posture: THE broadcast-K map-only shape — K centroids
+    * broadcast, one |corpus|·K distance pass, per-vector pivot to
+    * (a, b) with no shuffle wider than the K-cell rollup; output is
+    * |labels| rows. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DecimalDot.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(((sum(floor($"x".cast("double") * 1e12 + 0.5).cast("bigint"))
+        .cast("double") / 1e12) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+      .select($"label".as("c_label"), $"centroid")
+    val dist = emb.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "label", "c_label",
+        s"""(${dotSpark("embedding", "embedding")}
+           | - 2 * ${dotSpark("embedding", "centroid")}
+           | + ${dotSpark("centroid", "centroid")}) AS d""".stripMargin.replace("\n", ""))
+    val ab = dist.groupBy($"vec_id", $"label")
+      .agg(min(when($"c_label" === $"label", $"d")).as("da"),
+        min(when($"c_label" =!= $"label", $"d")).as("db"))
+      .selectExpr("vec_id", "label", "sqrt(da) AS a", "sqrt(db) AS b")
+      .selectExpr("vec_id", "label",
+        "CAST(floor(a * 1e9 + 0.5) AS BIGINT) AS aq",
+        "CAST(floor(b * 1e9 + 0.5) AS BIGINT) AS bq",
+        """CAST(floor(CASE WHEN greatest(a, b) = CAST(0 AS DOUBLE) THEN 0.0
+          |  ELSE (b - a) / greatest(a, b) END * 1e9 + 0.5) AS BIGINT)
+          |  AS sq""".stripMargin.replace("\n", ""))
+    ab.groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum($"aq").cast("double") / 1e9 / count(lit(1))).as("mean_a"),
+        (sum($"bq").cast("double") / 1e9 / count(lit(1))).as("mean_b"),
+        (sum($"sq").cast("double") / 1e9 / count(lit(1)))
+          .as("mean_silhouette"))
+      .orderBy($"label")
+  }
+
+  val silhouetteSql: String = {
+    def dd(x: String, y: String) = dotDuck(x, y)
+    s"""WITH silcent0 AS (
+       |  SELECT label, i,
+       |    CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
+       |      / COUNT(*) AS c
+       |  FROM embeddings, range(1, 65) t(i)
+       |  GROUP BY label, i
+       |),
+       |silcent AS (SELECT label AS c_label, list(c ORDER BY i) AS centroid
+       |            FROM silcent0 GROUP BY label),
+       |sildist AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    (${dd("e.embedding", "e.embedding")}
+       |     - 2 * ${dd("e.embedding", "c.centroid")}
+       |     + ${dd("c.centroid", "c.centroid")}) AS d
+       |  FROM embeddings e, silcent c
+       |),
+       |silab AS (
+       |  SELECT vec_id, label,
+       |    sqrt(MIN(CASE WHEN c_label = label THEN d END)) AS a,
+       |    sqrt(MIN(CASE WHEN c_label <> label THEN d END)) AS b
+       |  FROM sildist GROUP BY vec_id, label
+       |),
+       |silq AS (
+       |  SELECT vec_id, label,
+       |    CAST(floor(a * 1e9 + 0.5) AS BIGINT) AS aq,
+       |    CAST(floor(b * 1e9 + 0.5) AS BIGINT) AS bq,
+       |    CAST(floor(CASE WHEN greatest(a, b) = CAST(0 AS DOUBLE) THEN 0.0
+       |      ELSE (b - a) / greatest(a, b) END * 1e9 + 0.5) AS BIGINT) AS sq
+       |  FROM silab
+       |)
+       |SELECT label, COUNT(*) AS n_vectors,
+       |  CAST(CAST(SUM(aq) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mean_a,
+       |  CAST(CAST(SUM(bq) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mean_b,
+       |  CAST(CAST(SUM(sq) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*)
+       |    AS mean_silhouette
+       |FROM silq GROUP BY label
+       |${sqlOrderBy(Seq("label")).trim}""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * prep step): for every anchor vector, the top-2 most-similar
     * vectors of a DIFFERENT label — the near-miss impostors whose
@@ -3161,6 +3389,8 @@ object Similarity {
     "embed_knn_graph_autok" -> knnGraphAutoK,
     "embed_intrinsic_dim" -> intrinsicDim,
     "embed_ann_mrr" -> annMrr,
+    "embed_ann_ndcg" -> annNdcg,
+    "embed_silhouette" -> silhouette,
     "embed_hard_negatives" -> hardNegatives,
     "embed_triplets" -> triplets,
     "embed_kmeans_assign" -> kmeansAssign,
@@ -3202,6 +3432,8 @@ object Similarity {
     "embed_knn_graph_autok" -> knnGraphAutoKSql,
     "embed_intrinsic_dim" -> intrinsicDimSql,
     "embed_ann_mrr" -> annMrrSql,
+    "embed_ann_ndcg" -> annNdcgSql,
+    "embed_silhouette" -> silhouetteSql,
     "embed_hard_negatives" -> hardNegativesSql,
     "embed_triplets" -> tripletsSql,
     "embed_kmeans_assign" -> kmeansAssignSql,

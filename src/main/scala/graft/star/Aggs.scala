@@ -1550,6 +1550,102 @@ object Aggs {
        |      / (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS z_score
        |FROM r2 CROSS JOIN tot${sqlOrderBy(Seq("source"))}""".stripMargin
 
+  /** stat_kruskal_wallis: Kruskal–Wallis H across ALL sources over
+    * document length — the k-sample completion of the nonparametric
+    * family ([[statMannWhitney]] is the 2-sample member, `stat_anova_f`
+    * the parametric sibling): one omnibus "do the feeds differ in
+    * location AT ALL" answer before per-feed drill-down. Midranks ride
+    * the exact half-unit integer grid [[statMannWhitney]] established
+    * (mr2 = 2·cum< + t + 1), so each group's rank sum R_g = r2_g/2 is
+    * integer-exact; the Σ R_g²/n_g term is quantized per group at
+    * integer resolution (floor(x+0.5) — the statistic's CONTRACT, the
+    * same hq discipline as `stat_tvd_drift`) so the cross-group sum is
+    * an exact BIGINT in BOTH engines and H is bit-identical. Tie
+    * correction C = 1 − Σ(t³−t)/(N³−N) (Kruskal & Wallis 1952 §6);
+    * ε² = H·(N+1)/(N²−1) is the rank effect size.
+    *
+    * Scale posture: identical to [[statMannWhitney]] — raw rows touched
+    * once (value-count pass), the midrank grid is |distinct n_chars|
+    * rows, rank sums are one broadcast-grid join + per-source partials,
+    * and everything downstream is |sources| rows. Past ~2·10⁷ docs the
+    * quantized group terms move to DECIMAL(38,0) (r2² crosses 2⁶³/1e0
+    * headroom); the grid itself goes ε-quantile-sketch at 100 TB as
+    * documented on the 2-sample form. */
+  def statKruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, dir, "documents").select($"source", $"n_chars".as("x"))
+    val grid = v.groupBy($"x").agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", coalesce(sum($"cnt").over(
+        Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("mr2", lit(2) * $"cumb" + $"cnt" + 1)
+    val tot = grid.agg(sum($"cnt").as("n"),
+      sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tsum"))
+    val sc = v.groupBy($"source", $"x").agg(count(lit(1)).as("scnt"))
+    val r2 = sc.join(grid.select($"x", $"mr2"), "x")
+      .groupBy($"source")
+      .agg(sum($"scnt" * $"mr2").as("r2"), sum($"scnt").as("ns"))
+    val terms = r2.agg(
+      sum(floor($"r2".cast("double") * $"r2".cast("double") /
+        (lit(4.0) * $"ns".cast("double")) + 0.5).cast("bigint")).as("sumq"),
+      count(lit(1)).as("k"))
+    val nd = $"n".cast("double")
+    val hRaw = (lit(12.0) / (nd * ($"n" + 1).cast("double"))) *
+      $"sumq".cast("double") - lit(3.0) * ($"n" + 1).cast("double")
+    val tieC = lit(1.0) - $"tsum".cast("double") / (nd * nd * nd - nd)
+    terms.crossJoin(broadcast(tot))
+      .select($"n", $"k", $"tsum", hRaw.as("h_raw"), tieC.as("tie_c"))
+      .select($"n", $"k", $"tsum", $"h_raw", $"tie_c",
+        ($"h_raw" / $"tie_c").as("h_stat"),
+        (($"h_raw" / $"tie_c") * ($"n" + 1).cast("double") /
+          ($"n".cast("double") * $"n".cast("double") - lit(1.0)))
+          .as("epsilon_sq"))
+      .orderBy($"n")
+  }
+
+  val statKruskalWallisSql: String =
+    s"""WITH v AS (SELECT source, n_chars AS x FROM documents),
+       |grid0 AS (SELECT x, COUNT(*) AS cnt FROM v GROUP BY x),
+       |grid AS (
+       |  SELECT x, cnt,
+       |    2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + cnt + 1 AS mr2
+       |  FROM grid0
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+       |  FROM grid
+       |),
+       |sc AS (SELECT source, x, COUNT(*) AS scnt FROM v GROUP BY source, x),
+       |r2 AS (
+       |  SELECT source, CAST(SUM(scnt * mr2) AS BIGINT) AS r2,
+       |    CAST(SUM(scnt) AS BIGINT) AS ns
+       |  FROM sc JOIN grid ON sc.x = grid.x GROUP BY source
+       |),
+       |terms AS (
+       |  SELECT CAST(SUM(CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+       |      / (4.0 * CAST(ns AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS sumq,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM r2
+       |),
+       |kw AS (
+       |  SELECT n, k, tsum,
+       |    (12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))
+       |      * CAST(sumq AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE) AS h_raw,
+       |    1.0 - CAST(tsum AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |         - CAST(n AS DOUBLE)) AS tie_c
+       |  FROM terms CROSS JOIN tot
+       |)
+       |SELECT n, k, tsum, h_raw, tie_c,
+       |  h_raw / tie_c AS h_stat,
+       |  (h_raw / tie_c) * CAST(n + 1 AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0) AS epsilon_sq
+       |FROM kw${sqlOrderBy(Seq("n"))}""".stripMargin
+
   /** Bradley–Terry preference-strength estimation — the pairwise-
     * comparison ranking model behind RLHF preference data (and chess
     * Elo's maximum-likelihood cousin). Contests are derived from the
@@ -2250,6 +2346,7 @@ object Aggs {
     "stat_ks_drift" -> statKsDrift,
     "stat_tvd_drift" -> statTvdDrift,
     "stat_mannwhitney" -> statMannWhitney,
+    "stat_kruskal_wallis" -> statKruskalWallis,
     "stat_bradley_terry" -> statBradleyTerry,
     "stat_theil_sen" -> statTheilSen,
     "orders_kaplan_meier" -> kaplanMeier,
@@ -2297,6 +2394,7 @@ object Aggs {
     "stat_ks_drift" -> statKsDriftSql,
     "stat_tvd_drift" -> statTvdDriftSql,
     "stat_mannwhitney" -> statMannWhitneySql,
+    "stat_kruskal_wallis" -> statKruskalWallisSql,
     "stat_bradley_terry" -> statBradleyTerrySql,
     "stat_theil_sen" -> statTheilSenSql,
     "orders_kaplan_meier" -> kaplanMeierSql,

@@ -491,6 +491,106 @@ object Calendar {
        |FROM hws${sqlOrderBy(Seq("m"))}""".stripMargin
   }
 
+  /** orders_croston: Croston's method (Croston 1972) for INTERMITTENT
+    * demand, per part — the forecaster the smoothing family is missing:
+    * [[ewma]]/[[holtLinear]]/[[holtWinters]] assume a dense series,
+    * but a 20 K-part catalog's per-part monthly demand is mostly
+    * zeros, where plain SES collapses toward 0 between orders.
+    * Croston separates the series into demand SIZES and demand
+    * INTERVALS and smooths each only AT demand points:
+    *   z_t = ⌊(q_t + z)/2⌋,  p_t = ⌊(gap_t + p)/2⌋   (α = 1/2),
+    * forecast per period = z/p, plus the Syntetos–Boylan (2005)
+    * bias-corrected variant (1 − α/2)·z/p = 0.75·z/p. State lives in
+    * 1/1024-unit BIGINT fixed point and every halving is the
+    * [[holtLinear]] fdiv2 exact-floor discipline, so the compounded
+    * per-part state is hash-exact in both engines. Contract: month
+    * index is the dense integer (year−1992)·12 + month; init at a
+    * part's FIRST demand sets z = q₁, p = 1.0 (gaps start informing p
+    * from the second demand on).
+    *
+    * Scale posture: the fact scan collapses map-side to (part, month)
+    * demand rows; the inherently sequential smoothing then runs as the
+    * [[holtLinear]] `aggregate` fold PARTITIONED BY PART — 20 K
+    * independent bounded folds (≤ |months| steps each), i.e. the
+    * "per-segment series would partition the same fold by key" posture
+    * stated there, now demonstrated: per-key state never crosses keys,
+    * so the stage is embarrassingly parallel at any part count. */
+  def croston(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) div 2)"
+    val z2 = fdiv2("e.qq + acc.z")
+    val p2 = fdiv2("(e.idx - acc.prev) * 1024 + acc.p")
+    val demand = Tables(spark, dir, "lineitem")
+      .select($"l_partkey",
+        ((year(to_date($"l_shipdate")) - 1992) * 12 +
+          month(to_date($"l_shipdate"))).cast("long").as("idx"),
+        round($"l_quantity").cast("long").as("q"))
+      .groupBy($"l_partkey", $"idx")
+      .agg((sum($"q") * 1024L).as("qq"))
+    demand
+      .groupBy($"l_partkey")
+      .agg(sort_array(collect_list(struct($"idx", $"qq"))).as("ser"))
+      .selectExpr("l_partkey",
+        s"""aggregate(
+           |  ser,
+           |  named_struct('z', CAST(0 AS BIGINT), 'p', CAST(0 AS BIGINT),
+           |    'prev', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT),
+           |    'init', false),
+           |  (acc, e) -> IF(NOT acc.init,
+           |    named_struct('z', e.qq, 'p', CAST(1024 AS BIGINT),
+           |      'prev', e.idx, 'nd', CAST(1 AS BIGINT), 'init', true),
+           |    named_struct('z', $z2, 'p', $p2,
+           |      'prev', e.idx, 'nd', acc.nd + 1, 'init', true)),
+           |  acc -> acc) AS st""".stripMargin)
+      .select($"l_partkey", $"st.nd".as("n_demands"),
+        $"st.z".as("size_q"), $"st.p".as("interval_q"),
+        ($"st.z".cast("double") / $"st.p".cast("double")).as("croston"),
+        ($"st.z".cast("double") / $"st.p".cast("double") * lit(0.75))
+          .as("sba"))
+      .orderBy($"l_partkey")
+  }
+
+  val crostonSql: String = {
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) // 2)"
+    val z2 = fdiv2("n.qq + cr.z")
+    val p2 = fdiv2("(n.idx - cr.prev) * 1024 + cr.p")
+    s"""WITH RECURSIVE cr_demand AS (
+       |  SELECT l_partkey,
+       |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+       |      AS BIGINT) AS idx,
+       |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+       |      * 1024 AS qq
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |cridx AS (
+       |  SELECT l_partkey, idx, qq,
+       |    row_number() OVER (PARTITION BY l_partkey ORDER BY idx) AS i
+       |  FROM cr_demand
+       |),
+       |cr(l_partkey, i, idx, z, p, prev, nd) AS (
+       |  SELECT l_partkey, i, idx, qq, CAST(1024 AS BIGINT), idx,
+       |    CAST(1 AS BIGINT)
+       |  FROM cridx WHERE i = 1
+       |  UNION ALL
+       |  SELECT n.l_partkey, n.i, n.idx,
+       |    $z2,
+       |    $p2,
+       |    n.idx,
+       |    cr.nd + 1
+       |  FROM cr JOIN cridx n
+       |    ON n.l_partkey = cr.l_partkey AND n.i = cr.i + 1
+       |),
+       |crlast AS (
+       |  SELECT l_partkey, z, p, nd,
+       |    row_number() OVER (PARTITION BY l_partkey ORDER BY i DESC) AS rn
+       |  FROM cr
+       |)
+       |SELECT l_partkey, nd AS n_demands, z AS size_q, p AS interval_q,
+       |  CAST(z AS DOUBLE) / CAST(p AS DOUBLE) AS croston,
+       |  CAST(z AS DOUBLE) / CAST(p AS DOUBLE) * 0.75 AS sba
+       |FROM crlast WHERE rn = 1${sqlOrderBy(Seq("l_partkey"))}""".stripMargin
+  }
+
   /** orders_seasonal_decompose: the classical additive decomposition
     * (Persons 1919; the `decompose()` every stats stack ships) of the
     * monthly revenue series — observed = trend + seasonal + residual —
@@ -1014,6 +1114,7 @@ object Calendar {
     "orders_changepoint" -> changepoint,
     "orders_ewma" -> ewma,
     "orders_holt_linear" -> holtLinear,
+    "orders_croston" -> croston,
     "orders_seasonal_decompose" -> seasonalDecompose,
     "orders_seasonal_anomaly" -> seasonalAnomaly,
     "orders_seasonal_index" -> seasonalIndex,
@@ -1030,6 +1131,7 @@ object Calendar {
     "orders_holt_winters" -> holtWintersSql,
     "orders_ewma" -> ewmaSql,
     "orders_holt_linear" -> holtLinearSql,
+    "orders_croston" -> crostonSql,
     "orders_seasonal_decompose" -> seasonalDecomposeSql,
     "orders_seasonal_anomaly" -> seasonalAnomalySql,
     "orders_seasonal_index" -> seasonalIndexSql,

@@ -251,6 +251,23 @@ object ScaleRehearsal {
       graft.llm.Similarity.intrinsicDim(spark, dir))
     stage("media_phash_clusters")(
       graft.multimodal.Media.phashClusters(spark, dir))
+    // round 12: the checkpointed HITS iteration (the row r11 owed),
+    // seeded PPR (same chassis), the LSH pre-flight gate (strictly
+    // cheaper than the first dedup shuffle it prices), the coarse
+    // semdedup contract (the linear-output fallback for the regime
+    // that killed pairwise banding at ×100 — THE row that proves it),
+    // the delta-probe served from the incremental signature index,
+    // and the two embedding audits (broadcast-K map pass + bounded
+    // probe legs)
+    stage("graph_hits_bipartite")(
+      graft.llm.Cluster.hitsBipartite(spark, dir))
+    stage("graph_ppr_seeded")(graft.llm.Cluster.pprSeeded(spark, dir))
+    stage("dq_lsh_preflight")(graft.llm.Dedup.lshPreflight(spark, dir))
+    stage("media_phash_semdedup")(
+      graft.multimodal.Media.phashSemDedup(spark, dir))
+    stage("dedup_lsh_indexed")(graft.llm.Dedup.lshIndexed(spark, dir))
+    stage("embed_silhouette")(graft.llm.Similarity.silhouette(spark, dir))
+    stage("embed_ann_ndcg")(graft.llm.Similarity.annNdcg(spark, dir))
     spark.stop()
   }
 }

@@ -1,0 +1,304 @@
+package graft.star
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Local-reference checks for the round-12 operators — the
+  * Round10/11OpsSpec discipline: tiny-scale inputs are collected and
+  * the statistic recomputed with straight-line Scala (BigInt/Long
+  * where the operator claims exactness), then compared to the
+  * distributed result, giving a THIRD derivation beside the Spark
+  * plan and the DuckDB oracle. */
+class Round12OpsSpec extends SparkSpec {
+
+  /** Local twin of functions.DecimalDot: floor(x·y·1e14 + 0.5) exact
+    * BIGINT term sum, one final division. */
+  private def decDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) {
+      s += math.floor(a(i).toDouble * b(i).toDouble * 1e14 + 0.5).toLong
+      i += 1
+    }
+    s.toDouble / 1e14
+  }
+
+  test("stat_kruskal_wallis matches a local exact midrank recompute") {
+    import spark.implicits._
+    val v = graft.Tables(spark, sf0001, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    // exact half-unit midranks on the value grid
+    val grid = v.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val xs = grid.keys.toSeq.sorted
+    val cum = xs.scanLeft(0L)((acc, x) => acc + grid(x))
+    val mr2 = xs.zip(cum).map { case (x, below) =>
+      x -> (2L * below + grid(x) + 1L) }.toMap
+    val n = v.length.toLong
+    val tsum = grid.values.map(t => t * t * t - t).sum
+    val groups = v.groupBy(_._1)
+    val sumq = groups.values.map { rows =>
+      val r2 = rows.map(r => mr2(r._2)).sum
+      val ns = rows.size.toLong
+      math.floor(r2.toDouble * r2.toDouble / (4.0 * ns.toDouble) + 0.5).toLong
+    }.sum
+    val hRaw = 12.0 / (n.toDouble * (n + 1).toDouble) * sumq.toDouble -
+      3.0 * (n + 1).toDouble
+    val nd = n.toDouble
+    val tieC = 1.0 - tsum.toDouble / (nd * nd * nd - nd)
+    val got = Aggs.statKruskalWallis(spark, sf0001)
+      .select($"n", $"k", $"tsum", $"h_stat", $"epsilon_sq")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got._1 == n && got._2 == groups.size.toLong && got._3 == tsum)
+    assert(got._4 == hRaw / tieC, s"H ${got._4} != ${hRaw / tieC}")
+    assert(got._5 == (hRaw / tieC) * (n + 1).toDouble / (nd * nd - 1.0))
+    // omnibus sanity: H of a k-sample test is non-negative up to the
+    // integer-resolution quantization of the group terms
+    assert(got._4 > -1e-6)
+  }
+
+  test("orders_croston matches a local per-part fdiv2 fold replay") {
+    import spark.implicits._
+    val demand = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_partkey",
+        ((year(to_date($"l_shipdate")) - 1992) * 12 +
+          month(to_date($"l_shipdate"))).cast("long").as("idx"),
+        round($"l_quantity").cast("long").as("q"))
+      .groupBy($"l_partkey", $"idx")
+      .agg((sum($"q") * 1024L).as("qq"))
+      .as[(Long, Long, Long)].collect()
+    def fdiv2(a: Long): Long = { val e = a - ((a % 2 + 2) % 2); e / 2 }
+    val expected = demand.groupBy(_._1).view.mapValues { rows =>
+      val ser = rows.sortBy(_._2)
+      var z = 0L; var p = 0L; var prev = 0L; var nd = 0L; var init = false
+      ser.foreach { case (_, idx, qq) =>
+        if (!init) { z = qq; p = 1024L; prev = idx; nd = 1; init = true }
+        else {
+          z = fdiv2(qq + z)
+          p = fdiv2((idx - prev) * 1024L + p)
+          prev = idx; nd += 1
+        }
+      }
+      (nd, z, p)
+    }.toMap
+    val got = Calendar.croston(spark, sf0001)
+      .select($"l_partkey", $"n_demands", $"size_q", $"interval_q", $"croston")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (pk, nd, zq, pq, f) =>
+      val (end, ez, ep) = expected(pk)
+      assert(nd == end && zq == ez && pq == ep,
+        s"part $pk: ($nd,$zq,$pq) != ($end,$ez,$ep)")
+      assert(f == zq.toDouble / pq.toDouble)
+      assert(pq >= 1024L, s"part $pk: smoothed interval below 1 period")
+    }
+  }
+
+  test("embed_silhouette matches a local fixed-point recompute; scores bounded") {
+    import spark.implicits._
+    val vecs = graft.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    // centroids: the kmeansAssign fixed-point mean per dimension
+    val cent = vecs.groupBy(_._2).view.mapValues { rows =>
+      val dim = rows.head._3.length
+      Array.tabulate(dim) { d =>
+        val s = rows.map(r =>
+          math.floor(r._3(d).toDouble * 1e12 + 0.5).toLong).sum
+        (s.toDouble / 1e12 / rows.size).toFloat
+      }
+    }.toMap
+    // NOTE: the operator's centroid array is ARRAY<DOUBLE>; replicate
+    // the decimal_dot over (float vec, double centroid) exactly
+    def decDotFD(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        s += math.floor(a(i).toDouble * b(i) * 1e14 + 0.5).toLong; i += 1
+      }
+      s.toDouble / 1e14
+    }
+    val centD = vecs.groupBy(_._2).view.mapValues { rows =>
+      val dim = rows.head._3.length
+      Array.tabulate(dim) { d =>
+        val s = rows.map(r =>
+          math.floor(r._3(d).toDouble * 1e12 + 0.5).toLong).sum
+        s.toDouble / 1e12 / rows.size
+      }
+    }.toMap
+    def dotDD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        s += math.floor(a(i) * b(i) * 1e14 + 0.5).toLong; i += 1
+      }
+      s.toDouble / 1e14
+    }
+    val labels = centD.keys.toSeq.sorted
+    val perLabel = vecs.groupBy(_._2).view.mapValues { rows =>
+      val qs = rows.map { case (_, lab, e) =>
+        def d(c: Array[Double]): Double =
+          decDot(e, e) - 2 * decDotFD(e, c) + dotDD(c, c)
+        val a = math.sqrt(d(centD(lab)))
+        val b = math.sqrt(labels.filter(_ != lab).map(l => d(centD(l))).min)
+        val s = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+        (math.floor(a * 1e9 + 0.5).toLong, math.floor(b * 1e9 + 0.5).toLong,
+          math.floor(s * 1e9 + 0.5).toLong)
+      }
+      val nv = rows.size.toLong
+      (nv, qs.map(_._1).sum.toDouble / 1e9 / nv,
+        qs.map(_._2).sum.toDouble / 1e9 / nv,
+        qs.map(_._3).sum.toDouble / 1e9 / nv)
+    }.toMap
+    val got = graft.llm.Similarity.silhouette(spark, sf0001)
+      .select($"label", $"n_vectors", $"mean_a", $"mean_b",
+        $"mean_silhouette")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == labels)
+    got.foreach { case (lab, nv, ma, mb, ms) =>
+      val (en, ea, eb, es) = perLabel(lab)
+      assert(nv == en)
+      assert(ma == ea && mb == eb && ms == es,
+        s"label $lab: ($ma,$mb,$ms) != ($ea,$eb,$es)")
+      assert(ms >= -1.0 - 1e-9 && ms <= 1.0 + 1e-9)
+    }
+    assert(cent.nonEmpty) // silence unused warning path
+  }
+
+  test("embed_ann_ndcg matches a local DCG over the engine's cells; ndcg in [0,1]") {
+    import spark.implicits._
+    val vecs = graft.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val cells = graft.llm.Similarity.autoKAssign(spark, sf0001)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val w = (1 to 10).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+    val idcg = (1 to 10).map(i => (11 - i).toLong * w(i - 1)).sum
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      decDot(a, b) / math.sqrt(decDot(a, a) * decDot(b, b))
+    val probes = vecs.keys.filter(_ < 5).toSeq.sorted
+    val expected = probes.map { q =>
+      val qe = vecs(q)
+      def rank(ids: Iterable[Long]): Seq[Long] =
+        ids.toSeq.map(m => (m, cos(vecs(m), qe)))
+          .sortBy { case (m, c) => (-c, m) }.map(_._1).take(10)
+      val truth = rank(vecs.keys.filter(_ != q))
+      val rel = truth.zipWithIndex.map { case (m, i) => m -> (10L - i) }.toMap
+      val approx = rank(cells.collect {
+        case (m, c) if m != q && c == cells(q) => m })
+      val dcg = approx.zipWithIndex.map { case (m, i) =>
+        rel.getOrElse(m, 0L) * w(i) }.sum
+      val hits = approx.count(rel.contains)
+      q -> (hits.toLong, dcg, dcg.toDouble / idcg.toDouble)
+    }.toMap
+    val got = graft.llm.Similarity.annNdcg(spark, sf0001)
+      .select($"q_id", $"true10_hits", $"dcg_q", $"ndcg")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == probes)
+    got.foreach { case (q, hits, dcg, ndcg) =>
+      val (eh, ed, en) = expected(q)
+      assert(hits == eh && dcg == ed && ndcg == en,
+        s"q$q: ($hits,$dcg,$ndcg) != ($eh,$ed,$en)")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12)
+    }
+  }
+
+  test("events_ab_bayes matches a local order-statistic replay") {
+    import spark.implicits._
+    val users = graft.Tables(spark, sf0001, "events")
+      .select(($"user_id" % 2).cast("int").as("variant"), $"user_id",
+        ($"event_type" === "purchase").cast("int").as("is_p"))
+      .groupBy($"variant", $"user_id").agg(max($"is_p").as("conv"))
+      .as[(Int, Long, Int)].collect()
+    def u32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val byArm = users.groupBy(_._1)
+    val arms = byArm.view.mapValues { rows =>
+      (rows.size.toLong, rows.map(_._3.toLong).sum) }.toMap
+    val draws = (0 until 2).map { variant =>
+      val (_, x) = arms(variant)
+      variant -> (0 until 64).map { b =>
+        val us = byArm(variant).map(r =>
+          u32(s"bayes:$variant:$b:${r._2}")) :+ u32(s"bayes0:$variant:$b")
+        us.sorted.apply(x.toInt) // (x+1)-th smallest, 0-indexed
+      }
+    }.toMap
+    var nBgtA = 0L; var lossA = 0L; var lossB = 0L
+    (0 until 64).foreach { b =>
+      val ua = draws(0)(b); val ub = draws(1)(b)
+      if (ub > ua) nBgtA += 1
+      lossA += math.max(ub - ua, 0L)
+      lossB += math.max(ua - ub, 0L)
+    }
+    val got = Warehouse.abBayes(spark, sf0001)
+      .select($"n_a", $"x_a", $"n_b", $"x_b", $"p_b_gt_a",
+        $"exp_loss_choose_a", $"exp_loss_choose_b")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(got._1 == arms(0)._1 && got._2 == arms(0)._2)
+    assert(got._3 == arms(1)._1 && got._4 == arms(1)._2)
+    assert(got._5 == nBgtA.toDouble / 64.0,
+      s"p_b_gt_a ${got._5} != ${nBgtA.toDouble / 64.0}")
+    assert(got._6 == lossA.toDouble / 4294967296.0 / 64.0)
+    assert(got._7 == lossB.toDouble / 4294967296.0 / 64.0)
+  }
+
+  test("dq_lsh_preflight counts match local histograms of the band frames") {
+    import spark.implicits._
+    val sig = graft.llm.Dedup.minhashSig(spark, sf0001)
+      .select($"band_a", $"band_b").as[(String, String)].collect()
+    def stats(keys: Seq[String]): (Long, Long, Long, Long, Long) = {
+      val h = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (keys.size.toLong, h.size.toLong, h.values.max,
+        h.values.map(c => c * c).sum, h.values.map(c => c * (c - 1) / 2).sum)
+    }
+    val expA = stats(sig.map(_._1).toSeq)
+    val expB = stats(sig.map(_._2).toSeq)
+    val got = graft.llm.Dedup.lshPreflight(spark, sf0001)
+      .select($"family", $"band", $"n_keys", $"n_buckets", $"max_bucket",
+        $"sum_sq", $"cand_pairs")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val text = got.filter(_._1 == "text_minhash").map(r =>
+      r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(text("band_a") == expA, s"${text("band_a")} != $expA")
+    assert(text("band_b") == expB)
+    // media side: 4 bands over the distinct-hash frame; every band
+    // must account for the same key population
+    val media = got.filter(_._1 == "media_phash")
+    assert(media.length == 4)
+    assert(media.map(_._3).distinct.length == 1,
+      "all phash bands must see the same distinct-hash population")
+    // the gate's headline invariant: predicted candidate pairs are
+    // exactly Σ C(|bucket|, 2), never an estimate
+    got.foreach { r => assert(r._7 >= 0 && r._6 >= r._3) }
+  }
+
+  test("dedup_lsh_indexed equals a self-contained delta band probe") {
+    import spark.implicits._
+    val sig = graft.llm.Dedup.minhashSig(spark, sf0001)
+      .join(graft.Tables(spark, sf0001, "documents")
+        .select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", $"sig0", $"sig1", $"sig2", $"sig3",
+        $"band_a", $"band_b")
+      .as[(Long, String, String, String, String, String, String, String)]
+      .collect()
+    val ms = sig.map(_._2).max
+    val delta = sig.filter(_._2 == ms)
+    val standing = sig.filter(_._2 != ms)
+    val expected = (for {
+      n <- delta
+      i <- standing
+      if n._7 == i._7 || n._8 == i._8
+    } yield {
+      val est = (Seq(n._3 == i._3, n._4 == i._4, n._5 == i._5,
+        n._6 == i._6).count(identity)) / 4.0
+      (n._1, i._1, est)
+    }).toSet
+    val got = graft.llm.Dedup.lshIndexed(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"${got.size} pairs vs expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture must produce cross-feed collisions")
+  }
+}
