@@ -1148,6 +1148,151 @@ object Media {
        |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
   }
 
+  /** Per-clip audio fingerprint record ([[wavFingerprintQuery]]). */
+  case class WavFp(doc_id: Long, fp: Long)
+
+  /** media_wav_fingerprint: Haitsma–Kalker-style audio fingerprinting
+    * + exact-fingerprint dedup families — the AUDIO twin of the
+    * image-dedup chain ([[phashQuery]] → families): the classic
+    * fingerprint bit (Haitsma & Kalker 2002, "A highly robust audio
+    * fingerprint system") is the SIGN of the energy difference across
+    * adjacent frequency bands AND adjacent time frames,
+    * F(f,b) = [(E(f,b) − E(f,b+1)) − (E(f−1,b) − E(f−1,b+1)) > 0].
+    * Here the time axis is 8 frames of 32 samples (the first 256 PCM
+    * samples of each REAL decoded WAV) and the band axis is the
+    * 5-level unnormalized integer Haar subband energies of each frame
+    * (the [[wavHaarQuery]] kernel, per frame instead of per clip) —
+    * 7×4 = 28 sign bits packed into one BIGINT. Every energy is an
+    * exact integer (|level-5 coef| ≤ 32·32768 = 2²⁰, frame energy
+    * ≤ 2⁴⁴), the bit rule is a strict integer comparison, so the
+    * fingerprint is bit-identical across engines and parallelism —
+    * and clips sharing it collapse to a min-doc family exactly like
+    * [[phashSemDedup]]'s identical-hash contraction (Hamming-near
+    * matching over the 28 bits would ride the same band-LSH chassis
+    * as phash; the exact tier is the registered contract).
+    *
+    * The oracle resynthesizes all 256 samples relationally, unrolls
+    * the 5 per-frame halving rounds as CTEs, pivots the subband
+    * energies, and reassembles the 28-bit word with shift arithmetic —
+    * writer, JDK decoder, wavelet kernel, and bit packer must agree on
+    * every sample for the hash to match.
+    *
+    * Scale posture: map-only `mapPartitions` over the binary lake
+    * (constant work per clip) + one fingerprint groupBy (map-side
+    * combined) + one equi-join to label members — the exact-dedup
+    * shape, linear at any corpus size. */
+  def wavFingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = spark.read.parquet(writeWavs(spark, dir)).as[MediaFile]
+      .mapPartitions { batch =>
+        batch.map { m =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try {
+            val bytes = ais.readNBytes(512) // first 256 16-bit samples
+            // per-frame 5-level Haar detail energies: e(f)(lvl-1)
+            val e = Array.ofDim[Long](8, 5)
+            var f = 0
+            while (f < 8) {
+              var cur = new Array[Long](32)
+              var i = 0
+              while (i < 32) {
+                val s = 32 * f + i
+                cur(i) =
+                  ((bytes(2 * s + 1) << 8) | (bytes(2 * s) & 0xff)).toLong
+                i += 1
+              }
+              var lvl = 0
+              while (lvl < 5) {
+                val half = cur.length / 2
+                val nxt = new Array[Long](half)
+                var j = 0; var en = 0L
+                while (j < half) {
+                  val d = cur(2 * j) - cur(2 * j + 1)
+                  nxt(j) = cur(2 * j) + cur(2 * j + 1)
+                  en += d * d
+                  j += 1
+                }
+                e(f)(lvl) = en; cur = nxt; lvl += 1
+              }
+              f += 1
+            }
+            var fp = 0L
+            f = 1
+            while (f < 8) {
+              var b = 0
+              while (b < 4) {
+                val diff = (e(f)(b) - e(f)(b + 1)) -
+                  (e(f - 1)(b) - e(f - 1)(b + 1))
+                if (diff > 0) fp |= 1L << ((f - 1) * 4 + b)
+                b += 1
+              }
+              f += 1
+            }
+            WavFp(m.doc_id, fp)
+          } finally ais.close()
+        }
+      }.toDF()
+    val fam = fps.groupBy($"fp")
+      .agg(min($"doc_id").as("family"), count(lit(1)).as("n_copies"))
+    fps.join(fam, "fp")
+      .select($"doc_id", $"fp", $"family", $"n_copies",
+        ($"doc_id" === $"family").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  val wavFingerprintSql: String = {
+    val levels = (1 to 5).map { k =>
+      val prev = if (k == 1) "wfl0" else s"wfl${k - 1}"
+      s"""wfl$k AS (
+         |  SELECT doc_id, f, j // 2 AS j, SUM(a) AS a,
+         |    SUM(CASE WHEN j % 2 = 0 THEN a ELSE -a END) AS d
+         |  FROM $prev GROUP BY doc_id, f, j // 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    val energies = (1 to 5).map { k =>
+      s"""wfe$k AS (SELECT doc_id, f, CAST(SUM(d * d) AS BIGINT) AS e$k
+         |  FROM wfl$k GROUP BY doc_id, f)""".stripMargin
+    }.mkString(",\n")
+    val nibble = (1 to 4).map { b =>
+      s"""CASE WHEN (c.e$b - c.e${b + 1}) - (p.e$b - p.e${b + 1}) > 0
+         | THEN ${1 << (b - 1)} ELSE 0 END""".stripMargin.replace("\n", "")
+    }.mkString(" + ")
+    s"""WITH wfs AS (
+       |  SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
+       |),
+       |wfl0 AS (
+       |  SELECT doc_id, i // 32 AS f, i % 32 AS j,
+       |    CAST(((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS BIGINT)
+       |      AS a
+       |  FROM wfs
+       |),
+       |$levels,
+       |$energies,
+       |wfee AS (
+       |  SELECT wfe1.doc_id, wfe1.f, e1, e2, e3, e4, e5
+       |  FROM wfe1
+       |  JOIN wfe2 USING (doc_id, f) JOIN wfe3 USING (doc_id, f)
+       |  JOIN wfe4 USING (doc_id, f) JOIN wfe5 USING (doc_id, f)
+       |),
+       |wffp AS (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(($nibble)
+       |      * (CAST(1 AS BIGINT) << (4 * (c.f - 1)))) AS BIGINT) AS fp
+       |  FROM wfee c JOIN wfee p ON p.doc_id = c.doc_id AND p.f = c.f - 1
+       |  GROUP BY c.doc_id
+       |),
+       |wffam AS (
+       |  SELECT fp, MIN(doc_id) AS family,
+       |    CAST(COUNT(*) AS BIGINT) AS n_copies
+       |  FROM wffp GROUP BY fp
+       |)
+       |SELECT w.doc_id, w.fp, m.family, m.n_copies,
+       |  w.doc_id = m.family AS is_keeper
+       |FROM wffp w JOIN wffam m USING (fp)
+       |${sqlOrderBy(Seq("w.doc_id")).trim}""".stripMargin
+  }
+
   /** Resized-image feature record ([[resizeQuery]]). */
   case class MediaResize(
     doc_id: Long,
@@ -1364,6 +1509,7 @@ object Media {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_channel_stats" -> channelStatsQuery,
     "media_wav_haar" -> wavHaarQuery,
+    "media_wav_fingerprint" -> wavFingerprintQuery,
     "media_resize" -> resizeQuery,
     "media_wav_resample" -> wavResampleQuery,
     "media_wav_meta" -> wavMetaQuery,
@@ -1380,6 +1526,7 @@ object Media {
   val oracles: Map[String, String] = Map(
     "media_channel_stats" -> channelStatsQuerySql,
     "media_wav_haar" -> wavHaarQuerySql,
+    "media_wav_fingerprint" -> wavFingerprintSql,
     "media_resize" -> resizeQuerySql,
     "media_wav_resample" -> wavResampleQuerySql,
     "media_wav_meta" -> wavMetaQuerySql,

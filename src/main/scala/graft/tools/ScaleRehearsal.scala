@@ -88,6 +88,27 @@ object ScaleRehearsal {
         ($"user_id" + $"k" * 10000000L).as("user_id"),
         $"event_type", $"value", $"props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // orders/lineitem (round 12): each copy is an independent customer/
+    // part population — order keys offset in lockstep across the two
+    // tables so the orders⋈lineitem join stays exact, so the bipartite
+    // purchase graph (graph_hits_bipartite) and the per-part demand
+    // series (orders_croston) grow as `copies` DISJOINT instances:
+    // edge volume and part count scale linearly while per-part series
+    // length and the score-vector iteration structure stay fixed —
+    // exactly the claim those operators make
+    spark.read.parquet(s"$srcDir/orders.parquet")
+      .select($"*", k)
+      .withColumn("o_orderkey", $"o_orderkey" + $"k" * 1000000000L)
+      .withColumn("o_custkey", $"o_custkey" + $"k" * 100000000L)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .select($"*", k)
+      .withColumn("l_orderkey", $"l_orderkey" + $"k" * 1000000000L)
+      .withColumn("l_partkey", $"l_partkey" + $"k" * 100000000L)
+      .withColumn("l_suppkey", $"l_suppkey" + $"k" * 100000000L)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val nEvts = spark.read.parquet(s"$dir/events.parquet").count()
@@ -268,6 +289,11 @@ object ScaleRehearsal {
     stage("dedup_lsh_indexed")(graft.llm.Dedup.lshIndexed(spark, dir))
     stage("embed_silhouette")(graft.llm.Similarity.silhouette(spark, dir))
     stage("embed_ann_ndcg")(graft.llm.Similarity.annNdcg(spark, dir))
+    stage("media_wav_fingerprint")(
+      graft.multimodal.Media.wavFingerprintQuery(spark, dir))
+    stage("orders_croston")(graft.star.Calendar.croston(spark, dir))
+    stage("stat_kruskal_wallis")(
+      graft.star.Aggs.statKruskalWallis(spark, dir))
     spark.stop()
   }
 }

@@ -274,6 +274,53 @@ class Round12OpsSpec extends SparkSpec {
     got.foreach { r => assert(r._7 >= 0 && r._6 >= r._3) }
   }
 
+  test("media_wav_fingerprint matches a local replay of the waveform rule") {
+    import spark.implicits._
+    // the fixture's generation rule (proven decoder-equal by
+    // media_wav_haar): sample(doc, i) = ((doc*2654435761 + i*40503)
+    // % 65536) - 32768 — fingerprint recomputed from it directly,
+    // giving writer → JDK decoder → per-frame Haar → bit packing a
+    // straight-line third derivation
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select($"doc_id").as[Long].collect()
+    def localFp(doc: Long): Long = {
+      val e = Array.ofDim[Long](8, 5)
+      for (f <- 0 until 8) {
+        var cur = Array.tabulate(32) { j =>
+          val i = 32L * f + j
+          ((doc * 2654435761L + i * 40503L) % 65536L) - 32768L
+        }
+        for (lvl <- 0 until 5) {
+          val half = cur.length / 2
+          val nxt = new Array[Long](half)
+          var en = 0L
+          for (j <- 0 until half) {
+            val d = cur(2 * j) - cur(2 * j + 1)
+            nxt(j) = cur(2 * j) + cur(2 * j + 1)
+            en += d * d
+          }
+          e(f)(lvl) = en; cur = nxt
+        }
+      }
+      var fp = 0L
+      for (f <- 1 until 8; b <- 0 until 4)
+        if ((e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1)) > 0)
+          fp |= 1L << ((f - 1) * 4 + b)
+      fp
+    }
+    val expected = docs.map(d => d -> localFp(d)).toMap
+    val fams = expected.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    val got = graft.multimodal.Media.wavFingerprintQuery(spark, sf0001)
+      .select($"doc_id", $"fp", $"family", $"is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (d, fp, fam, keep) =>
+      assert(fp == expected(d), s"doc $d: fp $fp != ${expected(d)}")
+      assert(fam == fams(fp))
+      assert(keep == (d == fam))
+    }
+  }
+
   test("dedup_lsh_indexed equals a self-contained delta band probe") {
     import spark.implicits._
     val sig = graft.llm.Dedup.minhashSig(spark, sf0001)
