@@ -1646,6 +1646,122 @@ object Aggs {
        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0) AS epsilon_sq
        |FROM kw${sqlOrderBy(Seq("n"))}""".stripMargin
 
+  /** stat_friedman: Friedman's blocked rank test (Friedman 1937) +
+    * Kendall's W concordance — the WITHIN-BLOCK companion to
+    * [[statKruskalWallis]]: KW pools all observations into one rank
+    * pool (and a month-scale revenue shift would swamp a priority
+    * effect); Friedman ranks the k = |order priorities| treatments
+    * INSIDE each month block, so only the within-month ordering
+    * matters — "does some priority class consistently out-earn the
+    * others, month after month". Cells are exact integer-cent revenue
+    * sums on the dense month×priority grid (missing cells are zero
+    * revenue — a stated deterministic contract, and zeros tie, which
+    * is why the tie-corrected form is the only honest one); within-
+    * block midranks ride the exact half-unit grid (mr2 = 2·cum< + t
+    * + 1, per block). Conover's tie-corrected statistic clears to
+    * pure integers in half-units:
+    *   χ²_F = (k−1)·Σ_j (R2_j − n(k+1))² / (A4 − n·k·(k+1)²),
+    * where R2_j = Σ mr2 over blocks and A4 = Σ mr2² — numerator and
+    * denominator are exact BIGINTs in both engines; the statistic and
+    * Kendall's W = χ²_F / (n(k−1)) are each one final IEEE division.
+    *
+    * Scale posture: the fact scan collapses map-side to the
+    * |months|·k cell grid; ranking is a per-block window over k rows;
+    * everything after is k rows + one scalar. At any fact volume the
+    * post-scan cost is the bounded grid — the benign bounded-window
+    * class. */
+  def statFriedman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells0 = Tables(spark, dir, "orders")
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"),
+        $"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m", $"prio").agg(sum($"cents").as("rev"))
+    val months = cells0.select($"m").distinct()
+    val prios = cells0.select($"prio").distinct()
+    val cells = months.crossJoin(prios)
+      .join(cells0, Seq("m", "prio"), "left")
+      .select($"m", $"prio", coalesce($"rev", lit(0L)).as("rev"))
+    val vc = cells.groupBy($"m", $"rev").agg(count(lit(1)).as("t"))
+      .withColumn("cumb", coalesce(sum($"t").over(
+        Window.partitionBy($"m").orderBy($"rev")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("mr2", lit(2) * $"cumb" + $"t" + 1)
+    val ranked = cells.join(vc.select($"m", $"rev", $"mr2"), Seq("m", "rev"))
+    val tot = ranked.agg(
+      sum($"mr2" * $"mr2").as("a4"),
+      countDistinct($"m").as("n"),
+      countDistinct($"prio").as("k"))
+    val rj = ranked.groupBy($"prio").agg(sum($"mr2").as("r2"))
+    val dev = rj.crossJoin(broadcast(tot))
+      .select((($"r2" - $"n" * ($"k" + 1)) *
+        ($"r2" - $"n" * ($"k" + 1))).as("d2"), $"a4", $"n", $"k")
+      .groupBy($"a4", $"n", $"k").agg(sum($"d2").as("sdev"))
+    dev.select($"n".as("n_blocks"), $"k",
+      (($"k" - 1) * $"sdev").as("chi2_num"),
+      ($"a4" - $"n" * $"k" * ($"k" + 1) * ($"k" + 1)).as("chi2_den"))
+      .select($"n_blocks", $"k", $"chi2_num", $"chi2_den",
+        ($"chi2_num".cast("double") / $"chi2_den".cast("double"))
+          .as("chi2_f"),
+        (($"chi2_num".cast("double") / $"chi2_den".cast("double")) /
+          ($"n_blocks" * ($"k" - 1)).cast("double")).as("kendalls_w"))
+      .orderBy($"n_blocks")
+  }
+
+  val statFriedmanSql: String =
+    s"""WITH fcell0 AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    o_orderpriority AS prio,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1, 2
+       |),
+       |fcells AS (
+       |  SELECT g.m, g.prio, COALESCE(c.rev, 0) AS rev
+       |  FROM (SELECT m, prio
+       |        FROM (SELECT DISTINCT m FROM fcell0)
+       |        CROSS JOIN (SELECT DISTINCT prio FROM fcell0)) g
+       |  LEFT JOIN fcell0 c ON c.m = g.m AND c.prio = g.prio
+       |),
+       |fvc AS (
+       |  SELECT m, rev, t,
+       |    2 * COALESCE(CAST(SUM(t) OVER (PARTITION BY m ORDER BY rev
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      + t + 1 AS mr2
+       |  FROM (SELECT m, rev, CAST(COUNT(*) AS BIGINT) AS t
+       |        FROM fcells GROUP BY m, rev)
+       |),
+       |franked AS (
+       |  SELECT c.m, c.prio, v.mr2
+       |  FROM fcells c JOIN fvc v ON v.m = c.m AND v.rev = c.rev
+       |),
+       |ftot AS (
+       |  SELECT CAST(SUM(mr2 * mr2) AS BIGINT) AS a4,
+       |    CAST(COUNT(DISTINCT m) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT prio) AS BIGINT) AS k
+       |  FROM franked
+       |),
+       |frj AS (
+       |  SELECT prio, CAST(SUM(mr2) AS BIGINT) AS r2
+       |  FROM franked GROUP BY prio
+       |),
+       |fdev AS (
+       |  SELECT a4, n, k,
+       |    CAST(SUM((r2 - n * (k + 1)) * (r2 - n * (k + 1))) AS BIGINT)
+       |      AS sdev
+       |  FROM frj CROSS JOIN ftot GROUP BY a4, n, k
+       |)
+       |SELECT n AS n_blocks, k,
+       |  CAST((k - 1) * sdev AS BIGINT) AS chi2_num,
+       |  CAST(a4 - n * k * (k + 1) * (k + 1) AS BIGINT) AS chi2_den,
+       |  CAST((k - 1) * sdev AS DOUBLE)
+       |    / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE) AS chi2_f,
+       |  (CAST((k - 1) * sdev AS DOUBLE)
+       |    / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE))
+       |    / CAST(n * (k - 1) AS DOUBLE) AS kendalls_w
+       |FROM fdev${sqlOrderBy(Seq("n"))}""".stripMargin
+
   /** Bradley–Terry preference-strength estimation — the pairwise-
     * comparison ranking model behind RLHF preference data (and chess
     * Elo's maximum-likelihood cousin). Contests are derived from the
@@ -2347,6 +2463,7 @@ object Aggs {
     "stat_tvd_drift" -> statTvdDrift,
     "stat_mannwhitney" -> statMannWhitney,
     "stat_kruskal_wallis" -> statKruskalWallis,
+    "stat_friedman" -> statFriedman,
     "stat_bradley_terry" -> statBradleyTerry,
     "stat_theil_sen" -> statTheilSen,
     "orders_kaplan_meier" -> kaplanMeier,
@@ -2395,6 +2512,7 @@ object Aggs {
     "stat_tvd_drift" -> statTvdDriftSql,
     "stat_mannwhitney" -> statMannWhitneySql,
     "stat_kruskal_wallis" -> statKruskalWallisSql,
+    "stat_friedman" -> statFriedmanSql,
     "stat_bradley_terry" -> statBradleyTerrySql,
     "stat_theil_sen" -> statTheilSenSql,
     "orders_kaplan_meier" -> kaplanMeierSql,

@@ -294,6 +294,7 @@ object ScaleRehearsal {
     stage("orders_croston")(graft.star.Calendar.croston(spark, dir))
     stage("stat_kruskal_wallis")(
       graft.star.Aggs.statKruskalWallis(spark, dir))
+    stage("stat_friedman")(graft.star.Aggs.statFriedman(spark, dir))
     spark.stop()
   }
 }

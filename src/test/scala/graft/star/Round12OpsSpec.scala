@@ -274,6 +274,49 @@ class Round12OpsSpec extends SparkSpec {
     got.foreach { r => assert(r._7 >= 0 && r._6 >= r._3) }
   }
 
+  test("stat_friedman matches a local blocked-midrank recompute") {
+    import spark.implicits._
+    val cells0 = graft.Tables(spark, sf0001, "orders")
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"),
+        $"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m", $"prio").agg(sum($"cents").as("rev"))
+      .as[(java.sql.Date, String, Long)].collect()
+    val months = cells0.map(_._1.toString).distinct.sorted
+    val prios = cells0.map(_._2).distinct.sorted
+    val revOf = cells0.map(c => (c._1.toString, c._2) -> c._3).toMap
+    // dense grid with zero-fill, within-block half-unit midranks
+    val r2 = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    var a4 = 0L
+    months.foreach { m =>
+      val vals = prios.map(p => p -> revOf.getOrElse((m, p), 0L))
+      val byV = vals.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val sortedV = byV.keys.toSeq.sorted
+      var below = 0L
+      sortedV.foreach { v =>
+        val t = byV(v).size.toLong
+        val mr2 = 2 * below + t + 1
+        byV(v).foreach { p => r2(p) += mr2; a4 += mr2 * mr2 }
+        below += t
+      }
+    }
+    val n = months.size.toLong; val k = prios.size.toLong
+    val sdev = prios.map { p =>
+      val d = r2(p) - n * (k + 1); d * d }.sum
+    val num = (k - 1) * sdev
+    val den = a4 - n * k * (k + 1) * (k + 1)
+    val got = Aggs.statFriedman(spark, sf0001)
+      .select($"n_blocks", $"k", $"chi2_num", $"chi2_den", $"chi2_f",
+        $"kendalls_w")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(got._1 == n && got._2 == k)
+    assert(got._3 == num && got._4 == den,
+      s"(${got._3},${got._4}) != ($num,$den)")
+    assert(got._5 == num.toDouble / den.toDouble)
+    assert(got._5 >= 0.0 && got._6 >= 0.0 && got._6 <= 1.0 + 1e-12)
+  }
+
   test("media_wav_fingerprint matches a local replay of the waveform rule") {
     import spark.implicits._
     // the fixture's generation rule (proven decoder-equal by
