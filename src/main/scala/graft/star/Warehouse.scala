@@ -2555,6 +2555,137 @@ object Warehouse {
        |    / CAST(64 AS DOUBLE) AS exp_loss_choose_b
        |FROM abw CROSS JOIN absc""".stripMargin
 
+  /** events_uplift_qini: cumulative Qini deciles (Radcliffe 2007) —
+    * the UPLIFT-MODEL evaluation the experimentation tier is missing:
+    * Wilson/SPRT/Bayes ([[abWilson]], `events_ab_sprt`, [[abBayes]])
+    * grade the AVERAGE treatment effect; the Qini curve grades a
+    * TARGETING score — "if we treated only the top-k% by score, how
+    * many incremental conversions would we capture". Units are users;
+    * treatment is the house `user_id % 2` variant convention (1 =
+    * treated); outcome is converted-ever; the score is the user's
+    * NON-purchase engagement in exact cents (round(value·100), the 2dp
+    * grid — purchase events excluded so the score never leaks the
+    * outcome it targets). Users rank by (score DESC, user_id) — a
+    * total order, so decile assignment ⌊(rank−1)·10/n⌋ is
+    * deterministic in both engines — and the per-decile counts
+    * accumulate top-down: qini(d) = X_T(d) − X_C(d)·N_T(d)/N_C(d)
+    * (incremental conversions vs the control baseline scaled to the
+    * treated population), uplift(d) = X_T/N_T − X_C/N_C. Counts stay
+    * exact BIGINTs; the two curve readouts are terminal IEEE
+    * assemblies written identically in both engines.
+    *
+    * Scale posture: one user-keyed rollup (map-side combined), one
+    * global rank over |users| (at 100 TB the exact rank becomes the
+    * two-level CDF rank over the cents grid — the
+    * `embed_intrinsic_dim` pattern; the decile cut tolerates the
+    * ε-grid), then ALL curve math on a 10-row frame. */
+  def upliftQini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables(spark, dir, "events")
+      .select($"user_id", ($"user_id" % 2).cast("int").as("treated"),
+        ($"event_type" === "purchase").cast("int").as("is_p"),
+        when($"event_type" =!= "purchase",
+          round($"value" * 100).cast("long")).otherwise(lit(0L))
+          .as("cents"))
+      .groupBy($"user_id", $"treated")
+      .agg(max($"is_p").cast("long").as("conv"),
+        sum($"cents").as("score"))
+    val n1 = users.agg(count(lit(1)).as("n"))
+    // two-level rank (the embed_intrinsic_dim pattern): the global
+    // cumulative runs over the PRE-AGGREGATED (score, cnt) grid — the
+    // statMannWhitney value-grid class — and the per-score tiebreak is
+    // a partitioned window, so no global sort ever sees raw user rows
+    val grid = users.groupBy($"score").agg(count(lit(1)).as("cnt"))
+      .withColumn("above", coalesce(sum($"cnt").over(
+        Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = users
+      .join(grid.select($"score", $"above"), "score")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"score").orderBy($"user_id")))
+      .crossJoin(broadcast(n1))
+      .selectExpr("treated", "conv",
+        "CAST((above + rn - 1) * 10 div n AS INT) AS decile")
+    val byDec = ranked.groupBy($"decile").agg(
+      sum(when($"treated" === 1, 1L).otherwise(0L)).as("dn_t"),
+      sum(when($"treated" === 1, $"conv").otherwise(0L)).as("dx_t"),
+      sum(when($"treated" === 0, 1L).otherwise(0L)).as("dn_c"),
+      sum(when($"treated" === 0, $"conv").otherwise(0L)).as("dx_c"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .select($"decile",
+        sum($"dn_t").over(w).as("n_t"), sum($"dx_t").over(w).as("x_t"),
+        sum($"dn_c").over(w).as("n_c"), sum($"dx_c").over(w).as("x_c"))
+      .selectExpr("decile", "n_t", "x_t", "n_c", "x_c",
+        """CASE WHEN n_c = 0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE CAST(x_t AS DOUBLE) - CAST(x_c AS DOUBLE)
+          |    * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE)
+          |END AS qini""".stripMargin.replace("\n", ""),
+        """CASE WHEN n_c = 0 OR n_t = 0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+          |    - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+          |END AS uplift""".stripMargin.replace("\n", ""))
+      .orderBy($"decile")
+  }
+
+  val upliftQiniSql: String =
+    s"""WITH uqu AS (
+       |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS treated,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv,
+       |    CAST(SUM(CASE WHEN event_type <> 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS score
+       |  FROM events GROUP BY 1, 2
+       |),
+       |uqn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uqu),
+       |uqr AS (
+       |  SELECT treated, conv,
+       |    CAST((row_number() OVER (ORDER BY score DESC, user_id) - 1)
+       |      * 10 // n AS INTEGER) AS decile
+       |  FROM uqu CROSS JOIN uqn
+       |),
+       |uqd AS (
+       |  SELECT decile,
+       |    CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dn_t,
+       |    CAST(SUM(CASE WHEN treated = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS dx_t,
+       |    CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dn_c,
+       |    CAST(SUM(CASE WHEN treated = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS dx_c
+       |  FROM uqr GROUP BY decile
+       |),
+       |uqc AS (
+       |  SELECT decile,
+       |    CAST(SUM(dn_t) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_t,
+       |    CAST(SUM(dx_t) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS x_t,
+       |    CAST(SUM(dn_c) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_c,
+       |    CAST(SUM(dx_c) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS x_c
+       |  FROM uqd
+       |)
+       |SELECT decile, n_t, x_t, n_c, x_c,
+       |  CASE WHEN n_c = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE CAST(x_t AS DOUBLE) - CAST(x_c AS DOUBLE)
+       |      * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE)
+       |  END AS qini,
+       |  CASE WHEN n_c = 0 OR n_t = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+       |      - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+       |  END AS uplift
+       |FROM uqc${sqlOrderBy(Seq("decile"))}""".stripMargin
+
   /** orders_did_lift: difference-in-differences — the workhorse
     * quasi-experimental estimator (Card & Krueger 1994 popularized it)
     * for "did the intervention move the metric beyond the trend both
@@ -2844,6 +2975,7 @@ object Warehouse {
     "orders_rfm_segments" -> rfmSegments,
     "stat_bootstrap_ci" -> bootstrapCi,
     "events_ab_bayes" -> abBayes,
+    "events_uplift_qini" -> upliftQini,
     "dq_benford" -> dqBenford,
     "events_ab_srm" -> abSrm,
     "events_ab_sprt" -> abSprt,
@@ -2888,6 +3020,7 @@ object Warehouse {
     "orders_rfm_segments" -> rfmSegmentsSql,
     "stat_bootstrap_ci" -> bootstrapCiSql,
     "events_ab_bayes" -> abBayesSql,
+    "events_uplift_qini" -> upliftQiniSql,
     "dq_benford" -> dqBenfordSql,
     "events_ab_srm" -> abSrmSql,
     "events_ab_sprt" -> abSprtSql,

@@ -295,6 +295,7 @@ object ScaleRehearsal {
     stage("stat_kruskal_wallis")(
       graft.star.Aggs.statKruskalWallis(spark, dir))
     stage("stat_friedman")(graft.star.Aggs.statFriedman(spark, dir))
+    stage("events_uplift_qini")(graft.star.Warehouse.upliftQini(spark, dir))
     spark.stop()
   }
 }

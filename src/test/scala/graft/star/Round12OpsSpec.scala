@@ -317,6 +317,48 @@ class Round12OpsSpec extends SparkSpec {
     assert(got._5 >= 0.0 && got._6 >= 0.0 && got._6 <= 1.0 + 1e-12)
   }
 
+  test("events_uplift_qini matches a local ranked-decile recompute") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, sf0001, "events")
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    val users = ev.groupBy(_._1).view.mapValues { rows =>
+      val treated = (rows.head._1 % 2).toInt
+      val conv = if (rows.exists(_._2 == "purchase")) 1L else 0L
+      val score = rows.filter(_._2 != "purchase")
+        .map(r => math.round(r._3 * 100)).sum
+      (treated, conv, score)
+    }.toMap
+    val n = users.size.toLong
+    val sorted = users.toSeq.sortBy { case (uid, (_, _, s)) => (-s, uid) }
+    val agg = Array.fill(10)((0L, 0L, 0L, 0L))
+    sorted.zipWithIndex.foreach { case ((_, (t, c, _)), i) =>
+      val d = (i.toLong * 10 / n).toInt
+      val (nt, xt, nc, xc) = agg(d)
+      agg(d) =
+        if (t == 1) (nt + 1, xt + c, nc, xc) else (nt, xt, nc + 1, xc + c)
+    }
+    var (cnt, cxt, cnc, cxc) = (0L, 0L, 0L, 0L)
+    val expected = (0 until 10).map { d =>
+      val (nt, xt, nc, xc) = agg(d)
+      cnt += nt; cxt += xt; cnc += nc; cxc += xc
+      val qini =
+        if (cnc == 0) None
+        else Some(cxt.toDouble - cxc.toDouble * cnt.toDouble / cnc.toDouble)
+      (d, cnt, cxt, cnc, cxc, qini)
+    }
+    val got = Warehouse.upliftQini(spark, sf0001)
+      .select($"decile", $"n_t", $"x_t", $"n_c", $"x_c", $"qini")
+      .as[(Int, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.length == 10)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"decile ${g._1}: $g != $e")
+    }
+    // the full-population decile must recover the plain ATE direction
+    val last = got.last
+    assert(last._2 + last._4 == n)
+  }
+
   test("media_wav_fingerprint matches a local replay of the waveform rule") {
     import spark.implicits._
     // the fixture's generation rule (proven decoder-equal by
