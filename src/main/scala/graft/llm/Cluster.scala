@@ -542,6 +542,84 @@ object Cluster {
        |ORDER BY common_neighbors DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST
        |LIMIT 20""".stripMargin
 
+  /** graph_adamic_adar: Adamic–Adar link prediction (Adamic & Adar
+    * 2003) over the LSH candidate graph — the DEGREE-DISCOUNTED
+    * refinement of [[linkPredict]]'s raw common-neighbors count: a
+    * shared neighbor that is near-duplicate to half the corpus (an LSH
+    * hot bucket, boilerplate) is weak evidence, one shared RARE
+    * neighbor is strong, so each wedge center z contributes
+    * 1/log(deg z) instead of 1. The weight lives on the engine-
+    * portable qlog2 grid: w_z = ⌊10¹² / qlog2(deg z)⌋ — qlog2 is an
+    * exact integer, the division is exact integer floor, and a wedge
+    * center always has deg ≥ 2 (it bridges two distinct endpoints) so
+    * qlog2 ≥ 1024 — making the per-pair score Σ w_z an exact BIGINT
+    * sum in BOTH engines (≤ ~10⁹ per wedge, overflow at ~9·10⁹
+    * wedges per pair — far beyond the LSH degree bound). Same
+    * discovery contract as [[linkPredict]]: `already_candidate = 0`
+    * rows are near-dups the bands split, ranked for a verification
+    * queue — now with hub neighbors discounted.
+    *
+    * Scale posture: identical to [[linkPredict]] — one degree rollup,
+    * the Σ deg²-bounded wedge join (weight attached to the center leg
+    * BEFORE the join, no post-hoc per-wedge lookup), top-20
+    * TakeOrdered on the exact integer score. */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(Dedup.candidatePairs(spark, dir)
+      .select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint() // 3 consumers; cut the LSH lineage
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("dg"))
+    // dg >= 2 filter: a wedge center bridges two DISTINCT endpoints, so
+    // deg-1 nodes can never contribute — and it keeps qlog2's argument
+    // off the qlog2(1) = 0 pole explicitly rather than via div-NULL
+    val e2w = edges.join(deg, "src")
+      .filter($"dg" >= 2)
+      .selectExpr("src AS z", "dst AS b",
+        s"CAST(1000000000000 div (${Curate.qlog2Spark("dg")}) AS BIGINT) AS wz")
+    val wedges = edges.select($"src".as("a"), $"dst".as("z"))
+      .join(e2w, "z")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common_neighbors"), sum($"wz").as("aa_q"))
+    wedges
+      .join(edges.select($"src".as("a"), $"dst".as("b"),
+        lit(1).as("already_candidate")), Seq("a", "b"), "left")
+      .na.fill(0, Seq("already_candidate"))
+      .orderBy($"aa_q".desc, $"a", $"b")
+      .limit(20)
+  }
+
+  val adamicAdarSql: String =
+    s"""WITH ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cand
+       |  UNION ALL
+       |  SELECT d2, d1 FROM cand
+       |),
+       |aadeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
+       |          FROM edges GROUP BY src),
+       |aae2w AS (
+       |  SELECT e.src AS z, e.dst AS b,
+       |    CAST(1000000000000 // (${Curate.qlog2Duck("dg")}) AS BIGINT) AS wz
+       |  FROM edges e JOIN aadeg d ON d.src = e.src
+       |  WHERE d.dg >= 2
+       |),
+       |aawedge AS (
+       |  SELECT e1.src AS a, w.b, COUNT(*) AS common_neighbors,
+       |    CAST(SUM(w.wz) AS BIGINT) AS aa_q
+       |  FROM edges e1 JOIN aae2w w ON w.z = e1.dst
+       |  WHERE e1.src < w.b
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, common_neighbors, aa_q,
+       |  CAST(EXISTS (SELECT 1 FROM edges e
+       |               WHERE e.src = w.a AND e.dst = w.b) AS INTEGER)
+       |    AS already_candidate
+       |FROM aawedge w
+       |ORDER BY aa_q DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST
+       |LIMIT 20""".stripMargin
+
   /** Dedup-aware negative sampling for contrastive training: each
     * anchor doc draws k=2 pseudo-random negatives by salted hash
     * (deterministic — re-runs, retries, and cluster resizes sample the
@@ -1699,6 +1777,7 @@ object Cluster {
     "graph_triangles" -> triangles,
     "graph_clustering_coeff" -> clusteringCoeff,
     "graph_link_predict" -> linkPredict,
+    "graph_adamic_adar" -> adamicAdar,
     "corpus_negatives" -> negatives)
 
   val oracles: Map[String, String] = Map(
@@ -1723,5 +1802,6 @@ object Cluster {
     "graph_triangles" -> trianglesSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_link_predict" -> linkPredictSql,
+    "graph_adamic_adar" -> adamicAdarSql,
     "corpus_negatives" -> negativesSql)
 }

@@ -1183,7 +1183,20 @@ object Media {
     * shape, linear at any corpus size. */
   def wavFingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fps = spark.read.parquet(writeWavs(spark, dir)).as[MediaFile]
+    val fps = wavFps(spark, dir)
+    val fam = fps.groupBy($"fp")
+      .agg(min($"doc_id").as("family"), count(lit(1)).as("n_copies"))
+    fps.join(fam, "fp")
+      .select($"doc_id", $"fp", $"family", $"n_copies",
+        ($"doc_id" === $"family").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** The decode→per-frame-Haar→bit-pack fingerprint stage shared by
+    * [[wavFingerprintQuery]] and [[wavNeardup]]. */
+  private def wavFps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(writeWavs(spark, dir)).as[MediaFile]
       .mapPartitions { batch =>
         batch.map { m =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -1233,15 +1246,80 @@ object Media {
           } finally ais.close()
         }
       }.toDF()
-    val fam = fps.groupBy($"fp")
-      .agg(min($"doc_id").as("family"), count(lit(1)).as("n_copies"))
-    fps.join(fam, "fp")
-      .select($"doc_id", $"fp", $"family", $"n_copies",
-        ($"doc_id" === $"family").as("is_keeper"))
-      .orderBy($"doc_id")
   }
 
-  val wavFingerprintSql: String = {
+  /** media_wav_neardup: the NEAR-duplicate audio review queue over the
+    * [[wavFingerprintQuery]] fingerprints — the Hamming tier the
+    * Haitsma–Kalker scheme is actually used for (their match rule is a
+    * bit-error-rate threshold over the fingerprint, not exact
+    * equality): all verified candidate pairs whose 28-bit fingerprints
+    * differ in ≤ 6 positions (BER ≈ 0.21 < the paper's 0.25 operating
+    * point), with the exact Hamming distance — the match list an audio
+    * dedup pass removes (the fixture's waveform rule produces genuine
+    * distance-1 neighbors, so the list is content-gated, non-empty,
+    * and the oracle recomputes every sample behind it). The
+    * composition is the image-dedup pipeline verbatim — one dedup
+    * discipline across modalities:
+    *
+    *  1. IDENTICAL-FINGERPRINT CONTRACTION (the [[phashSemDedup]] /
+    *     media_phash_clusters rule): fp-equal clips collapse to a
+    *     min-doc representative, so a family of f re-encodes costs one
+    *     row downstream, never C(f,2) band pairs;
+    *  2. 4×7-bit BAND LSH over the distinct-fp frame (pigeonhole: a
+    *     pair within Hamming 3 is GUARANTEED an untouched band; wider
+    *     pairs are recalled whenever some band survives — the standard
+    *     LSH recall trade, measured on the image side by
+    *     dedup_lsh_recall);
+    *  3. VERIFY-BEFORE-SHUFFLE: the popcount cut sits INSIDE each band
+    *     join (the r11 image-dedup fix), so hot buckets cost streamed
+    *     codegen popcounts and only verified survivors reach the
+    *     union+distinct exchange.
+    *
+    * Scale posture: decode pass shared with the fingerprint query
+    * (cached fixture), distinct-fp contraction bounds the join
+    * population, Σ|bucket|² per 7-bit band is the `dq_lsh_preflight`
+    * gate's number, and the verified-pair output is the operator's own
+    * answer size. */
+  def wavNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reps = wavFps(spark, dir)
+      .groupBy($"fp").agg(min($"doc_id").as("rep"))
+      .localCheckpoint() // one decode feeds all four band joins
+    def side(pfx: String) = reps.selectExpr(
+      (Seq(s"rep AS ${pfx}r", s"fp AS ${pfx}f") ++ (0 until 4).map(i =>
+        s"CAST(shiftright(fp, ${7 * i}) & 127 AS INT) AS ${pfx}b$i")): _*)
+    val a = side("a")
+    val b = side("b")
+    val hits = (0 until 4).map { i =>
+      a.join(b, col(s"ab$i") === col(s"bb$i") && $"ar" < $"br" &&
+          expr("bit_count(af ^ bf) <= 6"))
+        .selectExpr("ar AS r1", "br AS r2",
+          "CAST(bit_count(af ^ bf) AS INT) AS hamming")
+    }.reduce(_ union _)
+    hits.distinct().orderBy($"r1", $"r2")
+  }
+
+  // lazy: wavFpSqlCtes is declared later in the file (init order)
+  lazy val wavNeardupSql: String = {
+    val bandJoins = (0 until 4).map { i =>
+      s"""SELECT a.rep AS r1, b.rep AS r2,
+         |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |  FROM wnreps a JOIN wnreps b
+         |    ON ((a.fp >> ${7 * i}) & 127) = ((b.fp >> ${7 * i}) & 127)
+         |    AND a.rep < b.rep AND bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""WITH $wavFpSqlCtes,
+       |wnreps AS (SELECT fp, MIN(doc_id) AS rep FROM wffp GROUP BY fp),
+       |wnpairs AS (
+       |  $bandJoins
+       |)
+       |SELECT * FROM wnpairs${sqlOrderBy(Seq("r1", "r2"))}""".stripMargin
+  }
+
+  /** DuckDB CTE chain ending in `wffp(doc_id, fp)` — the relational
+    * resynthesis of the fingerprint, shared by [[wavFingerprintSql]]
+    * and [[wavNeardupSql]]. */
+  private val wavFpSqlCtes: String = {
     val levels = (1 to 5).map { k =>
       val prev = if (k == 1) "wfl0" else s"wfl${k - 1}"
       s"""wfl$k AS (
@@ -1258,7 +1336,7 @@ object Media {
       s"""CASE WHEN (c.e$b - c.e${b + 1}) - (p.e$b - p.e${b + 1}) > 0
          | THEN ${1 << (b - 1)} ELSE 0 END""".stripMargin.replace("\n", "")
     }.mkString(" + ")
-    s"""WITH wfs AS (
+    s"""wfs AS (
        |  SELECT doc_id, unnest(range(0, 256)) AS i FROM documents
        |),
        |wfl0 AS (
@@ -1281,7 +1359,11 @@ object Media {
        |      * (CAST(1 AS BIGINT) << (4 * (c.f - 1)))) AS BIGINT) AS fp
        |  FROM wfee c JOIN wfee p ON p.doc_id = c.doc_id AND p.f = c.f - 1
        |  GROUP BY c.doc_id
-       |),
+       |)""".stripMargin
+  }
+
+  val wavFingerprintSql: String = {
+    s"""WITH $wavFpSqlCtes,
        |wffam AS (
        |  SELECT fp, MIN(doc_id) AS family,
        |    CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -1510,6 +1592,7 @@ object Media {
     "media_channel_stats" -> channelStatsQuery,
     "media_wav_haar" -> wavHaarQuery,
     "media_wav_fingerprint" -> wavFingerprintQuery,
+    "media_wav_neardup" -> wavNeardup,
     "media_resize" -> resizeQuery,
     "media_wav_resample" -> wavResampleQuery,
     "media_wav_meta" -> wavMetaQuery,
@@ -1527,6 +1610,7 @@ object Media {
     "media_channel_stats" -> channelStatsQuerySql,
     "media_wav_haar" -> wavHaarQuerySql,
     "media_wav_fingerprint" -> wavFingerprintSql,
+    "media_wav_neardup" -> wavNeardupSql,
     "media_resize" -> resizeQuerySql,
     "media_wav_resample" -> wavResampleQuerySql,
     "media_wav_meta" -> wavMetaQuerySql,

@@ -296,6 +296,8 @@ object ScaleRehearsal {
       graft.star.Aggs.statKruskalWallis(spark, dir))
     stage("stat_friedman")(graft.star.Aggs.statFriedman(spark, dir))
     stage("events_uplift_qini")(graft.star.Warehouse.upliftQini(spark, dir))
+    stage("graph_adamic_adar")(graft.llm.Cluster.adamicAdar(spark, dir))
+    stage("media_wav_neardup")(graft.multimodal.Media.wavNeardup(spark, dir))
     spark.stop()
   }
 }

@@ -11,6 +11,14 @@ import graft.SparkSpec
   * plan and the DuckDB oracle. */
 class Round12OpsSpec extends SparkSpec {
 
+  /** The engine-portable qlog2 fixed point, in local Long math
+    * (the Round11OpsSpec helper). */
+  private def qlog2(x: Long): Long = {
+    require(x >= 1, s"qlog2 domain: $x")
+    val len = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    (len - 1).toLong * 1024L + (x * 1024L) / (1L << (len - 1)) - 1024L
+  }
+
   /** Local twin of functions.DecimalDot: floor(x·y·1e14 + 0.5) exact
     * BIGINT term sum, one final division. */
   private def decDot(a: Array[Float], b: Array[Float]): Double = {
@@ -404,6 +412,81 @@ class Round12OpsSpec extends SparkSpec {
       assert(fam == fams(fp))
       assert(keep == (d == fam))
     }
+  }
+
+  test("graph_adamic_adar matches a local qlog2-weighted wedge recompute") {
+    import spark.implicits._
+    val pairs = graft.llm.Dedup.neardupPairs(spark, sf0001)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def w(deg: Long): Long = 1000000000000L / qlog2(deg)
+    val scores = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    adj.foreach { case (z, nbrs) =>
+      if (nbrs.size >= 2) {
+      val wz = w(nbrs.size.toLong)
+      for (x <- nbrs; y <- nbrs if x < y) {
+        val (cn, aa) = scores((x, y)); scores((x, y)) = (cn + 1, aa + wz)
+      }
+      }
+    }
+    val expected = scores.toSeq
+      .sortBy { case ((x, y), (_, aa)) => (-aa, x, y) }.take(20)
+      .map { case ((x, y), (cn, aa)) =>
+        (x, y, cn, aa, if (edges((x, y))) 1 else 0) }
+    val got = graft.llm.Cluster.adamicAdar(spark, sf0001)
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got == expected, s"top rows: got ${got.take(3)} vs ${expected.take(3)}")
+    // degree-discount law: a pair's AA weight never exceeds cn * w(2)
+    got.foreach { case (_, _, cn, aa, _) => assert(aa <= cn * w(2)) }
+  }
+
+  test("media_wav_neardup matches a local band + popcount replay") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select($"doc_id").as[Long].collect()
+    // localFp from the waveform rule, as in the fingerprint test
+    def localFp(doc: Long): Long = {
+      val e = Array.ofDim[Long](8, 5)
+      for (f <- 0 until 8) {
+        var cur = Array.tabulate(32) { j =>
+          val i = 32L * f + j
+          ((doc * 2654435761L + i * 40503L) % 65536L) - 32768L
+        }
+        for (lvl <- 0 until 5) {
+          val half = cur.length / 2
+          val nxt = new Array[Long](half)
+          var en = 0L
+          for (j <- 0 until half) {
+            val d = cur(2 * j) - cur(2 * j + 1)
+            nxt(j) = cur(2 * j) + cur(2 * j + 1)
+            en += d * d
+          }
+          e(f)(lvl) = en; cur = nxt
+        }
+      }
+      var fp = 0L
+      for (f <- 1 until 8; b <- 0 until 4)
+        if ((e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1)) > 0)
+          fp |= 1L << ((f - 1) * 4 + b)
+      fp
+    }
+    val reps = docs.map(d => d -> localFp(d))
+      .groupBy(_._2).view.mapValues(_.map(_._1).min)
+      .toSeq.map { case (fp, rep) => (rep, fp) }
+    val expected = (for {
+      (r1, f1) <- reps
+      (r2, f2) <- reps
+      if r1 < r2
+      if (0 until 4).exists(i => ((f1 >> (7 * i)) & 127) == ((f2 >> (7 * i)) & 127))
+      h = java.lang.Long.bitCount(f1 ^ f2)
+      if h <= 6
+    } yield (r1, r2, h)).toSet
+    val got = graft.multimodal.Media.wavNeardup(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected, s"${got.size} pairs vs expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture must produce near-dup audio pairs")
   }
 
   test("dedup_lsh_indexed equals a self-contained delta band probe") {
