@@ -1138,6 +1138,94 @@ object Warehouse {
        |       ELSE 'C' END AS abc_class
        |FROM c${sqlOrderBy(Seq("l_partkey"))}""".stripMargin
 
+  /** parts_abc_xyz: the classic ABC/XYZ inventory segmentation grid
+    * (value × demand-variability; the standard warehouse planning
+    * matrix, e.g. Silver–Pyke–Peterson) — [[abcParts]]' revenue Pareto
+    * classes crossed with an XYZ demand-regularity class per part:
+    * CV = σ/μ of the part's MONTHLY demand over the corpus's full
+    * month span (zero-demand months included — that is what makes a
+    * part intermittent), X < 0.5 ≤ Y < 1.0 ≤ Z. The class boundary
+    * never touches a float: with n = span months, S = Σq, Q2 = Σq²,
+    * CV² = (n·Q2 − S²)/S², so X ⇔ 4·(n·Q2 − S²) < S² and
+    * Y ⇔ (n·Q2 − S²) < S² — exact BIGINT comparisons in both engines
+    * (the reported cv2 double is display only). The AZ/BZ corner
+    * (high value, erratic demand) is exactly the population
+    * [[graft.star.Calendar.croston]] forecasts; AX runs on
+    * [[graft.star.Calendar.ewma]]-class smoothing — this query is the
+    * router between them.
+    *
+    * Scale posture: one fact scan to (part, month) rows (map-side
+    * combined), per-part rollups, a broadcast 1-row span scalar, and
+    * the [[abcParts]] join — windows only over the |parts| grid (the
+    * bounded-dimension class). */
+  def abcXyz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val demand = Tables(spark, dir, "lineitem")
+      .select($"l_partkey",
+        ((year(to_date($"l_shipdate")) - 1992) * 12 +
+          month(to_date($"l_shipdate"))).cast("long").as("idx"),
+        round($"l_quantity").cast("long").as("q"))
+      .groupBy($"l_partkey", $"idx")
+      .agg(sum($"q").as("mq"))
+    val span = demand.agg(countDistinct($"idx").as("n"))
+    val xyz = demand.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("demand_months"), sum($"mq").as("s"),
+        sum($"mq" * $"mq").as("q2"))
+      .crossJoin(broadcast(span))
+      .select($"l_partkey", $"demand_months", $"s".as("total_qty"),
+        ($"n" * $"q2" - $"s" * $"s").as("cv2num"),
+        ($"s" * $"s").as("cv2den"))
+    abcParts(spark, dir).join(xyz, "l_partkey")
+      .select($"l_partkey", $"abc_class",
+        when(lit(4) * $"cv2num" < $"cv2den", "X")
+          .when($"cv2num" < $"cv2den", "Y")
+          .otherwise("Z").as("xyz_class"),
+        $"demand_months", $"total_qty",
+        ($"cv2num".cast("double") / $"cv2den".cast("double")).as("cv2"))
+      .orderBy($"l_partkey")
+  }
+
+  val abcXyzSql: String =
+    s"""WITH axrev AS (
+       |  SELECT l_partkey,
+       |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,5))) AS rev
+       |  FROM lineitem GROUP BY 1
+       |),
+       |axabc AS (
+       |  SELECT l_partkey,
+       |    CASE WHEN cum * 100 <= total * 70 THEN 'A'
+       |         WHEN cum * 100 <= total * 90 THEN 'B'
+       |         ELSE 'C' END AS abc_class
+       |  FROM (
+       |    SELECT l_partkey, rev,
+       |      SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |      SUM(rev) OVER () AS total
+       |    FROM axrev)
+       |),
+       |axdem AS (
+       |  SELECT l_partkey,
+       |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+       |      AS BIGINT) AS idx,
+       |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS mq
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |axspan AS (SELECT CAST(COUNT(DISTINCT idx) AS BIGINT) AS n FROM axdem),
+       |axxyz AS (
+       |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS demand_months,
+       |    CAST(SUM(mq) AS BIGINT) AS s,
+       |    CAST(SUM(mq * mq) AS BIGINT) AS q2
+       |  FROM axdem GROUP BY l_partkey
+       |)
+       |SELECT a.l_partkey, a.abc_class,
+       |  CASE WHEN 4 * (n * q2 - s * s) < s * s THEN 'X'
+       |       WHEN (n * q2 - s * s) < s * s THEN 'Y'
+       |       ELSE 'Z' END AS xyz_class,
+       |  demand_months, s AS total_qty,
+       |  CAST(n * q2 - s * s AS DOUBLE) / CAST(s * s AS DOUBLE) AS cv2
+       |FROM axabc a JOIN axxyz x ON x.l_partkey = a.l_partkey
+       |CROSS JOIN axspan${sqlOrderBy(Seq("a.l_partkey"))}""".stripMargin
+
   /** Sweep-line census: how many orders are OPEN (within their 7-day
     * fulfillment window) on each date the count changes. Intervals
     * become +1/−1 delta events at their endpoints; a running sum over
@@ -2991,7 +3079,8 @@ object Warehouse {
     "events_streaks" -> streaks,
     "join_interval_overlap" -> intervalOverlap,
     "orders_backlog" -> backlog,
-    "parts_abc_pareto" -> abcParts)
+    "parts_abc_pareto" -> abcParts,
+    "parts_abc_xyz" -> abcXyz)
 
   val oracles: Map[String, String] = Map(
     "events_markov_stationary" -> markovStationarySql,
@@ -3036,5 +3125,6 @@ object Warehouse {
     "events_streaks" -> streaksSql,
     "join_interval_overlap" -> intervalOverlapSql,
     "orders_backlog" -> backlogSql,
-    "parts_abc_pareto" -> abcPartsSql)
+    "parts_abc_pareto" -> abcPartsSql,
+    "parts_abc_xyz" -> abcXyzSql)
 }

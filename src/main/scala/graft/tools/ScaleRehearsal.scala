@@ -298,6 +298,7 @@ object ScaleRehearsal {
     stage("events_uplift_qini")(graft.star.Warehouse.upliftQini(spark, dir))
     stage("graph_adamic_adar")(graft.llm.Cluster.adamicAdar(spark, dir))
     stage("media_wav_neardup")(graft.multimodal.Media.wavNeardup(spark, dir))
+    stage("parts_abc_xyz")(graft.star.Warehouse.abcXyz(spark, dir))
     spark.stop()
   }
 }

@@ -367,6 +367,41 @@ class Round12OpsSpec extends SparkSpec {
     assert(last._2 + last._4 == n)
   }
 
+  test("parts_abc_xyz matches a local exact-integer CV recompute") {
+    import spark.implicits._
+    val demand = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_partkey",
+        ((year(to_date($"l_shipdate")) - 1992) * 12 +
+          month(to_date($"l_shipdate"))).cast("long").as("idx"),
+        round($"l_quantity").cast("long").as("q"))
+      .groupBy($"l_partkey", $"idx").agg(sum($"q").as("mq"))
+      .as[(Long, Long, Long)].collect()
+    val n = demand.map(_._2).distinct.length.toLong
+    val expected = demand.groupBy(_._1).view.mapValues { rows =>
+      val s = rows.map(_._3).sum
+      val q2 = rows.map(r => r._3 * r._3).sum
+      val num = n * q2 - s * s
+      val den = s * s
+      val cls = if (4 * num < den) "X" else if (num < den) "Y" else "Z"
+      (rows.length.toLong, s, cls, num.toDouble / den.toDouble)
+    }.toMap
+    val got = Warehouse.abcXyz(spark, sf0001)
+      .select($"l_partkey", $"abc_class", $"xyz_class", $"demand_months",
+        $"total_qty", $"cv2")
+      .as[(Long, String, String, Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    // the ABC leg is abcParts verbatim — cross-check against it
+    val abc = Warehouse.abcParts(spark, sf0001)
+      .select($"l_partkey", $"abc_class").as[(Long, String)].collect().toMap
+    got.foreach { case (pk, a, x, dm, tq, cv2) =>
+      val (edm, es, ex, ecv2) = expected(pk)
+      assert(a == abc(pk))
+      assert(x == ex && dm == edm && tq == es, s"part $pk: ($x,$dm,$tq)")
+      assert(cv2 == ecv2)
+      assert(cv2 >= 0.0, "CV^2 is non-negative with zero months counted")
+    }
+  }
+
   test("media_wav_fingerprint matches a local replay of the waveform rule") {
     import spark.implicits._
     // the fixture's generation rule (proven decoder-equal by
