@@ -102,16 +102,35 @@ object Dedup {
     * on-disk index (the algo-version half of the cache key). */
   val SigIndexVersion: Int = 1
 
+  /** r12 minted one index root per full-corpus fingerprint (`fp=*`);
+    * under the r13 keying those are dead weight — list them for the
+    * one-time sweep in [[lshIndexed]]. */
+  private def legacyFpRoots(root: String): Seq[java.io.File] = {
+    val d = new java.io.File(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.filter(f =>
+      f.isDirectory && f.getName.startsWith("fp="))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** dedup_lsh_indexed: the DAILY-DELTA dedup workflow, served FROM
     * the partition-incrementally materialized signature index — the
     * text twin of `embed_ivf_topk_indexed`: new documents (the
     * MAX(source) feed, standing in for today's crawl) are probed
     * against the STANDING corpus's band index without ever
     * recomputing standing signatures. First invocation builds the
-    * index through `sources/Incremental.refresh` under a
-    * (algo-version, corpus-fingerprint) cache key; later invocations
-    * fingerprint the corpus (one linear scan), see the manifest fresh,
-    * and pay only the probe: delta signatures ([[sigOf]], codegen'd)
+    * index through `sources/Incremental.refresh` under an
+    * (algo-version, source-dir) cache root — staleness is decided by
+    * refresh's OWN per-source-partition manifest fingerprints (that is
+    * its whole job; r12's extra full-corpus fingerprint in the root
+    * path re-rooted on ANY corpus change, so the daily delta rebuilt
+    * everything — the r13 fix). Later invocations fingerprint per
+    * partition (one linear scan), recompute only changed partitions,
+    * and pay the probe: delta signatures ([[sigOf]], codegen'd)
     * band-joined into the index, 4-hash Jaccard estimate per
     * collision, both bands unioned + distinct (the
     * `streaming/NeardupStream.detect` contract, batch form).
@@ -126,17 +145,20 @@ object Dedup {
   def lshIndexed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    // order-independent corpus fingerprint: one bounded 1-row collect
-    // decides cache freshness (the Incremental discipline)
-    val fpRow = docs.agg(
-      expr("bit_xor(xxhash64(doc_id, text, source))").as("fp"),
-      count(lit(1)).as("n")).head()
-    val fp = java.lang.Long.toHexString(fpRow.getLong(0)) + "_" + fpRow.getLong(1)
+    // cache root = (algo version, source dir) ONLY: per-partition
+    // staleness belongs to refresh's manifest fingerprints, and a
+    // corpus change must cost |changed partitions|, never a new root
     val root = new java.io.File(
       s"target/graft_sig_cache/v$SigIndexVersion/" +
-        java.net.URLEncoder.encode(dir, "UTF-8") + s"/fp=$fp").getAbsolutePath
+        java.net.URLEncoder.encode(dir, "UTF-8")).getAbsolutePath
+    // one-time sweep of r12's fingerprint-keyed roots (fp=*): they are
+    // unreachable generations under the new keying — delete, don't leak
+    legacyFpRoots(root).foreach(deleteRecursively)
     graft.sources.Incremental.refresh(spark, docs, "source", sigOf,
       s"$root/index")
+    // superseded generations from earlier refreshes are garbage the
+    // moment the manifest swap commits — reclaim them every run
+    graft.sources.Incremental.vacuum(s"$root/index")
     val index = graft.sources.Incremental.read(spark, s"$root/index")
     val mx = docs.agg(max($"source").as("ms"))
     val delta = docs.join(broadcast(mx), $"source" === $"ms").drop("ms")

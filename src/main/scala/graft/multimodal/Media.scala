@@ -77,6 +77,10 @@ object Media {
       .select($"doc_id", $"n_chars")
       .as[(Long, Long)]
       .mapPartitions { it =>
+        // the ENCODE path hits ImageIO too (ImageIO.write otherwise
+        // spools one FileCacheImageOutputStream temp file per image on
+        // a cold executor) — same rule as every decode kernel
+        imageIoNoDiskCache
         it.map { case (id, nChars) =>
           val w = (16 + nChars % 64).toInt
           val h = (16 + (nChars * 7) % 64).toInt
@@ -224,6 +228,7 @@ object Media {
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions { it =>
+        imageIoNoDiskCache // ENCODE entry point (see imageTable)
         it.map { case (id, text) =>
           val bl = text.getBytes("UTF-8").length
           val w = 16 + bl % 64

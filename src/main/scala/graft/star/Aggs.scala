@@ -1567,10 +1567,16 @@ object Aggs {
     * Scale posture: identical to [[statMannWhitney]] — raw rows touched
     * once (value-count pass), the midrank grid is |distinct n_chars|
     * rows, rank sums are one broadcast-grid join + per-source partials,
-    * and everything downstream is |sources| rows. Past ~2·10⁷ docs the
-    * quantized group terms move to DECIMAL(38,0) (r2² crosses 2⁶³/1e0
-    * headroom); the grid itself goes ε-quantile-sketch at 100 TB as
-    * documented on the 2-sample form. */
+    * and everything downstream is |sources| rows. Two separate
+    * precision thresholds govern the group term r2²/(4·ns): past
+    * ~10⁴ docs r2 ≈ 2N² crosses the 2⁵³ double mantissa, so "quantized
+    * at integer resolution" degrades to double-ulp resolution (relative
+    * error ~1e-16 — cross-engine bit-identity still holds because both
+    * engines evaluate the identical IEEE expression, which is the
+    * gate); past ~2·10⁷ docs r2² would overflow even 2⁶³-scaled
+    * integer headroom and the term must move to DECIMAL(38,0) to keep
+    * the printed statistic meaningful. The grid itself goes
+    * ε-quantile-sketch at 100 TB as documented on the 2-sample form. */
   def statKruskalWallis(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

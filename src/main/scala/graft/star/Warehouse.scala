@@ -2514,11 +2514,18 @@ object Warehouse {
     *
     * Scale posture: one user-keyed distinct rollup, then a B×|users|
     * draw grid (map-generated, same budget as the bootstrap); the
-    * order-statistic selection is a row_number window over 2·B
-    * partitions of n+1 rows each — at extreme n the selection becomes
-    * the two-level rank (the `embed_intrinsic_dim` CDF pattern), with
-    * the draw grid unchanged. All post-selection frames are ≤ 2·B
-    * rows. */
+    * order-statistic selection is the house TWO-LEVEL CDF RANK (the
+    * `events_uplift_qini` / `embed_intrinsic_dim` pattern) — level 1
+    * aggregates each (arm, replicate)'s draws into a ≤2¹⁶-row bucket
+    * histogram (u is uniform on u32, so bucket = u >> 16) whose
+    * cumulative count locates the bucket holding rank x+1; level 2
+    * ranks ONLY that bucket's ~n/2¹⁶ draws. No plan node ever sorts an
+    * arm-sized partition: the widest window partition is min(n, 2¹⁶)
+    * histogram rows at level 1 and ~n/2¹⁶ draws at level 2, both
+    * shrinking relative to n as the corpus grows. The draw grid is
+    * regenerated for the level-2 probe rather than checkpointed —
+    * two md5 map passes beat materializing B×n rows at 100×. All
+    * post-selection frames are ≤ 2·B rows. */
   def abBayes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val B = 64
@@ -2543,12 +2550,30 @@ object Warehouse {
     val extraDraws = agg
       .select($"variant", explode(expr(s"sequence(0, ${B - 1})")).as("b"))
       .selectExpr("variant", "b", s"${u32("bayes0:", "")} AS u")
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"variant", $"b").orderBy($"u")
-    val sel = userDraws.unionByName(extraDraws)
+    def draws = userDraws.unionByName(extraDraws)
+    // Level 1: per-(arm, replicate) bucket histogram over the u32
+    // space's 2^16 high bits — map-side combined, so the shuffle is
+    // the histogram, never the draws — then the cumulative over the
+    // ≤2^16-row per-partition grid locates the bucket holding the
+    // (x+1)-th order statistic and the residual rank k within it.
+    val wCum = Window.partitionBy($"variant", $"b").orderBy($"bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tgt = draws
+      .groupBy($"variant", $"b", shiftright($"u", 16).as("bk"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(wCum))
       .join(broadcast(agg.select($"variant", $"x")), "variant")
-      .withColumn("rn", row_number().over(wnd))
-      .filter($"rn" === $"x" + 1) // the (x+1)-th order statistic
+      .filter($"cum" >= $"x" + 1 && $"cum" - $"cnt" <= $"x")
+      .select($"variant", $"b", $"bk",
+        ($"x" + 1 - ($"cum" - $"cnt")).as("k"))
+    // Level 2: regenerate the grid, keep only the 2·B target buckets
+    // (a 128-row broadcast), and rank within buckets of ~n/2^16 rows.
+    val wIn = Window.partitionBy($"variant", $"b").orderBy($"u")
+    val sel = draws
+      .withColumn("bk", shiftright($"u", 16))
+      .join(broadcast(tgt), Seq("variant", "b", "bk"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter($"rn" === $"k") // the (x+1)-th order statistic overall
       .select($"variant", $"b", $"u")
     val reps = sel.groupBy($"b").agg(
       max(when($"variant" === 0, $"u")).as("ua"),
