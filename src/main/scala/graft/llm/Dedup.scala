@@ -1178,11 +1178,13 @@ object Dedup {
   /** dq_lsh_preflight: the go/no-go gate a 100 TB pairwise-LSH dedup
     * run checks BEFORE shuffling — per-band bucket second moment
     * (Σ|bucket|²), hot-bucket max size, and predicted candidate-pair
-    * volume (Σ C(|bucket|,2)) over BOTH LSH families this engine
-    * bands: the text minhash bands ([[minhashSig]]'s band_a/band_b)
-    * and the 4×16-bit media phash bands (over the DISTINCT-hash frame,
-    * i.e. after the identical-hash contraction — the population the
-    * production band join actually faces). Productizes the ×100
+    * volume (Σ C(|bucket|,2)) over ALL THREE LSH families this engine
+    * bands: the text minhash bands ([[minhashSig]]'s band_a/band_b),
+    * the 4×16-bit media phash bands, and (r13) the 4×7-bit audio
+    * fingerprint bands `media_wav_neardup` joins on — each measured
+    * over its DISTINCT-hash frame, i.e. after the identical-hash
+    * contraction: the population the production band join actually
+    * faces. Productizes the ×100
     * image-dedup root-cause (SCALE.md "media_phash_clusters at ×100:
     * the hash-degenerate regime"): there, one 16-bit band value held
     * 48 K of 500 K images (Σ|bucket|² ≈ 3.4·10⁹ per band) and the
@@ -1201,8 +1203,8 @@ object Dedup {
     * Scale posture: one map-side-combined groupBy per band family
     * (bucket histogram), then a |buckets|-bounded rollup — strictly
     * cheaper than the FIRST shuffle of the dedup run it gates; the
-    * phash side reuses the distinct-hash contraction frame, so the
-    * gate measures exactly the join population. */
+    * phash and wav sides reuse their distinct-hash contraction frames,
+    * so the gate measures exactly the join populations. */
   def lshPreflight(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dec = "DECIMAL(38,0)"
@@ -1217,7 +1219,15 @@ object Dedup {
           |         'b2', CAST(b2 AS STRING), 'b3', CAST(b3 AS STRING))
           |  AS (band, v)""".stripMargin)
       .withColumn("family", lit("media_phash"))
-    text.unionByName(media)
+    val wav = graft.multimodal.Media.wavFps(spark, dir)
+      .select($"fp").distinct()
+      .selectExpr((0 until 4).map(i =>
+        s"CAST(shiftright(fp, ${7 * i}) & 127 AS STRING) AS b$i"): _*)
+      .selectExpr(
+        """stack(4, 'b0', b0, 'b1', b1, 'b2', b2, 'b3', b3)
+          |  AS (band, v)""".stripMargin)
+      .withColumn("family", lit("media_wav"))
+    text.unionByName(media).unionByName(wav)
       .groupBy($"family", $"band", $"v").agg(count(lit(1)).as("cnt"))
       .groupBy($"family", $"band")
       .agg(sum($"cnt").as("n_keys"),
@@ -1239,7 +1249,9 @@ object Dedup {
   val lshPreflightSql: String =
     s"""WITH $sigSqlCte,
        |${graft.multimodal.Media.phashSqlCtes},
+       |${graft.multimodal.Media.wavFpSqlCtes},
        |pfreps AS (SELECT DISTINCT phash_hi, phash_lo FROM ph),
+       |pfwreps AS (SELECT DISTINCT fp FROM wffp),
        |pfkeys AS (
        |  SELECT 'text_minhash' AS family, 'band_a' AS band, band_a AS v
        |  FROM sig
@@ -1257,6 +1269,17 @@ object Dedup {
        |  UNION ALL
        |  SELECT 'media_phash', 'b3',
        |    CAST((phash_hi >> 16) & 65535 AS VARCHAR) FROM pfreps
+       |  UNION ALL
+       |  SELECT 'media_wav', 'b0', CAST(fp & 127 AS VARCHAR) FROM pfwreps
+       |  UNION ALL
+       |  SELECT 'media_wav', 'b1',
+       |    CAST((fp >> 7) & 127 AS VARCHAR) FROM pfwreps
+       |  UNION ALL
+       |  SELECT 'media_wav', 'b2',
+       |    CAST((fp >> 14) & 127 AS VARCHAR) FROM pfwreps
+       |  UNION ALL
+       |  SELECT 'media_wav', 'b3',
+       |    CAST((fp >> 21) & 127 AS VARCHAR) FROM pfwreps
        |),
        |pfbkt AS (
        |  SELECT family, band, v, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1272,7 +1295,87 @@ object Dedup {
        |FROM pfbkt GROUP BY family, band
        |${sqlOrderBy(Seq("family", "band")).trim}""".stripMargin
 
+  /** Pair budget per key for [[routeAudit]]: a family whose predicted
+    * candidate-pair volume exceeds `budget × n_keys` (i.e. the band
+    * join would emit more than `budget` pairs per input key — OUTPUT-
+    * SUPERLINEAR against the corpus) is routed to the coarse contract.
+    * 32 is the engineering margin: a healthy LSH family on a
+    * genuinely-deduplicable corpus emits O(1) pairs/key (measured 0.2
+    * on the text fixture), while a hash-degenerate family is 3-5
+    * ORDERS over any constant — the constant only needs to sit between
+    * those regimes, and no measured corpus lands within 10× of it. */
+  val RoutePairBudgetPerKey: Long = 32L
+
+  /** dedup_route_audit: the ROUTING DECISION the preflight gate feeds —
+    * per LSH family, consume [[lshPreflight]]'s per-band frame and emit
+    * the go/no-go verdict a 100 TB dedup operator actually acts on:
+    * `pairwise_banding` when the predicted candidate-pair volume is
+    * within [[RoutePairBudgetPerKey]] pairs per key, else
+    * `coarse_contraction` (identical-hash contraction + cell grouping —
+    * `media_phash_semdedup` / [[graft.multimodal.Media.wavSemDedup]]).
+    * Turns the prose contract (SCALE.md §"the ×100 image-dedup
+    * root-cause", README "routing") into a tested, oracle-gated query:
+    * the piece that runs BETWEEN the gate and the dedup job. Also
+    * names the hottest band (max cand_pairs, ties to the lexicographic
+    * first) — the band an operator inspects first when a family routes
+    * coarse.
+    *
+    * Exactness: pure integer aggregation over the ≤12-row preflight
+    * frame; the verdict is an exact BIGINT comparison — no float ever
+    * decides a route.
+    *
+    * Scale posture: everything after the preflight scan is |families|×
+    * |bands| rows; the preflight frame is computed once
+    * (localCheckpoint) and feeds both the rollup and the hot-band
+    * argmax. */
+  def routeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pf = lshPreflight(spark, dir).localCheckpoint()
+    val fam = pf.groupBy($"family").agg(
+      max($"n_keys").as("n_keys"),
+      count(lit(1)).as("n_bands"),
+      sum($"cand_pairs").cast("long").as("cand_pairs_total"),
+      max($"max_bucket").as("max_bucket"),
+      max($"cand_pairs").as("mbp"))
+    val hot = pf.join(fam.select($"family", $"mbp"), "family")
+      .filter($"cand_pairs" === $"mbp")
+      .groupBy($"family").agg(min($"band").as("hot_band"))
+    fam.join(hot, "family")
+      .selectExpr("family", "n_keys", "n_bands", "cand_pairs_total",
+        "max_bucket", "hot_band",
+        s"CAST(n_keys * $RoutePairBudgetPerKey AS BIGINT) AS pair_budget",
+        s"""CASE WHEN cand_pairs_total <= n_keys * $RoutePairBudgetPerKey
+           | THEN 'pairwise_banding' ELSE 'coarse_contraction'
+           | END AS route""".stripMargin.replace("\n", ""))
+      .orderBy($"family")
+  }
+
+  val routeAuditSql: String =
+    s"""WITH pfall AS ($lshPreflightSql),
+       |rafam AS (
+       |  SELECT family, MAX(n_keys) AS n_keys,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bands,
+       |    CAST(SUM(cand_pairs) AS BIGINT) AS cand_pairs_total,
+       |    MAX(max_bucket) AS max_bucket, MAX(cand_pairs) AS mbp
+       |  FROM pfall GROUP BY family
+       |),
+       |rahot AS (
+       |  SELECT p.family, MIN(p.band) AS hot_band
+       |  FROM pfall p JOIN rafam f
+       |    ON p.family = f.family AND p.cand_pairs = f.mbp
+       |  GROUP BY p.family
+       |)
+       |SELECT f.family, f.n_keys, f.n_bands, f.cand_pairs_total,
+       |  f.max_bucket, h.hot_band,
+       |  CAST(f.n_keys * $RoutePairBudgetPerKey AS BIGINT) AS pair_budget,
+       |  CASE WHEN f.cand_pairs_total <= f.n_keys * $RoutePairBudgetPerKey
+       |    THEN 'pairwise_banding' ELSE 'coarse_contraction'
+       |  END AS route
+       |FROM rafam f JOIN rahot h USING (family)
+       |${sqlOrderBy(Seq("family")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_route_audit" -> routeAudit,
     "dq_lsh_preflight" -> lshPreflight,
     "dedup_lsh_indexed" -> lshIndexed,
     "dedup_url_canonical" -> urlCanonical,
@@ -1294,6 +1397,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_route_audit" -> routeAuditSql,
     "dq_lsh_preflight" -> lshPreflightSql,
     "dedup_lsh_indexed" -> lshIndexedSql,
     "dedup_url_canonical" -> urlCanonicalSql,

@@ -1221,8 +1221,9 @@ object Media {
   }
 
   /** The decode→per-frame-Haar→bit-pack fingerprint stage shared by
-    * [[wavFingerprintQuery]] and [[wavNeardup]]. */
-  private def wavFps(spark: SparkSession, dir: String): DataFrame = {
+    * [[wavFingerprintQuery]], [[wavNeardup]], [[wavSemDedup]], and the
+    * `dq_lsh_preflight` audio band family. */
+  private[graft] def wavFps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(writeWavs(spark, dir)).as[MediaFile]
       .mapPartitions { batch =>
@@ -1344,10 +1345,77 @@ object Media {
        |SELECT * FROM wnpairs${sqlOrderBy(Seq("r1", "r2"))}""".stripMargin
   }
 
+  /** media_wav_semdedup: the COARSE audio-dedup contract — the third
+    * modality of the routing story `dedup_route_audit` productizes:
+    * when the gate prices the `media_wav` band family out of pairwise
+    * banding ([[wavNeardup]]'s tier), a corpus routes HERE, exactly as
+    * hash-degenerate images route from `media_phash_clusters` to
+    * [[phashSemDedup]]. Same two prescribed tiers on fingerprint
+    * space:
+    *
+    *  1. IDENTICAL-FINGERPRINT CONTRACTION — fp-equal clips (the true
+    *     re-encodes [[wavFingerprintQuery]] families) collapse to a
+    *     min-doc representative first;
+    *  2. CELL GROUPING — each DISTINCT fingerprint is assigned to a
+    *     coarse quantizer cell: the TOP 7-bit band (fp bits 21–27),
+    *     deliberately the same key as [[wavNeardup]]'s band b3 so
+    *     `dq_lsh_preflight`'s media_wav/b3 histogram row predicts this
+    *     operator's cell sizes exactly; the cell IS the cluster, one
+    *     keeper (min doc) per cell.
+    *
+    * Coarser than the popcount-verified pair tier by construction —
+    * the SemDeDup trade (cluster granularity for linear output) in the
+    * regime where the pair graph is unmaterializable.
+    *
+    * Scale posture: one decode pass (shared cached fixture), one
+    * distinct-fp rollup (map-side combined), one ≤2⁷-row cell rollup,
+    * and a BROADCAST join to label members — every post-contraction
+    * frame is bounded by distinct fingerprints or 2⁷; output is one
+    * row per clip, no stage pairwise. */
+  def wavSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = wavFps(spark, dir).localCheckpoint()
+    val cellOf = "CAST(shiftright(fp, 21) & 127 AS INT)"
+    val fams = fps.groupBy($"fp")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("n_copies"))
+    val cellAgg = fams
+      .selectExpr(s"$cellOf AS cell", "rep", "n_copies")
+      .groupBy($"cell")
+      .agg(min($"rep").as("cluster_id"),
+        sum($"n_copies").as("cluster_size"),
+        count(lit(1)).as("n_distinct_fps"))
+    fps.selectExpr("doc_id", s"$cellOf AS cell")
+      .join(broadcast(cellAgg), "cell")
+      .select($"doc_id", $"cell", $"cluster_id", $"cluster_size",
+        $"n_distinct_fps", ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  // lazy: wavFpSqlCtes is declared later in the file (init order)
+  lazy val wavSemDedupSql: String =
+    s"""WITH $wavFpSqlCtes,
+       |wsfam AS (
+       |  SELECT fp, (fp >> 21) & 127 AS cell,
+       |    MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_copies
+       |  FROM wffp GROUP BY 1, 2
+       |),
+       |wscell AS (
+       |  SELECT cell, MIN(rep) AS cluster_id,
+       |    CAST(SUM(n_copies) AS BIGINT) AS cluster_size,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_fps
+       |  FROM wsfam GROUP BY cell
+       |)
+       |SELECT w.doc_id, CAST(c.cell AS INTEGER) AS cell, c.cluster_id,
+       |  c.cluster_size, c.n_distinct_fps,
+       |  w.doc_id = c.cluster_id AS is_keeper
+       |FROM wffp w JOIN wscell c ON ((w.fp >> 21) & 127) = c.cell
+       |${sqlOrderBy(Seq("doc_id")).trim}""".stripMargin
+
   /** DuckDB CTE chain ending in `wffp(doc_id, fp)` — the relational
-    * resynthesis of the fingerprint, shared by [[wavFingerprintSql]]
-    * and [[wavNeardupSql]]. */
-  private val wavFpSqlCtes: String = {
+    * resynthesis of the fingerprint, shared by [[wavFingerprintSql]],
+    * [[wavNeardupSql]], [[wavSemDedupSql]], and the `dq_lsh_preflight`
+    * oracle. */
+  private[graft] val wavFpSqlCtes: String = {
     val levels = (1 to 5).map { k =>
       val prev = if (k == 1) "wfl0" else s"wfl${k - 1}"
       s"""wfl$k AS (
@@ -1623,6 +1691,7 @@ object Media {
     "media_wav_haar" -> wavHaarQuery,
     "media_wav_fingerprint" -> wavFingerprintQuery,
     "media_wav_neardup" -> wavNeardup,
+    "media_wav_semdedup" -> wavSemDedup,
     "media_resize" -> resizeQuery,
     "media_wav_resample" -> wavResampleQuery,
     "media_wav_meta" -> wavMetaQuery,
@@ -1641,6 +1710,7 @@ object Media {
     "media_wav_haar" -> wavHaarQuerySql,
     "media_wav_fingerprint" -> wavFingerprintSql,
     "media_wav_neardup" -> wavNeardupSql,
+    "media_wav_semdedup" -> wavSemDedupSql,
     "media_resize" -> resizeQuerySql,
     "media_wav_resample" -> wavResampleQuerySql,
     "media_wav_meta" -> wavMetaQuerySql,
