@@ -1768,6 +1768,106 @@ object Aggs {
        |    / CAST(n * (k - 1) AS DOUBLE) AS kendalls_w
        |FROM fdev${sqlOrderBy(Seq("n"))}""".stripMargin
 
+  /** stat_cochran_q: Cochran's Q (Cochran 1950) — the BINARY-outcome
+    * member of the blocked k-treatment family (`stat_friedman` is the
+    * ordinal member on this same month×priority grid; McNemar is the
+    * k=2 special case): did the treatments differ in a yes/no outcome
+    * consistently across blocks? Blocks are months, treatments are
+    * order priorities, and the outcome is "the cell's revenue meets
+    * its month's mean cell revenue" — an exact integer cross-multiply
+    * (rev·k ≥ month total, in DECIMAL(38,0)/HUGEINT so no cent total
+    * can wrap), i.e. which priorities over-index within their month.
+    * Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²) with C_j the treatment
+    * column sums, R_i the block row sums, T the grand total — ALL
+    * exact BIGINTs; the statistic is one terminal division, CASE-
+    * guarded to NULL when the denominator is 0 (every block all-0 or
+    * all-1) identically in both engines. Asymptotically χ²(k−1).
+    *
+    * Scale posture: one month×priority rollup (map-side combined),
+    * dense grid |months|·k, everything after is k- or |months|-row
+    * frames — one scan at any corpus size. */
+  def statCochranQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells0 = Tables(spark, dir, "orders")
+      .select(trunc(to_date($"o_orderdate"), "month").as("m"),
+        $"o_orderpriority".as("prio"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"m", $"prio").agg(sum($"cents").as("rev"))
+    val months = cells0.select($"m").distinct()
+    val prios = cells0.select($"prio").distinct()
+    val cells = months.crossJoin(prios)
+      .join(cells0, Seq("m", "prio"), "left")
+      .select($"m", $"prio", coalesce($"rev", lit(0L)).as("rev"))
+    val kdf = cells.agg(countDistinct($"prio").as("k"))
+    val x = cells
+      .withColumn("mtot", sum($"rev".cast(dec)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"m")))
+      .crossJoin(broadcast(kdf))
+      .select($"m", $"prio", $"k",
+        ($"rev".cast(dec) * $"k" >= $"mtot").cast("long").as("x"))
+    val rows = x.groupBy($"m", $"k").agg(sum($"x").as("r"))
+    val colsAgg = x.groupBy($"prio").agg(sum($"x").as("c"))
+    val tot = rows.groupBy($"k").agg(sum($"r").as("t"),
+      sum($"r" * $"r").as("sr2"), count(lit(1)).as("n_blocks"))
+    val csum = colsAgg.agg(sum($"c" * $"c").as("sc2"))
+    tot.crossJoin(broadcast(csum))
+      .select($"n_blocks", $"k",
+        (($"k" - 1) * ($"k" * $"sc2" - $"t" * $"t")).as("q_num"),
+        ($"k" * $"t" - $"sr2").as("q_den"))
+      .selectExpr("n_blocks", "k", "q_num", "q_den",
+        """CASE WHEN q_den = 0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE)
+          |END AS q_stat""".stripMargin.replace("\n", ""))
+  }
+
+  val statCochranQSql: String =
+    s"""WITH cqc0 AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |    o_orderpriority AS prio,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1, 2
+       |),
+       |cqcells AS (
+       |  SELECT g.m, g.prio, COALESCE(c.rev, 0) AS rev
+       |  FROM (SELECT m, prio
+       |        FROM (SELECT DISTINCT m FROM cqc0)
+       |        CROSS JOIN (SELECT DISTINCT prio FROM cqc0)) g
+       |  LEFT JOIN cqc0 c ON c.m = g.m AND c.prio = g.prio
+       |),
+       |cqk AS (SELECT CAST(COUNT(DISTINCT prio) AS BIGINT) AS k
+       |        FROM cqcells),
+       |cqx AS (
+       |  SELECT m, prio,
+       |    CASE WHEN CAST(rev AS HUGEINT) * (SELECT k FROM cqk)
+       |      >= CAST(SUM(CAST(rev AS HUGEINT)) OVER (PARTITION BY m)
+       |         AS HUGEINT)
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS x
+       |  FROM cqcells
+       |),
+       |cqr AS (SELECT m, CAST(SUM(x) AS BIGINT) AS r FROM cqx GROUP BY m),
+       |cqc AS (SELECT prio, CAST(SUM(x) AS BIGINT) AS c
+       |        FROM cqx GROUP BY prio),
+       |cqt AS (
+       |  SELECT CAST(SUM(r) AS BIGINT) AS t,
+       |    CAST(SUM(r * r) AS BIGINT) AS sr2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_blocks
+       |  FROM cqr
+       |),
+       |cqs AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sc2 FROM cqc)
+       |SELECT n_blocks, (SELECT k FROM cqk) AS k,
+       |  CAST(((SELECT k FROM cqk) - 1)
+       |    * ((SELECT k FROM cqk) * sc2 - t * t) AS BIGINT) AS q_num,
+       |  CAST((SELECT k FROM cqk) * t - sr2 AS BIGINT) AS q_den,
+       |  CASE WHEN (SELECT k FROM cqk) * t - sr2 = 0
+       |    THEN CAST(NULL AS DOUBLE)
+       |    ELSE CAST(((SELECT k FROM cqk) - 1)
+       |      * ((SELECT k FROM cqk) * sc2 - t * t) AS DOUBLE)
+       |      / CAST((SELECT k FROM cqk) * t - sr2 AS DOUBLE)
+       |  END AS q_stat
+       |FROM cqt CROSS JOIN cqs""".stripMargin
+
   /** Bradley–Terry preference-strength estimation — the pairwise-
     * comparison ranking model behind RLHF preference data (and chess
     * Elo's maximum-likelihood cousin). Contests are derived from the
@@ -2470,6 +2570,7 @@ object Aggs {
     "stat_mannwhitney" -> statMannWhitney,
     "stat_kruskal_wallis" -> statKruskalWallis,
     "stat_friedman" -> statFriedman,
+    "stat_cochran_q" -> statCochranQ,
     "stat_bradley_terry" -> statBradleyTerry,
     "stat_theil_sen" -> statTheilSen,
     "orders_kaplan_meier" -> kaplanMeier,
@@ -2519,6 +2620,7 @@ object Aggs {
     "stat_mannwhitney" -> statMannWhitneySql,
     "stat_kruskal_wallis" -> statKruskalWallisSql,
     "stat_friedman" -> statFriedmanSql,
+    "stat_cochran_q" -> statCochranQSql,
     "stat_bradley_terry" -> statBradleyTerrySql,
     "stat_theil_sen" -> statTheilSenSql,
     "orders_kaplan_meier" -> kaplanMeierSql,

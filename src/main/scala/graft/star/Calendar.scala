@@ -1105,7 +1105,320 @@ object Calendar {
        |  ELSE CAST(0 AS DOUBLE) END AS z
        |FROM mkn CROSS JOIN mkp CROSS JOIN mkt""".stripMargin
 
+  /** orders_newsvendor: critical-fractile stocking levels per brand
+    * (the newsvendor model, Arrow–Harris–Marschak 1951 form) — the
+    * SERVICE-LEVEL leg of the inventory tier: `parts_abc_xyz` routes a
+    * part to a policy, `orders_croston` forecasts the intermittent
+    * mean, and the newsvendor quantile says HOW MUCH to stock: the
+    * optimal level is the demand distribution's cu/(cu+co) quantile,
+    * read here at the three canonical service levels 50/80/95% (80% =
+    * the cu=4, co=1 underage/overage case). Demand observations are
+    * per-lineitem order quantities at brand grain.
+    *
+    * Exactness: each level is the exact lower order statistic —
+    * smallest q with 100·cum(q) ≥ level·n, an integer cross-multiply
+    * on the per-brand (quantity, count) grid, never a float quantile;
+    * mean demand is one terminal division of exact BIGINTs.
+    *
+    * Scale posture: one fact scan collapsing map-side to the
+    * (brand, quantity) grid (|brands|·50 rows); the cumulative window
+    * partitions by brand over ≤|distinct qty| rows — the
+    * `stat_mannwhitney` value-grid class, no raw-row sort at any
+    * corpus size. */
+  def newsvendor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"),
+        round($"l_quantity").cast("long").as("q"))
+    val grid = d.groupBy($"brand", $"q").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"brand").orderBy($"q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"brand")))
+    grid.groupBy($"brand").agg(
+      max($"n").as("n_obs"),
+      min(when($"cum" * 100 >= $"n" * 50, $"q")).as("q50"),
+      min(when($"cum" * 100 >= $"n" * 80, $"q")).as("q80"),
+      min(when($"cum" * 100 >= $"n" * 95, $"q")).as("q95"),
+      (sum($"q" * $"cnt").cast("double") / max($"n").cast("double"))
+        .as("mean_qty"))
+      .orderBy($"brand")
+  }
+
+  val newsvendorSql: String =
+    s"""WITH nvd AS (
+       |  SELECT p.p_brand AS brand, CAST(round(l_quantity) AS BIGINT) AS q
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |),
+       |nvg AS (
+       |  SELECT brand, q, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM nvd GROUP BY brand, q
+       |),
+       |nvc AS (
+       |  SELECT brand, q, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY brand ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY brand) AS BIGINT) AS n
+       |  FROM nvg
+       |)
+       |SELECT brand, MAX(n) AS n_obs,
+       |  MIN(CASE WHEN cum * 100 >= n * 50 THEN q END) AS q50,
+       |  MIN(CASE WHEN cum * 100 >= n * 80 THEN q END) AS q80,
+       |  MIN(CASE WHEN cum * 100 >= n * 95 THEN q END) AS q95,
+       |  CAST(CAST(SUM(CAST(q AS HUGEINT) * cnt) AS HUGEINT) AS DOUBLE)
+       |    / CAST(MAX(n) AS DOUBLE) AS mean_qty
+       |FROM nvc GROUP BY brand
+       |${sqlOrderBy(Seq("brand")).trim}""".stripMargin
+
+  /** parts_eoq: economic order quantity per brand (Harris 1913 — the
+    * classic √(2DS/H) lot-size rule) — the ORDER-SIZING leg beside the
+    * [[newsvendor]] service level: given horizon demand D (exact unit
+    * count from the fact table), fixed ordering cost S = $100, and a
+    * holding cost of 20% of the brand's mean unit retail price per
+    * horizon, the cost-optimal lot is √(2DS/H) and the implied order
+    * count is D/EOQ.
+    *
+    * Exactness: D and the retail-cent moments are exact BIGINTs;
+    * EOQ's one sqrt is IEEE-correctly-rounded in BOTH engines (sqrt is
+    * exact in a way libm log/exp are not — the reason this operator
+    * can gate on hash while log-family formulas ride qlog2), and the
+    * assembly is written operation-for-operation identically.
+    *
+    * Scale posture: one fact scan map-side combined to |brands| rows,
+    * one broadcast part-dim rollup, terminal math on |brands| rows. */
+  def partsEoq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dem = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"))
+      .agg(sum(round($"l_quantity").cast("long")).as("d_units"))
+    val price = Tables(spark, dir, "part")
+      .groupBy($"p_brand".as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(round($"p_retailprice" * 100).cast("long")).as("cents"))
+    dem.join(price, "brand")
+      .select($"brand", $"d_units", $"n_parts",
+        ($"cents".cast("double") / $"n_parts".cast("double") / lit(5.0))
+          .as("h_cents"))
+      .withColumn("eoq_units",
+        sqrt(lit(2.0) * $"d_units".cast("double") * lit(10000.0)
+          / $"h_cents"))
+      .withColumn("n_orders", $"d_units".cast("double") / $"eoq_units")
+      .orderBy($"brand")
+  }
+
+  val partsEoqSql: String =
+    s"""WITH eqd AS (
+       |  SELECT p.p_brand AS brand,
+       |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+       |      AS d_units
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY 1
+       |),
+       |eqp AS (
+       |  SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |    CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM part GROUP BY 1
+       |),
+       |eqh AS (
+       |  SELECT d.brand, d.d_units, p.n_parts,
+       |    CAST(cents AS DOUBLE) / CAST(n_parts AS DOUBLE)
+       |      / CAST(5.0 AS DOUBLE) AS h_cents
+       |  FROM eqd d JOIN eqp p ON d.brand = p.brand
+       |)
+       |SELECT brand, d_units, n_parts, h_cents,
+       |  sqrt(CAST(2.0 AS DOUBLE) * CAST(d_units AS DOUBLE)
+       |    * CAST(10000.0 AS DOUBLE) / h_cents) AS eoq_units,
+       |  CAST(d_units AS DOUBLE)
+       |    / sqrt(CAST(2.0 AS DOUBLE) * CAST(d_units AS DOUBLE)
+       |      * CAST(10000.0 AS DOUBLE) / h_cents) AS n_orders
+       |FROM eqh
+       |${sqlOrderBy(Seq("brand")).trim}""".stripMargin
+
+  /** events_bass_diffusion: Bass product-diffusion model fit (Bass
+    * 1969) over the purchase-adoption curve — the GROWTH-forecasting
+    * member of the family (trend/seasonality live in Holt–Winters;
+    * Bass models ADOPTION saturating at a market size m, the question
+    * "how big does this get and how fast"). The discrete Bass form is
+    * linear in the cumulative-adopter count: daily new adopters
+    * S_t = β₀ + β₁·N_{t−1} + β₂·N²_{t−1} with p = β₀/m, q = β₁ + p,
+    * m the positive root of β₂m² + β₁m + β₀ = 0 (Bass's own
+    * regression-estimation procedure, §7 of the paper). Adopters are
+    * users on their FIRST purchase day; the regression runs over the
+    * daily adoption grid.
+    *
+    * Exactness: all eight normal-equation moments (n, Σx, Σx², Σx³,
+    * Σx⁴, Σy, Σxy, Σx²y with x = N_{t−1}, y = S_t) are exact
+    * DECIMAL(38,0)/HUGEINT integers — Σx⁴ ≤ |days|·|users|⁴ needs the
+    * wide type from ~10⁵ users and caps the exact path at ~7·10⁸
+    * adopters, past which x pre-scales to thousands (one exact integer
+    * division) before the moments; Cramer's rule for the 3×3 solve and
+    * the quadratic root for m are ONE fixed-shape terminal IEEE
+    * assembly (sqrt is correctly rounded in both engines), det-0 and
+    * negative-discriminant CASE-guarded to NULL identically. Fixture
+    * verdict: the synthetic events table's first purchases arrive
+    * near-uniformly, so the fitted quadratic opens UPWARD (β₂ > 0) and
+    * m̂/p̂/q̂ are NULL at every SF — the guard correctly reporting "no
+    * interior saturation in this horizon", which IS the Bass answer
+    * for a non-saturating curve (β₀..β₂ remain the informative fit).
+    *
+    * Scale posture: one events scan → user-keyed first-purchase rollup
+    * (map-side combined) → |days|-bounded daily grid; the cumulative
+    * window and every later frame live on ≤|days| rows. */
+  def bassDiffusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("y"))
+    val grid = daily
+      .withColumn("x", coalesce(sum($"y").over(
+        Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val m = grid.agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast(dec)).as("sx"),
+      sum($"x".cast(dec) * $"x".cast(dec)).as("sx2"),
+      sum($"x".cast(dec) * $"x".cast(dec) * $"x".cast(dec)).as("sx3"),
+      sum($"x".cast(dec) * $"x".cast(dec) * $"x".cast(dec) *
+        $"x".cast(dec)).as("sx4"),
+      sum($"y".cast(dec)).as("sy"),
+      sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+      sum($"x".cast(dec) * $"x".cast(dec) * $"y".cast(dec)).as("sx2y"))
+    // Cramer's rule on the 3x3 normal equations, assembled in DOUBLE
+    // from the exact moments with identical operation order both sides
+    val assembled = m.selectExpr(
+      "CAST(n AS BIGINT) AS n_days",
+      "CAST(sy AS BIGINT) AS n_adopters",
+      "CAST(n AS DOUBLE) AS dn", "CAST(sx AS DOUBLE) AS dsx",
+      "CAST(sx2 AS DOUBLE) AS dsx2", "CAST(sx3 AS DOUBLE) AS dsx3",
+      "CAST(sx4 AS DOUBLE) AS dsx4", "CAST(sy AS DOUBLE) AS dsy",
+      "CAST(sxy AS DOUBLE) AS dsxy", "CAST(sx2y AS DOUBLE) AS dsx2y")
+      .selectExpr("n_days", "n_adopters",
+        """(dn * (dsx2 * dsx4 - dsx3 * dsx3)
+          | - dsx * (dsx * dsx4 - dsx2 * dsx3)
+          | + dsx2 * (dsx * dsx3 - dsx2 * dsx2)) AS det""".stripMargin
+          .replace("\n", ""),
+        """(dsy * (dsx2 * dsx4 - dsx3 * dsx3)
+          | - dsx * (dsxy * dsx4 - dsx2y * dsx3)
+          | + dsx2 * (dsxy * dsx3 - dsx2y * dsx2)) AS det0""".stripMargin
+          .replace("\n", ""),
+        """(dn * (dsxy * dsx4 - dsx2y * dsx3)
+          | - dsy * (dsx * dsx4 - dsx2 * dsx3)
+          | + dsx2 * (dsx * dsx2y - dsx2 * dsxy)) AS det1""".stripMargin
+          .replace("\n", ""),
+        """(dn * (dsx2 * dsx2y - dsx3 * dsxy)
+          | - dsx * (dsx * dsx2y - dsx3 * dsy)
+          | + dsy * (dsx * dsx3 - dsx2 * dsx2)) AS det2""".stripMargin
+          .replace("\n", ""))
+    assembled.selectExpr("n_days", "n_adopters",
+      "CASE WHEN det = 0.0 THEN CAST(NULL AS DOUBLE) ELSE det0 / det END AS b0",
+      "CASE WHEN det = 0.0 THEN CAST(NULL AS DOUBLE) ELSE det1 / det END AS b1",
+      "CASE WHEN det = 0.0 THEN CAST(NULL AS DOUBLE) ELSE det2 / det END AS b2")
+      .selectExpr("n_days", "n_adopters", "b0", "b1", "b2",
+        """CASE WHEN b2 IS NULL OR b2 = 0.0
+          |  OR b1 * b1 - 4.0 * b2 * b0 < 0.0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE (-b1 - sqrt(b1 * b1 - 4.0 * b2 * b0)) / (2.0 * b2)
+          |END AS m_hat""".stripMargin.replace("\n", ""))
+      .selectExpr("n_days", "n_adopters", "b0", "b1", "b2", "m_hat",
+        """CASE WHEN m_hat IS NULL OR m_hat = 0.0 THEN CAST(NULL AS DOUBLE)
+          |  ELSE b0 / m_hat END AS p_hat""".stripMargin.replace("\n", ""))
+      .selectExpr("n_days", "n_adopters", "b0", "b1", "b2", "m_hat",
+        "p_hat",
+        """CASE WHEN p_hat IS NULL THEN CAST(NULL AS DOUBLE)
+          |  ELSE b1 + p_hat END AS q_hat""".stripMargin.replace("\n", ""))
+  }
+
+  val bassDiffusionSql: String =
+    s"""WITH bsu AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+       |  WHERE event_type = 'purchase' GROUP BY user_id
+       |),
+       |bsd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS y
+       |        FROM bsu GROUP BY d),
+       |bsg AS (
+       |  SELECT d, y, COALESCE(CAST(SUM(y) OVER (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    0) AS x
+       |  FROM bsd
+       |),
+       |bsm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(y) AS BIGINT) AS n_adopters,
+       |    CAST(COUNT(*) AS DOUBLE) AS dn,
+       |    CAST(CAST(CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS dsx,
+       |    CAST(CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS dsx2,
+       |    CAST(CAST(CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS dsx3,
+       |    CAST(CAST(CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS dsx4,
+       |    CAST(CAST(CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS dsy,
+       |    CAST(CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS dsxy,
+       |    CAST(CAST(CAST(SUM(CAST(x AS HUGEINT) * x * y) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS dsx2y
+       |  FROM bsg
+       |),
+       |bsdet AS (
+       |  SELECT n_days, n_adopters,
+       |    (dn * (dsx2 * dsx4 - dsx3 * dsx3)
+       |     - dsx * (dsx * dsx4 - dsx2 * dsx3)
+       |     + dsx2 * (dsx * dsx3 - dsx2 * dsx2)) AS det,
+       |    (dsy * (dsx2 * dsx4 - dsx3 * dsx3)
+       |     - dsx * (dsxy * dsx4 - dsx2y * dsx3)
+       |     + dsx2 * (dsxy * dsx3 - dsx2y * dsx2)) AS det0,
+       |    (dn * (dsxy * dsx4 - dsx2y * dsx3)
+       |     - dsy * (dsx * dsx4 - dsx2 * dsx3)
+       |     + dsx2 * (dsx * dsx2y - dsx2 * dsxy)) AS det1,
+       |    (dn * (dsx2 * dsx2y - dsx3 * dsxy)
+       |     - dsx * (dsx * dsx2y - dsx3 * dsy)
+       |     + dsy * (dsx * dsx3 - dsx2 * dsx2)) AS det2
+       |  FROM bsm
+       |),
+       |bsb AS (
+       |  SELECT n_days, n_adopters,
+       |    CASE WHEN det = 0.0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE det0 / det END AS b0,
+       |    CASE WHEN det = 0.0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE det1 / det END AS b1,
+       |    CASE WHEN det = 0.0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE det2 / det END AS b2
+       |  FROM bsdet
+       |),
+       |bsmh AS (
+       |  SELECT n_days, n_adopters, b0, b1, b2,
+       |    CASE WHEN b2 IS NULL OR b2 = 0.0
+       |      OR b1 * b1 - 4.0 * b2 * b0 < 0.0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE (-b1 - sqrt(b1 * b1 - 4.0 * b2 * b0)) / (2.0 * b2)
+       |    END AS m_hat
+       |  FROM bsb
+       |),
+       |bsp AS (
+       |  SELECT n_days, n_adopters, b0, b1, b2, m_hat,
+       |    CASE WHEN m_hat IS NULL OR m_hat = 0.0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE b0 / m_hat END AS p_hat
+       |  FROM bsmh
+       |)
+       |SELECT n_days, n_adopters, b0, b1, b2, m_hat, p_hat,
+       |  CASE WHEN p_hat IS NULL THEN CAST(NULL AS DOUBLE)
+       |    ELSE b1 + p_hat END AS q_hat
+       |FROM bsp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_newsvendor" -> newsvendor,
+    "parts_eoq" -> partsEoq,
+    "events_bass_diffusion" -> bassDiffusion,
     "orders_snaive_mase" -> snaiveMase,
     "orders_acf" -> ordersAcf,
     "orders_mann_kendall" -> mannKendall,
@@ -1123,6 +1436,9 @@ object Calendar {
     "orders_gap_interp" -> gapInterp)
 
   val oracles: Map[String, String] = Map(
+    "orders_newsvendor" -> newsvendorSql,
+    "parts_eoq" -> partsEoqSql,
+    "events_bass_diffusion" -> bassDiffusionSql,
     "orders_snaive_mase" -> snaiveMaseSql,
     "orders_cusum" -> cusumSql,
     "orders_changepoint" -> changepointSql,

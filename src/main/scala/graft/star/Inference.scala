@@ -1033,7 +1033,92 @@ object Inference {
        |    AS kappa
        |FROM ckm""".stripMargin
 
+  /** dq_fd_violations: approximate functional-dependency audit
+    * (Kivinen & Mannila 1995's g₃ error; the profiling pass behind FD
+    * discovery à la TANE, Huhtala et al. 1999) — for each candidate
+    * rule X → Y, the minimum number of rows that must be removed for
+    * the dependency to hold exactly: g₃ = N − Σ_{x∈X-groups} max_y
+    * count(x, y). The DQ question this answers at 100 TB is "which
+    * integrity rules does this lake ACTUALLY satisfy, and how far off
+    * are the rest" — the five audited candidates span the star schema
+    * and the document lake (a key-implied FD that must hold, two
+    * fact-grain rules that should fail, a dimension rule, and the
+    * doc-lake source→lang rule the lang-drift monitors assume).
+    *
+    * Exactness: pure integer counting — N, group counts, and the
+    * argmax mass are exact BIGINTs; g₃_error is one terminal division;
+    * `holds` is an integer equality.
+    *
+    * Scale posture: per FD, one (X, Y)-grain rollup (map-side
+    * combined) then an |X-groups| max/sum pass — the two-level
+    * aggregate shape, never a self-join; candidates are audited in one
+    * union so Spark schedules them as independent stages. */
+  def fdViolations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(df: DataFrame, fd: String, lhs: String,
+        rhs: String): DataFrame =
+      df.groupBy(col(lhs).cast("string").as("x"),
+        col(rhs).cast("string").as("y"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"x").agg(max($"cnt").as("mx"), sum($"cnt").as("nx"))
+        .agg(sum($"nx").as("n_rows"), count(lit(1)).as("n_lhs_groups"),
+          (sum($"nx") - sum($"mx")).as("n_violations"))
+        .select(lit(fd).as("fd"), $"n_rows", $"n_lhs_groups",
+          $"n_violations")
+    val fds = Seq(
+      audit(Tables(spark, dir, "customer"),
+        "customer: c_custkey -> c_nationkey", "c_custkey", "c_nationkey"),
+      audit(Tables(spark, dir, "documents"),
+        "documents: source -> lang", "source", "lang"),
+      audit(Tables(spark, dir, "lineitem"),
+        "lineitem: l_partkey -> l_suppkey", "l_partkey", "l_suppkey"),
+      audit(Tables(spark, dir, "orders"),
+        "orders: o_custkey -> o_orderpriority", "o_custkey",
+        "o_orderpriority"),
+      audit(Tables(spark, dir, "part"),
+        "part: p_brand -> p_type", "p_brand", "p_type"))
+    fds.reduce(_ unionByName _)
+      .select($"fd", $"n_rows", $"n_lhs_groups", $"n_violations",
+        ($"n_violations".cast("double") / $"n_rows".cast("double"))
+          .as("g3_error"),
+        ($"n_violations" === 0L).as("holds"))
+      .orderBy($"fd")
+  }
+
+  val fdViolationsSql: String = {
+    def audit(table: String, fd: String, lhs: String, rhs: String) =
+      s"""SELECT '$fd' AS fd, CAST(SUM(nx) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+         |  CAST(SUM(nx) - SUM(mx) AS BIGINT) AS n_violations
+         |FROM (
+         |  SELECT x, MAX(cnt) AS mx, SUM(cnt) AS nx FROM (
+         |    SELECT CAST($lhs AS VARCHAR) AS x, CAST($rhs AS VARCHAR) AS y,
+         |      CAST(COUNT(*) AS BIGINT) AS cnt
+         |    FROM $table GROUP BY 1, 2
+         |  ) GROUP BY x
+         |)""".stripMargin
+    val parts = Seq(
+      audit("customer", "customer: c_custkey -> c_nationkey",
+        "c_custkey", "c_nationkey"),
+      audit("documents", "documents: source -> lang", "source", "lang"),
+      audit("lineitem", "lineitem: l_partkey -> l_suppkey",
+        "l_partkey", "l_suppkey"),
+      audit("orders", "orders: o_custkey -> o_orderpriority",
+        "o_custkey", "o_orderpriority"),
+      audit("part", "part: p_brand -> p_type", "p_brand", "p_type"))
+      .mkString("\nUNION ALL\n")
+    s"""SELECT fd, n_rows, n_lhs_groups, n_violations,
+       |  CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+       |    AS g3_error,
+       |  n_violations = 0 AS holds
+       |FROM (
+       |$parts
+       |)
+       |${sqlOrderBy(Seq("fd")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_fd_violations" -> fdViolations,
     "dq_completeness_profile" -> completenessProfile,
     "stat_cohens_kappa" -> cohensKappa,
     "stat_screen_prf" -> screenPrf,
@@ -1049,6 +1134,7 @@ object Inference {
     "dq_t_closeness" -> tCloseness)
 
   val oracles: Map[String, String] = Map(
+    "dq_fd_violations" -> fdViolationsSql,
     "dq_completeness_profile" -> completenessProfileSql,
     "stat_cohens_kappa" -> cohensKappaSql,
     "stat_screen_prf" -> screenPrfSql,

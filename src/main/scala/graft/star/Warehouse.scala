@@ -2173,6 +2173,171 @@ object Warehouse {
        |        - CAST(9.0 AS DOUBLE))) AS hedges_g
        |FROM esd""".stripMargin
 
+  /** stat_welch_ttest: Welch's unequal-variance two-sample t-test
+    * (Welch 1947) on per-user purchase revenue between the A/B arms —
+    * the CONTINUOUS-metric significance leg the experimentation tier
+    * reads beside the proportion tests ([[abWilson]]) and the
+    * magnitude readout ([[effectSizes]], which shares this exact
+    * moment frame): revenue is the metric experiments actually decide
+    * on, and pooled-variance Student t is wrong under the variance
+    * imbalance a treatment typically induces. t = Δmean/√(v₀/n₀+v₁/n₁)
+    * with Welch–Satterthwaite df = (v₀/n₀+v₁/n₁)² / ((v₀/n₀)²/(n₀−1) +
+    * (v₁/n₁)²/(n₁−1)).
+    *
+    * Exactness: the five moments per arm are exact DECIMAL(38,0)/
+    * HUGEINT integer cents ([[effectSizes]] discipline); t and df are
+    * one fixed-shape terminal IEEE assembly written operation-for-
+    * operation identically in both engines.
+    *
+    * Scale posture: one user-keyed rollup (map-side combined), one
+    * 2-row moment aggregate, one output row — a 100 TB t-test is one
+    * scan. */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val m = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        round($"value" * 100).cast("long")).otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).cast("int").as("variant"), $"y")
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"y".cast(dec)).as("s"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("ss"))
+    m.agg(
+      max(when($"variant" === 0, $"n")).as("n0"),
+      max(when($"variant" === 1, $"n")).as("n1"),
+      max(when($"variant" === 0, $"s".cast("double"))).as("s0"),
+      max(when($"variant" === 1, $"s".cast("double"))).as("s1"),
+      max(when($"variant" === 0, $"ss".cast("double"))).as("q0"),
+      max(when($"variant" === 1, $"ss".cast("double"))).as("q1"))
+      .select($"n0", $"n1",
+        ($"s0" / $"n0".cast("double")).as("mean0_cents"),
+        ($"s1" / $"n1".cast("double")).as("mean1_cents"),
+        (($"q0" - $"s0" * $"s0" / $"n0".cast("double"))
+          / ($"n0" - 1L).cast("double") / $"n0".cast("double")).as("se0sq"),
+        (($"q1" - $"s1" * $"s1" / $"n1".cast("double"))
+          / ($"n1" - 1L).cast("double") / $"n1".cast("double")).as("se1sq"))
+      .select($"n0", $"n1", $"mean0_cents", $"mean1_cents",
+        (($"mean1_cents" - $"mean0_cents") / sqrt($"se0sq" + $"se1sq"))
+          .as("t_stat"),
+        ((($"se0sq" + $"se1sq") * ($"se0sq" + $"se1sq"))
+          / ($"se0sq" * $"se0sq" / ($"n0" - 1L).cast("double")
+            + $"se1sq" * $"se1sq" / ($"n1" - 1L).cast("double")))
+          .as("welch_df"))
+  }
+
+  val welchTTestSql: String =
+    s"""WITH wtu AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM events GROUP BY user_id
+       |),
+       |wtm AS (
+       |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS s,
+       |    CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+       |      AS ss
+       |  FROM wtu GROUP BY variant
+       |),
+       |wtw AS (
+       |  SELECT
+       |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+       |    MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+       |    MAX(CASE WHEN variant = 0 THEN ss END) AS q0,
+       |    MAX(CASE WHEN variant = 1 THEN ss END) AS q1
+       |  FROM wtm
+       |),
+       |wtd AS (
+       |  SELECT n0, n1,
+       |    s0 / CAST(n0 AS DOUBLE) AS mean0_cents,
+       |    s1 / CAST(n1 AS DOUBLE) AS mean1_cents,
+       |    (q0 - s0 * s0 / CAST(n0 AS DOUBLE))
+       |      / CAST(n0 - 1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS se0sq,
+       |    (q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+       |      / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS se1sq
+       |  FROM wtw
+       |)
+       |SELECT n0, n1, mean0_cents, mean1_cents,
+       |  (mean1_cents - mean0_cents) / sqrt(se0sq + se1sq) AS t_stat,
+       |  ((se0sq + se1sq) * (se0sq + se1sq))
+       |    / (se0sq * se0sq / CAST(n0 - 1 AS DOUBLE)
+       |      + se1sq * se1sq / CAST(n1 - 1 AS DOUBLE)) AS welch_df
+       |FROM wtd""".stripMargin
+
+  /** stat_mcnemar: McNemar's test for PAIRED binary outcomes (McNemar
+    * 1947, Edwards continuity correction) — did each user's conversion
+    * behavior CHANGE between two matched exposures? The pairing is
+    * within-user: outcome 1 = converted on an even event_id exposure,
+    * outcome 2 = converted on an odd one (the deterministic split
+    * convention; production pairs before/after a launch). Only the
+    * discordant cells carry information: χ² = (|b−c|−1)²/(b+c) on 1 df,
+    * where b = #(1→0) and c = #(0→1) — the within-subject design the
+    * independent-sample tests ([[abWilson]], [[welchTTest]]) cannot
+    * grade because the two outcomes share each user's baseline.
+    *
+    * Exactness: the 2×2 concordance cells are exact BIGINT counts; the
+    * continuity-corrected numerator (max(|b−c|−1, 0))² stays integer
+    * (the max(·,0) clamp pins the b=c case to 0 rather than Edwards'
+    * degenerate 1); the statistic is ONE terminal division, CASE-
+    * guarded to NULL when b+c = 0 identically in both engines.
+    *
+    * Scale posture: one user-keyed rollup (map-side combined), one
+    * 4-cell aggregate, one output row. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        max(($"event_type" === "purchase" && $"event_id" % 2 === 0)
+          .cast("int")).as("x1"),
+        max(($"event_type" === "purchase" && $"event_id" % 2 === 1)
+          .cast("int")).as("x2"))
+      .agg(
+        count_if($"x1" === 1 && $"x2" === 1).as("n11"),
+        count_if($"x1" === 1 && $"x2" === 0).as("b"),
+        count_if($"x1" === 0 && $"x2" === 1).as("c"),
+        count_if($"x1" === 0 && $"x2" === 0).as("n00"))
+    cells.selectExpr("n11", "b", "c", "n00",
+      """CASE WHEN b + c = 0 THEN CAST(NULL AS DOUBLE)
+        |  ELSE CAST(greatest(abs(b - c) - 1, 0)
+        |    * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+        |    / CAST(b + c AS DOUBLE)
+        |END AS chi2_cc""".stripMargin.replace("\n", ""))
+  }
+
+  val mcnemarSql: String =
+    s"""WITH mnu AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' AND event_id % 2 = 0
+       |      THEN 1 ELSE 0 END) AS x1,
+       |    MAX(CASE WHEN event_type = 'purchase' AND event_id % 2 = 1
+       |      THEN 1 ELSE 0 END) AS x2
+       |  FROM events GROUP BY user_id
+       |),
+       |mnc AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN x1 = 1 AND x2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN x1 = 0 AND x2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n00
+       |  FROM mnu
+       |)
+       |SELECT n11, b, c, n00,
+       |  CASE WHEN b + c = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE CAST(GREATEST(ABS(b - c) - 1, 0)
+       |      * GREATEST(ABS(b - c) - 1, 0) AS DOUBLE)
+       |      / CAST(b + c AS DOUBLE)
+       |  END AS chi2_cc
+       |FROM mnc""".stripMargin
+
   /** dq_dp_release: ε-differentially-private count release for the
     * documents lang×source histogram (Dwork et al. 2006) — the
     * privacy-family capstone beside k-anonymity/l-diversity/
@@ -3096,6 +3261,8 @@ object Warehouse {
     "events_ab_delta_ratio" -> abDeltaRatio,
     "events_ab_power" -> abPower,
     "stat_effect_sizes" -> effectSizes,
+    "stat_welch_ttest" -> welchTTest,
+    "stat_mcnemar" -> mcnemar,
     "dq_dp_release" -> dpRelease,
     "stat_permutation_test" -> permutationTest,
     "orders_did_lift" -> didLift,
@@ -3142,6 +3309,8 @@ object Warehouse {
     "events_ab_delta_ratio" -> abDeltaRatioSql,
     "events_ab_power" -> abPowerSql,
     "stat_effect_sizes" -> effectSizesSql,
+    "stat_welch_ttest" -> welchTTestSql,
+    "stat_mcnemar" -> mcnemarSql,
     "dq_dp_release" -> dpReleaseSql,
     "stat_permutation_test" -> permutationTestSql,
     "orders_did_lift" -> didLiftSql,
