@@ -1284,6 +1284,120 @@ object Cluster {
        |FROM cand_mv CROSS JOIN m2 WHERE rn = 1
        |${graft.Det.sqlOrderBy(Seq("node")).trim}""".stripMargin
 
+  /** graph_pseudo_diameter: double-sweep BFS pseudo-diameter (the
+    * Magnien–Latapy–Habib 2009 lower-bound technique: BFS from a
+    * high-degree hub, then BFS again from the farthest node found —
+    * ecc(far) lower-bounds the true diameter and is usually tight) of
+    * the LSH candidate graph's hub component — the one-number "how
+    * stretched is the worst cluster" companion to [[bfsLayers]]'s
+    * per-layer census: tight near-dup families have pseudo-diameter
+    * 1–2; a drifting transitive chain (A≈B≈C≈… with A̸≈C) shows up as
+    * a growing pseudo-diameter long before the cluster audit flags
+    * purity loss. Both sweeps are depth-bounded at 6 supersteps (the
+    * operator parameter; a frontier that is still growing at the
+    * bound reports `truncated = true` rather than silently
+    * understating). Far-node tie-break: max layer, then smallest
+    * doc_id — a total order, so both engines pick the same node.
+    *
+    * Scale posture: [[bfsLayers]]' superstep chassis twice — each
+    * step one frontier⋈edges equi-join + distinct + anti-join, edge
+    * list built once behind a localCheckpoint, per-step lineage
+    * truncated; all post-BFS frames are ≤|visited| rows and the
+    * output is ONE row. The oracle replays both sweeps as
+    * depth-bounded recursive CTEs with MIN(layer) first-visit
+    * semantics, chained through the same deterministic far-node
+    * selection. */
+  def pseudoDiameter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = bothDirs(
+      Dedup.candidatePairs(spark, dir)
+        .select($"d1".as("src"), $"d2".as("dst")))
+      .localCheckpoint()
+    def sweep(seed: DataFrame): DataFrame = {
+      var visited = seed.localCheckpoint()
+      var frontier = visited
+      for (l <- 1 to 6) {
+        frontier = frontier
+          .join(edges, frontier("node") === edges("src"))
+          .select($"dst".as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("layer", lit(l))
+          .localCheckpoint()
+        visited = visited.union(frontier).localCheckpoint()
+      }
+      visited
+    }
+    val hub = edges.groupBy($"src").agg(count(lit(1)).as("dg"))
+      .orderBy($"dg".desc, $"src").limit(1)
+      .select($"src".as("node"), lit(0).as("layer"))
+      .localCheckpoint()
+    val v1 = sweep(hub)
+    val far = v1.orderBy($"layer".desc, $"node").limit(1)
+      .select($"node", lit(0).as("layer"))
+      .localCheckpoint()
+    val v2 = sweep(far)
+    val s1 = v1.agg(max($"layer").as("sweep1_ecc"),
+      count(lit(1)).as("n_reached_1"))
+    val s2 = v2.agg(max($"layer").as("pseudo_diameter"),
+      count(lit(1)).as("n_reached_2"))
+    hub.select($"node".as("hub_node"))
+      .crossJoin(broadcast(far.select($"node".as("far_node"))))
+      .crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .withColumn("truncated",
+        $"sweep1_ecc" === 6 || $"pseudo_diameter" === 6)
+      .select($"hub_node", $"far_node", $"sweep1_ecc", $"n_reached_1",
+        $"pseudo_diameter", $"n_reached_2", $"truncated")
+  }
+
+  val pseudoDiameterSql: String =
+    s"""WITH RECURSIVE ${Dedup.sigSqlCte},
+       |${Dedup.candSqlCte},
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT d1 AS src, d2 AS dst FROM cand
+       |    UNION ALL
+       |    SELECT d2, d1 FROM cand
+       |  )
+       |),
+       |pdseed AS (
+       |  SELECT src AS node FROM (
+       |    SELECT src, COUNT(*) AS dg FROM edges GROUP BY src
+       |  ) ORDER BY dg DESC, src LIMIT 1
+       |),
+       |pdb1(node, layer) AS (
+       |  SELECT node, 0 FROM pdseed
+       |  UNION
+       |  SELECT e.dst, b.layer + 1
+       |  FROM pdb1 b JOIN edges e ON e.src = b.node
+       |  WHERE b.layer < 6
+       |),
+       |pdv1 AS (
+       |  SELECT node, CAST(MIN(layer) AS INTEGER) AS layer
+       |  FROM pdb1 GROUP BY node
+       |),
+       |pdfar AS (
+       |  SELECT node FROM pdv1 ORDER BY layer DESC, node LIMIT 1
+       |),
+       |pdb2(node, layer) AS (
+       |  SELECT node, 0 FROM pdfar
+       |  UNION
+       |  SELECT e.dst, b.layer + 1
+       |  FROM pdb2 b JOIN edges e ON e.src = b.node
+       |  WHERE b.layer < 6
+       |),
+       |pdv2 AS (
+       |  SELECT node, CAST(MIN(layer) AS INTEGER) AS layer
+       |  FROM pdb2 GROUP BY node
+       |)
+       |SELECT (SELECT node FROM pdseed) AS hub_node,
+       |  (SELECT node FROM pdfar) AS far_node,
+       |  (SELECT CAST(MAX(layer) AS INTEGER) FROM pdv1) AS sweep1_ecc,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pdv1) AS n_reached_1,
+       |  (SELECT CAST(MAX(layer) AS INTEGER) FROM pdv2) AS pseudo_diameter,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pdv2) AS n_reached_2,
+       |  (SELECT MAX(layer) FROM pdv1) = 6
+       |    OR (SELECT MAX(layer) FROM pdv2) = 6 AS truncated""".stripMargin
+
   /** graph_bfs_layers: breadth-first layer census from the highest-
     * degree document of the LSH candidate graph — the "how far does
     * the template family spread" diagnostic (layer 1 = direct
@@ -1757,6 +1871,7 @@ object Cluster {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_layers" -> bfsLayers,
+    "graph_pseudo_diameter" -> pseudoDiameter,
     "graph_hits_bipartite" -> hitsBipartite,
     "graph_ppr_seeded" -> pprSeeded,
     "dedup_cluster_purity" -> clusterPurity,
@@ -1782,6 +1897,7 @@ object Cluster {
 
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> bfsLayersSql,
+    "graph_pseudo_diameter" -> pseudoDiameterSql,
     "graph_hits_bipartite" -> hitsBipartiteSql,
     "graph_ppr_seeded" -> pprSeededSql,
     "dedup_cluster_purity" -> clusterPuritySql,
