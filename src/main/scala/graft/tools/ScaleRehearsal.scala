@@ -299,6 +299,35 @@ object ScaleRehearsal {
     stage("graph_adamic_adar")(graft.llm.Cluster.adamicAdar(spark, dir))
     stage("media_wav_neardup")(graft.multimodal.Media.wavNeardup(spark, dir))
     stage("parts_abc_xyz")(graft.star.Warehouse.abcXyz(spark, dir))
+    // round 13: the two-level-rank Bayesian readout (the selection
+    // stage must stay flat-ish — the r12 verdict's weak item), the
+    // productized routing decision (×100 must route the
+    // hash-degenerate phash family coarse and the text family
+    // pairwise — printed per family), the coarse audio tier, and the
+    // bounded-grid stat/inventory/diffusion/DQ rows
+    stage("events_ab_bayes")(graft.star.Warehouse.abBayes(spark, dir))
+    if (!onlyStages.exists(!_.contains("dedup_route_audit"))) {
+      val (r0, w0) = (meter.read, meter.write)
+      val t0 = System.nanoTime()
+      val ra = graft.llm.Dedup.routeAudit(spark, dir).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"| dedup_route_audit | ${ra.length} | $secs%.1f | " +
+        f"${(meter.read - r0) / 1e6}%.1f | ${(meter.write - w0) / 1e6}%.1f |")
+      ra.foreach(r => println(s"route: ${r.mkString(" | ")}"))
+    }
+    stage("media_wav_semdedup")(
+      graft.multimodal.Media.wavSemDedup(spark, dir))
+    stage("stat_welch_ttest")(graft.star.Warehouse.welchTTest(spark, dir))
+    stage("stat_mcnemar")(graft.star.Warehouse.mcnemar(spark, dir))
+    stage("stat_cochran_q")(graft.star.Aggs.statCochranQ(spark, dir))
+    stage("orders_newsvendor")(graft.star.Calendar.newsvendor(spark, dir))
+    stage("parts_eoq")(graft.star.Calendar.partsEoq(spark, dir))
+    stage("events_bass_diffusion")(
+      graft.star.Calendar.bassDiffusion(spark, dir))
+    stage("dq_fd_violations")(graft.star.Inference.fdViolations(spark, dir))
+    stage("graph_pseudo_diameter")(
+      graft.llm.Cluster.pseudoDiameter(spark, dir))
     spark.stop()
   }
 }
