@@ -2715,6 +2715,11 @@ object Warehouse {
     val extraDraws = agg
       .select($"variant", explode(expr(s"sequence(0, ${B - 1})")).as("b"))
       .selectExpr("variant", "b", s"${u32("bayes0:", "")} AS u")
+    // regenerated per level, NOT checkpointed: two codegen'd md5 map
+    // passes measured cheaper than materializing the B×n-row grid
+    // (sf0.1 floor 1.8 s vs 2.2 s checkpointed), and the gap widens
+    // with n — generation is pure CPU inside whole-stage codegen while
+    // a checkpoint pays executor-local disk
     def draws = userDraws.unionByName(extraDraws)
     // Level 1: per-(arm, replicate) bucket histogram over the u32
     // space's 2^16 high bits — map-side combined, so the shuffle is
