@@ -109,6 +109,20 @@ object ScaleRehearsal {
       .withColumn("l_suppkey", $"l_suppkey" + $"k" * 100000000L)
       .drop("k")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // part/customer (round 13): dimension copies in lockstep with the
+    // fact-key offsets above, so dim⋈fact joins stay exact — the brand
+    // and nation grids stay FIXED per copy while observation counts
+    // grow linearly (the newsvendor/EOQ/FD-audit scale claim)
+    spark.read.parquet(s"$srcDir/part.parquet")
+      .select($"*", k)
+      .withColumn("p_partkey", $"p_partkey" + $"k" * 100000000L)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    spark.read.parquet(s"$srcDir/customer.parquet")
+      .select($"*", k)
+      .withColumn("c_custkey", $"c_custkey" + $"k" * 100000000L)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val nEvts = spark.read.parquet(s"$dir/events.parquet").count()
