@@ -1686,7 +1686,117 @@ object Media {
        |    AS var_b
        |FROM agg${sqlOrderBy(Seq("media_type"))}""".stripMargin
 
+  /** Per-image 8-bit-luma histogram cell ([[imageEntropy]]). */
+  case class LumaCell(doc_id: Long, l8: Int, c: Long)
+
+  /** media_image_entropy: per-image Shannon entropy of the 8-bit luma
+    * histogram — the information-density signal of the IMAGE modality
+    * (the pixel twin of `text_bigram_entropy` / the byte-wise
+    * compression ratio): near-constant images (logos, color cards,
+    * corrupted frames) score near 0 bits and are filter candidates;
+    * natural images sit near the top of the 8-bit range. Decode is the
+    * REAL codec path ([[hashBatch]]'s kernel shape): pixels →
+    * integer luma 299R+587G+114B → 8-bit level l8 = luma div 1000 →
+    * per-image (level, count) histogram, ≤256 rows per image out of
+    * the executor.
+    *
+    * Exactness: entropy rides the engine-portable qlog2 fixed point —
+    * H_q = n·qlog2(n) − Σ c·qlog2(c) is an exact BIGINT (the
+    * `dq_mutual_info` identity), h_bits = H_q / (n·1024) is ONE
+    * terminal division; the mode level ties to the smallest l8, an
+    * integer argmax. The oracle never decodes: it resynthesizes every
+    * pixel RELATIONALLY from the fixture generation rule (the
+    * [[phashQuery]] contract), so hash-equality proves the whole
+    * encode → decode → luma → histogram → entropy loop on CONTENT.
+    *
+    * Scale posture: map-only batched decode emitting ≤256 skinny rows
+    * per image (partial aggregation inside the kernel — the shuffle
+    * carries histograms, never pixels), then |docs|·levels-bounded
+    * aggregates and one broadcast-size argmax join. At 100 TB the
+    * decode scan is the cost; nothing downstream grows with pixel
+    * count. */
+  def imageEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.llm.Curate.qlog2Spark _
+    val hist = spark.read.parquet(writeImages(spark, dir)).as[MediaFile]
+      .mapPartitions { batch =>
+        imageIoNoDiskCache
+        batch.flatMap { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val counts = new Array[Long](256)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i) & 0xffffff
+            val luma = 299L * ((p >> 16) & 0xff) +
+              587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+            counts((luma / 1000L).toInt) += 1L
+            i += 1
+          }
+          (0 until 256).iterator.filter(counts(_) > 0L)
+            .map(l => LumaCell(m.doc_id, l, counts(l)))
+        }
+      }.toDF().localCheckpoint() // one decode feeds all three rollups
+    val tot = hist.groupBy($"doc_id")
+      .agg(sum($"c").as("n_pixels"), count(lit(1)).as("n_levels"),
+        max($"c").as("mc"),
+        sum(expr(s"c * ${q("c")}")).as("sq"))
+    val mode = hist.join(tot.select($"doc_id", $"mc"), "doc_id")
+      .filter($"c" === $"mc")
+      .groupBy($"doc_id").agg(min($"l8").as("mode_luma"))
+    tot.join(mode, "doc_id")
+      .selectExpr("doc_id", "n_pixels", "n_levels", "mode_luma",
+        s"CAST(n_pixels * ${q("n_pixels")} - sq AS BIGINT) AS h_q")
+      .selectExpr("doc_id", "n_pixels", "n_levels", "mode_luma", "h_q",
+        "CAST(h_q AS DOUBLE) / CAST(n_pixels * 1024 AS DOUBLE) AS h_bits")
+      .orderBy($"doc_id")
+  }
+
+  val imageEntropySql: String = {
+    val q = graft.llm.Curate.qlog2Duck _
+    s"""WITH ied AS (
+       |  SELECT doc_id, 16 + n_chars % 64 AS w, 16 + (n_chars * 7) % 64 AS h
+       |  FROM documents
+       |),
+       |iei AS (
+       |  SELECT doc_id, unnest(range(0, w * h)) AS i FROM ied
+       |),
+       |iel AS (
+       |  SELECT doc_id,
+       |    (299 * ((p >> 16) & 255) + 587 * ((p >> 8) & 255)
+       |      + 114 * (p & 255)) // 1000 AS l8
+       |  FROM (SELECT doc_id,
+       |          (doc_id * 2654435761 + i * 40503) & 16777215 AS p
+       |        FROM iei)
+       |),
+       |ieh AS (
+       |  SELECT doc_id, l8, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM iel GROUP BY 1, 2
+       |),
+       |iet AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pixels,
+       |    CAST(COUNT(*) AS BIGINT) AS n_levels,
+       |    CAST(MAX(c) AS BIGINT) AS mc,
+       |    CAST(SUM(c * ${q("c")}) AS BIGINT) AS sq
+       |  FROM ieh GROUP BY doc_id
+       |),
+       |iem AS (
+       |  SELECT h.doc_id, CAST(MIN(h.l8) AS INTEGER) AS mode_luma
+       |  FROM ieh h JOIN iet t ON h.doc_id = t.doc_id AND h.c = t.mc
+       |  GROUP BY h.doc_id
+       |)
+       |SELECT t.doc_id, t.n_pixels, t.n_levels, m.mode_luma,
+       |  CAST(t.n_pixels * ${q("t.n_pixels")} - t.sq AS BIGINT) AS h_q,
+       |  CAST(t.n_pixels * ${q("t.n_pixels")} - t.sq AS DOUBLE)
+       |    / CAST(t.n_pixels * 1024 AS DOUBLE) AS h_bits
+       |FROM iet t JOIN iem m ON t.doc_id = m.doc_id
+       |${sqlOrderBy(Seq("t.doc_id")).trim}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_image_entropy" -> imageEntropy,
     "media_channel_stats" -> channelStatsQuery,
     "media_wav_haar" -> wavHaarQuery,
     "media_wav_fingerprint" -> wavFingerprintQuery,
@@ -1706,6 +1816,7 @@ object Media {
     "media_dedup" -> dedupQuery)
 
   val oracles: Map[String, String] = Map(
+    "media_image_entropy" -> imageEntropySql,
     "media_channel_stats" -> channelStatsQuerySql,
     "media_wav_haar" -> wavHaarQuerySql,
     "media_wav_fingerprint" -> wavFingerprintSql,

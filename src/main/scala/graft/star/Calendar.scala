@@ -1241,6 +1241,200 @@ object Calendar {
        |FROM eqh
        |${sqlOrderBy(Seq("brand")).trim}""".stripMargin
 
+  /** orders_croston_tsb: Teunter–Syntetos–Babai intermittent-demand
+    * smoothing per part (TSB, Teunter et al. 2011) — the OBSOLESCENCE-
+    * AWARE successor to [[croston]]: Croston's interval estimate only
+    * updates at demand points, so a part that stops selling keeps its
+    * stale forecast forever; TSB instead smooths a demand PROBABILITY
+    * every period (p ← p + β(d_t − p), here β = ½ as the exact
+    * [[holtLinear]] fdiv2 halving on the 1/1024 grid, with 1024 ≡
+    * certainty), decaying the forecast p·z through every demand-free
+    * month. The per-part series is the DENSE month grid from the
+    * part's first demand to the global horizon end — the gaps ARE the
+    * signal.
+    *
+    * Exactness: z rides the croston 1/1024-unit grid, p the 1/1024
+    * probability grid, both updated by exact floored halvings inside
+    * the same `aggregate` fold; the forecast p·z is an exact BIGINT
+    * product with ONE terminal division by 2²⁰.
+    *
+    * Scale posture: fact scan → (part, month) demand rollup (map-side
+    * combined) → dense-grid explode bounded by |parts|·|months| →
+    * independent bounded per-part folds (the croston posture; the
+    * probability updates add |months|−|demands| no-demand steps per
+    * part, still ≤|horizon| each). The oracle replays every month as
+    * a recursive CTE over the same dense grid. */
+  def crostonTsb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) div 2)"
+    val demand = Tables(spark, dir, "lineitem")
+      .select($"l_partkey",
+        ((year(to_date($"l_shipdate")) - 1992) * 12 +
+          month(to_date($"l_shipdate"))).cast("long").as("idx"),
+        round($"l_quantity").cast("long").as("q"))
+      .groupBy($"l_partkey", $"idx")
+      .agg((sum($"q") * 1024L).as("qq"))
+    val bounds = demand.groupBy($"l_partkey").agg(min($"idx").as("fidx"))
+    val mx = demand.agg(max($"idx").as("midx"))
+    val grid = bounds.crossJoin(broadcast(mx))
+      .select($"l_partkey", explode(expr("sequence(fidx, midx)")).as("idx"))
+    val ser = grid.join(demand, Seq("l_partkey", "idx"), "left")
+      .select($"l_partkey", $"idx", coalesce($"qq", lit(-1L)).as("qq"))
+    ser.groupBy($"l_partkey")
+      .agg(sort_array(collect_list(struct($"idx", $"qq"))).as("ser"))
+      .selectExpr("l_partkey", "CAST(size(ser) AS BIGINT) AS n_months",
+        s"""aggregate(
+           |  ser,
+           |  named_struct('z', CAST(0 AS BIGINT), 'p', CAST(0 AS BIGINT),
+           |    'nd', CAST(0 AS BIGINT), 'init', false),
+           |  (acc, e) -> IF(NOT acc.init,
+           |    named_struct('z', e.qq, 'p', CAST(1024 AS BIGINT),
+           |      'nd', CAST(1 AS BIGINT), 'init', true),
+           |    IF(e.qq >= 0,
+           |      named_struct('z', ${fdiv2("e.qq + acc.z")},
+           |        'p', ${fdiv2("1024 + acc.p")},
+           |        'nd', acc.nd + 1, 'init', true),
+           |      named_struct('z', acc.z, 'p', ${fdiv2("acc.p")},
+           |        'nd', acc.nd, 'init', true))),
+           |  acc -> acc) AS st""".stripMargin)
+      .select($"l_partkey", $"n_months", $"st.nd".as("n_demands"),
+        $"st.z".as("size_q"), $"st.p".as("prob_q"),
+        (($"st.p" * $"st.z").cast("double") /
+          lit(1048576L).cast("double")).as("tsb_forecast"))
+      .orderBy($"l_partkey")
+  }
+
+  val crostonTsbSql: String = {
+    def fdiv2(a: String) = s"((($a) - ((($a) % 2 + 2) % 2)) // 2)"
+    s"""WITH RECURSIVE tsbd AS (
+       |  SELECT l_partkey,
+       |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+       |      AS BIGINT) AS idx,
+       |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+       |      * 1024 AS qq
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |tsbf AS (SELECT l_partkey, MIN(idx) AS fidx FROM tsbd GROUP BY 1),
+       |tsbmx AS (SELECT MAX(idx) AS midx FROM tsbd),
+       |tsbg AS (
+       |  SELECT l_partkey,
+       |    unnest(range(fidx, (SELECT midx FROM tsbmx) + 1)) AS idx
+       |  FROM tsbf
+       |),
+       |tsbx AS (
+       |  SELECT g.l_partkey, g.idx, COALESCE(d.qq, -1) AS qq,
+       |    row_number() OVER (PARTITION BY g.l_partkey ORDER BY g.idx)
+       |      AS i
+       |  FROM tsbg g LEFT JOIN tsbd d
+       |    ON d.l_partkey = g.l_partkey AND d.idx = g.idx
+       |),
+       |tsb(l_partkey, i, z, p, nd) AS (
+       |  SELECT l_partkey, i, qq, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
+       |  FROM tsbx WHERE i = 1
+       |  UNION ALL
+       |  SELECT n.l_partkey, n.i,
+       |    CASE WHEN n.qq >= 0 THEN ${fdiv2("n.qq + t.z")} ELSE t.z END,
+       |    CASE WHEN n.qq >= 0 THEN ${fdiv2("1024 + t.p")}
+       |      ELSE ${fdiv2("t.p")} END,
+       |    t.nd + CASE WHEN n.qq >= 0 THEN 1 ELSE 0 END
+       |  FROM tsb t JOIN tsbx n
+       |    ON n.l_partkey = t.l_partkey AND n.i = t.i + 1
+       |),
+       |tsbl AS (
+       |  SELECT l_partkey, i, z, p, nd,
+       |    row_number() OVER (PARTITION BY l_partkey ORDER BY i DESC)
+       |      AS rn
+       |  FROM tsb
+       |)
+       |SELECT l_partkey, CAST(i AS BIGINT) AS n_months,
+       |  nd AS n_demands, z AS size_q, p AS prob_q,
+       |  CAST(p * z AS DOUBLE) / CAST(1048576 AS DOUBLE) AS tsb_forecast
+       |FROM tsbl WHERE rn = 1${sqlOrderBy(Seq("l_partkey"))}""".stripMargin
+  }
+
+  /** orders_safety_stock: safety stock + reorder point per brand at a
+    * 95% cycle-service level over a 7-day lead time (the σ√L rule
+    * every inventory text pairs with [[partsEoq]]'s lot size and
+    * [[newsvendor]]'s fractile): ss = z₀.₉₅·σ_d·√L over the DAILY
+    * demand series including its zero days — the demand-free days an
+    * order must survive are exactly what the variance must count, so
+    * n is the brand's full calendar span, not its active days.
+    *
+    * Exactness: per-day unit totals and both moments (Σd, Σd²) are
+    * exact BIGINTs (zero days contribute 0 to both, so only active
+    * days are ever scanned); μ, σ, ss, and ROP = 7μ + ss are one
+    * fixed-shape terminal IEEE assembly (sqrt correctly rounded in
+    * both engines; z = 1.6449 embedded as the same shortest-repr
+    * literal — the `events_ab_power` convention).
+    *
+    * Scale posture: one fact scan map-side combined to (brand, day)
+    * rows, then |brands|-row moment aggregates and a broadcast 1-row
+    * span join. */
+  def safetyStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"), to_date($"l_shipdate").as("d"))
+      .agg(sum(round($"l_quantity").cast("long")).as("units"))
+    val span = Tables(spark, dir, "lineitem")
+      .agg((datediff(max(to_date($"l_shipdate")),
+        min(to_date($"l_shipdate"))) + 1).cast("long").as("n_days"))
+    daily.groupBy($"brand")
+      .agg(sum($"units").as("s"), sum($"units" * $"units").as("ss"),
+        count(lit(1)).as("active_days"))
+      .crossJoin(broadcast(span))
+      .select($"brand", $"n_days", $"active_days", $"s".as("total_units"),
+        ($"s".cast("double") / $"n_days".cast("double")).as("mean_daily"),
+        sqrt(($"ss".cast("double") -
+          $"s".cast("double") * $"s".cast("double") /
+            $"n_days".cast("double")) /
+          ($"n_days" - 1L).cast("double")).as("sd_daily"))
+      .withColumn("safety_stock_95",
+        lit(1.6449) * $"sd_daily" * sqrt(lit(7.0)))
+      .withColumn("reorder_point",
+        lit(7.0) * $"mean_daily" + $"safety_stock_95")
+      .orderBy($"brand")
+  }
+
+  val safetyStockSql: String =
+    s"""WITH ssd AS (
+       |  SELECT p.p_brand AS brand, CAST(l_shipdate AS DATE) AS d,
+       |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+       |      AS units
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY 1, 2
+       |),
+       |ssn AS (
+       |  SELECT CAST(date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+       |    MAX(CAST(l_shipdate AS DATE))) + 1 AS BIGINT) AS n_days
+       |  FROM lineitem
+       |),
+       |ssm AS (
+       |  SELECT brand, CAST(SUM(units) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(units AS HUGEINT) * units) AS BIGINT) AS ss,
+       |    CAST(COUNT(*) AS BIGINT) AS active_days
+       |  FROM ssd GROUP BY brand
+       |),
+       |ssa AS (
+       |  SELECT brand, n_days, active_days, s AS total_units,
+       |    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+       |    sqrt((CAST(ss AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |        / CAST(n_days AS DOUBLE))
+       |      / CAST(n_days - 1 AS DOUBLE)) AS sd_daily
+       |  FROM ssm CROSS JOIN ssn
+       |)
+       |SELECT brand, n_days, active_days, total_units, mean_daily,
+       |  sd_daily,
+       |  CAST(1.6449 AS DOUBLE) * sd_daily * sqrt(CAST(7.0 AS DOUBLE))
+       |    AS safety_stock_95,
+       |  CAST(7.0 AS DOUBLE) * mean_daily
+       |    + CAST(1.6449 AS DOUBLE) * sd_daily * sqrt(CAST(7.0 AS DOUBLE))
+       |    AS reorder_point
+       |FROM ssa
+       |${sqlOrderBy(Seq("brand")).trim}""".stripMargin
+
   /** events_bass_diffusion: Bass product-diffusion model fit (Bass
     * 1969) over the purchase-adoption curve — the GROWTH-forecasting
     * member of the family (trend/seasonality live in Holt–Winters;
@@ -1419,6 +1613,8 @@ object Calendar {
     "orders_newsvendor" -> newsvendor,
     "parts_eoq" -> partsEoq,
     "events_bass_diffusion" -> bassDiffusion,
+    "orders_croston_tsb" -> crostonTsb,
+    "orders_safety_stock" -> safetyStock,
     "orders_snaive_mase" -> snaiveMase,
     "orders_acf" -> ordersAcf,
     "orders_mann_kendall" -> mannKendall,
@@ -1439,6 +1635,8 @@ object Calendar {
     "orders_newsvendor" -> newsvendorSql,
     "parts_eoq" -> partsEoqSql,
     "events_bass_diffusion" -> bassDiffusionSql,
+    "orders_croston_tsb" -> crostonTsbSql,
+    "orders_safety_stock" -> safetyStockSql,
     "orders_snaive_mase" -> snaiveMaseSql,
     "orders_cusum" -> cusumSql,
     "orders_changepoint" -> changepointSql,

@@ -308,6 +308,107 @@ class Round13OpsSpec extends SparkSpec {
     assert(got._3 == lossB.toDouble / 4294967296.0 / 64.0)
   }
 
+  /** The engine-portable qlog2 fixed point, local Long form. */
+  private def qlog2(x: Long): Long = {
+    require(x >= 1, s"qlog2 domain: $x")
+    val len = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    (len - 1).toLong * 1024L + (x * 1024L) / (1L << (len - 1)) - 1024L
+  }
+
+  test("media_image_entropy matches a local pixel-rule recompute") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val exp = docs.map { case (id, nc) =>
+      val w = (16 + nc % 64).toInt; val h = (16 + (nc * 7) % 64).toInt
+      val counts = new Array[Long](256)
+      for (i <- 0 until w * h) {
+        val p = (id * 2654435761L + i * 40503L) & 0xffffffL
+        val luma = 299L * ((p >> 16) & 255L) + 587L * ((p >> 8) & 255L) +
+          114L * (p & 255L)
+        counts((luma / 1000L).toInt) += 1L
+      }
+      val n = (w * h).toLong
+      val k = counts.count(_ > 0L).toLong
+      val mc = counts.max
+      val mode = counts.indexWhere(_ == mc)
+      val hq = n * qlog2(n) -
+        counts.filter(_ > 0L).map(c => c * qlog2(c)).sum
+      id -> ((n, k, mode, hq, hq.toDouble / (n * 1024L).toDouble))
+    }.toMap
+    val got = graft.multimodal.Media.imageEntropy(spark, sf0001)
+      .as[(Long, Long, Long, Int, Long, Double)].collect()
+    assert(got.length == exp.size)
+    got.foreach { case (id, n, k, mode, hq, hb) =>
+      assert(exp(id) == ((n, k, mode, hq, hb)), id)
+    }
+  }
+
+  test("orders_croston_tsb matches a local dense-grid fold") {
+    import spark.implicits._
+    def fdiv2(a: Long): Long = (a - ((a % 2 + 2) % 2)) / 2
+    val demand = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_partkey",
+        ((year(to_date($"l_shipdate")) - 1992) * 12 +
+          month(to_date($"l_shipdate"))).cast("long"),
+        round($"l_quantity").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum * 1024L).toMap
+    val parts = demand.keys.map(_._1).toSeq.distinct
+    val midx = demand.keys.map(_._2).max
+    val exp = parts.map { pk =>
+      val fidx = demand.keys.filter(_._1 == pk).map(_._2).min
+      var z = 0L; var p = 0L; var nd = 0L; var init = false
+      for (idx <- fidx to midx) {
+        val qq = demand.getOrElse((pk, idx), -1L)
+        if (!init) { z = qq; p = 1024L; nd = 1L; init = true }
+        else if (qq >= 0) { z = fdiv2(qq + z); p = fdiv2(1024L + p); nd += 1 }
+        else p = fdiv2(p)
+      }
+      pk -> ((midx - fidx + 1, nd, z, p,
+        (p * z).toDouble / 1048576L.toDouble))
+    }.toMap
+    val got = graft.star.Calendar.crostonTsb(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == exp.size)
+    got.foreach { case (pk, nm, nd, z, p, f) =>
+      assert(exp(pk) == ((nm, nd, z, p, f)), pk)
+    }
+  }
+
+  test("orders_safety_stock matches a local exact-moment recompute") {
+    import spark.implicits._
+    val rows = graft.Tables(spark, sf0001, "lineitem")
+      .join(graft.Tables(spark, sf0001, "part")
+        .select($"p_partkey", $"p_brand"), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", to_date($"l_shipdate").cast("string"),
+        round($"l_quantity").cast("long"))
+      .as[(String, String, Long)].collect()
+    val nDays = {
+      val ds = rows.map(_._2).distinct.sorted
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(ds.head),
+        java.time.LocalDate.parse(ds.last)) + 1
+    }
+    val got = graft.star.Calendar.safetyStock(spark, sf0001)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+    got.foreach { case (brand, nd, ad, tot, mean, sd, ss, rop) =>
+      val daily = rows.filter(_._1 == brand).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).values.toSeq
+      val s = daily.sum; val q = daily.map(u => u * u).sum
+      assert(nd == nDays && ad == daily.size.toLong && tot == s, brand)
+      val meanE = s.toDouble / nDays.toDouble
+      val sdE = math.sqrt(
+        (q.toDouble - s.toDouble * s.toDouble / nDays.toDouble) /
+          (nDays - 1).toDouble)
+      val ssE = 1.6449 * sdE * math.sqrt(7.0)
+      assert(mean == meanE && sd == sdE && ss == ssE &&
+        rop == 7.0 * meanE + ssE, brand)
+    }
+  }
+
   test("graph_pseudo_diameter matches a local double sweep") {
     import spark.implicits._
     // rebuild the candidate-pair graph locally from the signatures
