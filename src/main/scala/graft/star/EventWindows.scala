@@ -513,7 +513,109 @@ object EventWindows {
        |  MAX(value) AS max_value
        |FROM ranked GROUP BY bucket${sqlOrderBy(Seq("bucket"))}""".stripMargin
 
+  /** events_hazard_table: discrete-time life table + Nelson–Aalen
+    * cumulative hazard (Nelson 1972; Aalen 1978) for time-to-first-
+    * purchase — the events-table survival companion to
+    * `orders_kaplan_meier`: where KM integrates survival, the hazard
+    * table answers the per-day question growth teams actually ask
+    * ("WHEN do users convert — day 0, day 7, never?") with the
+    * censoring done right: a user who never purchases is at risk only
+    * until their last observed activity, not forever. Clock starts at
+    * each user's first event; event = first purchase; censoring = last
+    * activity. Per day t: at-risk count n_t (users whose event or
+    * censoring time ≥ t), events d_t, censored c_t, hazard d_t/n_t,
+    * and the Nelson–Aalen cumulative hazard Σ_{s≤t} d_s/n_s.
+    *
+    * Exactness: all counts are exact BIGINTs (the at-risk series is
+    * total − exclusive cumulative, integer arithmetic); each hazard is
+    * ONE division, and the Nelson–Aalen sum is an ORDERED window sum
+    * of those doubles — both engines add the same IEEE terms in the
+    * same ascending-t order, so the float accumulation is
+    * deterministic (the estimator IS a sum of rationals, which is why
+    * NA is the hash-gateable choice where a float product would not
+    * be; KM's product lives on the integer-scaled fold next door).
+    *
+    * Scale posture: one user-keyed rollup (map-side combined), then a
+    * |days|-bounded grid and bounded windows — the calendar, not the
+    * corpus, sizes everything after the first aggregate. */
+  def hazardTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"),
+        min(when($"event_type" === "purchase", $"ts")).as("purch_ts"),
+        max($"ts").as("last_ts"))
+      .select(
+        when($"purch_ts".isNotNull, lit(1)).otherwise(lit(0))
+          .as("is_event"),
+        when($"purch_ts".isNotNull,
+          datediff(to_date($"purch_ts"), to_date($"first_ts")))
+          .otherwise(datediff(to_date($"last_ts"), to_date($"first_ts")))
+          .cast("int").as("t"))
+    val nTot = perUser.agg(count(lit(1)).as("n_total"))
+    val grid = perUser.groupBy($"t")
+      .agg(count_if($"is_event" === 1).as("n_events"),
+        count_if($"is_event" === 0).as("n_censored"))
+    val prior = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(nTot))
+      .withColumn("n_at_risk", ($"n_total" -
+        coalesce(sum($"n_events" + $"n_censored").over(prior), lit(0L)))
+        .cast("long"))
+      .withColumn("hazard",
+        $"n_events".cast("double") / $"n_at_risk".cast("double"))
+      .withColumn("cum_hazard", sum($"hazard").over(upto))
+      .select($"t", $"n_at_risk", $"n_events", $"n_censored",
+        $"hazard", $"cum_hazard")
+      .orderBy($"t")
+  }
+
+  val hazardTableSql: String =
+    s"""WITH hzu AS (
+       |  SELECT user_id, MIN(ts) AS first_ts,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts,
+       |    MAX(ts) AS last_ts
+       |  FROM events GROUP BY user_id
+       |),
+       |hze AS (
+       |  SELECT CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END
+       |      AS is_event,
+       |    CAST(CASE WHEN purch_ts IS NOT NULL
+       |      THEN datediff('day', CAST(first_ts AS DATE),
+       |        CAST(purch_ts AS DATE))
+       |      ELSE datediff('day', CAST(first_ts AS DATE),
+       |        CAST(last_ts AS DATE)) END AS INTEGER) AS t
+       |  FROM hzu
+       |),
+       |hzn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM hze),
+       |hzg AS (
+       |  SELECT t, CAST(count_if(is_event = 1) AS BIGINT) AS n_events,
+       |    CAST(count_if(is_event = 0) AS BIGINT) AS n_censored
+       |  FROM hze GROUP BY t
+       |),
+       |hzr AS (
+       |  SELECT t, n_events, n_censored,
+       |    (SELECT n_total FROM hzn)
+       |      - COALESCE(CAST(SUM(n_events + n_censored) OVER (
+       |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+       |          AND 1 PRECEDING) AS BIGINT), 0) AS n_at_risk
+       |  FROM hzg
+       |),
+       |hzh AS (
+       |  SELECT t, n_at_risk, n_events, n_censored,
+       |    CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+       |  FROM hzr
+       |)
+       |SELECT t, n_at_risk, n_events, n_censored, hazard,
+       |  SUM(hazard) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS cum_hazard
+       |FROM hzh
+       |${sqlOrderBy(Seq("t")).trim}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hazard_table" -> hazardTable,
     "events_m4_downsample" -> m4Downsample,
     "events_coverage" -> coverage,
     "events_conversion_latency" -> conversionLatency,
@@ -525,6 +627,7 @@ object EventWindows {
     "events_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "events_hazard_table" -> hazardTableSql,
     "events_m4_downsample" -> m4DownsampleSql,
     "events_coverage" -> coverageSql,
     "events_conversion_latency" -> conversionLatencySql,

@@ -792,6 +792,130 @@ object Warehouse {
        |FROM abcls GROUP BY cls
        |${graft.Det.sqlOrderBy(Seq("cls")).trim}""".stripMargin
 
+  /** orders_abc_migration: period-over-period ABC class migration of
+    * PARTS — the planning review that makes [[abcAnalysis]]/`abc_xyz`
+    * actionable: a static ABC label is only as good as its stability,
+    * and the 4×4 migration matrix (A/B/C/None first half → second
+    * half) is the standard report for "which SKUs churned out of the
+    * head, which tail items are surging, how many left the assortment
+    * entirely". The horizon splits at its exact midpoint date
+    * (min + ⌊span/2⌋ days — integer date arithmetic); each half ranks
+    * parts by revenue cents and classifies with the [[abcAnalysis]]
+    * integer cross-multiply boundaries (100·cum ≤ 80·total → A,
+    * ≤ 95 → B, else C); parts absent from a half class as 'N'.
+    *
+    * Exactness: revenue rides the house DECIMAL(28,5) exact-sum
+    * convention (never round(double) — the engines round half-ulp
+    * boundaries differently); both cumulative windows stay decimal;
+    * class boundaries are exact decimal cross-multiplies; the matrix
+    * cells are exact counts and the one double is each cell's share.
+    *
+    * Scale posture: fact scan → (period, part) rollup (map-side
+    * combined); the per-period rank is the [[abcAnalysis]]
+    * exact-percentile sort class over |parts| rows (two bounded window
+    * partitions; the two-level CDF rank takes over at extreme |parts|,
+    * as documented there); the matrix is a ≤16-row full-outer join of
+    * two |parts|-row label frames. */
+  def abcMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+    val span = li.agg(min(to_date($"o_orderdate")).as("d0"),
+      max(to_date($"o_orderdate")).as("d1"))
+      .select($"d0", expr("date_add(d0, CAST(datediff(d1, d0) div 2" +
+        " AS INT))").as("mid"))
+    val perPart = li.crossJoin(broadcast(span))
+      .select(
+        when(to_date($"o_orderdate") <= $"mid", lit(1)).otherwise(lit(2))
+          .as("half"),
+        $"l_partkey",
+        ($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 5)).as("rev"))
+      .groupBy($"half", $"l_partkey")
+      .agg(sum($"rev").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"half").orderBy($"cents".desc, $"l_partkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = perPart.groupBy($"half")
+      .agg(sum($"cents").as("total"))
+    val labeled = perPart
+      .withColumn("cum", sum($"cents").over(w))
+      .join(tot, "half")
+      .select($"half", $"l_partkey",
+        when($"cum" * 100 <= $"total" * 80, "A")
+          .when($"cum" * 100 <= $"total" * 95, "B")
+          .otherwise("C").as("cls"))
+    val h1 = labeled.filter($"half" === 1)
+      .select($"l_partkey", $"cls".as("cls_h1"))
+    val h2 = labeled.filter($"half" === 2)
+      .select($"l_partkey", $"cls".as("cls_h2"))
+    val cells = h1.join(h2, Seq("l_partkey"), "full_outer")
+      .select(coalesce($"cls_h1", lit("N")).as("cls_h1"),
+        coalesce($"cls_h2", lit("N")).as("cls_h2"))
+      .groupBy($"cls_h1", $"cls_h2").agg(count(lit(1)).as("n_parts"))
+    val n = cells.agg(sum($"n_parts").as("n_all"))
+    cells.crossJoin(broadcast(n))
+      .select($"cls_h1", $"cls_h2", $"n_parts",
+        ($"n_parts".cast("double") / $"n_all".cast("double"))
+          .as("share"),
+        ($"cls_h1" === $"cls_h2").as("stable"))
+      .orderBy($"cls_h1", $"cls_h2")
+  }
+
+  val abcMigrationSql: String =
+    s"""WITH mgl AS (
+       |  SELECT l.l_partkey, o.o_orderdate,
+       |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,5))
+       |      AS cents
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |),
+       |mgs AS (
+       |  SELECT MIN(CAST(o_orderdate AS DATE))
+       |    + CAST(datediff('day', MIN(CAST(o_orderdate AS DATE)),
+       |        MAX(CAST(o_orderdate AS DATE))) // 2 AS INTEGER) AS mid
+       |  FROM mgl
+       |),
+       |mgp AS (
+       |  SELECT CASE WHEN CAST(o_orderdate AS DATE)
+       |      <= (SELECT mid FROM mgs) THEN 1 ELSE 2 END AS half,
+       |    l_partkey, SUM(cents) AS cents
+       |  FROM mgl GROUP BY 1, 2
+       |),
+       |mgw AS (
+       |  SELECT half, l_partkey, cents,
+       |    SUM(cents) OVER (PARTITION BY half
+       |      ORDER BY cents DESC, l_partkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cents) OVER (PARTITION BY half) AS total
+       |  FROM mgp
+       |),
+       |mgc AS (
+       |  SELECT half, l_partkey,
+       |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+       |      WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls
+       |  FROM mgw
+       |),
+       |mgm AS (
+       |  SELECT COALESCE(a.cls, 'N') AS cls_h1,
+       |    COALESCE(b.cls, 'N') AS cls_h2
+       |  FROM (SELECT l_partkey, cls FROM mgc WHERE half = 1) a
+       |  FULL OUTER JOIN (SELECT l_partkey, cls FROM mgc WHERE half = 2) b
+       |    ON a.l_partkey = b.l_partkey
+       |),
+       |mgx AS (
+       |  SELECT cls_h1, cls_h2, CAST(COUNT(*) AS BIGINT) AS n_parts
+       |  FROM mgm GROUP BY 1, 2
+       |)
+       |SELECT cls_h1, cls_h2, n_parts,
+       |  CAST(n_parts AS DOUBLE)
+       |    / CAST((SELECT SUM(n_parts) FROM mgx) AS DOUBLE) AS share,
+       |  cls_h1 = cls_h2 AS stable
+       |FROM mgx
+       |${sqlOrderBy(Seq("cls_h1", "cls_h2")).trim}""".stripMargin
+
   /** orders_rfm_segments: RFM customer segmentation — the marketing
     * warehouse's canonical cube: every customer scored into terciles
     * of Recency (days since last order, lower better), Frequency
@@ -3255,6 +3379,7 @@ object Warehouse {
     "stat_hhi" -> hhiRevenue,
     "stat_skyline" -> skyline,
     "orders_abc_analysis" -> abcAnalysis,
+    "orders_abc_migration" -> abcMigration,
     "orders_rfm_segments" -> rfmSegments,
     "stat_bootstrap_ci" -> bootstrapCi,
     "events_ab_bayes" -> abBayes,
@@ -3303,6 +3428,7 @@ object Warehouse {
     "stat_hhi" -> hhiRevenueSql,
     "stat_skyline" -> skylineSql,
     "orders_abc_analysis" -> abcAnalysisSql,
+    "orders_abc_migration" -> abcMigrationSql,
     "orders_rfm_segments" -> rfmSegmentsSql,
     "stat_bootstrap_ci" -> bootstrapCiSql,
     "events_ab_bayes" -> abBayesSql,

@@ -409,6 +409,82 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("events_hazard_table matches a local life-table recompute") {
+    import spark.implicits._
+    val users = graft.Tables(spark, sf0001, "events")
+      .groupBy($"user_id")
+      .agg(min($"ts").cast("date").cast("string").as("f"),
+        min(when($"event_type" === "purchase", $"ts")).cast("date")
+          .cast("string").as("p"),
+        max($"ts").cast("date").cast("string").as("l"))
+      .as[(Long, String, Option[String], String)].collect()
+    def days(a: String, b: String): Int =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(a), java.time.LocalDate.parse(b)).toInt
+    val obs = users.map { case (_, f, p, l) =>
+      p.map(d => (days(f, d), true)).getOrElse((days(f, l), false))
+    }
+    val ts = obs.map(_._1).distinct.sorted
+    var na = 0.0
+    val exp = ts.map { t =>
+      val d = obs.count(o => o._1 == t && o._2).toLong
+      val c = obs.count(o => o._1 == t && !o._2).toLong
+      val n = obs.count(_._1 >= t).toLong
+      na += d.toDouble / n.toDouble
+      t -> ((n, d, c, d.toDouble / n.toDouble, na))
+    }.toMap
+    val got = EventWindows.hazardTable(spark, sf0001)
+      .as[(Int, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == exp.size)
+    got.foreach { case (t, n, d, c, h, ch) =>
+      assert(exp(t) == ((n, d, c, h, ch)), t)
+    }
+  }
+
+  test("orders_abc_migration cells partition the parts and match local classes") {
+    import spark.implicits._
+    val got = Warehouse.abcMigration(spark, sf0001)
+      .as[(String, String, Long, Double, Boolean)].collect()
+    // cells partition the part universe exactly once
+    val li = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_partkey").distinct().count()
+    assert(got.map(_._3).sum == li)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+    got.foreach { case (a, b, _, _, st) => assert(st == (a == b)) }
+    // local replay of the split + classification
+    val rows = graft.Tables(spark, sf0001, "lineitem")
+      .join(graft.Tables(spark, sf0001, "orders")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_partkey", to_date($"o_orderdate").cast("string"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 5)))
+      .as[(Long, String, BigDecimal)].collect()
+    val ds = rows.map(_._2)
+    val d0 = java.time.LocalDate.parse(ds.min)
+    val mid = d0.plusDays(java.time.temporal.ChronoUnit.DAYS.between(
+      d0, java.time.LocalDate.parse(ds.max)) / 2)
+    def classes(half: Seq[(Long, BigDecimal)]): Map[Long, String] = {
+      val per = half.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (pk, c) => (-c, pk) }
+      val total = per.map(_._2).sum
+      var cum = BigDecimal(0)
+      per.map { case (pk, c) =>
+        cum += c
+        pk -> (if (cum * 100 <= total * 80) "A"
+               else if (cum * 100 <= total * 95) "B" else "C")
+      }.toMap
+    }
+    val h1 = classes(rows.filter(r =>
+      !java.time.LocalDate.parse(r._2).isAfter(mid)).map(r => (r._1, r._3)))
+    val h2 = classes(rows.filter(r =>
+      java.time.LocalDate.parse(r._2).isAfter(mid)).map(r => (r._1, r._3)))
+    val exp = rows.map(_._1).distinct.map { pk =>
+      (h1.getOrElse(pk, "N"), h2.getOrElse(pk, "N"))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(r => ((r._1, r._2), r._3)).toMap == exp)
+  }
+
   test("graph_pseudo_diameter matches a local double sweep") {
     import spark.implicits._
     // rebuild the candidate-pair graph locally from the signatures
