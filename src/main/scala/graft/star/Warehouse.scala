@@ -798,8 +798,9 @@ object Warehouse {
     * and the 4×4 migration matrix (A/B/C/None first half → second
     * half) is the standard report for "which SKUs churned out of the
     * head, which tail items are surging, how many left the assortment
-    * entirely". The horizon splits at its exact midpoint date
-    * (min + ⌊span/2⌋ days — integer date arithmetic); each half ranks
+    * entirely". The horizon splits at its exact SHIP-date midpoint
+    * (min + ⌊span/2⌋ days — integer date arithmetic, and the date is
+    * IN the fact row, so no fact⋈fact join exists); each half ranks
     * parts by revenue cents and classifies with the [[abcAnalysis]]
     * integer cross-multiply boundaries (100·cum ≤ 80·total → A,
     * ≤ 95 → B, else C); parts absent from a half class as 'N'.
@@ -810,7 +811,7 @@ object Warehouse {
     * class boundaries are exact decimal cross-multiplies; the matrix
     * cells are exact counts and the one double is each cell's share.
     *
-    * Scale posture: fact scan → (period, part) rollup (map-side
+    * Scale posture: ONE fact scan → (period, part) rollup (map-side
     * combined); the per-period rank is the [[abcAnalysis]]
     * exact-percentile sort class over |parts| rows (two bounded window
     * partitions; the two-level CDF rank takes over at extreme |parts|,
@@ -818,17 +819,17 @@ object Warehouse {
     * two |parts|-row label frames. */
   def abcMigration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the period comes from l_shipdate, IN the fact row — a 60 M x
+    // 15 M orders join for a date the fact already carries was the
+    // x100 rehearsal's whole shuffle bill (7.9 GB); this is zero-join
     val li = Tables(spark, dir, "lineitem")
-      .join(Tables(spark, dir, "orders")
-        .select($"o_orderkey", $"o_orderdate"),
-        $"l_orderkey" === $"o_orderkey")
-    val span = li.agg(min(to_date($"o_orderdate")).as("d0"),
-      max(to_date($"o_orderdate")).as("d1"))
+    val span = li.agg(min(to_date($"l_shipdate")).as("d0"),
+      max(to_date($"l_shipdate")).as("d1"))
       .select($"d0", expr("date_add(d0, CAST(datediff(d1, d0) div 2" +
         " AS INT))").as("mid"))
     val perPart = li.crossJoin(broadcast(span))
       .select(
-        when(to_date($"o_orderdate") <= $"mid", lit(1)).otherwise(lit(2))
+        when(to_date($"l_shipdate") <= $"mid", lit(1)).otherwise(lit(2))
           .as("half"),
         $"l_partkey",
         ($"l_extendedprice" * (lit(1) - $"l_discount"))
@@ -867,19 +868,19 @@ object Warehouse {
 
   val abcMigrationSql: String =
     s"""WITH mgl AS (
-       |  SELECT l.l_partkey, o.o_orderdate,
-       |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,5))
+       |  SELECT l_partkey, l_shipdate,
+       |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,5))
        |      AS cents
-       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  FROM lineitem
        |),
        |mgs AS (
-       |  SELECT MIN(CAST(o_orderdate AS DATE))
-       |    + CAST(datediff('day', MIN(CAST(o_orderdate AS DATE)),
-       |        MAX(CAST(o_orderdate AS DATE))) // 2 AS INTEGER) AS mid
+       |  SELECT MIN(CAST(l_shipdate AS DATE))
+       |    + CAST(datediff('day', MIN(CAST(l_shipdate AS DATE)),
+       |        MAX(CAST(l_shipdate AS DATE))) // 2 AS INTEGER) AS mid
        |  FROM mgl
        |),
        |mgp AS (
-       |  SELECT CASE WHEN CAST(o_orderdate AS DATE)
+       |  SELECT CASE WHEN CAST(l_shipdate AS DATE)
        |      <= (SELECT mid FROM mgs) THEN 1 ELSE 2 END AS half,
        |    l_partkey, SUM(cents) AS cents
        |  FROM mgl GROUP BY 1, 2

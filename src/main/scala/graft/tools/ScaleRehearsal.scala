@@ -342,6 +342,19 @@ object ScaleRehearsal {
     stage("dq_fd_violations")(graft.star.Inference.fdViolations(spark, dir))
     stage("graph_pseudo_diameter")(
       graft.llm.Cluster.pseudoDiameter(spark, dir))
+    // round-13 second wave: the image-modality entropy filter (decode
+    // scan + histogram shuffle bounded at 256 rows/image), the
+    // obsolescence-aware TSB fold (dense per-part grids), and three
+    // bounded-grid planning/survival rows
+    stage("media_image_entropy")(
+      graft.multimodal.Media.imageEntropy(spark, dir))
+    stage("orders_croston_tsb")(graft.star.Calendar.crostonTsb(spark, dir))
+    stage("orders_safety_stock")(
+      graft.star.Calendar.safetyStock(spark, dir))
+    stage("events_hazard_table")(
+      graft.star.EventWindows.hazardTable(spark, dir))
+    stage("orders_abc_migration")(
+      graft.star.Warehouse.abcMigration(spark, dir))
     spark.stop()
   }
 }

@@ -453,10 +453,7 @@ class Round13OpsSpec extends SparkSpec {
     got.foreach { case (a, b, _, _, st) => assert(st == (a == b)) }
     // local replay of the split + classification
     val rows = graft.Tables(spark, sf0001, "lineitem")
-      .join(graft.Tables(spark, sf0001, "orders")
-        .select($"o_orderkey", $"o_orderdate"),
-        $"l_orderkey" === $"o_orderkey")
-      .select($"l_partkey", to_date($"o_orderdate").cast("string"),
+      .select($"l_partkey", to_date($"l_shipdate").cast("string"),
         ($"l_extendedprice" * (lit(1) - $"l_discount"))
           .cast(org.apache.spark.sql.types.DecimalType(28, 5)))
       .as[(Long, String, BigDecimal)].collect()
