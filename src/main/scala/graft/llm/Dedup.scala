@@ -142,8 +142,13 @@ object Dedup {
     * partitions, never the corpus (the SCALE.md amortization story);
     * the probe shuffles |delta| signatures against band-bucketed index
     * rows — the standing corpus is touched only through the index. */
-  def lshIndexed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Refresh-and-read the STANDING signature index — the maintained
+    * artifact [[lshIndexed]] probes and (round 14) the artifact
+    * [[lshPreflight]] prices from. One call = one source fingerprint
+    * scan (staleness), recompute of only the changed source
+    * partitions, one vacuum, one manifest-resolved read — the
+    * probe-cost class, never a corpus re-shingle. */
+  private[graft] def sigIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     // cache root = (algo version, source dir) ONLY: per-partition
     // staleness belongs to refresh's manifest fingerprints, and a
@@ -159,7 +164,13 @@ object Dedup {
     // superseded generations from earlier refreshes are garbage the
     // moment the manifest swap commits — reclaim them every run
     graft.sources.Incremental.vacuum(s"$root/index")
-    val index = graft.sources.Incremental.read(spark, s"$root/index")
+    graft.sources.Incremental.read(spark, s"$root/index")
+  }
+
+  def lshIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val index = sigIndex(spark, dir)
     val mx = docs.agg(max($"source").as("ms"))
     val delta = docs.join(broadcast(mx), $"source" === $"ms").drop("ms")
     val s = sigOf(delta)
@@ -1239,10 +1250,17 @@ object Dedup {
         "CAST(n_keys AS BIGINT) AS n_keys",
         "CAST(n_buckets AS BIGINT) AS n_buckets",
         "CAST(max_bucket AS BIGINT) AS max_bucket",
-        "CAST(ss AS BIGINT) AS sum_sq",
+        // the second moment and pair counts STAY DECIMAL(38,0) all the
+        // way out (round-14 ADVICE): in the hash-degenerate regime this
+        // gate exists to catch, Σ C(|bucket|,2) can pass 2^63, where a
+        // non-ANSI decimal→long cast silently NULLs the one number the
+        // route decision reads
+        "CAST(ss AS DECIMAL(38,0)) AS sum_sq",
         // cp2 = Σ cnt·(cnt−1) is even; exact halving via the remainder
-        // identity (the floor(double) wrap trap — house rule)
-        s"CAST((cp2 - (cp2 % 2)) / 2 AS BIGINT) AS cand_pairs")
+        // identity (the floor(double) wrap trap — house rule); the
+        // scale-6 intermediate quotient fits precision 38 for any
+        // cp2 ≤ 1e32 ≈ (3·10¹⁵ docs)² — far past 100 TB
+        s"CAST((cp2 - (cp2 % 2)) / 2 AS DECIMAL(38,0)) AS cand_pairs")
       .orderBy($"family", $"band")
   }
 
@@ -1289,8 +1307,8 @@ object Dedup {
        |  CAST(SUM(cnt) AS BIGINT) AS n_keys,
        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
        |  CAST(MAX(cnt) AS BIGINT) AS max_bucket,
-       |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS sum_sq,
-       |  CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) // 2 AS BIGINT)
+       |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DECIMAL(38,0)) AS sum_sq,
+       |  CAST(SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) // 2 AS DECIMAL(38,0))
        |    AS cand_pairs
        |FROM pfbkt GROUP BY family, band
        |${sqlOrderBy(Seq("family", "band")).trim}""".stripMargin
@@ -1331,10 +1349,13 @@ object Dedup {
   def routeAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pf = lshPreflight(spark, dir).localCheckpoint()
+    // pair totals, the budget, and the comparison all stay
+    // DECIMAL(38,0) (round-14 ADVICE): a long cast would NULL exactly
+    // in the degenerate regime the verdict exists for
     val fam = pf.groupBy($"family").agg(
       max($"n_keys").as("n_keys"),
       count(lit(1)).as("n_bands"),
-      sum($"cand_pairs").cast("long").as("cand_pairs_total"),
+      sum($"cand_pairs").cast("decimal(38,0)").as("cand_pairs_total"),
       max($"max_bucket").as("max_bucket"),
       max($"cand_pairs").as("mbp"))
     val hot = pf.join(fam.select($"family", $"mbp"), "family")
@@ -1343,8 +1364,10 @@ object Dedup {
     fam.join(hot, "family")
       .selectExpr("family", "n_keys", "n_bands", "cand_pairs_total",
         "max_bucket", "hot_band",
-        s"CAST(n_keys * $RoutePairBudgetPerKey AS BIGINT) AS pair_budget",
-        s"""CASE WHEN cand_pairs_total <= n_keys * $RoutePairBudgetPerKey
+        s"""CAST(CAST(n_keys AS DECIMAL(38,0)) * $RoutePairBudgetPerKey
+           | AS DECIMAL(38,0)) AS pair_budget""".stripMargin.replace("\n", ""),
+        s"""CASE WHEN cand_pairs_total <=
+           | CAST(n_keys AS DECIMAL(38,0)) * $RoutePairBudgetPerKey
            | THEN 'pairwise_banding' ELSE 'coarse_contraction'
            | END AS route""".stripMargin.replace("\n", ""))
       .orderBy($"family")
@@ -1355,7 +1378,7 @@ object Dedup {
        |rafam AS (
        |  SELECT family, MAX(n_keys) AS n_keys,
        |    CAST(COUNT(*) AS BIGINT) AS n_bands,
-       |    CAST(SUM(cand_pairs) AS BIGINT) AS cand_pairs_total,
+       |    CAST(SUM(cand_pairs) AS DECIMAL(38,0)) AS cand_pairs_total,
        |    MAX(max_bucket) AS max_bucket, MAX(cand_pairs) AS mbp
        |  FROM pfall GROUP BY family
        |),
@@ -1367,8 +1390,11 @@ object Dedup {
        |)
        |SELECT f.family, f.n_keys, f.n_bands, f.cand_pairs_total,
        |  f.max_bucket, h.hot_band,
-       |  CAST(f.n_keys * $RoutePairBudgetPerKey AS BIGINT) AS pair_budget,
-       |  CASE WHEN f.cand_pairs_total <= f.n_keys * $RoutePairBudgetPerKey
+       |  CAST(CAST(f.n_keys AS HUGEINT) * $RoutePairBudgetPerKey
+       |    AS DECIMAL(38,0)) AS pair_budget,
+       |  CASE WHEN f.cand_pairs_total <=
+       |    CAST(CAST(f.n_keys AS HUGEINT) * $RoutePairBudgetPerKey
+       |      AS DECIMAL(38,0))
        |    THEN 'pairwise_banding' ELSE 'coarse_contraction'
        |  END AS route
        |FROM rafam f JOIN rahot h USING (family)

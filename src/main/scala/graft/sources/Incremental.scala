@@ -165,45 +165,56 @@ object Incremental {
     * (which must emit `partCol`). Returns the partition values
     * recomputed this run (empty = everything was fresh). `maxParts`
     * bounds the driver-side partition metadata (see
-    * [[MaxDriverParts]]). Read the result back with [[read]]. */
+    * [[MaxDriverParts]]). Read the result back with [[read]].
+    *
+    * DELETIONS (round-14 ADVICE fix): a source partition that has
+    * VANISHED since the last refresh is evicted from the manifest in
+    * the same atomic commit — without this, a shrinking corpus would
+    * serve ghost rows forever (the served result must always equal a
+    * from-scratch derivation over the LIVE source). The dropped
+    * directories become [[vacuum]] food like any superseded
+    * generation. Evictions alone (no stale partitions) still commit a
+    * new manifest — but write no data generation. */
   def refresh(spark: SparkSession, source: DataFrame, partCol: String,
       derive: DataFrame => DataFrame, path: String,
       maxParts: Int = MaxDriverParts): Seq[String] = {
     val old = currentEntries(path)
-    val cur = fingerprints(source, partCol)
-    // the stale set stays a DataFrame until ONE bounded collect; the
-    // prior state is the driver-sized manifest, broadcast back out
-    val staleDf: DataFrame =
-      if (old.isEmpty) cur
-      else {
-        import spark.implicits._
-        val prev = old.map(e => (e.part, e.fp, e.n)).toDF("part", "p_fp", "p_n")
-        cur.join(broadcast(prev), Seq("part"), "left")
-          .filter(col("p_fp").isNull ||
-            col("fp") =!= col("p_fp") || col("n") =!= col("p_n"))
-          .select("part", "fp", "n")
-      }
-    val stale = collectFingerprints(staleDf, maxParts)
-    if (stale.nonEmpty) {
+    // ONE bounded metadata collect of the full current fingerprint
+    // frame (the same cardinality class as the manifest itself — the
+    // final entry bound enforces ≤ maxParts anyway); the stale AND
+    // removed sets are then driver-side diffs over that metadata, so
+    // the source is fingerprint-scanned exactly once per refresh
+    val curFps = collectFingerprints(fingerprints(source, partCol), maxParts)
+    val oldByPart = old.map(e => e.part -> e).toMap
+    val stale = curFps.filter { case (p, fp, n) =>
+      oldByPart.get(p).forall(e => e.fp != fp || e.n != n)
+    }
+    val curParts = curFps.map(_._1).toSet
+    val removed = old.map(_.part).filterNot(curParts)
+    if (stale.nonEmpty || removed.nonEmpty) {
       import spark.implicits._
       Files.createDirectories(Paths.get(path))
+      val stalePartSet = stale.map(_._1).toSet
       val gen = (old.map(_.gen) ++
         listNames(Paths.get(path)).filter(_.startsWith("gen="))
           .map(_.stripPrefix("gen=").toLong)).foldLeft(-1L)(math.max) + 1
-      // broadcast semi-join side built FROM the collected names: one
-      // evaluation, and the refreshed set always equals the returned set
-      val partsDf = stale.map(_._1).toDF("part")
-      derive(semiRestrict(source, col(partCol).cast("string"), partsDf))
-        .withColumn("__gpart", col(partCol).cast("string"))
-        .write.partitionBy("__gpart").parquet(s"$path/gen=$gen")
-      crashHook("after-data")
-      // map each stale partition to the hive subdir the write produced
-      // (absent = derived to zero rows; fingerprint still recorded)
-      val written = listNames(Paths.get(path, s"gen=$gen"))
-        .filter(_.startsWith("__gpart="))
-        .map(d => unescapePathName(d.stripPrefix("__gpart=")) -> d).toMap
-      val stalePartSet = stale.map(_._1).toSet
-      val entries = old.filterNot(e => stalePartSet(e.part)) ++
+      val written: Map[String, String] = if (stale.isEmpty) Map.empty else {
+        // broadcast semi-join side built FROM the collected names: one
+        // evaluation, and the refreshed set always equals the returned set
+        val partsDf = stale.map(_._1).toDF("part")
+        derive(semiRestrict(source, col(partCol).cast("string"), partsDf))
+          .withColumn("__gpart", col(partCol).cast("string"))
+          .write.partitionBy("__gpart").parquet(s"$path/gen=$gen")
+        crashHook("after-data")
+        // map each stale partition to the hive subdir the write produced
+        // (absent = derived to zero rows; fingerprint still recorded)
+        listNames(Paths.get(path, s"gen=$gen"))
+          .filter(_.startsWith("__gpart="))
+          .map(d => unescapePathName(d.stripPrefix("__gpart=")) -> d).toMap
+      }
+      val removedSet = removed.toSet
+      val entries = old.filterNot(e =>
+        stalePartSet(e.part) || removedSet(e.part)) ++
         stale.map { case (p, fp, n) =>
           ManifestEntry(p, gen, written.getOrElse(p, ""), fp, n)
         }

@@ -1380,8 +1380,14 @@ object Calendar {
     val span = Tables(spark, dir, "lineitem")
       .agg((datediff(max(to_date($"l_shipdate")),
         min(to_date($"l_shipdate"))) + 1).cast("long").as("n_days"))
+    // second moment in DECIMAL(38,0): units*units in BIGINT would WRAP
+    // silently under non-ANSI Spark at large per-brand daily volumes
+    // while the HUGEINT oracle keeps going — the welchTTest/effectSizes
+    // moment discipline (round-14 ADVICE fix)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     daily.groupBy($"brand")
-      .agg(sum($"units").as("s"), sum($"units" * $"units").as("ss"),
+      .agg(sum($"units").as("s"),
+        sum($"units".cast(dec) * $"units".cast(dec)).as("ss"),
         count(lit(1)).as("active_days"))
       .crossJoin(broadcast(span))
       .select($"brand", $"n_days", $"active_days", $"s".as("total_units"),
@@ -1411,15 +1417,17 @@ object Calendar {
        |  FROM lineitem
        |),
        |ssm AS (
+       |  -- ss stays HUGEINT (Spark side is DECIMAL(38,0)); the DOUBLE
+       |  -- cast below routes through VARCHAR per the house HUGEINT rule
        |  SELECT brand, CAST(SUM(units) AS BIGINT) AS s,
-       |    CAST(SUM(CAST(units AS HUGEINT) * units) AS BIGINT) AS ss,
+       |    SUM(CAST(units AS HUGEINT) * units) AS ss,
        |    CAST(COUNT(*) AS BIGINT) AS active_days
        |  FROM ssd GROUP BY brand
        |),
        |ssa AS (
        |  SELECT brand, n_days, active_days, s AS total_units,
        |    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
-       |    sqrt((CAST(ss AS DOUBLE)
+       |    sqrt((CAST(CAST(ss AS VARCHAR) AS DOUBLE)
        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
        |        / CAST(n_days AS DOUBLE))
        |      / CAST(n_days - 1 AS DOUBLE)) AS sd_daily

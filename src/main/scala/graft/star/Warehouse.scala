@@ -2360,10 +2360,14 @@ object Warehouse {
        |  FROM events GROUP BY user_id
        |),
        |wtm AS (
+       |  -- HUGEINT -> DOUBLE routes through VARCHAR: DuckDB's two-limb
+       |  -- direct cast double-rounds past 2^64, while Spark's
+       |  -- Decimal.toDouble is correctly rounded (house rule; the
+       |  -- bassDiffusionSql precedent)
        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS s,
-       |    CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
-       |      AS ss
+       |    CAST(CAST(CAST(SUM(y) AS HUGEINT) AS VARCHAR) AS DOUBLE) AS s,
+       |    CAST(CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT)
+       |      AS VARCHAR) AS DOUBLE) AS ss
        |  FROM wtu GROUP BY variant
        |),
        |wtw AS (

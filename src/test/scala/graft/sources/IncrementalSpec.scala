@@ -111,4 +111,62 @@ class IncrementalSpec extends SparkSpec {
       assert(restricted.count() > 0)
     }
   }
+
+  test("a vanished source partition is evicted (no ghost rows served)") {
+    withFixture { (srcPath, outPath) =>
+      Incremental.refresh(spark, readSrc(srcPath), partCol, derive, outPath)
+      val dropped = "1995-03"
+      assert(Incremental.read(spark, outPath)
+        .filter(col(partCol) === dropped).count() == 1)
+
+      // shrink the corpus: rewrite the lake without one month (the
+      // regression ADVICE r13 flagged — the cur-left-join diff kept the
+      // removed month's manifest entry forever)
+      val work = Files.createTempDirectory("inc_shrink").toFile.getAbsolutePath
+      val shrunkPath = s"$work/source"
+      readSrc(srcPath).filter(col(partCol) =!= dropped)
+        .write.parquet(shrunkPath)
+
+      // deletion-only refresh: nothing recomputes, but the manifest
+      // commit evicts the ghost partition
+      val stale = Incremental.refresh(spark,
+        spark.read.parquet(shrunkPath), partCol, derive, outPath)
+      assert(stale.isEmpty, s"deletion must not recompute, got $stale")
+      assert(!Incremental.currentEntries(outPath).exists(_.part == dropped))
+      assert(Incremental.read(spark, outPath)
+        .filter(col(partCol) === dropped).count() == 0)
+
+      // the eviction leaves the incremental state equal to a
+      // from-scratch rebuild over the LIVE source
+      val rebuilt = derive(spark.read.parquet(shrunkPath))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val incremental = Incremental.read(spark, outPath)
+        .select(col(partCol), col("n_orders"), col("revenue"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(incremental == rebuilt)
+
+      // the orphaned directory is vacuum food once unreferenced
+      val reclaimed = Incremental.vacuum(outPath)
+      assert(reclaimed.exists(_.contains("1995-03")),
+        s"vacuum must reclaim the evicted partition dir, got $reclaimed")
+
+      // deletion + mutation in ONE refresh: drop another month and
+      // dirty a third — exactly the dirty one recomputes, both ghosts gone
+      val dropped2 = "1995-04"
+      val target = "1995-05"
+      val work2 = Files.createTempDirectory("inc_shrink2").toFile
+        .getAbsolutePath
+      val bothPath = s"$work2/source"
+      val base = spark.read.parquet(shrunkPath)
+      base.filter(col(partCol) =!= dropped2)
+        .unionByName(base.filter(col(partCol) === target).limit(1)
+          .withColumn("o_orderkey", lit(88888L)))
+        .write.parquet(bothPath)
+      val stale2 = Incremental.refresh(spark,
+        spark.read.parquet(bothPath), partCol, derive, outPath)
+      assert(stale2 == Seq(target), s"stale set was $stale2")
+      val parts = Incremental.currentEntries(outPath).map(_.part).toSet
+      assert(!parts(dropped) && !parts(dropped2) && parts(target))
+    }
+  }
 }

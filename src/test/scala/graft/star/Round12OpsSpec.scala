@@ -265,7 +265,9 @@ class Round12OpsSpec extends SparkSpec {
     val expB = stats(sig.map(_._2).toSeq)
     val got = graft.llm.Dedup.lshPreflight(spark, sf0001)
       .select($"family", $"band", $"n_keys", $"n_buckets", $"max_bucket",
-        $"sum_sq", $"cand_pairs")
+        // DECIMAL(38,0) at the contract edge (overflow discipline);
+        // exact longs at fixture scale
+        $"sum_sq".cast("long"), $"cand_pairs".cast("long"))
       .as[(String, String, Long, Long, Long, Long, Long)].collect()
     val text = got.filter(_._1 == "text_minhash").map(r =>
       r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap

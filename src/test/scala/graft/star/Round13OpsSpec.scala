@@ -233,6 +233,8 @@ class Round13OpsSpec extends SparkSpec {
   test("dedup_route_audit equals the decision rule applied to the gate") {
     import spark.implicits._
     val pf = graft.llm.Dedup.lshPreflight(spark, sf0001)
+      .selectExpr("family", "band", "n_keys", "n_buckets", "max_bucket",
+        "CAST(sum_sq AS BIGINT)", "CAST(cand_pairs AS BIGINT)")
       .as[(String, String, Long, Long, Long, Long, Long)].collect()
     val budget = graft.llm.Dedup.RoutePairBudgetPerKey
     val exp = pf.groupBy(_._1).map { case (fam, rows) =>
@@ -245,6 +247,9 @@ class Round13OpsSpec extends SparkSpec {
         else "coarse_contraction"))
     }
     val got = graft.llm.Dedup.routeAudit(spark, sf0001)
+      .selectExpr("family", "n_keys", "n_bands",
+        "CAST(cand_pairs_total AS BIGINT)", "max_bucket", "hot_band",
+        "CAST(pair_budget AS BIGINT)", "route")
       .as[(String, Long, Long, Long, Long, String, Long, String)]
       .collect()
     assert(got.length == 3) // text + phash + wav families all priced
