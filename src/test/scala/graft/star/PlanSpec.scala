@@ -30,7 +30,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("gold aggregates are partial+final hash aggregates") {
-    val p = plan("gold_carrier")
+    // round 14: gold_carrier is SERVED from the incremental
+    // materialization — the aggregate now lives in the build lambda
+    // the refresh runs per stale month; assert the plan shape there
+    val p = graft.pipeline.Gold.goldCarrierBuild(
+      graft.pipeline.FlightPipeline.master(spark, sf0001))
+      .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"), p)
     // partial + final pair
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
