@@ -190,6 +190,106 @@ object Dedup {
       .orderBy($"doc_id", $"dup_of")
   }
 
+  /** dedup_routed_gate: the round-14 ROUTED ingest composition as an
+    * oracle-gated batch query — the batch twin of
+    * [[graft.streaming.RoutedDedupStream.textGate]]. The STANDING
+    * index (everything before the MAX(source) delta, served from
+    * [[sigIndex]]) is priced with the exact `dedup_route_audit` budget
+    * rule; the delta then probes down the routed path:
+    * `pairwise_banding` → the stateless per-band collision probe
+    * (est_jaccard + which band fired), `coarse_contraction` → the
+    * exact-signature contraction probe (one verdict per arrival,
+    * never a bucket explosion). The verdict rides every output row so
+    * downstream consumers can tell which contract produced it.
+    *
+    * Exactness: the route is the DECIMAL(38,0)/HUGEINT integer
+    * comparison of the audit; the oracle recomputes BOTH legs
+    * self-contained and filters each by its own route scalar, so
+    * hash-equality certifies route AND verdicts whichever way the
+    * corpus routes (the fixture routes pairwise; the coarse leg is
+    * additionally spec-certified on a degenerate corpus in
+    * RoutedDedupStreamSpec).
+    *
+    * Scale posture: pricing reads band keys of the maintained index
+    * (|bands|-row aggregate); the probe shuffles |delta| signatures
+    * against band-bucketed (or signature-contracted) index rows. */
+  def routedGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val index = sigIndex(spark, dir)
+    val mx = docs.agg(max($"source").as("ms"))
+    val standing = index.join(broadcast(mx), $"source" =!= $"ms").drop("ms")
+    val delta = docs.join(broadcast(mx), $"source" === $"ms").drop("ms")
+    val (route, hits) =
+      graft.streaming.RoutedDedupStream.textGate(delta, standing)
+    hits.select($"doc_id", $"dup_of", $"est_jaccard", $"band")
+      .distinct()
+      .withColumn("route", lit(route))
+      .orderBy($"doc_id", $"dup_of", $"band")
+  }
+
+  lazy val routedGateSql: String = {
+    val budget = RoutePairBudgetPerKey
+    s"""WITH $sigSqlCte,
+       |rgmx AS (SELECT MAX(source) AS ms FROM documents),
+       |rgsg AS (
+       |  SELECT s.doc_id, d.source, s.sig0, s.sig1, s.sig2, s.sig3,
+       |    s.band_a, s.band_b
+       |  FROM sig s JOIN documents d USING (doc_id)
+       |),
+       |rgd AS (SELECT g.* FROM rgsg g, rgmx WHERE g.source = ms),
+       |rgi AS (SELECT g.* FROM rgsg g, rgmx WHERE g.source <> ms),
+       |rghist AS (
+       |  SELECT band, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT 'band_a' AS band, band_a AS v FROM rgi
+       |    UNION ALL SELECT 'band_b', band_b FROM rgi
+       |  ) GROUP BY band, v
+       |),
+       |rgroute AS (
+       |  SELECT CASE WHEN
+       |      SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) // 2
+       |        <= CAST($budget AS HUGEINT) * (SELECT COUNT(*) FROM rgi)
+       |    THEN 'pairwise_banding' ELSE 'coarse_contraction' END AS route
+       |  FROM rghist
+       |),
+       |rgpair AS (
+       |  SELECT DISTINCT n.doc_id, i.doc_id AS dup_of,
+       |    (CAST(n.sig0 = i.sig0 AS INTEGER) + CAST(n.sig1 = i.sig1 AS INTEGER)
+       |     + CAST(n.sig2 = i.sig2 AS INTEGER)
+       |     + CAST(n.sig3 = i.sig3 AS INTEGER)) / CAST(4 AS DOUBLE)
+       |      AS est_jaccard,
+       |    'band_a' AS band
+       |  FROM rgd n JOIN rgi i
+       |    ON n.band_a = i.band_a AND n.doc_id <> i.doc_id
+       |  WHERE (SELECT route FROM rgroute) = 'pairwise_banding'
+       |  UNION ALL
+       |  SELECT DISTINCT n.doc_id, i.doc_id,
+       |    (CAST(n.sig0 = i.sig0 AS INTEGER) + CAST(n.sig1 = i.sig1 AS INTEGER)
+       |     + CAST(n.sig2 = i.sig2 AS INTEGER)
+       |     + CAST(n.sig3 = i.sig3 AS INTEGER)) / CAST(4 AS DOUBLE),
+       |    'band_b'
+       |  FROM rgd n JOIN rgi i
+       |    ON n.band_b = i.band_b AND n.doc_id <> i.doc_id
+       |  WHERE (SELECT route FROM rgroute) = 'pairwise_banding'
+       |),
+       |rgreps AS (
+       |  SELECT sig0, sig1, sig2, sig3, MIN(doc_id) AS dup_of
+       |  FROM rgi GROUP BY sig0, sig1, sig2, sig3
+       |),
+       |rgcoarse AS (
+       |  SELECT n.doc_id, r.dup_of, CAST(1 AS DOUBLE) AS est_jaccard,
+       |    'exact_sig' AS band
+       |  FROM rgd n JOIN rgreps r
+       |    ON n.sig0 = r.sig0 AND n.sig1 = r.sig1
+       |      AND n.sig2 = r.sig2 AND n.sig3 = r.sig3
+       |      AND n.doc_id <> r.dup_of
+       |  WHERE (SELECT route FROM rgroute) = 'coarse_contraction'
+       |)
+       |SELECT h.*, (SELECT route FROM rgroute) AS route
+       |FROM (SELECT * FROM rgpair UNION ALL SELECT * FROM rgcoarse) h
+       |${sqlOrderBy(Seq("doc_id", "dup_of", "band")).trim}""".stripMargin
+  }
+
   // lazy: sigSqlCte is declared later in the file (initialization order)
   lazy val lshIndexedSql: String =
     s"""WITH $sigSqlCte,
@@ -1230,7 +1330,8 @@ object Dedup {
     preflightOver(
       sigIndex(spark, dir),
       graft.multimodal.Media.phashIndex(spark, dir),
-      graft.multimodal.Media.wavIndex(spark, dir))
+      graft.multimodal.Media.wavIndex(spark, dir),
+      Similarity.srpIndex(spark, dir))
 
   /** The recompute twin of [[lshPreflight]] — signatures re-shingled,
     * media re-decoded, no index involved. Exists to PROVE the served
@@ -1244,21 +1345,33 @@ object Dedup {
       minhashSig(spark, dir),
       graft.multimodal.Media.phashQuery(spark, dir)
         .select($"phash_hi", $"phash_lo"),
-      graft.multimodal.Media.wavFps(spark, dir).select($"fp"))
+      graft.multimodal.Media.wavFps(spark, dir).select($"fp"),
+      Similarity.srpSig(Tables(spark, dir, "embeddings")))
   }
 
-  /** Shared pricing rollup over the three band families. `sig` needs
-    * (band_a, band_b); `phashes` (phash_hi, phash_lo); `wavfps` (fp).
-    * Both media sides are contracted to DISTINCT hashes first — the
-    * gate prices exactly the join populations the routed dedup runs
-    * see (identical-hash contraction is their first move). */
+  /** Shared pricing rollup over the four band families. `sig` needs
+    * (band_a, band_b); `phashes` (phash_hi, phash_lo); `wavfps` (fp);
+    * `srp` (band_a, band_b) INTs over the embeddings lake (round 14 —
+    * the fourth modality through the same priced gate). Both media
+    * sides are contracted to DISTINCT hashes first — the gate prices
+    * exactly the join populations the routed dedup runs see
+    * (identical-hash contraction is their first move). The embed
+    * family has 2⁴ buckets per band, so its pairwise cost is
+    * output-quadratic on ANY large corpus — the gate pricing it
+    * honestly routes `embed_srp_neardup`'s banding to the coarse/IVF
+    * contract past ~2⁹ vectors instead of letting n²/16 pairs ship. */
   private def preflightOver(sig: DataFrame, phashes: DataFrame,
-      wavfps: DataFrame): DataFrame = {
+      wavfps: DataFrame, srp: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
     val dec = "DECIMAL(38,0)"
     val text = sig
       .selectExpr("stack(2, 'band_a', band_a, 'band_b', band_b) AS (band, v)")
       .withColumn("family", lit("text_minhash"))
+    val embed = srp
+      .selectExpr(
+        """stack(2, 'band_a', CAST(band_a AS STRING),
+          |         'band_b', CAST(band_b AS STRING)) AS (band, v)""".stripMargin)
+      .withColumn("family", lit("embed_srp"))
     val reps = phashes.select($"phash_hi", $"phash_lo").distinct()
     val media = graft.multimodal.Media.phashBands(reps)
       .selectExpr(
@@ -1274,7 +1387,7 @@ object Dedup {
         """stack(4, 'b0', b0, 'b1', b1, 'b2', b2, 'b3', b3)
           |  AS (band, v)""".stripMargin)
       .withColumn("family", lit("media_wav"))
-    text.unionByName(media).unionByName(wav)
+    text.unionByName(media).unionByName(wav).unionByName(embed)
       .groupBy($"family", $"band", $"v").agg(count(lit(1)).as("cnt"))
       .groupBy($"family", $"band")
       .agg(sum($"cnt").as("n_keys"),
@@ -1300,17 +1413,27 @@ object Dedup {
       .orderBy($"family", $"band")
   }
 
-  val lshPreflightSql: String =
+  lazy val lshPreflightSql: String =
     s"""WITH $sigSqlCte,
        |${graft.multimodal.Media.phashSqlCtes},
        |${graft.multimodal.Media.wavFpSqlCtes},
        |pfreps AS (SELECT DISTINCT phash_hi, phash_lo FROM ph),
        |pfwreps AS (SELECT DISTINCT fp FROM wffp),
+       |pfsrp AS (
+       |  SELECT vec_id,
+       |    (${Similarity.srpBandExprsDuck._1}) AS band_a,
+       |    (${Similarity.srpBandExprsDuck._2}) AS band_b
+       |  FROM embeddings
+       |),
        |pfkeys AS (
        |  SELECT 'text_minhash' AS family, 'band_a' AS band, band_a AS v
        |  FROM sig
        |  UNION ALL
        |  SELECT 'text_minhash', 'band_b', band_b FROM sig
+       |  UNION ALL
+       |  SELECT 'embed_srp', 'band_a', CAST(band_a AS VARCHAR) FROM pfsrp
+       |  UNION ALL
+       |  SELECT 'embed_srp', 'band_b', CAST(band_b AS VARCHAR) FROM pfsrp
        |  UNION ALL
        |  SELECT 'media_phash', 'b0',
        |    CAST(phash_lo & 65535 AS VARCHAR) FROM pfreps
@@ -1438,6 +1561,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_route_audit" -> routeAudit,
+    "dedup_routed_gate" -> routedGate,
     "dq_lsh_preflight" -> lshPreflight,
     "dedup_lsh_indexed" -> lshIndexed,
     "dedup_url_canonical" -> urlCanonical,
@@ -1460,6 +1584,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_route_audit" -> routeAuditSql,
+    "dedup_routed_gate" -> routedGateSql,
     "dq_lsh_preflight" -> lshPreflightSql,
     "dedup_lsh_indexed" -> lshIndexedSql,
     "dedup_url_canonical" -> urlCanonicalSql,

@@ -423,6 +423,48 @@ object Similarity {
   private def planeDuck(p: Seq[Double]): String =
     p.mkString("([", ", ", "])")
 
+  /** The two 4-bit SRP band keys as Spark SQL expression strings —
+    * shared by [[srpNeardup]], [[srpSig]], and (round 14) the
+    * `dq_lsh_preflight` embed family. */
+  private[llm] val srpBandExprsSpark: (String, String) = {
+    def bit(i: Int) =
+      s"(CASE WHEN ${dotSpark("embedding", planeSpark(srpPlanes(i)))} > 0 THEN 1 ELSE 0 END)"
+    ((0 until 4).map(i => s"(${bit(i)} * ${1 << i})").mkString(" + "),
+      (4 until 8).map(i => s"(${bit(i)} * ${1 << (i - 4)})").mkString(" + "))
+  }
+
+  /** DuckDB twins of [[srpBandExprsSpark]]. */
+  private[llm] val srpBandExprsDuck: (String, String) = {
+    def bit(i: Int) =
+      s"(CASE WHEN ${dotDuck("embedding", planeDuck(srpPlanes(i)))} > 0 THEN 1 ELSE 0 END)"
+    ((0 until 4).map(i => s"(${bit(i)} * ${1 << i})").mkString(" + "),
+      (4 until 8).map(i => s"(${bit(i)} * ${1 << (i - 4)})").mkString(" + "))
+  }
+
+  /** Map-only SRP signature frame (vec_id, label, band_a, band_b) —
+    * a pure per-vector function (fixed literal hyperplanes), so it is
+    * a valid partition-incremental derivation for [[srpIndex]]. */
+  private[graft] def srpSig(emb: DataFrame): DataFrame = {
+    graft.functions.DecimalDot.register(emb.sparkSession)
+    val (a, b) = srpBandExprsSpark
+    emb.selectExpr("vec_id", "label", s"($a) AS band_a", s"($b) AS band_b")
+  }
+
+  /** Refresh-and-read the partition-incrementally materialized SRP
+    * signature index over the embeddings lake (label-partitioned, the
+    * IVF-index discipline) — the artifact the round-14 gate prices the
+    * embed family from without re-projecting the corpus. */
+  private[graft] def srpIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      "target/graft_srp_cache/v1/" +
+        java.net.URLEncoder.encode(dir, "UTF-8")).getAbsolutePath + "/index"
+    graft.sources.Incremental.refresh(spark,
+      Tables(spark, dir, "embeddings"), "label", srpSig, root)
+    graft.sources.Incremental.vacuum(root)
+    graft.sources.Incremental.read(spark, root)
+      .select(col("vec_id"), col("band_a"), col("band_b"))
+  }
+
   /** SRP-LSH near-duplicate pairs — the scale path when NO clustering
     * column exists (cf. [[neardupPairs]], which buckets on the given
     * `label`): sign bits of 8 random-hyperplane projections form two
@@ -438,10 +480,7 @@ object Similarity {
   def srpNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.DecimalDot.register(spark)
-    def bit(i: Int) =
-      s"(CASE WHEN ${dotSpark("embedding", planeSpark(srpPlanes(i)))} > 0 THEN 1 ELSE 0 END)"
-    val bandA = (0 until 4).map(i => s"(${bit(i)} * ${1 << i})").mkString(" + ")
-    val bandB = (4 until 8).map(i => s"(${bit(i)} * ${1 << (i - 4)})").mkString(" + ")
+    val (bandA, bandB) = srpBandExprsSpark
     val sig = Tables(spark, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotSpark("embedding", "embedding")} AS nrm",
@@ -462,10 +501,7 @@ object Similarity {
   }
 
   val srpNeardupSql: String = {
-    def bit(i: Int) =
-      s"(CASE WHEN ${dotDuck("embedding", planeDuck(srpPlanes(i)))} > 0 THEN 1 ELSE 0 END)"
-    val bandA = (0 until 4).map(i => s"(${bit(i)} * ${1 << i})").mkString(" + ")
-    val bandB = (4 until 8).map(i => s"(${bit(i)} * ${1 << (i - 4)})").mkString(" + ")
+    val (bandA, bandB) = srpBandExprsDuck
     s"""WITH sig AS (
        |  SELECT vec_id, embedding,
        |    ${dotDuck("embedding", "embedding")} AS nrm,

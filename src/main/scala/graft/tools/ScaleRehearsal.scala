@@ -196,6 +196,21 @@ object ScaleRehearsal {
     stage("text_burstiness")(graft.llm.TextStats.burstiness(spark, dir))
     stage("corpus_quality_lpm")(graft.llm.Curate.qualityLpm(spark, dir))
     stage("dq_k_anonymity")(graft.star.Warehouse.kAnonymity(spark, dir))
+    // FIXTURE SPLIT (round 14, r13 verdict item 5): the media lakes are
+    // fixture GENERATION (PNG/BMP/WAV encode of the amplified corpus),
+    // not operator work — ×25 media_image_entropy was 115.5 s of which
+    // most was this one-time encode. Warm both lakes here as their own
+    // timed rows so every media stage below grades the OPERATOR only.
+    val mediaBacked = (n: String) => n.startsWith("media") ||
+      n.startsWith("dq_lsh") || n.startsWith("dedup_route")
+    if (!onlyStages.exists(s => !s.exists(mediaBacked))) {
+      val tImg = System.nanoTime()
+      graft.multimodal.Media.writeImages(spark, dir)
+      println(f"| fixture_image_lake_encode | - | ${(System.nanoTime() - tImg) / 1e9}%.1f | - | - |")
+      val tWav = System.nanoTime()
+      graft.multimodal.Media.writeWavs(spark, dir)
+      println(f"| fixture_wav_lake_encode | - | ${(System.nanoTime() - tWav) / 1e9}%.1f | - | - |")
+    }
     stage("media_channel_stats")(
       graft.multimodal.Media.channelStatsQuery(spark, dir))
     // round 9: variable-length maximal-match dedup (candidate-driven
@@ -297,6 +312,11 @@ object ScaleRehearsal {
     stage("graph_hits_bipartite")(
       graft.llm.Cluster.hitsBipartite(spark, dir))
     stage("graph_ppr_seeded")(graft.llm.Cluster.pprSeeded(spark, dir))
+    // round 14: the gate rides the index tier — the FIRST invocation
+    // builds the sig/phash/wav indexes (one-time, amortized across
+    // every later gate run and the indexed dedup/ANN serves), the
+    // second is the steady-state serve. Both rows are the receipt.
+    stage("dq_lsh_preflight_build")(graft.llm.Dedup.lshPreflight(spark, dir))
     stage("dq_lsh_preflight")(graft.llm.Dedup.lshPreflight(spark, dir))
     stage("media_phash_semdedup")(
       graft.multimodal.Media.phashSemDedup(spark, dir))

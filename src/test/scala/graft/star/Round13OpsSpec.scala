@@ -252,7 +252,7 @@ class Round13OpsSpec extends SparkSpec {
         "CAST(pair_budget AS BIGINT)", "route")
       .as[(String, Long, Long, Long, Long, String, Long, String)]
       .collect()
-    assert(got.length == 3) // text + phash + wav families all priced
+    assert(got.length == 4) // text + phash + wav + embed families all priced
     got.foreach { case (fam, nk, nb, cp, mb, hot, bud, route) =>
       assert(exp(fam) == ((nk, nb, cp, mb, hot, bud, route)), fam)
     }
