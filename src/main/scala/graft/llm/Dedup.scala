@@ -216,12 +216,20 @@ object Dedup {
   def routedGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val index = sigIndex(spark, dir)
+    // one materialization of the (small, |corpus|-signatures) index
+    // read: the route decision is an EAGER aggregate and the probe is a
+    // second consumer — without the checkpoint each action re-resolves
+    // the manifest and re-reads the index parquet (measured 8-9 s vs
+    // ~3 s at sf0.1)
+    val index = sigIndex(spark, dir).localCheckpoint()
     val mx = docs.agg(max($"source").as("ms"))
     val standing = index.join(broadcast(mx), $"source" =!= $"ms").drop("ms")
     val delta = docs.join(broadcast(mx), $"source" === $"ms").drop("ms")
-    val (route, hits) =
-      graft.streaming.RoutedDedupStream.textGate(delta, standing)
+    // batch caller ⇒ codegen'd exploded signature form (bit-identical
+    // to the stream's HOF form; NeardupStreamSpec), dropping `source`
+    // to the probe schema detect expects
+    val (route, hits) = graft.streaming.RoutedDedupStream.textGate(
+      delta, standing, d => sigOf(d).drop("source"))
     hits.select($"doc_id", $"dup_of", $"est_jaccard", $"band")
       .distinct()
       .withColumn("route", lit(route))
@@ -1313,10 +1321,11 @@ object Dedup {
     * verdict's input).
     *
     * Scale posture (round 14 — the gate RIDES THE INDEX TIER): all
-    * three families are priced from the partition-incrementally
+    * four families are priced from the partition-incrementally
     * materialized artifacts ([[sigIndex]],
     * [[graft.multimodal.Media.phashIndex]] /
-    * [[graft.multimodal.Media.wavIndex]]) — one staleness fingerprint
+    * [[graft.multimodal.Media.wavIndex]],
+    * [[Similarity.srpIndex]]) — one staleness fingerprint
     * scan per lake (xxhash64, no shingling, no codec), recompute only
     * of mutated partitions, then one map-side-combined groupBy per
     * band family and a |buckets|-bounded rollup. Before r14 the gate

@@ -52,8 +52,14 @@ object NeardupStream {
     * (new doc, historical doc) band collision with the 4-hash Jaccard
     * estimate. Collisions on both bands emit once per band — the
     * downstream sink dedups (keeping the stream side stateless). */
-  def detect(newDocs: DataFrame, index: DataFrame): DataFrame = {
-    val s = signatures(newDocs)
+  def detect(newDocs: DataFrame, index: DataFrame): DataFrame =
+    detectSigs(signatures(newDocs), index)
+
+  /** [[detect]] with the probe-side SIGNATURE frame precomputed — lets
+    * a batch caller supply the codegen'd exploded signature form
+    * (bit-identical; the HOF form exists for streams where state is
+    * the scarce resource, not because it is fast). */
+  def detectSigs(s: DataFrame, index: DataFrame): DataFrame = {
     val idx = index.select(
       col("doc_id").as("dup_of"),
       col("sig0").as("i0"), col("sig1").as("i1"),

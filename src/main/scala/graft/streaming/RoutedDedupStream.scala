@@ -85,9 +85,16 @@ object RoutedDedupStream {
     * 4-hash signature equality, against the distinct-signature
     * contraction (min-doc representative + family size). Output shape
     * matches [[NeardupStream.detect]] (band = 'exact_sig',
-    * est_jaccard = 1 — signature equality is the 4-of-4 estimate). */
-  def coarseDetect(newDocs: DataFrame, index: DataFrame): DataFrame = {
-    val s = NeardupStream.signatures(newDocs)
+    * est_jaccard = 1 — signature equality is the 4-of-4 estimate).
+    * `sigs` picks the signature form: the stateless HOF form (default —
+    * the streaming contract) or the codegen'd exploded form a BATCH
+    * caller should pass (bit-identical by NeardupStreamSpec; measured
+    * ~3× cheaper on a bounded frame). */
+  def coarseDetect(newDocs: DataFrame, index: DataFrame,
+      sigs: DataFrame => DataFrame = NeardupStream.signatures): DataFrame =
+    coarseDetectSigs(sigs(newDocs), index)
+
+  private def coarseDetectSigs(s: DataFrame, index: DataFrame): DataFrame = {
     val reps = index
       .groupBy(col("sig0").as("i0"), col("sig1").as("i1"),
         col("sig2").as("i2"), col("sig3").as("i3"))
@@ -123,11 +130,15 @@ object RoutedDedupStream {
   /** Price the standing signature index, then gate (possibly
     * streaming) document arrivals down the routed path. Returns the
     * verdict alongside the gated frame so callers can log the route a
-    * stream took. */
-  def textGate(newDocs: DataFrame, index: DataFrame): (String, DataFrame) =
+    * stream took. `sigs` as in [[coarseDetect]]: streams take the
+    * stateless HOF default, batch callers pass the codegen'd form. */
+  def textGate(newDocs: DataFrame, index: DataFrame,
+      sigs: DataFrame => DataFrame = NeardupStream.signatures)
+      : (String, DataFrame) =
     routeOf(textBandKeys(index)) match {
-      case Pairwise => Pairwise -> NeardupStream.detect(newDocs, index)
-      case r => r -> coarseDetect(newDocs, index)
+      case Pairwise =>
+        Pairwise -> NeardupStream.detectSigs(sigs(newDocs), index)
+      case r => r -> coarseDetectSigs(sigs(newDocs), index)
     }
 
   /** The image twin: price the standing phash index, then gate image
