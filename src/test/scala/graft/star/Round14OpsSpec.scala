@@ -74,4 +74,34 @@ class Round14OpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(served == rebuilt)
   }
+
+  test("srp index equals the batch signatures and refreshes only the mutated label") {
+    import spark.implicits._
+    val idx = graft.llm.Similarity.srpIndex(spark, sf0001)
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    val batch = graft.llm.Similarity
+      .srpSig(graft.Tables(spark, sf0001, "embeddings"))
+      .select($"vec_id", $"band_a", $"band_b")
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(idx == batch && idx.nonEmpty)
+
+    // maintenance grain: one new vector in one label partition
+    val work = Files.createTempDirectory("r14_srp").toFile.getAbsolutePath
+    val lakePath = s"$work/embeddings"
+    graft.Tables(spark, sf0001, "embeddings").write.parquet(lakePath)
+    def lake = spark.read.parquet(lakePath)
+    val idxPath = s"$work/srp_index"
+    val sigs = graft.llm.Similarity.srpSig(_)
+    val first = graft.sources.Incremental.refresh(
+      spark, lake, "label", sigs, idxPath)
+    assert(first.nonEmpty && graft.sources.Incremental.refresh(
+      spark, lake, "label", sigs, idxPath).isEmpty)
+    val target = lake.select($"label").limit(1).as[Long].head()
+    lake.filter($"label" === target).limit(1)
+      .withColumn("vec_id", lit(91919191L))
+      .write.mode("append").parquet(lakePath)
+    val third = graft.sources.Incremental.refresh(
+      spark, lake, "label", sigs, idxPath)
+    assert(third == Seq(target.toString), s"stale set was $third")
+  }
 }
